@@ -1,0 +1,61 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks (SURVEY §2.11; reference: Great Expectations DAG
+  * `airflow/dags/data_validation_dag.py:306-320`, gate `:360-361`).
+  *
+  * Composable checks that compile to ONE conditional-aggregation pass per
+  * table — the reference runs one Postgres scan per expectation; at 100 TB
+  * a single scan computing all counts is the only sane shape.
+  */
+object Checks {
+
+  /** A named check: `violations` counts rows breaking the expectation. */
+  final case class Check(name: String, violations: Column)
+
+  /** Q1 expect_column_values_to_not_be_null. */
+  def notNull(c: String): Check =
+    Check(s"not_null_$c", count_if(col(c).isNull))
+
+  /** Q2 expect_column_values_to_be_between(min=0, mostly=1.0). */
+  def nonNegative(c: String): Check =
+    Check(s"non_negative_$c", count_if(col(c) < 0))
+
+  /** Q3 same with missing_value_handling="ignore": NULLs pass. */
+  def nonNegativeIgnoringNulls(c: String): Check =
+    Check(s"non_negative_$c", count_if(col(c).isNotNull && col(c) < 0))
+
+  /** One row, one column per check + total rows; zero extra scans. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      checks.map(c => c.violations.as(c.name)): _*)
+
+  final case class ValidationResult(
+      nRows: Long, violations: Map[String, Long]) {
+    def passed: Boolean = violations.valuesIterator.forall(_ == 0L)
+  }
+
+  /** Q4 fail-the-run gate (data_validation_dag.py:360-361): evaluate and
+    * throw on any violation. */
+  def validate(df: DataFrame, checks: Seq[Check]): ValidationResult = {
+    val row = run(df, checks).collect().head
+    val res = ValidationResult(
+      row.getLong(0),
+      checks.zipWithIndex.map { case (c, i) => c.name -> row.getLong(i + 1) }.toMap)
+    if (!res.passed)
+      throw new IllegalStateException(s"data-quality gate failed: ${res.violations.filter(_._2 > 0)}")
+    res
+  }
+
+  /** The declared-inventory report over the driver's `events` table:
+    * not-null ts / event_type (Q1), value ≥ 0 ignoring nulls (Q3). */
+  def report(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      count_if(col("ts").isNull).as("null_ts"),
+      count_if(col("event_type").isNull).as("null_event_type"),
+      count_if(col("value").isNotNull && col("value") < 0).as("negative_value"))
+}

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared, oracle-checked query per operator of SURVEY.md §2.
+  *
+  * Contract (driver gate, see the builder prompt + Verify.scala):
+  *   - `run(spark, sfDir)` executes the operator against the parquet tables
+  *     in `sfDir`;
+  *   - `oracle` is equivalent ANSI SQL that DuckDB runs over the same
+  *     parquet files (table name = file basename); `None` → rows-only check.
+  *
+  * Determinism rules every entry must obey (DuckDB hash-equality):
+  *   1. Column names identical on both sides (alias every computed column).
+  *   2. No arithmetic on raw doubles whose result is hashed — sum/avg on
+  *      doubles go through DECIMAL intermediates (exact, order-insensitive)
+  *      and are cast to an explicit final type on BOTH sides. Raw double
+  *      column passthrough is safe (bit-identical).
+  *   3. Any LIMIT/top-k carries a total tie-breaking ORDER BY.
+  *   4. Sort keys are non-nullable (Spark: NULLS FIRST, DuckDB: NULLS LAST).
+  */
+final case class Entry(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Inventory {
+  val all: Seq[Entry] =
+    Relational.entries ++ Functions.entries ++ Quality.entries ++
+      TextOps.entries ++ DedupOps.entries ++ SimilarityOps.entries ++
+      MultimodalOps.entries
+
+  lazy val byName: Map[String, Entry] = {
+    val m = all.map(e => e.name -> e).toMap
+    require(m.size == all.size, "duplicate query names in Inventory")
+    m
+  }
+}

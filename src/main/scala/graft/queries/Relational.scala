@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.8) re-expressed over
+  * the driver's TPC-H-ish tables.
+  *
+  * Scale notes (100 TB design intent, validated on local[32]):
+  *   - group-bys rely on Catalyst partial aggregation (map-side combine);
+  *   - the dimension side of every join here (region/nation/customer at
+  *     these SFs, or the aggregated side) is broadcast when small — AQE
+  *     picks broadcast-hash automatically, no hint needed below the
+  *     threshold; we hint `broadcast()` only where smallness is structural
+  *     (region=5 rows, nation=25) rather than data-dependent;
+  *   - top-k compiles to TakeOrderedAndProject (no global sort);
+  *   - final ORDER BY on verify-sized output is for oracle determinism;
+  *     it's the last stage, after aggregation has reduced cardinality.
+  */
+object Relational {
+  private val D18_2 = DecimalType(18, 2)
+  private val D18_4 = DecimalType(18, 4)
+
+  val entries: Seq[Entry] = Seq(
+
+    // S3 parquet scan + P4 column-pruning projection (read_delta.py:261).
+    Entry(
+      "s3_scan_projection",
+      (s, dir) => Tables(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment
+              FROM customer ORDER BY c_custkey"""),
+      "column pruning reaches the scan: ReadSchema has exactly 3 columns"),
+
+    // P3 not-null filter (SaveDelta.scala:149) + predicate pushdown.
+    Entry(
+      "p3_notnull_filter",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("props").isNotNull)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value
+              FROM events
+              WHERE event_id IS NOT NULL AND props IS NOT NULL
+              ORDER BY event_id"""),
+      "IsNotNull lands in PushedFilters of the parquet scan"),
+
+    // A1 group-by count + avg (read_delta.py:114-127).
+    // avg goes through an exact DECIMAL sum, then one double division —
+    // order-insensitive, so partial aggregation stays enabled.
+    Entry(
+      "a1_group_count_avg",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("count_items"),
+          sum(col("l_quantity").cast(D18_2)).cast(D18_2).as("sum_qty"),
+          (sum(col("l_extendedprice").cast(D18_4)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     COUNT(*) AS count_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_price
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // A2/O1 top-5 by count desc (SaveDelta.scala:236-242) →
+    // TakeOrderedAndProject, with a tie-breaker for determinism.
+    Entry(
+      "a2_topk_by_count",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("event_type"))
+        .limit(5),
+      Some("""SELECT event_type, COUNT(*) AS cnt
+              FROM events GROUP BY event_type
+              ORDER BY cnt DESC, event_type ASC LIMIT 5""")),
+
+    // A3/A4 scalar count (sql_scripts.py:32; read_delta.py:52).
+    Entry(
+      "a3_scalar_count",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows")),
+      Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
+
+    // A5 dashboard SUM metrics (superset slices 1-3): exact decimal sums.
+    Entry(
+      "a5_sum_metrics",
+      (s, dir) => Tables(s, dir, "orders")
+        .agg(
+          sum(col("o_totalprice").cast(D18_2)).cast(D18_2).as("sum_total"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+                     COUNT(*) AS n_orders
+              FROM orders""")),
+
+    // A6 dashboard grouped counts (superset slices 4-6).
+    Entry(
+      "a6_group_counts",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS cnt
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // J1 inner equi-join on the key (read_delta.py:280). customer is the
+    // dimension side; at 100 TB orders shuffles on o_custkey while
+    // customer broadcasts if < threshold — leave strategy to AQE.
+    Entry(
+      "j1_inner_join",
+      (s, dir) => {
+        val orders   = Tables(s, dir, "orders")
+        val customer = Tables(s, dir, "customer")
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+          .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // J2 left outer join against an aggregate (read_delta.py:285):
+    // customers with zero orders keep NULL count/sum — the aggregate side
+    // shrinks to |customers| rows before the join (pre-aggregate, then
+    // join: the shuffle moves the small aggregated side, not raw orders).
+    Entry(
+      "j2_left_join_agg",
+      (s, dir) => {
+        val customer = Tables(s, dir, "customer")
+        val perCust = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("count_orders"),
+            sum(col("o_totalprice").cast(D18_2)).cast(D18_2).as("sum_total"))
+        customer.join(perCust, customer("c_custkey") === perCust("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            col("count_orders"), col("sum_total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count_orders, sum_total
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS count_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+                FROM orders GROUP BY o_custkey
+              ) ON c_custkey = o_custkey
+              ORDER BY c_custkey""")),
+
+    // J3 + F4 + F5: the canonical commute-prime CTE self-join
+    // (README.md:141-164) transposed: CASE eligibility + ROUND(x*0.05, 2)
+    // + derived total. ROUND is done on a DECIMAL (HALF_UP in both
+    // engines); the double multiply itself is IEEE-deterministic.
+    Entry(
+      "j3_cte_prime",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH prime AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal > 0
+                        THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END AS prime
+            FROM customer_v)
+          SELECT c.c_custkey, c.c_name, c.c_acctbal, p.prime,
+                 c.c_acctbal + CAST(p.prime AS DOUBLE) AS total_balance
+          FROM customer_v c JOIN prime p ON c.c_custkey = p.c_custkey
+          ORDER BY c.c_custkey""")
+      },
+      Some("""WITH prime AS (
+                SELECT c_custkey,
+                       CASE WHEN c_acctbal > 0
+                            THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END AS prime
+                FROM customer)
+              SELECT c.c_custkey, c.c_name, c.c_acctbal, p.prime,
+                     c.c_acctbal + CAST(p.prime AS DOUBLE) AS total_balance
+              FROM customer c JOIN prime p ON c.c_custkey = p.c_custkey
+              ORDER BY c.c_custkey""")),
+
+    // The fused form of J3 (SURVEY §2.4 note): the CTE only derives a
+    // column, so a single projection replaces the self-join — this is the
+    // plan we'd actually run at scale (zero joins, zero shuffles).
+    Entry(
+      "j3_fused_prime",
+      (s, dir) => Tables(s, dir, "customer")
+        .withColumn("prime",
+          when(col("c_acctbal") > 0,
+            round(col("c_acctbal").multiply(lit(0.05)).cast(DecimalType(18, 6)), 2)
+              .cast(D18_2))
+            .otherwise(lit(0).cast(D18_2)))
+        .withColumn("total_balance",
+          col("c_acctbal") + col("prime").cast(DoubleType))
+        .select("c_custkey", "c_name", "c_acctbal", "prime", "total_balance")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+                     CASE WHEN c_acctbal > 0
+                          THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END AS prime,
+                     c_acctbal + CAST(
+                       CASE WHEN c_acctbal > 0
+                            THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS total_balance
+              FROM customer ORDER BY c_custkey""")),
+
+    // Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    // with broadcast hints on the structurally tiny dims (region=5,
+    // nation=25 rows at every SF — safe to pin).
+    Entry(
+      "j4_star_join",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o  = Tables(s, dir, "orders")
+        val c  = Tables(s, dir, "customer")
+        val n  = Tables(s, dir, "nation")
+        val r  = Tables(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(D18_4)).cast(D18_4).as("sum_price"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+              FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey  = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // Semi/anti joins (beyond-reference completeness; SURVEY §2.4 notes
+    // the reference has none — these are the scale-correct EXISTS forms).
+    Entry(
+      "j5_semi_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    Entry(
+      "j6_anti_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // O3 limit probe with deterministic total order.
+    Entry(
+      "o3_limit",
+      (s, dir) => Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders ORDER BY o_orderkey LIMIT 10""")),
+
+    // Set op (beyond reference §2.8): distinct union of key spaces.
+    Entry(
+      "u1_union_distinct",
+      (s, dir) => {
+        val a = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        val b = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        a.union(b).distinct().orderBy("custkey")
+      },
+      Some("""SELECT DISTINCT custkey FROM (
+                SELECT o_custkey AS custkey FROM orders
+                UNION ALL
+                SELECT c_custkey AS custkey FROM customer)
+              ORDER BY custkey""")),
+
+    // Window functions (SURVEY §2.6: none needed for parity; first-class
+    // here for the extension surface). row_number + running sum per user.
+    Entry(
+      "w1_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_cnt",
+            count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("rn") <= 3)
+          .select("user_id", "event_id", "rn", "running_cnt")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, rn, running_cnt FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+                FROM events)
+              WHERE rn <= 3 ORDER BY user_id, event_id"""))
+  )
+}

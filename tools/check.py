@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tool only; the
+engine itself is pure Scala/Spark).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name>/ parquet result, runs the corresponding
+oracle SQL from oracle_sql.json in DuckDB over the <sfDir> parquet tables,
+and compares as the driver does: columns sorted by name, rows sorted,
+values hashed."""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def canon(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [names[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            results[name] = "NO-OUTPUT"
+            continue
+        tbl = pq.read_table(d)
+        spark_names = tbl.column_names
+        spark_rows = [tuple(r[c] for c in spark_names) for r in tbl.to_pylist()]
+        if name not in oracle:
+            results[name] = f"rows-only ({len(spark_rows)} rows)" if spark_rows else "rows-only EMPTY"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            oc_names = [dsc[0] for dsc in cur.description]
+            oc_rows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {e}"
+            continue
+        sn, sr = canon(spark_names, spark_rows)
+        on, orows = canon(oc_names, oc_rows)
+        if sn != on:
+            results[name] = f"SCHEMA-MISMATCH spark={sn} oracle={on}"
+        elif sr != orows:
+            diffs = [i for i, (a, b) in enumerate(zip(sr, orows)) if a != b][:3]
+            detail = "; ".join(f"row{i}: spark={sr[i]} oracle={orows[i]}" for i in diffs)
+            results[name] = (f"VALUE-MISMATCH rows spark={len(sr)} oracle={len(orows)} "
+                             f"first-diffs: {detail}")
+        else:
+            results[name] = f"OK ({len(sr)} rows)"
+    width = max(len(k) for k in results) if results else 0
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only (")))
+    for k, v in sorted(results.items()):
+        print(f"{k:<{width}}  {v}")
+    print(f"\n{n_ok}/{len(results)} passing")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
