@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dot product of two `array<float>` columns, accumulated left-to-right in
+  * double precision.
+  *
+  * A native Catalyst expression (with codegen) instead of
+  * `aggregate(zip_with(...))`: the higher-order-function form allocates an
+  * intermediate array and boxes every element, which at 100 TB of
+  * embedding pairs is the difference between a memory-bandwidth-bound scan
+  * and a GC storm. The generated code is a tight primitive loop inside
+  * whole-stage codegen.
+  *
+  * Accumulation order is the deterministic left-to-right fold — the same
+  * order DuckDB's `list_dot_product` uses on `DOUBLE[]` — so results are
+  * bit-identical across engines and across partitionings (no
+  * reassociation).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FloatVecDot needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |float[] $y = $b.toFloatArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x[$i] * (double) $y[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector math built on [[FloatVecDot]], reached through the
+  * `vec_dot` function registered by [[graft.plans.GraftExtensions]]. */
+object VectorFunctions {
+
+  /** dot(a, b) in double precision. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Squared L2 norm. */
+  def vecNorm2(a: Column): Column = vecDot(a, a)
+
+  /** Cosine similarity, structured exactly as `dot / (sqrt(n_a) * sqrt(n_b))`
+    * — keep this shape in any oracle SQL for bit-identical results. */
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (sqrt(vecNorm2(a)) * sqrt(vecNorm2(b)))
+}

@@ -1,7 +1,96 @@
 package graft.queries
 
-/** Deduplication inventory (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-  * embedding near-dup) — see graft.operators.Dedup. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication inventory over `documents` / `embeddings`.
+  *
+  * The driver's corpus plants near-duplicate docs with word-3-gram
+  * Jaccard ≥ 0.8 and a clean similarity gap below — threshold 0.8
+  * separates them exactly. The MinHash-LSH entry's oracle is the exact
+  * Jaccard join: LSH recall at J ≥ 0.8 with 16 bands × 4 rows is
+  * 1 − (1 − s⁴)¹⁶ ≈ 0.9998 per pair, and the exact verification pass
+  * removes all false positives, so LSH output ≡ exact output unless a
+  * planted pair is missed (checked empirically at the gate SF).
+  */
 object DedupOps {
-  val entries: Seq[Entry] = Seq()
+
+  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — oracle for both
+    * the inverted-index join and the MinHash-LSH path. (Declared before
+    * `entries`, which captures it during object init.) */
+  val exactJaccardSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       idx AS (
+         SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+       sh AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       FROM common
+         JOIN cnt ca ON doc_a = ca.doc_id
+         JOIN cnt cb ON doc_b = cb.doc_id
+       WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  val entries: Seq[Entry] = Seq(
+
+    // exact dedup: fingerprint group-by, min-id survivor.
+    Entry(
+      "dedup_exact",
+      (s, dir) => Dedup.exact(Tables(s, dir, "documents"))
+        .orderBy("survivor_id"),
+      Some("""SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp,
+                     MIN(doc_id) AS survivor_id,
+                     COUNT(*) AS n_copies
+              FROM documents GROUP BY 1 ORDER BY survivor_id""")),
+
+    // exact n-gram Jaccard near-dup pairs via the inverted-index join.
+    Entry(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(DedupOps.exactJaccardSql)),
+
+    // MinHash + LSH banding with exact candidate verification — same
+    // declared result as the exact join, found with signature-sized I/O.
+    Entry(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables(s, dir, "documents"), 3, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(DedupOps.exactJaccardSql)),
+
+    // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk blocking).
+    // Signature depends on xxhash64 bit patterns — not expressible in
+    // ANSI SQL, so this takes the rows-only check; SimHashSpec asserts
+    // the semantics (planted dups found, hamming bound respected).
+    Entry(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables(s, dir, "documents"), 3)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // embedding-cosine near-dup pairs (brute force at test scale).
+    Entry(
+      "dedup_embed_cosine",
+      (s, dir) => graft.operators.Similarity
+        .cosinePairs(Tables(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b"),
+      Some("""SELECT vec_a, vec_b, cos FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+                  ON a.vec_id < b.vec_id)
+              WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""))
+  )
 }

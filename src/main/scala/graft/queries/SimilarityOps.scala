@@ -1,7 +1,66 @@
 package graft.queries
 
-/** Similarity-search inventory (brute-force cosine top-k, LSH-bucketed
-  * ANN) — see graft.operators.Similarity. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search inventory over `embeddings` (64-dim float vectors).
+  * Query set = vec_id < 10 (deterministic), k = 5. The cosine formula is
+  * structured identically on both sides (dot / (sqrt·sqrt), left-to-right
+  * double accumulation) so results are bit-identical. */
 object SimilarityOps {
-  val entries: Seq[Entry] = Seq()
+
+  private def queries(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+
+  private val cosineSql =
+    """list_dot_product(q.e, d.e)
+       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(d.e, d.e)))"""
+
+  val entries: Seq[Entry] = Seq(
+
+    // brute-force cosine top-k — the exact baseline every ANN variant is
+    // measured against.
+    Entry(
+      "sim_knn_brute",
+      (s, dir) => Similarity
+        .knnBrute(Tables(s, dir, "embeddings"), queries(s, dir), 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < 10),
+               scored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id),
+               r AS (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank, cos
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // IVF-style one-probe ANN: scan only the query's own cell (label);
+    // the 100 TB path scans 1/cells of the data via partition pruning.
+    Entry(
+      "sim_knn_ivf",
+      (s, dir) => Similarity
+        .knnIvf(Tables(s, dir, "embeddings"), queries(s, dir), 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, label AS q_label, e FROM d WHERE vec_id < 10),
+               scored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q JOIN d ON d.label = q.q_label AND d.vec_id <> q.query_id),
+               r AS (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank, cos
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+  )
 }

@@ -1,7 +1,119 @@
 package graft.queries
 
-/** Text-analysis inventory (LLM-pipeline extension) — filled in
-  * incrementally; see graft.functions.TextFunctions. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis inventory (LLM-pipeline surface) over `documents`.
+  * All built-ins, all codegen'd, all one scan — no UDFs, no shuffle
+  * except the final oracle-determinism sort. */
 object TextOps {
-  val entries: Seq[Entry] = Seq()
+
+  /** Stopwords present in the corpus vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Marker words per language, in argmax priority order — MUST stay in
+    * sync with the oracle SQL of `text_lang_id`. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("的", "是"))
+
+  val entries: Seq[Entry] = Seq(
+
+    // token counting: whitespace + BPE-ish regex proxy.
+    Entry(
+      "text_token_count",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          regexTokenCount(col("text")).cast(LongType).as("n_regex_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+                     n_chars
+              FROM documents ORDER BY doc_id""")),
+
+    // quality scoring: length saturation, stopword ratio, mean token len.
+    Entry(
+      "text_quality_score",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          meanTokenLength(col("text")).as("mean_tok_len"),
+          stopwordRatio(col("text"), Stopwords).as("stop_ratio"),
+          qualityScore(col("text"), Stopwords).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                       len(toks) AS nt,
+                       len(list_filter(toks, x -> x IN ('the', 'a'))) AS ns,
+                       list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS sumlen
+                FROM t)
+              SELECT doc_id,
+                     CAST(nt AS BIGINT) AS n_tokens,
+                     CAST(sumlen AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_tok_len,
+                     CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE) AS stop_ratio,
+                     LEAST(CAST(nt AS DOUBLE) / 100.0, 1.0)
+                       * (1.0 - CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)) AS quality
+              FROM s ORDER BY doc_id""")),
+
+    // language-ID heuristic (marker-word argmax, first-wins ties) compared
+    // against the labeled lang column.
+    Entry(
+      "text_lang_id",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          langId(col("text"), LangMarkers).as("pred_lang"))
+        .withColumn("agree", (col("pred_lang") === col("lang")).cast(IntegerType))
+        .orderBy("doc_id"),
+      // The CASE chain is the strictly-greater argmax fold: a later
+      // language wins only if it strictly beats the running max.
+      Some("""WITH t AS (
+                SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+              h AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> x IN ('the', 'a'))) AS he,
+                       len(list_filter(toks, x -> x IN ('el', 'la', 'que'))) AS hs,
+                       len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS hd,
+                       len(list_filter(toks, x -> x IN ('le', 'les', 'et'))) AS hf,
+                       len(list_filter(toks, x -> x IN ('的', '是'))) AS hz
+                FROM t)
+              SELECT doc_id, lang,
+                     CASE WHEN hz > GREATEST(he, hs, hd, hf) THEN 'zh'
+                          WHEN hf > GREATEST(he, hs, hd) THEN 'fr'
+                          WHEN hd > GREATEST(he, hs) THEN 'de'
+                          WHEN hs > he THEN 'es'
+                          ELSE 'en' END AS pred_lang,
+                     CASE WHEN (CASE WHEN hz > GREATEST(he, hs, hd, hf) THEN 'zh'
+                                     WHEN hf > GREATEST(he, hs, hd) THEN 'fr'
+                                     WHEN hd > GREATEST(he, hs) THEN 'de'
+                                     WHEN hs > he THEN 'es'
+                                     ELSE 'en' END) = lang
+                          THEN 1 ELSE 0 END AS agree
+              FROM h ORDER BY doc_id""")),
+
+    // document fingerprinting (md5 of normalized text = the dedup key).
+    Entry(
+      "text_fingerprint",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp
+              FROM documents ORDER BY doc_id"""))
+  )
 }
