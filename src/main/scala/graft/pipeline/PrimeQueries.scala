@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics layer (SURVEY E3): the canonical commute-prime SQL
+  * (reference README.md:141-164 = Superset virtual dataset "Final
+  * Dataset") plus the dashboard chart aggregates (superset.db slices 1–6).
+  */
+object PrimeQueries {
+
+  /** The canonical query, verbatim (Trino-dialect text is valid Spark
+    * SQL). Quirk preserved: employees with zero activities have NULL
+    * `count_activity`, so `count_activity >= 15` is NULL → CASE falls to
+    * the ELSE branch → `is_valid_activities = false` (SURVEY §7.4-R2). */
+  val canonicalSql: String =
+    """WITH prime AS (
+      |    SELECT
+      |        id_employee,
+      |        CASE
+      |            WHEN is_valid = true THEN ROUND(gross_salary * 0.05, 2)
+      |            ELSE 0
+      |        END AS commute_prime
+      |    FROM final
+      |)
+      |SELECT
+      |    f.id_employee,
+      |    f.gross_salary,
+      |    f.business_unity,
+      |    f.constract_type,
+      |    f.is_valid AS commute_valid,
+      |    f.count_activity,
+      |    f.mean_duration,
+      |    CASE
+      |        WHEN f.count_activity >= 15 THEN true
+      |        ELSE false
+      |    END AS is_valid_activities,
+      |    p.commute_prime,
+      |    f.gross_salary + p.commute_prime AS total_salary
+      |FROM final f
+      |JOIN prime p ON f.id_employee = p.id_employee""".stripMargin
+
+  /** Literal form: register `final` and run the SQL unchanged. */
+  def canonical(spark: SparkSession, finalDf: DataFrame): DataFrame = {
+    finalDf.createOrReplaceTempView("final")
+    spark.sql(canonicalSql)
+  }
+
+  /** Fused form (SURVEY §2.4-J3 note): the CTE only derives a column, so
+    * one projection replaces the self-join — identical output, zero
+    * joins, zero shuffles. This is the plan to run at scale.
+    *
+    * The derived columns use the same SQL text as [[canonicalSql]] so the
+    * analyzed types match exactly (`0.05` is a DECIMAL(2,2) literal →
+    * commute_prime/total_salary come out DECIMAL, as they do in the
+    * reference's Trino/Superset layer). */
+  def fused(finalDf: DataFrame): DataFrame =
+    finalDf
+      .withColumn("commute_prime",
+        expr("CASE WHEN is_valid = true THEN ROUND(gross_salary * 0.05, 2) ELSE 0 END"))
+      .withColumn("is_valid_activities",
+        when(col("count_activity") >= 15, lit(true)).otherwise(lit(false)))
+      .withColumn("total_salary", expr("gross_salary + commute_prime"))
+      .select(
+        col("id_employee"), col("gross_salary"), col("business_unity"),
+        col("constract_type"), col("is_valid").as("commute_valid"),
+        col("count_activity"), col("mean_duration"),
+        col("is_valid_activities"), col("commute_prime"), col("total_salary"))
+
+  // ---- dashboard aggregates (superset.db slices 1–6; SURVEY A5/A6) ----
+
+  def sumTotalSalary(ds: DataFrame): DataFrame =
+    ds.agg(sum("total_salary").as("sum_total_salary"))
+
+  def sumGrossSalary(ds: DataFrame): DataFrame =
+    ds.agg(sum("gross_salary").as("sum_gross_salary"))
+
+  def sumCommutePrime(ds: DataFrame): DataFrame =
+    ds.agg(sum("commute_prime").as("sum_commute_prime"))
+
+  def countByCommuteValid(ds: DataFrame): DataFrame =
+    ds.groupBy("commute_valid").agg(count(lit(1)).as("cnt"))
+
+  def countByValidActivities(ds: DataFrame): DataFrame =
+    ds.groupBy("is_valid_activities").agg(count(lit(1)).as("cnt"))
+
+  /** A2 top-k sports (SaveDelta.scala:236-242) over raw activities. */
+  def topSportTypes(activities: DataFrame, k: Int = 5): DataFrame =
+    activities.groupBy("sport_type")
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc("sport_type"))
+      .limit(k)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.core.Schemas
+
+/** Streaming CDC ingest (SURVEY E1; reference `spark/SaveDelta.scala`):
+  * Debezium-envelope JSON → typed activity rows → append sink.
+  *
+  * Spark-first restructuring of the reference job:
+  *   - ONE `from_json` against the envelope schema instead of seven
+  *     `get_json_object` calls (SaveDelta.scala:140-147) — one parse per
+  *     event instead of seven, same columns, same nulls on malformed
+  *     input;
+  *   - the µs-epoch conversion keeps the reference's exact string
+  *     semantics (`from_unixtime(cast(x as long)/1000000)`,
+  *     SaveDelta.scala:143): a STRING `yyyy-MM-dd HH:mm:ss` in the
+  *     session TZ (pinned UTC), including its int→double `distance`
+  *     drift (:146);
+  *   - null-id filter drops malformed/tombstone events (:149);
+  *   - sink stays `append` + checkpoint + processing-time trigger
+  *     (:157-163) — exactly-once via offset tracking + idempotent file
+  *     commit. Kafka in prod is the same `readStream` with
+  *     `format("kafka")`; tests use the file source so the pipeline is
+  *     hermetic (no broker in this environment).
+  *
+  * Scale: stateless map-only pipeline — no watermark, no shuffle; it
+  * scales with source partitions (Kafka partitions / files per batch).
+  */
+object CdcIngest {
+
+  /** Envelope parse + projection: the logical plan both batch tests and
+    * the stream share. Input: a DataFrame with a string `value` column
+    * (Kafka value / file line). */
+  def parseEnvelope(raw: DataFrame): DataFrame = {
+    val parsed = raw
+      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
+      .select(col("e.payload.after").as("after"))
+    parsed
+      .select(
+        col("after.id").cast(IntegerType).as("id"),
+        col("after.id_employee").cast(IntegerType).as("id_employee"),
+        from_unixtime(
+          (col("after.start_datetime").cast(LongType) / lit(1000000L)).cast(LongType))
+          .as("start_datetime"),
+        col("after.sport_type").as("sport_type"),
+        col("after.activity_duration").cast(IntegerType).as("activity_duration"),
+        col("after.distance").cast(DoubleType).as("distance"),
+        col("after.comment").as("comment"))
+      .filter(col("id").isNotNull)
+  }
+
+  /** Streaming source of Debezium JSON lines from a directory (stands in
+    * for the Kafka topic; same `value: string` contract — S1/S7). */
+  def readJsonLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(dir)
+      .withColumnRenamed("value", "value")
+
+  /** Kafka source for production (S1 — SaveDelta.scala:104-112). Kept as
+    * a separate constructor: same downstream plan. Requires the
+    * spark-sql-kafka connector on the classpath. */
+  def readKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** K1 append sink: parquet/delta path + checkpoint + trigger.
+    * `AvailableNow` in tests (drain-and-stop, no wall clock — SURVEY
+    * §7.4-R4); `ProcessingTime(30s)` in production matches the
+    * reference's cadence. */
+  def appendSink(parsed: DataFrame, path: String, checkpoint: String,
+                 format: String = "parquet",
+                 trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream
+      .format(format)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** Full ingest: JSON-lines dir → parsed append to `outPath`. Returns
+    * the started query; callers `awaitTermination`. */
+  def run(spark: SparkSession, inDir: String, outPath: String,
+          checkpoint: String): StreamingQuery =
+    appendSink(parseEnvelope(readJsonLines(spark, inDir)), outPath, checkpoint)
+      .start(outPath)
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Schemas
+
+/** Comment-alert stream (reference `slack_notifier/slack_notification.py`):
+  * consume CDC events, keep those carrying a comment, project the alert
+  * message, deliver via a pluggable sink.
+  *
+  * The reference is a synchronous Python poll loop doing one HTTP POST
+  * per event; here it is the same filtered stream as the ingest (S1/S7
+  * share the topic) with delivery in `foreachBatch` — batched, retried by
+  * the streaming engine, and testable by swapping the sink (SURVEY K6).
+  */
+object CommentAlerts {
+
+  /** One alert per qualifying event. Field requirements follow the
+    * notifier (:55-68): payload.after present with sport_type, comment,
+    * first_name, last_name; the comment must be non-null (P7/P8). */
+  final case class Alert(id: Int, author: String, pretext: String, text: String)
+
+  /** Envelope → alert projection (valid-envelope predicate + comment
+    * filter + message assembly, slack_notification.py:51-72). */
+  def alerts(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
+      .select(col("e.payload.after").as("a"))
+      .filter(col("a").isNotNull && col("a.id").isNotNull)
+      .filter(col("a.comment").isNotNull)
+      .select(
+        col("a.id").as("id"),
+        format_string("Auteur: %s %s", col("a.first_name"), col("a.last_name"))
+          .as("author"),
+        col("a.comment").as("pretext"),
+        format_string("Type d'activité: %s", col("a.sport_type")).as("text"))
+
+  /** Delivery target. Production posts to a webhook; tests collect. */
+  trait AlertSink extends Serializable {
+    def deliver(batch: Seq[Alert]): Unit
+  }
+
+  /** Streaming job: JSON-lines dir (or any value:string stream) →
+    * filtered alerts → sink via foreachBatch. */
+  def run(spark: SparkSession, raw: DataFrame, sink: AlertSink,
+          checkpoint: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    alerts(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq.map { r: Row =>
+          Alert(r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+        }
+        if (rows.nonEmpty) sink.deliver(rows)
+      }
+      .start()
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operator semantics on hand-built corpora. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines here"),
+    (5L, "the  quick   brown fox jumps over the lazy dog") // whitespace variant
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized copies under the min id") {
+    val survivors = Dedup.exact(corpus).collect()
+    assert(survivors.length === 3) // {1,2,5}, {3}, {4}
+    val big = survivors.find(_.getAs[Long]("n_copies") === 3L).get
+    assert(big.getAs[Long]("survivor_id") === 1L)
+  }
+
+  test("ngram Jaccard finds the near-dup pair and scores it exactly") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .filter(col("doc_a") === 1 && col("doc_b") === 3).collect()
+    assert(pairs.length === 1)
+    // 9 words → 7 shingles each; 6 shared ⇒ J = 6/(7+7-6) = 0.75
+    assert(pairs.head.getAs[Double]("jaccard") === 0.75)
+  }
+
+  test("minhash LSH returns the same pairs as the exact join at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs at distance 0, near dups closer than distinct docs") {
+    val pairs = Dedup.simhashPairs(corpus, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 2L)) === 0) // identical text → identical signature
+    assert(pairs((1L, 5L)) === 0) // whitespace-normalized copy
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // For a 9-token doc a 1-token change flips many sign-marginal bits, so
+    // hamming(near-dup) can exceed 3 — assert the ORDER is right instead:
+    // signature distance near-dup < distinct-doc.
+    val sig = Dedup.simhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("minhash signature width = bands × rows and is stable across runs") {
+    val sig1 = Dedup.minhashSignatures(corpus, 3, 8).orderBy("doc_id").collect()
+    val sig2 = Dedup.minhashSignatures(corpus, 3, 8).orderBy("doc_id").collect()
+    assert(sig1.head.schema.fieldNames.length === 9) // doc_id + 8 hashes
+    assert(sig1.map(_.toSeq).toSeq === sig2.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CommuteRules, JoinPipeline, PrimeQueries}
+
+/** E3 analytics (mirrors reference README.md:141-164 + superset slices). */
+class PrimeQueriesSuite extends SparkSuite {
+
+  private lazy val finalDf = JoinPipeline.buildFinal(
+    Fixtures.employees(spark),
+    CommuteRules.validate(Fixtures.employees(spark), CommuteRules.StubProvider, lit(null)),
+    Fixtures.activities(spark)).cache()
+
+  test("canonical CTE SQL runs verbatim and matches the fused single-pass form") {
+    val canonical = PrimeQueries.canonical(spark, finalDf)
+    val fused     = PrimeQueries.fused(finalDf)
+    assert(canonical.schema.fieldNames.toSeq === fused.schema.fieldNames.toSeq)
+    val c = canonical.orderBy("id_employee").collect().toSeq
+    val f = fused.orderBy("id_employee").collect().toSeq
+    assert(c === f)
+  }
+
+  test("commute_prime = round(5% of salary, 2) iff commute valid, else 0") {
+    val ds = PrimeQueries.fused(finalDf)
+    ds.select("gross_salary", "commute_valid", "commute_prime", "total_salary")
+      .collect().foreach { r =>
+        val salary = r.getInt(0)
+        val valid  = !r.isNullAt(1) && r.getBoolean(1)
+        val prime  = BigDecimal(r.getAs[java.math.BigDecimal]("commute_prime"))
+        val expected = if (valid)
+          (BigDecimal(salary) * BigDecimal("0.05")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        else BigDecimal(0)
+        assert(prime === expected, s"salary=$salary valid=$valid")
+        assert(BigDecimal(r.getAs[java.math.BigDecimal]("total_salary")) === salary + prime)
+      }
+  }
+
+  test("NULL count_activity (never active) → is_valid_activities = false, not NULL") {
+    val ds = PrimeQueries.fused(finalDf)
+    val inactive = ds.filter(col("count_activity").isNull)
+    assert(inactive.count() > 0)
+    assert(inactive.filter(col("is_valid_activities") =!= false).count() === 0)
+    // and ≥15 activities → true (employees 16..20 have 15+ rows)
+    assert(ds.filter(col("count_activity") >= 15 && !col("is_valid_activities")).count() === 0)
+  }
+
+  test("dashboard aggregates (A5/A6) are consistent with the dataset") {
+    val ds = PrimeQueries.fused(finalDf).cache()
+    val n = ds.count()
+    assert(PrimeQueries.countByCommuteValid(ds)
+      .agg(sum("cnt")).head().getLong(0) === n)
+    assert(PrimeQueries.countByValidActivities(ds)
+      .agg(sum("cnt")).head().getLong(0) === n)
+    val sumGross = ds.agg(sum("gross_salary")).head().getLong(0)
+    assert(PrimeQueries.sumGrossSalary(ds).head().getLong(0) === sumGross)
+  }
+
+  test("A2 top-5 sport types ordered desc with deterministic ties") {
+    val top = PrimeQueries.topSportTypes(Fixtures.activities(spark), 5).collect()
+    assert(top.length === 5)
+    val counts = top.map(_.getAs[Long]("count")).toSeq
+    assert(counts === counts.sorted.reverse)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis column functions. */
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace vs regex tokenization") {
+    val df = Seq("hello world", "a  b\tc", "don't stop-me now!").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.regexTokenCount($"text")).collect()
+    assert(r(0).getInt(0) === 2 && r(0).getInt(1) === 2)
+    assert(r(1).getInt(0) === 3)
+    // don ' t stop - me now ! = 8 regex tokens, 3 whitespace tokens
+    assert(r(2).getInt(0) === 3 && r(2).getInt(1) === 8)
+  }
+
+  test("shingles: n-grams in order; short docs yield empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val r = df.select(TextFunctions.shingles($"text", 3)).collect()
+    assert(r(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) === Seq.empty)
+  }
+
+  test("stopword ratio and mean token length") {
+    val df = Seq("the big the cat").toDF("text")
+    val r = df.select(
+      TextFunctions.stopwordRatio($"text", Seq("the", "a")),
+      TextFunctions.meanTokenLength($"text")).head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getDouble(1) === 12.0 / 4)
+  }
+
+  test("langId picks the max-marker language, first language wins ties") {
+    val markers = Seq(
+      "en" -> Seq("the"), "fr" -> Seq("le"), "de" -> Seq("der"))
+    val df = Seq("le chat le chien", "der hund", "nothing matches").toDF("text")
+    val r = df.select(TextFunctions.langId($"text", markers)).collect()
+    assert(r(0).getString(0) === "fr")
+    assert(r(1).getString(0) === "de")
+    assert(r(2).getString(0) === "en") // all-zero tie → first declared
+  }
+
+  test("fingerprint is whitespace-invariant and md5-shaped") {
+    val df = Seq(("a  b c", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint($"x"), TextFunctions.fingerprint($"y")).head()
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getString(0).matches("[0-9a-f]{32}"))
+  }
+}
