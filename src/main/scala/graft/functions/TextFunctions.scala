@@ -66,12 +66,14 @@ object TextFunctions {
     lenSat * (lit(1.0) - stopwordRatio(text, stopwords))
   }
 
-  /** Marker-word language-ID: counts hits of per-language marker words and
-    * takes the argmax (first language in `markers` wins ties — keep the
-    * order identical in any oracle). Cheap n-gram heuristic shaped like
-    * fastText-style LID, O(bytes), no shuffle. */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val toks = tokens(text)
+  /** Marker-word language-ID over a PRE-SPLIT token array: counts hits of
+    * per-language marker words and takes the argmax (first language in
+    * `markers` wins ties — keep the order identical in any oracle).
+    *
+    * Takes tokens, not text, so callers tokenize ONCE: `ArrayFilter` is a
+    * non-codegen expression (no subexpression elimination), so passing raw
+    * text would re-run the regex split per language. */
+  def langIdFromTokens(toks: Column, markers: Seq[(String, Seq[String])]): Column = {
     def hits(ws: Seq[String]): Column =
       size(filter(toks, t => t.isin(ws.map(lit(_).cast(StringType)): _*)))
     // argmax via a strictly-greater fold over (lang, hits) in declared order
@@ -83,6 +85,10 @@ object TextFunctions {
         .otherwise(best)
     }.getField("lang")
   }
+
+  /** Convenience form tokenizing inline (fine for one-off use). */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(tokens(text), markers)
 
   /** Document fingerprint: md5 of whitespace-normalized text — the exact
     * dedup key. (md5 matches DuckDB's md5 for oracle checks; at scale

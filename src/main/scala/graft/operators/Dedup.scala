@@ -68,13 +68,19 @@ object Dedup {
 
   // --------------------------------------------------------- MinHash LSH
 
-  /** MinHash signatures: for each of `numHashes` seeded xxhash64
-    * functions, the min over the doc's shingles. One narrow aggregation;
-    * the signature is numHashes longs regardless of doc length. */
+  /** MinHash signatures: ONE xxhash64 per shingle string, then `numHashes`
+    * seeded long-rehashes `xxhash64(h, i)` — rehashing a fixed-width long
+    * instead of re-hashing the string bytes `numHashes` times, an order of
+    * magnitude less CPU on the scan. (A classic `a·h + b` universal hash
+    * would need mod-2⁶⁴ wraparound, which ANSI mode rejects as overflow;
+    * the seeded xxhash64 family is equally uniform and codegen-friendly.)
+    * One narrow aggregation; the signature is numHashes longs regardless
+    * of doc length. */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = docShingles(docs, n)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sh = docShingles(docs, n).withColumn("h", xxhash64(col("shingle")))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -101,11 +107,28 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    ngramJaccardPairs(docs, n, threshold).as("j")
-      .join(candidates.as("c"),
-        col("j.doc_a") === col("c.doc_a") && col("j.doc_b") === col("c.doc_b"),
-        "left_semi")
+
+    // Exact verification restricted to the candidate pairs (the whole
+    // point of LSH: never touch the full pair space). Candidates are few
+    // → broadcast them onto the shingle index twice.
+    val sh    = docShingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("sa")
+      .join(broadcast(candidates), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   // ------------------------------------------------------------- SimHash

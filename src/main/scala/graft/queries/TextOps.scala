@@ -74,9 +74,10 @@ object TextOps {
     Entry(
       "text_lang_id",
       (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
         .select(
           col("doc_id"), col("lang"),
-          langId(col("text"), LangMarkers).as("pred_lang"))
+          langIdFromTokens(col("toks"), LangMarkers).as("pred_lang"))
         .withColumn("agree", (col("pred_lang") === col("lang")).cast(IntegerType))
         .orderBy("doc_id"),
       // The CASE chain is the strictly-greater argmax fold: a later
