@@ -28,17 +28,27 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
-  /** Word n-gram shingles (space-joined), as an array column.
-    * `sequence` + `transform` stay inside codegen; `element_at` is
-    * 1-based. Short docs (< n words) yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from a PRE-SPLIT token array (space-joined).
+    *
+    * `toks` must be a materialized column (project `tokens(text)` into a
+    * named column first): the lambda body references `toks` once per
+    * n-gram position, and `transform` is a non-codegen expression with no
+    * subexpression elimination — an inline `split` would re-tokenize the
+    * whole document at every shingle offset, turning an O(words) scan
+    * into O(words²) regex work per doc (measured 10× on the corpus).
+    * `element_at` is 1-based. Short docs (< n words) yield an empty
+    * array. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Convenience form splitting inline — ONLY for single-use contexts;
+    * see [[shinglesFromTokens]] for why hot paths must pre-split. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Stopword ratio over a fixed stopword set. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
@@ -74,16 +84,37 @@ object TextFunctions {
     * non-codegen expression (no subexpression elimination), so passing raw
     * text would re-run the regex split per language. */
   def langIdFromTokens(toks: Column, markers: Seq[(String, Seq[String])]): Column = {
-    def hits(ws: Seq[String]): Column =
-      size(filter(toks, t => t.isin(ws.map(lit(_).cast(StringType)): _*)))
-    // argmax via a strictly-greater fold over (lang, hits) in declared order
-    val scored = markers.map { case (lang, ws) => (lit(lang), hits(ws)) }
-    val (l0, h0) = scored.head
-    val init = struct(l0.as("lang"), h0.as("h"))
-    scored.tail.foldLeft(init) { case (best, (lang, h)) =>
-      when(h > best.getField("h"), struct(lang.as("lang"), h.as("h")))
-        .otherwise(best)
-    }.getField("lang")
+    // ONE interpreted pass over the token array accumulating every
+    // language's hit count in a struct (ArrayAggregate has no codegen, so
+    // per-language `filter` passes would cost numLanguages × array walks
+    // plus a filtered-array allocation each — measured 3× slower). The
+    // argmax runs in the aggregate's FINISH lambda: the accumulator is a
+    // bound lambda variable there, so reading it per language is free —
+    // referencing the aggregate expression itself per language would
+    // re-run the whole fold each time (no subexpression elimination in
+    // interpreted expressions).
+    val zero = struct(markers.map { case (l, _) => lit(0).as(s"h_$l") }: _*)
+    aggregate(
+      toks,
+      zero,
+      (acc, t) =>
+        struct(markers.map { case (l, ws) =>
+          (acc.getField(s"h_$l") +
+            when(t.isin(ws.map(lit(_).cast(StringType)): _*), 1).otherwise(0))
+            .as(s"h_$l")
+        }: _*),
+      acc => {
+        // argmax via a strictly-greater fold over (lang, hits) in
+        // declared order — first language wins ties.
+        val scored = markers.map { case (lang, _) =>
+          (lit(lang), acc.getField(s"h_$lang")) }
+        val (l0, h0) = scored.head
+        val init = struct(l0.as("lang"), h0.as("h"))
+        scored.tail.foldLeft(init) { case (best, (lang, h)) =>
+          when(h > best.getField("h"), struct(lang.as("lang"), h.as("h")))
+            .otherwise(best)
+        }.getField("lang")
+      })
   }
 
   /** Convenience form tokenizing inline (fine for one-off use). */

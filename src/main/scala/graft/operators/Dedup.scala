@@ -35,11 +35,14 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard pairs
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input.
+    * Tokenizes in its own projection so the shingle lambda reads a
+    * materialized array (see [[TextFunctions.shinglesFromTokens]]). */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
 
   /** All pairs (a < b) with word-n-gram Jaccard ≥ `threshold`, computed

