@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.streaming.{Monitor, StreamingDedup, WindowedStats}
+
+/** Beyond-parity streaming surface: watermarked event-time windows,
+  * streaming dedup (built-in + custom state), listener-based monitoring.
+  *
+  * Batch boundaries are made deterministic by writing each input file
+  * only AFTER `processAllAvailable()` drained the previous one (same-mtime
+  * files can land in one micro-batch regardless of maxFilesPerTrigger;
+  * SURVEY §7.4-R4 wall-clock-free streaming tests). */
+class StreamingExtSuite extends SparkSuite {
+
+  import spark.implicits._
+
+  private var seq = 0
+  private def feed(dir: String, q: StreamingQuery, lines: Seq[String]): Unit = {
+    seq += 1
+    Files.write(Paths.get(dir, f"b$seq%03d.json"),
+      lines.mkString("\n").getBytes("UTF-8"), StandardOpenOption.CREATE)
+    q.processAllAvailable()
+  }
+
+  test("tumbling windows aggregate per type; batch and stream plans agree") {
+    val events = Seq(
+      ("2024-04-18 10:05:00", "click", 1.0),
+      ("2024-04-18 10:55:00", "click", 2.0),
+      ("2024-04-18 10:30:00", "view", 10.0),
+      ("2024-04-18 11:10:00", "click", 4.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+
+    val got = WindowedStats.tumblingTypeCounts(events)
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+
+    assert(got === Array(
+      ("2024-04-18 10:00:00.0", "click", 2L, 3.0),
+      ("2024-04-18 10:00:00.0", "view", 1L, 10.0),
+      ("2024-04-18 11:00:00.0", "click", 1L, 4.0)))
+  }
+
+  test("watermark finalizes closed windows and drops too-late data in append mode") {
+    val in = tmpDir("ws-in")
+    def ev(ts: String, t: String, v: Double) =
+      s"""{"ts":"$ts","event_type":"$t","value":$v}"""
+
+    val src = spark.readStream.schema("ts timestamp, event_type string, value double")
+      .json(in)
+    val q = WindowedStats.tumblingTypeCounts(src, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("ws_windows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: window-10:00 clicks + an 11:30 event → watermark after
+      // this batch = 11:20, closing window [10:00, 11:00).
+      feed(in, q, Seq(
+        ev("2024-04-18 10:05:00", "click", 1.0),
+        ev("2024-04-18 10:20:00", "click", 2.0),
+        ev("2024-04-18 11:30:00", "view", 5.0)))
+      // batch 2: a 10:15 event behind the watermark → dropped; the 13:00
+      // event pushes the watermark past 11:00's window too.
+      feed(in, q, Seq(
+        ev("2024-04-18 10:15:00", "click", 100.0),
+        ev("2024-04-18 13:00:00", "view", 7.0)))
+    } finally q.stop()
+
+    val rows = spark.table("ws_windows")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the 10:00 click window emitted with ONLY the on-time rows
+    assert(rows.contains(("2024-04-18 10:00:00.0", "click", 2L, 3.0)))
+    assert(!rows.exists { case (_, t, _, s) => t == "click" && s == 103.0 })
+  }
+
+  test("dropDuplicatesWithinWatermark: first sighting wins across batches") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "2024-04-18 10:00:00"),
+      (2L, "the  quick   brown fox", "2024-04-18 10:01:00"), // ws-normalized dup
+      (3L, "something else entirely", "2024-04-18 10:02:00"))
+      .toDF("doc_id", "text", "ts_s")
+      .select(col("doc_id"), col("text"), col("ts_s").cast("timestamp").as("ts"))
+    // fingerprint projection feeding the streaming variant: 2 distinct keys
+    assert(StreamingDedup.fingerprinted(docs).select("fp").distinct().count() === 2)
+
+    val in = tmpDir("sd-in")
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    val src = spark.readStream.schema("doc_id long, text string, ts timestamp")
+      .json(in)
+    val q = StreamingDedup.exactWithinWatermark(src)
+      .writeStream.format("memory").queryName("sd_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      feed(in, q, Seq(doc(1, "the quick brown fox", "2024-04-18 10:00:00")))
+      feed(in, q, Seq(
+        doc(2, "the  quick   brown fox", "2024-04-18 10:01:00"),
+        doc(3, "something else entirely", "2024-04-18 10:02:00")))
+    } finally q.stop()
+
+    val ids = spark.table("sd_wm").select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 3L)) // doc 2's fingerprint already seen in batch 1
+  }
+
+  test("flatMapGroupsWithState dedup emits first sighting only, with monitor attached") {
+    val in = tmpDir("sf-in")
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+
+    val monitor = Monitor.attach(spark)
+    val src = spark.readStream.schema("doc_id long, text string, ts timestamp")
+      .json(in)
+    val q = StreamingDedup.exactStateful(src)
+      .writeStream.format("memory").queryName("sd_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      feed(in, q, Seq(
+        doc(10, "alpha beta gamma", "2024-04-18 10:00:00"),
+        doc(11, "alpha  beta gamma", "2024-04-18 10:00:30"))) // same-batch dup
+      feed(in, q, Seq(
+        doc(12, "alpha beta gamma", "2024-04-18 10:01:00"),   // cross-batch dup
+        doc(13, "delta epsilon", "2024-04-18 10:02:00")))
+    } finally q.stop()
+
+    val ids = spark.table("sd_state").select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(10L, 13L))
+    // the listener saw every input row without re-reading the sink
+    assert(monitor.totalInputRows === 4L)
+    assert(monitor.history.map(_.numInputRows).sum === 4L)
+    spark.streams.removeListener(monitor)
+  }
+}
