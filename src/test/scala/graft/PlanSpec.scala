@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.Inventory
+
+/** Physical-plan shape assertions for the scale-critical queries: the
+  * properties that make these plans survive a 100× scale-up are tested
+  * here, not just eyeballed in `.explain` once.
+  *
+  * All plans are built against sf0.001 — plan SHAPE (pushdown, pruning,
+  * join strategy, shuffle count) is what's asserted; sizes only matter
+  * where noted (broadcast thresholds, which the hinted joins pin
+  * structurally).
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    formatted(Inventory.byName(name).run(spark, sfDir))
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("column pruning reaches the parquet scan (s3: 3-column ReadSchema)") {
+    val p = plan("s3_scan_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_acctbal")
+      && readSchema.contains("c_mktsegment"))
+    // the other 5 customer columns must NOT be read off disk
+    assert(!readSchema.contains("c_name") && !readSchema.contains("c_address")
+      && !readSchema.contains("c_comment"))
+  }
+
+  test("not-null predicates land in PushedFilters (p3)") {
+    val p = plan("p3_notnull_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("IsNotNull(event_id)"))
+    assert(pushed.contains("IsNotNull(props)"))
+  }
+
+  test("structurally tiny dims broadcast in the star join (j4)") {
+    val p = plan("j4_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    // nation & region sides arrive via broadcast exchange, not shuffle
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (a2)") {
+    val p = plan("a2_topk_by_count")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("the fused prime projection has zero shuffles (j3_fused vs j3_cte)") {
+    val fused = plan("j3_fused_prime")
+    assert(!fused.contains("Exchange"),
+      "single-pass derived column must not shuffle")
+    // while the literal CTE form self-joins (1+ exchange unless broadcast)
+    val cte = plan("j3_cte_prime")
+    assert(cte.contains("Join"))
+  }
+
+  test("pre-aggregation runs before the left join, with partial aggregates (j2)") {
+    val p = plan("j2_left_join_agg")
+    // partial + final hash aggregation (map-side combine before shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_count") || p.contains("Partial"))
+  }
+
+  test("group-by aggregation keeps whole-stage codegen on the scan side (a1)") {
+    // AQE inserts codegen stages as they execute — run first, then the
+    // final plan marks codegen'd nodes with `*(n)`
+    val df = Inventory.byName("a1_group_count_avg").run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("*("), "no whole-stage-codegen stage in the plan")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("exact dedup is one shuffle on the fingerprint, never the text (dedup_exact)") {
+    val p = Inventory.byName("dedup_exact").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exactly one hash shuffle (partial agg → shuffle on fp → final agg);
+    // the orderBy adds a range exchange, which is not a hash repartition
+    val hashExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size === 1, p)
+    assert(hashExchanges.head.contains("fp#"))
+    // the shuffled payload is the fingerprint, never the document text
+    assert(!hashExchanges.head.contains("text#"))
+  }
+
+  test("semi and anti joins stay semi/anti in the physical plan (j5/j6)") {
+    assert(plan("j5_semi_join").contains("LeftSemi"))
+    assert(plan("j6_anti_join").contains("LeftAnti"))
+  }
+
+  test("scalar count aggregates without reading any data columns (a3)") {
+    val p = plan("a3_scalar_count")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // count(1) needs zero columns: parquet row-group metadata drives it
+    assert(readSchema.contains("struct<>"))
+  }
+}
