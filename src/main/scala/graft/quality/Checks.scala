@@ -50,6 +50,22 @@ object Checks {
     res
   }
 
+  // ---- S8: catalog/schema introspection (data_validation_dag.py:68-106,
+  // 219-253 runs information_schema queries; the Spark catalog answers
+  // the same questions without a scan).
+
+  /** S8 table-existence precondition (data_validation_dag.py:219-253). */
+  def tableExists(spark: org.apache.spark.sql.SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** S8 column-existence check: expected columns absent from the frame.
+    * Empty result = check passes (data_validation_dag.py:68-106 checks
+    * information_schema.columns the same way). */
+  def missingColumns(df: DataFrame, expected: Seq[String]): Seq[String] = {
+    val have = df.schema.fieldNames.toSet
+    expected.filterNot(have)
+  }
+
   /** The declared-inventory report over the driver's `events` table:
     * not-null ts / event_type (Q1), value ≥ 0 ignoring nulls (Q3). */
   def report(events: DataFrame): DataFrame =
