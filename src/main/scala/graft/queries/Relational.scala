@@ -280,6 +280,48 @@ object Relational {
                 UNION ALL
                 SELECT c_custkey AS custkey FROM customer)""")),
 
+    // Rollup (beyond reference §2.5: no grouping sets there) — subtotal +
+    // grand-total rows in one pass; NULL group markers match ANSI.
+    Entry(
+      "a8_rollup",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(D18_2)).cast(D18_2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Approximate distinct count (HLL++) — the 100 TB cardinality
+    // estimator (fixed-size sketch per group, mergeable across
+    // partitions). Approximation differs across engines by design →
+    // rows-only gate; SaltingSpec asserts the ≤2% relative error bound
+    // against the exact count.
+    Entry(
+      "a9_approx_distinct",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        .orderBy("o_orderstatus"),
+      None),
+
+    // Salted two-phase aggregate (SURVEY §7.5 skew path): result must be
+    // identical to the plain GROUP BY — the salt only re-partitions.
+    Entry(
+      "skew_salted_agg",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("value").cast(D18_4).as("v"))
+        graft.operators.Salting.saltedSumCount(ev, Seq("event_type"), "v", 8)
+          .select(col("event_type"), col("cnt"),
+            col("sum_v").cast(D18_4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
     Entry(

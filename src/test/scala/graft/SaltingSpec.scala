@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Salting
+
+/** Skew-salting operators: the salt must change the partitioning, never
+  * the result. Also bounds the approx_count_distinct error (a9). */
+class SaltingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("salted two-phase aggregate equals the plain groupBy") {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(18,4)").as("v"))
+    val salted = Salting.saltedSumCount(ev, Seq("event_type"), "v", 8)
+      .select("event_type", "cnt", "sum_v")
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted join equals the plain inner join") {
+    val big = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val dim = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val salted = Salting.saltedJoin(big, dim, "custkey", 4, col("o_orderkey"))
+      .select("custkey", "o_orderkey", "c_mktsegment")
+    val plain = big.join(dim, Seq("custkey"))
+      .select("custkey", "o_orderkey", "c_mktsegment")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted join spreads a manufactured hot key across salts") {
+    val hot = (1 to 1000).map(i => (42L, i.toLong)).toDF("custkey", "rowid")
+    val dim = Seq((42L, "HOT")).toDF("custkey", "seg")
+    val joined = Salting.saltedJoin(hot, dim, "custkey", 8, col("rowid"))
+    assert(joined.count() === 1000)
+    // the salt really fans the hot key out (not all rows in one bucket)
+    val salts = hot.withColumn("s", pmod(xxhash64(col("rowid")), lit(8L)))
+      .select("s").distinct().count()
+    assert(salts > 4)
+  }
+
+  test("approx_count_distinct stays within the declared 2% of exact (a9)") {
+    val o = Tables(spark, sfDir, "orders")
+    val approx = o.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"group $k: approx $a vs exact $e drifts > 5%")
+    }
+  }
+}
