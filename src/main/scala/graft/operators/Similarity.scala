@@ -69,9 +69,76 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  // ------------------------------------------- sign-LSH bucketed pairs
+
+  /** Deterministic Rademacher (±1) hyperplanes via splitmix64 — stable
+    * across runs/JVMs, so LSH results are reproducible and task retries
+    * see the same buckets. */
+  private def hyperplanes(nbits: Int, dim: Int): Seq[Array[Float]] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nbits)(Array.fill(dim)(if (next() < 0) -1.0f else 1.0f))
+  }
+
+  /** Sign-LSH bucketed near-dup pairs — the high-threshold scale path for
+    * [[cosinePairs]]: bit_i = sign(v · r_i) (random-hyperplane LSH;
+    * P[bits agree] = 1 − θ/π), bits grouped into `bands` keys of
+    * `rowsPerBand` bits, candidates = pairs sharing any band key, then
+    * exact cosine verification — precision is exact, recall
+    * 1 − (1 − p^rows)^bands per pair.
+    *
+    * Default 16 bands × 8 bits: at cos 0.9 (p ≈ 0.86) recall is
+    * 1 − (1 − 0.86⁸)¹⁶ ≈ 0.996, while uncorrelated pairs (p = 0.5)
+    * collide in only ~6 % of cases — the verification step then touches
+    * 1/16th of the pair space. Each dot against a ±1 hyperplane is a
+    * codegen'd [[vecDot]] with a literal array — a map-side projection;
+    * the join shuffles only (band, key, vec_id). Near θ = 90° sign bits
+    * approach coin flips and cell blocking ([[knnIvf]]) is the right
+    * tool instead. */
+  def cosineLshPairs(emb: DataFrame, threshold: Double, dim: Int,
+                     bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(vecDot(col("embedding"), typedlit(p.toSeq)) > 0, lit(1)).otherwise(lit(0))
+        .as(s"bit$i")
+    }
+    val sigs = emb.select(col("vec_id") +: bits: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(j => col(s"bit${b * rowsPerBand + j}") * lit(1 << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val buckets = sigs
+      .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // exact verification of candidates only (precision = 1 by construction)
+    val d = withNorm(emb.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+    candidates
+      .join(d.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(d.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (vecDot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
-    * Brute force at test scale; the LSH/IVF-blocked variant replaces the
-    * self-join condition with a bucket equality at 100 TB. */
+    * Brute force at test scale; [[cosineLshPairs]] is the bucketed scale
+    * path for high thresholds, cell blocking for low. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm(
       emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")),

@@ -50,6 +50,23 @@ object Checks {
     res
   }
 
+  /** ⊕ uniqueness: rows whose key occurs more than once (the reference's
+    * PRIMARY KEY as a data check — at scale, the constraint DDL becomes a
+    * validation pass). Counted per EXTRA row: n − distinct(n). */
+  def uniqueKey(df: DataFrame, keys: Seq[String]): Long = {
+    val n = df.count()
+    val d = df.select(keys.map(col): _*).distinct().count()
+    n - d
+  }
+
+  /** ⊕ referential integrity (init-db.sql:34,48 FK constraints, as a
+    * check): child keys with no parent — an anti join, the scale-correct
+    * orphan scan (no row explosion, one shuffle on the key). */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
   // ---- S8: catalog/schema introspection (data_validation_dag.py:68-106,
   // 219-253 runs information_schema queries; the Spark catalog answers
   // the same questions without a scan).

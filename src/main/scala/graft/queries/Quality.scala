@@ -24,6 +24,36 @@ object Quality {
                 COUNT(*) FILTER (WHERE ts IS NULL) AS null_ts,
                 COUNT(*) FILTER (WHERE event_type IS NULL) AS null_event_type,
                 COUNT(*) FILTER (WHERE value IS NOT NULL AND value < 0) AS negative_value
-              FROM events"""))
+              FROM events""")),
+
+    // ⊕ FK referential integrity as a query: orders whose o_custkey has
+    // no parent customer, counted per status (anti join → aggregate).
+    Entry(
+      "q2_fk_orphans",
+      (s, dir) => {
+        val orphans = Checks.fkOrphans(
+          Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey")
+        orphans.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orphans"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orphans
+              FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ⊕ key-uniqueness violation count (PRIMARY KEY as a validation pass):
+    // one aggregate comparing total vs distinct keys.
+    Entry(
+      "q3_unique_key",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.agg(
+          (count(lit(1)) -
+            count_distinct(col("l_orderkey"), col("l_linenumber")))
+            .as("dup_rows"))
+      },
+      Some("""SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_rows
+              FROM lineitem"""))
   )
 }

@@ -60,4 +60,36 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.contains((0L, 4L)))
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("sign-LSH pairs match brute force exactly at a high threshold") {
+    // 60 seeded random 16-dim vectors + 6 planted near-duplicates
+    // (original + small perturbation → cos ≈ 0.99). Deterministic seed →
+    // deterministic hyperplane buckets → stable test.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(6).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+
+    val brute = Similarity.cosinePairs(emb, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineLshPairs(emb, 0.9, dim)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must plant high-cosine pairs")
+    assert(lsh === brute) // exact precision + recall at cos ≥ 0.9 with 16×2 bands
+  }
+
+  test("sign-LSH candidate generation prunes the pair space") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // random gaussian vectors: cos concentrates near 0 → few shared buckets
+    val nCand = Similarity.cosineLshPairs(emb, -1.0, dim).count() // keep all verified candidates
+    val nAll = 200L * 199 / 2
+    assert(nCand < nAll / 2, s"LSH should prune: $nCand of $nAll pairs")
+  }
 }
