@@ -48,6 +48,23 @@ object Multimodal {
         explode(sequence(lit(0), col("frame_count") - 1, lit(stride)))
           .as("frame_idx"))
 
+  /** Deterministic "resize": normalize every payload to exactly
+    * `targetBytes` (truncate or zero-pad) and update the metadata to
+    * match. Stands in for image resize / audio resample — the real
+    * transform swaps the byte slice for a codec call; the Spark contract
+    * (binary in, fixed-size binary out, meta kept honest) is identical.
+    * Pure projection: codegen'd, no partition reshaping. */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      rpad(substring(col("payload"), 1, targetBytes), targetBytes, Array[Byte](0))
+        .as("payload"),
+      struct(
+        lit(targetBytes).as("byte_len"),
+        md5(rpad(substring(col("payload"), 1, targetBytes), targetBytes,
+          Array[Byte](0))).as("content_md5"),
+        col("meta.mime").as("mime")).as("meta"))
+
   /** Feature row produced by the stubbed decoder. */
   final case class MediaFeatures(
       doc_id: Long, byte_len: Int, histogram: Array[Double])

@@ -39,4 +39,17 @@ class MultimodalSpec extends SparkSuite {
     // "x" = 0x78 → bin 7 gets everything
     assert(hist(7) === 1.0)
   }
+
+  test("resizePayload: truncates or zero-pads to the target, meta stays honest") {
+    val resized = Multimodal.resizePayload(Multimodal.asMedia(docs), 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("payload"), r.getStruct(2).getInt(0))).toMap
+    resized.foreach { case (_, (payload, metaLen)) =>
+      assert(payload.length === 16)
+      assert(metaLen === 16)
+    }
+    // doc 2's 4-byte payload is zero-padded
+    val d2 = resized(2L)._1
+    assert(d2.drop(4).forall(_ === 0.toByte))
+  }
 }
