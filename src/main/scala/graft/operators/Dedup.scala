@@ -79,13 +79,24 @@ object Dedup {
     * the seeded xxhash64 family is equally uniform and codegen-friendly.)
     * One narrow aggregation; the signature is numHashes longs regardless
     * of doc length. */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = docShingles(docs, n).withColumn("h", xxhash64(col("shingle")))
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h$i")
-    }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** Signature as ONE array column via the typed MinHash sketch
+    * aggregate: a single long-array buffer per group instead of
+    * `numHashes` separate min-aggregate slots (whose generated class is
+    * large enough that Janino compilation dominates cold runs). */
+  def minhashSignatureArray(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.MinHashSketch(numHashes),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docShingles(docs, n)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id")
+      .agg(sketch(col("h")).as("sig"))
   }
+
+  /** Column-per-slot view of [[minhashSignatureArray]] (h0…h63). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    minhashSignatureArray(docs, n, numHashes)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
 
   /** MinHash-LSH near-dup pairs: band the signature (`bands` × `rows`),
     * bucket-join on (band index, band hash), then verify every candidate
@@ -96,9 +107,9 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
                       bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, n, bands * rows)
+    val sig = minhashSignatureArray(docs, n, bands * rows)
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      val cols = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val buckets = sig
