@@ -24,6 +24,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (MinHashSketch/SimHashSketch) run in
+      // ObjectHashAggregate, which falls back to SORT-based aggregation
+      // after 128 distinct keys per partition by default — far too eager
+      // for per-document sketch buffers (~512 B each): 100k keys ≈ 50 MB
+      // per partition, well within executor memory, and hash beats
+      // sort-spill by a wide margin here.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
 

@@ -149,24 +149,22 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
     * bit i of the signature = sign of Σ_tokens tf · (±1 per bit of
-    * xxhash64(token)). Computed as 64 conditional sums in one
-    * aggregation. */
+    * xxhash64(token)). One typed aggregate holds the 64 bit-sums in a
+    * single array buffer and packs the signature in `finish` (see
+    * [[graft.functions.SimHashSketch]] for why not 64 sum columns). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val sketch = udaf(new graft.functions.SimHashSketch,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"), col("tf"))
+      .groupBy("doc_id")
+      .agg(sketch(col("th"), col("tf")).as("simhash"))
   }
 
   /** All pairs within Hamming distance `maxHamming` (≤ 3 for the default

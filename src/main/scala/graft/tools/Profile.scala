@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import graft.core.{Sessions, Tables}
 import graft.operators.Dedup
+import graft.functions.TextFunctions
 
 /** Scratch stage-profiler for bench hot paths (dev tool, not API). */
 object Profile {
@@ -18,11 +19,15 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
     docs.write.format("noop").mode("overwrite").save() // warm-up
 
-    time("COLD full minhashLshPairs")(noop(Dedup.minhashLshPairs(docs, 3, 0.8)))
-    spark.catalog.clearCache()
-    time("warm full minhashLshPairs")(noop(Dedup.minhashLshPairs(docs, 3, 0.8)))
-    spark.catalog.clearCache()
-    time("signature array only")(noop(Dedup.minhashSignatureArray(docs, 3, 64)))
+    time("simhash sketch COLD")(noop(Dedup.simhashPairs(docs, 3)))
+    time("simhash sketch warm")(noop(Dedup.simhashPairs(docs, 3)))
+    // tf stage alone
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"), col("tf"))
+    time("tf stage only")(noop(tf))
+    time("sketch agg only")(noop(Dedup.simhashSignatures(docs)))
     spark.stop()
   }
 }
