@@ -71,23 +71,21 @@ object Dedup {
 
   // --------------------------------------------------------- MinHash LSH
 
-  /** MinHash signatures: ONE xxhash64 per shingle string, then `numHashes`
-    * seeded long-rehashes `xxhash64(h, i)` — rehashing a fixed-width long
-    * instead of re-hashing the string bytes `numHashes` times, an order of
-    * magnitude less CPU on the scan. (A classic `a·h + b` universal hash
-    * would need mod-2⁶⁴ wraparound, which ANSI mode rejects as overflow;
-    * the seeded xxhash64 family is equally uniform and codegen-friendly.)
-    * One narrow aggregation; the signature is numHashes longs regardless
-    * of doc length. */
   /** Signature as ONE array column via the typed MinHash sketch
-    * aggregate: a single long-array buffer per group instead of
-    * `numHashes` separate min-aggregate slots (whose generated class is
-    * large enough that Janino compilation dominates cold runs). */
+    * aggregate: ONE xxhash64 per shingle string, then a single long-array
+    * buffer per group instead of `numHashes` separate min-aggregate slots
+    * (whose generated class is large enough that Janino compilation
+    * dominates cold runs). Shingles are NOT deduplicated first — a min is
+    * idempotent under duplicates, so the distinct's full shuffle of
+    * shingle strings would buy nothing. */
   def minhashSignatureArray(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sketch = udaf(new graft.functions.MinHashSketch(numHashes),
       org.apache.spark.sql.Encoders.scalaLong)
-    docShingles(docs, n)
-      .withColumn("h", xxhash64(col("shingle")))
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(sketch(col("h")).as("sig"))
   }
@@ -123,9 +121,14 @@ object Dedup {
       .distinct()
 
     // Exact verification restricted to the candidate pairs (the whole
-    // point of LSH: never touch the full pair space). Candidates are few
-    // → broadcast them onto the shingle index twice.
-    val sh    = docShingles(docs, n).cache()
+    // point of LSH: never touch the full pair space). Only CANDIDATE
+    // docs get re-shingled — at corpus scale the verification input is
+    // |candidates|, not |docs| — and the candidate set broadcasts onto
+    // both sides.
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sh    = docShingles(candDocs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("sa")
       .join(broadcast(candidates), col("sa.doc_id") === col("doc_a"))
