@@ -14,7 +14,11 @@ object Bench {
 
     // noop sink forces full computation of every output column —
     // count() would let Catalyst prune expensive projections away.
+    // Cache is cleared between queries: operators that cache internally
+    // (the dedup shingle indexes) must not subsidize later queries or
+    // accumulate storage memory across 45 plans in one JVM.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

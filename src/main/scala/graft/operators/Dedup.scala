@@ -45,18 +45,32 @@ object Dedup {
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
 
-  /** All pairs (a < b) with word-n-gram Jaccard ≥ `threshold`, computed
-    * exactly via the inverted index: join on shingle → common counts →
+  /** Shared Jaccard scorer over an inverted index `sh` (distinct
+    * (doc_id, shingle) rows): common-shingle counts via the self-join —
+    * restricted to `candidates` (doc_a, doc_b) when given — then
     * |A∪B| = |A|+|B|−common. Integer counts + one double division —
-    * bit-deterministic under any partitioning. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh    = docShingles(docs, n).cache()
+    * bit-deterministic under any partitioning. Join strategies are left
+    * to AQE: no broadcast hints, so an unexpectedly large candidate set
+    * degrades to a shuffle join instead of failing the broadcast limit. */
+  private def jaccardScores(sh: DataFrame, candidates: Option[DataFrame],
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x")
-      .join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val common = candidates match {
+      case None =>
+        sh.as("x")
+          .join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      case Some(cand) =>
+        sh.as("sa")
+          .join(cand, col("sa.doc_id") === col("doc_a"))
+          .join(sh.as("sb"),
+            col("sb.doc_id") === col("doc_b") &&
+              col("sb.shingle") === col("sa.shingle"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_common"))
+    }
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -68,6 +82,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** All pairs (a < b) with word-n-gram Jaccard ≥ `threshold`, computed
+    * exactly via the inverted index. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    jaccardScores(docShingles(docs, n).cache(), None, threshold)
 
   // --------------------------------------------------------- MinHash LSH
 
@@ -123,29 +142,13 @@ object Dedup {
     // Exact verification restricted to the candidate pairs (the whole
     // point of LSH: never touch the full pair space). Only CANDIDATE
     // docs get re-shingled — at corpus scale the verification input is
-    // |candidates|, not |docs| — and the candidate set broadcasts onto
-    // both sides.
+    // |candidates|, not |docs|. AQE broadcasts the semi-join/candidate
+    // sides while they are small; no hard hints, so a dup-heavy corpus
+    // degrades to shuffle joins instead of breaking the broadcast limit.
     val candIds = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val candDocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val sh    = docShingles(candDocs, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("sa")
-      .join(broadcast(candidates), col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    jaccardScores(docShingles(candDocs, n).cache(), Some(candidates), threshold)
   }
 
   // ------------------------------------------------------------- SimHash

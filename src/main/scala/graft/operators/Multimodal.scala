@@ -55,15 +55,21 @@ object Multimodal {
     * (binary in, fixed-size binary out, meta kept honest) is identical.
     * Pure projection: codegen'd, no partition reshaping. */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame =
-    media.select(
-      col("doc_id"),
-      rpad(substring(col("payload"), 1, targetBytes), targetBytes, Array[Byte](0))
-        .as("payload"),
-      struct(
-        lit(targetBytes).as("byte_len"),
-        md5(rpad(substring(col("payload"), 1, targetBytes), targetBytes,
-          Array[Byte](0))).as("content_md5"),
-        col("meta.mime").as("mime")).as("meta"))
+    media
+      // materialize the resized bytes ONCE, then derive meta from the
+      // same column — duplicating the resize expression would let the
+      // hash and the payload drift apart under a future edit
+      .select(col("doc_id"),
+        rpad(substring(col("payload"), 1, targetBytes), targetBytes,
+          Array[Byte](0)).as("payload"),
+        col("meta.mime").as("mime"))
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit(targetBytes).as("byte_len"),
+          md5(col("payload")).as("content_md5"),
+          col("mime")).as("meta"))
 
   /** Feature row produced by the stubbed decoder. */
   final case class MediaFeatures(

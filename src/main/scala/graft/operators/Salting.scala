@@ -28,10 +28,15 @@ object Salting {
   /** Two-phase salted count/sum aggregate over `keys`: phase 1 groups on
     * (keys, salt) — spreading each hot key over `salts` reducers — and
     * phase 2 combines the partials per key. Result ≡ the unsalted
-    * `groupBy(keys).agg(count, sum(valueCol))`. */
+    * `groupBy(keys).agg(count, sum(valueCol))`.
+    *
+    * `saltBy` must VARY WITHIN the hot key (a row id, an event id) —
+    * salting by the aggregated value itself would collapse to one salt
+    * whenever the hot key's values are constant or NULL (xxhash64(NULL)
+    * is a constant), recreating the straggler. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
-                     salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts.toLong)))
+                     salts: Int, saltBy: Column): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts.toLong)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
       .groupBy(keys.map(col): _*)

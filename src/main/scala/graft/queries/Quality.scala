@@ -38,8 +38,12 @@ object Quality {
           .agg(count(lit(1)).as("n_orphans"))
           .orderBy("o_orderstatus")
       },
+      // NOT EXISTS, not NOT IN: left_anti keeps a NULL child key as an
+      // orphan and NOT EXISTS agrees; NOT IN would return zero rows the
+      // moment either side contains a NULL.
       Some("""SELECT o_orderstatus, COUNT(*) AS n_orphans
-              FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ⊕ key-uniqueness violation count (PRIMARY KEY as a validation pass):
@@ -48,9 +52,13 @@ object Quality {
       "q3_unique_key",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
+        // distinct over a STRUCT of the key parts: a struct is never
+        // NULL itself, so rows with a NULL component still count —
+        // matching DuckDB's row-value COUNT(DISTINCT (a, b)); bare
+        // multi-column count_distinct would silently drop them.
         li.agg(
           (count(lit(1)) -
-            count_distinct(col("l_orderkey"), col("l_linenumber")))
+            count_distinct(struct(col("l_orderkey"), col("l_linenumber"))))
             .as("dup_rows"))
       },
       Some("""SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_rows

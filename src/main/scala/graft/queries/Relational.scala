@@ -312,8 +312,9 @@ object Relational {
       "skew_salted_agg",
       (s, dir) => {
         val ev = Tables(s, dir, "events")
-          .select(col("event_type"), col("value").cast(D18_4).as("v"))
-        graft.operators.Salting.saltedSumCount(ev, Seq("event_type"), "v", 8)
+          .select(col("event_id"), col("event_type"), col("value").cast(D18_4).as("v"))
+        graft.operators.Salting
+          .saltedSumCount(ev, Seq("event_type"), "v", 8, col("event_id"))
           .select(col("event_type"), col("cnt"),
             col("sum_v").cast(D18_4).as("sum_value"))
           .orderBy("event_type")

@@ -78,10 +78,13 @@ object StreamingDedup {
                 state.get.suppressed + ids.size))
               Iterator.empty
             } else {
-              // First batch for this key: the key's first row wins; any
-              // further rows in the same batch are suppressed repeats.
-              state.update(DedupState(ids.head, ids.size - 1L))
-              Iterator.single(FirstSeen(fp, ids.head))
+              // First batch for this key: min doc_id wins — the iterator
+              // order across source partitions is not deterministic, so
+              // taking the head would make retries/task reruns diverge;
+              // min matches the batch twin (Dedup.exact's survivor rule).
+              val first = ids.min
+              state.update(DedupState(first, ids.size - 1L))
+              Iterator.single(FirstSeen(fp, first))
             }
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             out

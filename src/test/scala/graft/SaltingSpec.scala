@@ -15,8 +15,9 @@ class SaltingSpec extends SparkSuite {
 
   test("salted two-phase aggregate equals the plain groupBy") {
     val ev = Tables(spark, sfDir, "events")
-      .select(col("event_type"), col("value").cast("decimal(18,4)").as("v"))
-    val salted = Salting.saltedSumCount(ev, Seq("event_type"), "v", 8)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"))
+    val salted = Salting.saltedSumCount(ev, Seq("event_type"), "v", 8, col("event_id"))
       .select("event_type", "cnt", "sum_v")
     val plain = ev.groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
