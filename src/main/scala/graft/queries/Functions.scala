@@ -88,6 +88,61 @@ object Functions {
                                'did', COALESCE(event_type, 'unknown')) AS message
               FROM events""")),
 
+    // String-function battery (⊕ beyond the reference's F-set): case
+    // mapping, trim, substring, replace, regexp_replace — all codegen'd.
+    Entry(
+      "f8_string_funcs",
+      (s, dir) => Tables(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_phone"), "-", ".").as("phone_dots"),
+          length(trim(col("c_address"))).as("addr_len")),
+      Some("""SELECT c_custkey,
+                     UPPER(c_mktsegment) AS seg_upper,
+                     SUBSTRING(c_name, 1, 8) AS name_prefix,
+                     REGEXP_REPLACE(c_phone, '-', '.', 'g') AS phone_dots,
+                     LENGTH(TRIM(c_address)) AS addr_len
+              FROM customer""")),
+
+    // Date arithmetic (⊕): shifted dates and day differences — the
+    // retention/window math an event pipeline derives constantly.
+    Entry(
+      "f9_date_arith",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          datediff(lit("1998-12-31").cast(DateType), col("o_orderdate"))
+            .as("days_to_eoy"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr")),
+      Some("""SELECT o_orderkey,
+                     CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+                     CAST(DATE_DIFF('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+                     CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+                     CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr
+              FROM orders""")),
+
+    // Lateral explode (⊕): unnest of a derived array — the row-generator
+    // shape (shingling, frame sampling) as a first-class declared query.
+    Entry(
+      "x1_explode",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          count_distinct(col("tok")).as("n_uniq")),
+      Some("""SELECT doc_id,
+                     COUNT(*) AS n_toks,
+                     COUNT(DISTINCT tok) AS n_uniq
+              FROM (SELECT doc_id,
+                           UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id""")),
+
     // Date/time parts (extension beyond F2/F8): event-time bucketing —
     // the partition-key derivation a date-partitioned 100 TB table uses.
     Entry(

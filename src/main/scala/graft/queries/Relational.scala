@@ -323,6 +323,36 @@ object Relational {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Pivot-style conditional aggregation (⊕): one row per group, one
+    // column per category — FILTER aggregates, the dialect-portable form.
+    Entry(
+      "a10_pivot",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Exact median via interpolated percentile (⊕): both engines use
+    // linear interpolation on the ordered set (percentile ≡ quantile_cont).
+    Entry(
+      "a11_median",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     QUANTILE_CONT(o_totalprice, 0.5) AS median_price
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
     Entry(
