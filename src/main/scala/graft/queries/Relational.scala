@@ -323,6 +323,52 @@ object Relational {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Full outer join (⊕): both unmatched sides survive with NULLs —
+    // completes the join-type matrix (inner/left/semi/anti/cross live in
+    // j1/j2/j5/j6/sim_knn_brute).
+    Entry(
+      "j7_full_outer",
+      (s, dir) => {
+        val hi = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+        val c = Tables(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        c.join(hi, c("c_custkey") === hi("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("c_acctbal"), col("o_custkey"), col("n_big"))
+      },
+      Some("""SELECT c_custkey, c_acctbal, o_custkey, n_big
+              FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+              FULL OUTER JOIN (
+                SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+              ON c_custkey = o_custkey""")),
+
+    // Set ops beyond union (⊕): INTERSECT / EXCEPT with DISTINCT
+    // semantics — both compile to aggregate + semi/anti join shapes.
+    Entry(
+      "u2_intersect",
+      (s, dir) => {
+        val a = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey"))
+        val b = Tables(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey"))
+        a.intersect(b)
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+              INTERSECT
+              SELECT c_custkey FROM customer WHERE c_acctbal > 0""")),
+
+    Entry(
+      "u3_except",
+      (s, dir) => {
+        val a = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        val b = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        a.except(b)
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+              EXCEPT
+              SELECT o_custkey FROM orders""")),
+
     // Pivot-style conditional aggregation (⊕): one row per group, one
     // column per category — FILTER aggregates, the dialect-portable form.
     Entry(
