@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** AS-OF join — for each left row, the single latest right row with
+  * `right.ts <= left.ts` on the same key (the builder-prompt example of
+  * an operator Spark lacks natively).
+  *
+  * Spark-first shape (preference ladder (a): composition): tag both
+  * inputs, UNION them, and run ONE window pass per key ordered by
+  * (ts, side, tiebreak) carrying the last right row forward — a single
+  * shuffle on the key, linear scan per partition. The naive alternative
+  * (theta join + per-left-row max) materializes every
+  * (left, right-before-it) pair: quadratic per key. At 100 TB the union
+  * form is a sort-merge over (key, ts) — exactly the access pattern a
+  * time-partitioned lakehouse table already provides.
+  *
+  * The right payload travels as ONE struct so every carried column comes
+  * from the SAME right row (carrying columns independently with
+  * ignoreNulls would mix rows when payloads contain nulls).
+  *
+  * Tie semantics: a right row AT the left row's timestamp matches
+  * (inclusive, like DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`); among
+  * equal right timestamps the greatest `rightTiebreak` wins
+  * (deterministic under any partitioning).
+  */
+object AsOfJoin {
+
+  /** Left rows + the as-of matched right payload columns (as
+    * `asof_<col>`, null when no right row precedes). `leftCols` /
+    * `rightCols` are the payload columns carried from each side; the key
+    * and timestamp flow through under their left-side names. */
+  def latestPrior(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  leftCols: Seq[String], rightCols: Seq[String],
+                  rightTiebreak: String): DataFrame = {
+    val rStructType = StructType(rightCols.map(c => right.schema(c)))
+    val lTagged = left.select(
+      col(key) +: col(ts) +: lit(1).as("__side") +:
+        lit(null).cast("long").as("__tie") +:
+        lit(null).cast(rStructType).as("__r") +:
+        leftCols.map(col): _*)
+    val rTagged = right.select(
+      col(key) +: col(ts) +: lit(0).as("__side") +:
+        col(rightTiebreak).cast("long").as("__tie") +:
+        struct(rightCols.map(col): _*).as("__r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // right rows sort BEFORE left rows at the same ts (side 0 < 1) so an
+    // equal-timestamp right row is visible to the left row's window.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: col(ts) +: leftCols.map(col)) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal join inventory (⊕ beyond reference parity): AS-OF and range
+  * joins over `events` — the two operators the builder prompt names as
+  * missing from stock Spark, both oracle-checked against DuckDB's native
+  * `ASOF JOIN` / inequality join.
+  */
+object TemporalOps {
+
+  val entries: Seq[Entry] = Seq(
+
+    // For each purchase, the user's latest click at-or-before it.
+    Entry(
+      "t1_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks    = ev.filter(col("event_type") === "click")
+        AsOfJoin.latestPrior(purchases, clicks, "user_id", "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          rightTiebreak = "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("asof_event_id").as("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+                     c.event_id AS click_id
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // Same-user event pairs within 10 minutes of each other.
+    Entry(
+      "t2_range_join",
+      (s, dir) => RangeJoin.withinGapPairs(
+        Tables(s, dir, "events"), "user_id", "ts", "event_id",
+        maxGapUs = 600L * 1000000L),
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                     ABS(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id AND a.event_id < b.event_id
+              WHERE ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000"""))
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** AS-OF and range join semantics on hand-built fixtures. */
+class TemporalJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof: latest right row at-or-before each left row; null when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L),
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 09:00:00"), 201L)) // user 2 has no clicks
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 11L),
+      (1L, ts("2024-01-01 10:00:00"), 12L), // equal ts: inclusive match
+      (1L, ts("2024-01-01 11:59:00"), 13L))
+      .toDF("user_id", "ts", "event_id")
+
+    val got = AsOfJoin.latestPrior(left, right, "user_id", "ts",
+      Seq("event_id"), Seq("event_id"), "event_id")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(101L) === Some(12L)) // 10:00 right row matches inclusively
+    assert(got(102L) === Some(13L)) // latest before noon
+    assert(got(201L) === None)      // no right rows for user 2
+  }
+
+  test("asof: all carried right columns come from the same matched row") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5L, "early"),
+      (1L, ts("2024-01-01 09:30:00"), 6L, null))
+      .toDF("user_id", "ts", "event_id", "tag")
+    val r = AsOfJoin.latestPrior(left, right, "user_id", "ts",
+      Seq("event_id"), Seq("event_id", "tag"), "event_id").head()
+    // matched row is the 09:30 one: id 6 AND its null tag — not a mix
+    assert(r.getAs[Long]("asof_event_id") === 6L)
+    assert(r.getAs[String]("asof_tag") === null)
+  }
+
+  test("range join: bucketed pairs equal the naive theta join") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      (i.toLong % 7, new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + rnd.nextInt(6 * 3600) * 1000L), i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val gapUs = 300L * 1000000L // 5 minutes
+
+    val banded = RangeJoin.withinGapPairs(df, "user_id", "ts", "event_id", gapUs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = df.as("a").join(df.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(unix_micros(col("a.ts")) - unix_micros(col("b.ts"))) <= gapUs)
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(banded === naive)
+  }
+}
