@@ -136,4 +136,35 @@ class StreamingExtSuite extends SparkSuite {
     assert(monitor.history.map(_.numInputRows).sum === 4L)
     spark.streams.removeListener(monitor)
   }
+
+  test("stream-stream join: purchases match clicks within the window, state evicted") {
+    val cin = tmpDir("sj-c"); val pin = tmpDir("sj-p")
+    def ev(id: Long, user: Long, ts: String) =
+      s"""{"event_id":$id,"user_id":$user,"ts":"$ts"}"""
+    val clicks = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp").json(cin)
+    val purchases = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp").json(pin)
+    val q = graft.streaming.StreamJoin.clicksBeforePurchase(clicks, purchases)
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      seq += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(cin, f"c$seq%03d.json"),
+        Seq(ev(1, 7, "2024-01-01 10:00:00"),   // in window of purchase 100
+            ev(2, 7, "2024-01-01 09:40:00"),   // too early (> 10 min before)
+            ev(3, 8, "2024-01-01 10:01:00")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      seq += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(pin, f"p$seq%03d.json"),
+        Seq(ev(100, 7, "2024-01-01 10:05:00"),
+            ev(101, 9, "2024-01-01 10:06:00")).mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sj_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 1L))) // user 7 in-window click only
+  }
 }
