@@ -92,4 +92,22 @@ class SimilaritySpec extends SparkSuite {
     val nAll = 200L * 199 / 2
     assert(nCand < nAll / 2, s"LSH should prune: $nCand of $nAll pairs")
   }
+
+  test("quantizer: deterministic cells that partition the corpus; IVF probes shrink the scan") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    assert(centroids.length === 4)
+    // every vector gets exactly one cell in [0, 4)
+    assert(assigned.count() === emb.count())
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cells.forall(c => c >= 0 && c < 4))
+    // deterministic across runs (fixed seed)
+    val (again, _) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    assert(assigned.select("vec_id", "cell").except(
+      again.select("vec_id", "cell")).isEmpty)
+    // a one-cell probe reads a strict subset of the corpus
+    val firstCell = assigned.filter(col("cell") === cells.head).count()
+    assert(firstCell > 0 && firstCell < emb.count())
+  }
 }
