@@ -105,4 +105,23 @@ class PlanSpec extends SparkSuite {
     // count(1) needs zero columns: parquet row-group metadata drives it
     assert(readSchema.contains("struct<>"))
   }
+
+  test("as-of join is ONE shuffle on the key, no theta join (t1)") {
+    val p = Inventory.byName("t1_asof_join").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not degenerate to a product:\n$p")
+    // the union-window form shuffles once on the key; no join operator at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
+  test("range join is an equi-join on (key, bucket), not a product (t2)") {
+    val p = Inventory.byName("t2_range_join").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay hash-partitioned:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
 }
