@@ -16,7 +16,7 @@ object Bench {
     // count() would let Catalyst prune expensive projections away.
     // Cache is cleared between queries: operators that cache internally
     // (the dedup shingle indexes) must not subsidize later queries or
-    // accumulate storage memory across 45 plans in one JVM.
+    // accumulate storage memory across the full inventory in one JVM.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -42,7 +42,13 @@ object AsOfJoin {
         lit(null).cast("long").as("__tie") +:
         lit(null).cast(rStructType).as("__r") +:
         leftCols.map(col): _*)
-    val rTagged = right.select(
+    // right rows with a NULL key or NULL ts can never match under
+    // equality-join / ASOF semantics (ts >= NULL is never true); without
+    // this filter the window's NULLS-FIRST ordering would make a NULL-ts
+    // right row the "earliest" match in its partition.
+    val rTagged = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
       col(key) +: col(ts) +: lit(0).as("__side") +:
         col(rightTiebreak).cast("long").as("__tie") +:
         struct(rightCols.map(col): _*).as("__r") +:

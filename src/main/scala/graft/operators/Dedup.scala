@@ -138,6 +138,10 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // cached: consumed three times below (twice in candIds' union, once
+      // as the verification restriction) — without this the signature +
+      // band self-join subplan re-executes per consumer
+      .cache()
 
     // Exact verification restricted to the candidate pairs (the whole
     // point of LSH: never touch the full pair space). Only CANDIDATE

@@ -67,7 +67,9 @@ object Multimodal {
         col("doc_id"),
         col("payload"),
         struct(
-          lit(targetBytes).as("byte_len"),
+          // octet_length, not lit(targetBytes): NULL payloads must get
+          // NULL byte_len, not a fixed-size claim for absent bytes
+          octet_length(col("payload")).as("byte_len"),
           md5(col("payload")).as("content_md5"),
           col("mime")).as("meta"))
 

@@ -40,7 +40,9 @@ object RangeJoin {
         col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"),
         abs(col("x.__us") - col("y.__us")).as("gap_us"))
       .filter(col("gap_us") <= maxGapUs)
-      .distinct() // same-bucket pairs are found via both probe offsets
+    // no dedup needed: only x explodes, the three probes are distinct
+    // values, and id ordering fixes the orientation — each qualifying
+    // pair matches on exactly one probe
     pairs
   }
 }

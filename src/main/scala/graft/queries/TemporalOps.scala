@@ -27,11 +27,17 @@ object TemporalOps {
           .select(col("user_id"), col("event_id").as("purchase_id"),
             col("asof_event_id").as("click_id"))
       },
+      // correlated-subquery oracle rather than DuckDB's native ASOF:
+      // same semantics, but with an explicit (ts DESC, event_id DESC)
+      // tiebreak — ASOF picks an arbitrary row among equal-ts matches,
+      // which would make the hash gate flaky if the fixture ever grew
+      // tied click timestamps.
       Some("""SELECT p.user_id, p.event_id AS purchase_id,
-                     c.event_id AS click_id
-              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-                ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+                     (SELECT c.event_id FROM events c
+                      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                        AND c.ts <= p.ts
+                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'""")),
 
     // Same-user event pairs within 10 minutes of each other.
     Entry(
