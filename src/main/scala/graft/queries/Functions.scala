@@ -97,13 +97,13 @@ object Functions {
           col("c_custkey"),
           upper(col("c_mktsegment")).as("seg_upper"),
           substring(col("c_name"), 1, 8).as("name_prefix"),
-          regexp_replace(col("c_phone"), "-", ".").as("phone_dots"),
-          length(trim(col("c_address"))).as("addr_len")),
+          regexp_replace(col("c_name"), "[aeiou]", ".").as("name_masked"),
+          length(trim(col("c_name"))).as("name_len")),
       Some("""SELECT c_custkey,
                      UPPER(c_mktsegment) AS seg_upper,
                      SUBSTRING(c_name, 1, 8) AS name_prefix,
-                     REGEXP_REPLACE(c_phone, '-', '.', 'g') AS phone_dots,
-                     LENGTH(TRIM(c_address)) AS addr_len
+                     REGEXP_REPLACE(c_name, '[aeiou]', '.', 'g') AS name_masked,
+                     LENGTH(TRIM(c_name)) AS name_len
               FROM customer""")),
 
     // Date arithmetic (⊕): shifted dates and day differences — the

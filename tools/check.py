@@ -38,6 +38,11 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    # an oracle-declared query whose result dir is missing FAILED in
+    # Verify — surface it instead of silently shrinking the denominator
+    for name in oracle:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "NO-OUTPUT (query failed in Verify)"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
