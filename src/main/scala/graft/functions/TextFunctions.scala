@@ -126,4 +126,29 @@ object TextFunctions {
     * swap for xxhash64 — same plumbing, cheaper hash.) */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  /** Winnowing fingerprints (Schleimer et al., MOSS): the minimum shingle
+    * hash of every sliding window of `k` consecutive shingle hashes — the
+    * rolling-hash fingerprint family that detects PARTIAL overlap (two
+    * docs sharing any ≥ (k+n−1)-token run share a fingerprint), where the
+    * whole-doc [[fingerprint]] only catches full duplicates.
+    *
+    * `sh` must be a MATERIALIZED shingle-array column (see
+    * [[shinglesFromTokens]] for the HOF re-evaluation trap). Hash = md5
+    * string, min = lexicographic: any total order over hashes is a valid
+    * winnowing selector, and md5 strings order identically in DuckDB —
+    * oracle-checkable. Docs with fewer than `k` shingles yield an empty
+    * array (no window fits). */
+  def winnowFingerprints(sh: Column, k: Int): Column =
+    // the md5-hash array is bound ONCE as a lambda variable (wrapped in a
+    // 1-element array) — referencing the transform expression directly
+    // inside the window lambda would re-hash every shingle per window
+    element_at(
+      transform(array(transform(sh, s => md5(s))), hs =>
+        when(size(hs) >= k,
+          array_distinct(transform(
+            sequence(lit(1), size(hs) - lit(k - 1)),
+            i => array_min(slice(hs, i, lit(k))))))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
 }

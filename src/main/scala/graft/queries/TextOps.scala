@@ -116,5 +116,34 @@ object TextOps {
       Some("""SELECT doc_id,
                      md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp
               FROM documents ORDER BY doc_id"""))
+,
+    // Winnowing fingerprints (rolling-hash family, Schleimer et al.):
+    // min shingle-hash per sliding window — detects PARTIAL overlap
+    // where text_fingerprint only catches whole-doc duplicates. md5
+    // strings + lexicographic min make the selector identical in DuckDB.
+    Entry(
+      "text_winnow_fp",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
+        .select(col("doc_id"),
+          explode(winnowFingerprints(col("sh"), 4)).as("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp")),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(w) - 2),
+                         i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS hs
+                FROM t WHERE len(w) >= 3),
+              wins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                         i -> list_min(hs[i:i+3]))) AS fps
+                FROM s WHERE len(hs) >= 4)
+              SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp
+              FROM wins"""))
   )
 }

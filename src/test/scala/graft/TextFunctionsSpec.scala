@@ -52,4 +52,26 @@ class TextFunctionsSpec extends SparkSuite {
     assert(r.getString(0) === r.getString(1))
     assert(r.getString(0).matches("[0-9a-f]{32}"))
   }
+
+  test("winnowing: partial overlap shares fingerprints; disjoint docs do not") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // doc 2 shares a 7-token run with doc 1, then diverges
+      (2L, "alpha beta gamma delta epsilon zeta eta completely different tail"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("sh"), 4)).as("fp"))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet }
+    // shared ≥ (4+3−1)-token run → at least one common fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // disjoint vocabulary → zero common fingerprints
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
 }
