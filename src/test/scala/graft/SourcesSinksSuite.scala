@@ -76,4 +76,22 @@ class SourcesSinksSuite extends SparkSuite {
     assert(Checks.missingColumns(df, Seq("id", "name")) === Nil)
     assert(Checks.missingColumns(df, Seq("id", "salary")) === Seq("salary"))
   }
+
+  test("format round-trips: ORC and JSON-lines preserve schema and rows") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val orcOut = tmpDir("fmt-orc"); val jsonOut = tmpDir("fmt-json")
+
+    df.write.mode("overwrite").orc(orcOut)
+    val orcBack = spark.read.orc(orcOut)
+    // compare names+types: file sources always read back nullable
+    assert(orcBack.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(orcBack.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+
+    df.write.mode("overwrite").json(jsonOut)
+    // JSON carries no types: read back with the explicit schema (the
+    // same no-inference rule as the CSV source)
+    val jsonBack = spark.read.schema(df.schema).json(jsonOut)
+    assert(jsonBack.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
 }
