@@ -42,10 +42,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    // fail loudly: silently truncating a ragged/corrupt embedding would
+    // return a plausible but wrong dot product
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch ${x.length} vs ${y.length}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
     java.lang.Double.valueOf(s)
   }
 
@@ -59,7 +63,11 @@ case class FloatVecDot(left: Expression, right: Expression)
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
+         |if ($x.length != $y.length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: length mismatch " + $x.length + " vs " + $y.length);
+         |}
+         |int $n = $x.length;
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $x[$i] * (double) $y[$i];

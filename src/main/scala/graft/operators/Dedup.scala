@@ -84,7 +84,10 @@ object Dedup {
   }
 
   /** All pairs (a < b) with word-n-gram Jaccard ≥ `threshold`, computed
-    * exactly via the inverted index. */
+    * exactly via the inverted index. The shingle index is cached for the
+    * duration of the returned plan (it feeds three joins); long-lived
+    * sessions issuing many dedup plans should `spark.catalog.clearCache()`
+    * between them, as Bench/Verify do. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
     jaccardScores(docShingles(docs, n).cache(), None, threshold)
 

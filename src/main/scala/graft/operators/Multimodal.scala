@@ -95,9 +95,12 @@ object Multimodal {
           val hist = new Array[Double](16)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xFF) / 16) += 1.0; i += 1 }
-          val total = bytes.length.toDouble
-          var b = 0
-          while (b < 16) { hist(b) = hist(b) / total; b += 1 }
+          // empty payload → all-zero histogram, not 0/0 = NaN poison
+          if (bytes.length > 0) {
+            val total = bytes.length.toDouble
+            var b = 0
+            while (b < 16) { hist(b) = hist(b) / total; b += 1 }
+          }
           MediaFeatures(id, bytes.length, hist)
         }
       }(Encoders.product[MediaFeatures])

@@ -73,8 +73,12 @@ object CommuteRules {
         format_string("Mode de transport '%s' non sportif", col("transport_mode")))
       .when(!hasDist, lit("Impossible de calculer la distance"))
       .when(col("distance_m") > limit,
+        // rint(x·10)/10 rounds HALF-EVEN on the binary value like
+        // Python's f"{d/1000:.1f}" (17250 → "17.2"); Java's bare %.1f
+        // would round HALF-UP ("17.3") and break reference parity on
+        // .25-exact kilometre ties
         format_string("Distance (%.1f km) > limite (%.1f km)",
-          col("distance_m").cast(DoubleType) / 1000,
+          rint(col("distance_m").cast(DoubleType) / 1000 * 10) / 10,
           limit.cast(DoubleType) / 1000))
       .otherwise(lit(null).cast(StringType))
 
@@ -82,6 +86,9 @@ object CommuteRules {
     val keepDist = sporty && hasDist
 
     joined
+      // serial-PK parity (SERIAL id_validate) inherently needs a total
+      // order; the single-partition window is bounded by |employees| —
+      // a dimension table — never by fact volume
       .withColumn("id_validate",
         row_number().over(Window.orderBy("id_employee")))
       .select(

@@ -59,7 +59,6 @@ object CdcIngest {
     spark.readStream
       .format("text")
       .load(dir)
-      .withColumnRenamed("value", "value")
 
   /** Kafka source for production (S1 — SaveDelta.scala:104-112). Kept as
     * a separate constructor: same downstream plan. Requires the
@@ -84,6 +83,7 @@ object CdcIngest {
     parsed.writeStream
       .format(format)
       .outputMode("append")
+      .option("path", path) // bound here — callers just .start()
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
@@ -92,5 +92,5 @@ object CdcIngest {
   def run(spark: SparkSession, inDir: String, outPath: String,
           checkpoint: String): StreamingQuery =
     appendSink(parseEnvelope(readJsonLines(spark, inDir)), outPath, checkpoint)
-      .start(outPath)
+      .start()
 }

@@ -17,9 +17,11 @@ import graft.core.Schemas
   */
 object CommentAlerts {
 
-  /** One alert per qualifying event. Field requirements follow the
-    * notifier (:55-68): payload.after present with sport_type, comment,
-    * first_name, last_name; the comment must be non-null (P7/P8). */
+  /** One alert per qualifying event. Predicates follow the notifier:
+    * payload.after + id present, comment non-null (P7/P8, :51-60, :119-124);
+    * missing name/sport fields default to empty strings like the
+    * notifier's `.get(k, default)` (F9, :64-68) — events are delivered,
+    * not dropped, when only the optional fields are absent. */
   final case class Alert(id: Int, author: String, pretext: String, text: String)
 
   /** Envelope → alert projection (valid-envelope predicate + comment
@@ -32,10 +34,12 @@ object CommentAlerts {
       .filter(col("a.comment").isNotNull)
       .select(
         col("a.id").as("id"),
-        format_string("Auteur: %s %s", col("a.first_name"), col("a.last_name"))
-          .as("author"),
+        format_string("Auteur: %s %s",
+          coalesce(col("a.first_name"), lit("")),
+          coalesce(col("a.last_name"), lit(""))).as("author"),
         col("a.comment").as("pretext"),
-        format_string("Type d'activité: %s", col("a.sport_type")).as("text"))
+        format_string("Type d'activité: %s",
+          coalesce(col("a.sport_type"), lit(""))).as("text"))
 
   /** Delivery target. Production posts to a webhook; tests collect. */
   trait AlertSink extends Serializable {

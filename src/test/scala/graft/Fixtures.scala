@@ -20,7 +20,7 @@ object Fixtures {
 
   /** 20 employees: ids 1..20. Employee 1 walks (valid-commute candidate),
     * 2 bikes, 3 public transport (non-sporty), 4 drives (non-sporty);
-    * the rest rotate. Employee 20 gets zero activities. */
+    * the rest rotate. Employee 1 gets zero activities. */
   def employees(spark: SparkSession): DataFrame = {
     val rows = (1 to 20).map { i =>
       Row(
