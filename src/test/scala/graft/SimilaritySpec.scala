@@ -110,4 +110,16 @@ class SimilaritySpec extends SparkSuite {
     val firstCell = assigned.filter(col("cell") === cells.head).count()
     assert(firstCell > 0 && firstCell < emb.count())
   }
+
+  test("vec_dot fails loudly on mismatched vector lengths") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val e = intercept[Exception] {
+      ragged.select(VectorFunctions.vecDot($"a", $"b")).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).getMessage.contains("length mismatch"))
+  }
 }
