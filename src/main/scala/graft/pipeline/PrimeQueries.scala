@@ -16,30 +16,29 @@ object PrimeQueries {
     * the ELSE branch → `is_valid_activities = false` (SURVEY §7.4-R2). */
   val canonicalSql: String =
     """WITH prime AS (
-      |    SELECT
-      |        id_employee,
-      |        CASE
-      |            WHEN is_valid = true THEN ROUND(gross_salary * 0.05, 2)
-      |            ELSE 0
-      |        END AS commute_prime
-      |    FROM final
+      |  SELECT
+      |     id_employee,
+      |     CASE
+      |       WHEN is_valid = true THEN ROUND(gross_salary * 0.05, 2)
+      |      ELSE 0
+      |    END AS commute_prime
+      |  FROM final
       |)
       |SELECT
-      |    f.id_employee,
-      |    f.gross_salary,
-      |    f.business_unity,
-      |    f.constract_type,
-      |    f.is_valid AS commute_valid,
-      |    f.count_activity,
-      |    f.mean_duration,
-      |    CASE
-      |        WHEN f.count_activity >= 15 THEN true
-      |        ELSE false
-      |    END AS is_valid_activities,
-      |    p.commute_prime,
-      |    f.gross_salary + p.commute_prime AS total_salary
-      |FROM final f
-      |JOIN prime p ON f.id_employee = p.id_employee""".stripMargin
+      |  f.id_employee,
+      |  f.gross_salary,
+      |  f.business_unity,
+      |  f.constract_type,
+      |  f.calculed_distance,
+      |  f.is_valid AS commute_valid,
+      |  CASE
+      |     WHEN f.count_activity >= 15 THEN true
+      |    ELSE false
+      |  END AS is_valid_activities,
+      |  f.mean_duration,
+      |  p.commute_prime,
+      |  (f.gross_salary + p.commute_prime) AS total_salary
+      |FROM final f JOIN prime p ON f.id_employee = p.id_employee""".stripMargin
 
   /** Literal form: register `final` and run the SQL unchanged. */
   def canonical(spark: SparkSession, finalDf: DataFrame): DataFrame = {
@@ -64,9 +63,9 @@ object PrimeQueries {
       .withColumn("total_salary", expr("gross_salary + commute_prime"))
       .select(
         col("id_employee"), col("gross_salary"), col("business_unity"),
-        col("constract_type"), col("is_valid").as("commute_valid"),
-        col("count_activity"), col("mean_duration"),
-        col("is_valid_activities"), col("commute_prime"), col("total_salary"))
+        col("constract_type"), col("calculed_distance"),
+        col("is_valid").as("commute_valid"), col("is_valid_activities"),
+        col("mean_duration"), col("commute_prime"), col("total_salary"))
 
   // ---- dashboard aggregates (superset.db slices 1–6; SURVEY A5/A6) ----
 

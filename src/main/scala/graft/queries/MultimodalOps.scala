@@ -42,16 +42,35 @@ object MultimodalOps {
               FROM m WHERE frame_count > 0
               ORDER BY doc_id, frame_idx""")),
 
-    // stubbed decode → fixed-width feature vectors via mapPartitions.
-    // The histogram is a deterministic fake decode (no codecs in this
-    // container); array<double> output is not ANSI-SQL-comparable →
-    // rows-only check + MultimodalSpec asserts the values.
+    // stubbed decode → fixed-width feature vectors via mapPartitions,
+    // exploded to scalar (doc_id, byte_len, bin, weight) rows for the
+    // gate (raw array<double> columns crash the harness canonicalizer).
+    // Zero-weight bins are dropped on both sides; the full 16-bin array
+    // form stays spec-tested in MultimodalSpec. The oracle re-derives the
+    // byte histogram in SQL — valid because the fixture text is ASCII
+    // (ord(char) = byte value), asserted in MultimodalSpec.
     Entry(
       "mm_decode_features",
       (s, dir) => Multimodal
         .decodeFeatures(s, Multimodal.asMedia(Tables(s, dir, "documents")))
         .toDF()
-        .orderBy("doc_id"),
-      None)
+        .select(col("doc_id"), col("byte_len"),
+          posexplode(col("histogram")).as(Seq("bin", "weight")))
+        .filter(col("weight") > 0)
+        .orderBy("doc_id", "bin"),
+      Some("""WITH pos AS (
+                SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                       unnest(range(1, length(text)+1)) AS p, text
+                FROM documents
+              ),
+              b AS (
+                SELECT doc_id, byte_len,
+                       CAST(FLOOR(ord(substr(text, CAST(p AS INTEGER), 1)) / 16) AS INTEGER) AS bin
+                FROM pos
+              )
+              SELECT doc_id, byte_len, bin,
+                     CAST(COUNT(*) AS DOUBLE) / byte_len AS weight
+              FROM b GROUP BY doc_id, byte_len, bin
+              ORDER BY doc_id, bin"""))
   )
 }

@@ -37,7 +37,10 @@ class PrimeQueriesSuite extends SparkSuite {
   }
 
   test("NULL count_activity (never active) → is_valid_activities = false, not NULL") {
+    // count_activity is not in the reference's projection; join it back on
+    // the key to check the derived flag against it.
     val ds = PrimeQueries.fused(finalDf)
+      .join(finalDf.select("id_employee", "count_activity"), Seq("id_employee"))
     val inactive = ds.filter(col("count_activity").isNull)
     assert(inactive.count() > 0)
     assert(inactive.filter(col("is_valid_activities") =!= false).count() === 0)
