@@ -17,17 +17,28 @@ object Bench {
     // Cache is cleared between queries: operators that cache internally
     // (the dedup shingle indexes) must not subsidize later queries or
     // accumulate storage memory across the full inventory in one JVM.
+    // A failed query must be VISIBLE in the bench JSON (-1 timing +
+    // errors list), never a normal-looking fast number — on a box whose
+    // wall clock swings with ambient load, a silently-swallowed failure
+    // is indistinguishable from a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

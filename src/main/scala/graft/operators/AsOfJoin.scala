@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{NumericType, StructType, TimestampType}
 
 /** AS-OF join — for each left row, the single latest right row with
   * `right.ts <= left.ts` on the same key (the builder-prompt example of
@@ -36,6 +36,15 @@ object AsOfJoin {
   def latestPrior(left: DataFrame, right: DataFrame, key: String, ts: String,
                   leftCols: Seq[String], rightCols: Seq[String],
                   rightTiebreak: String): DataFrame = {
+    // the tiebreak is cast to LONG for the union'd ordering column; a
+    // non-numeric column would cast to NULL and make equal-timestamp
+    // selection depend on partitioning — fail loudly instead
+    val tieType = right.schema(rightTiebreak).dataType
+    // (no DateType: ANSI mode — the session default — rejects date→long)
+    require(tieType.isInstanceOf[NumericType] || tieType == TimestampType,
+      s"rightTiebreak '$rightTiebreak' must be numeric or timestamp " +
+        s"(got $tieType): casting it to LONG would yield NULL and make " +
+        "equal-timestamp selection nondeterministic")
     val rStructType = StructType(rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       col(key) +: col(ts) +: lit(1).as("__side") +:

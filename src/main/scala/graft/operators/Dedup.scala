@@ -87,9 +87,35 @@ object Dedup {
     * exactly via the inverted index. The shingle index is cached for the
     * duration of the returned plan (it feeds three joins); long-lived
     * sessions issuing many dedup plans should `spark.catalog.clearCache()`
-    * between them, as Bench/Verify do. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
-    jaccardScores(docShingles(docs, n).cache(), None, threshold)
+    * between them, as Bench/Verify do.
+    *
+    * `maxShingleDocFreq` is the 100 TB safety valve: a shingle present in
+    * f documents contributes f² rows to the common-count self-join, so one
+    * viral/boilerplate shingle ("click here to subscribe…") quadratically
+    * dominates the shuffle at corpus scale. Capping drops shingles with
+    * document frequency > cap from the INDEX (sizes and common counts
+    * both — Jaccard is then computed over the capped shingle space, the
+    * standard MOSS/winnowing practice: ubiquitous shingles carry no
+    * near-duplicate signal). The default keeps every shingle — exact
+    * semantics, and a no-op whenever cap ≥ the corpus's max document
+    * frequency (DedupSpec asserts this invariance). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = docShingles(docs, n)
+    val pruned =
+      if (maxShingleDocFreq == Long.MaxValue) sh
+      else {
+        // document frequency per shingle: same shape as the size agg —
+        // one extra pass over the (doc_id, shingle) index, shuffling only
+        // (shingle, count), before the quadratic join it protects
+        val hot = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq)
+          .select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    jaccardScores(pruned.cache(), None, threshold)
+  }
 
   // --------------------------------------------------------- MinHash LSH
 

@@ -52,12 +52,15 @@ object Checks {
 
   /** ⊕ uniqueness: rows whose key occurs more than once (the reference's
     * PRIMARY KEY as a data check — at scale, the constraint DDL becomes a
-    * validation pass). Counted per EXTRA row: n − distinct(n). */
-  def uniqueKey(df: DataFrame, keys: Seq[String]): Long = {
-    val n = df.count()
-    val d = df.select(keys.map(col): _*).distinct().count()
-    n - d
-  }
+    * validation pass). Counted per EXTRA row: Σ_groups (n_g − 1), which
+    * equals n − distinct — computed in ONE scan + one shuffle on the key
+    * (the count/distinct.count formulation reads the table twice). */
+  def uniqueKey(df: DataFrame, keys: Seq[String]): Long =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("dup_rows"))
+      .collect().head.getLong(0)
 
   /** ⊕ referential integrity (init-db.sql:34,48 FK constraints, as a
     * check): child keys with no parent — an anti join, the scale-correct

@@ -91,6 +91,41 @@ object DedupOps {
                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
                 JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
                   ON a.vec_id < b.vec_id)
-              WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""))
+              WHERE cos >= 0.4 ORDER BY vec_a, vec_b""")),
+
+    // the SCALE path for the same semantics at a high threshold:
+    // sign-LSH banding prunes the pair space, exact cosine verifies the
+    // candidates, so output ≡ brute force (recall at cos ≥ 0.9 with
+    // 16×8 banding is 1 − (1 − 0.86⁸)¹⁶ ≈ 0.996 per borderline pair and
+    // ≈ 1 for planted near-dups; verified ≡ brute empirically at the
+    // gate SFs). The oracle is the same exact pair join restricted to
+    // cos ≥ 0.9 — LSH may never emit a pair the oracle lacks
+    // (verification makes precision exact), so a hash match certifies
+    // perfect recall on this corpus. PlanSpec asserts the physical plan
+    // carries no BroadcastNestedLoopJoin/CartesianProduct.
+    //
+    // NOTE the driver's corpus plants embedding near-dups only up to
+    // cos ≈ 0.51 (measured max over sf0.001/0.01/0.1), so at the 0.9
+    // operating threshold BOTH sides are empty — the gate certifies the
+    // wiring and the plan shape; the non-empty LSH ≡ brute equivalence
+    // is proven on planted cos ≈ 0.99 duplicates in SimilaritySpec
+    // ("sign-LSH pairs match brute force exactly at a high threshold").
+    // 0.9 is the honest scale regime: sign-LSH prunes only when the
+    // threshold is far from 90° (see Similarity.cosineLshPairs docs);
+    // at this corpus's 0.4–0.5 band, cell blocking (knnIvf) is the
+    // right tool and the brute entry remains the declared baseline.
+    Entry(
+      "dedup_embed_cosine_lsh",
+      (s, dir) => graft.operators.Similarity
+        .cosineLshPairs(Tables(s, dir, "embeddings"), 0.9, dim = 64)
+        .orderBy("vec_a", "vec_b"),
+      Some("""SELECT vec_a, vec_b, cos FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+                  ON a.vec_id < b.vec_id)
+              WHERE cos >= 0.9 ORDER BY vec_a, vec_b"""))
   )
 }

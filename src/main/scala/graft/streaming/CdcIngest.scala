@@ -32,26 +32,47 @@ import graft.core.Schemas
   */
 object CdcIngest {
 
-  /** Envelope parse + projection: the logical plan both batch tests and
-    * the stream share. Input: a DataFrame with a string `value` column
-    * (Kafka value / file line). */
-  def parseEnvelope(raw: DataFrame): DataFrame = {
-    val parsed = raw
-      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
-      .select(col("e.payload.after").as("after"))
+  /** Typed projection of one row image (payload.after or payload.before)
+    * plus the change kind. */
+  private def projectImage(parsed: DataFrame): DataFrame =
     parsed
       .select(
-        col("after.id").cast(IntegerType).as("id"),
-        col("after.id_employee").cast(IntegerType).as("id_employee"),
+        col("op"),
+        col("img.id").cast(IntegerType).as("id"),
+        col("img.id_employee").cast(IntegerType).as("id_employee"),
         from_unixtime(
-          (col("after.start_datetime").cast(LongType) / lit(1000000L)).cast(LongType))
+          (col("img.start_datetime").cast(LongType) / lit(1000000L)).cast(LongType))
           .as("start_datetime"),
-        col("after.sport_type").as("sport_type"),
-        col("after.activity_duration").cast(IntegerType).as("activity_duration"),
-        col("after.distance").cast(DoubleType).as("distance"),
-        col("after.comment").as("comment"))
+        col("img.sport_type").as("sport_type"),
+        col("img.activity_duration").cast(IntegerType).as("activity_duration"),
+        col("img.distance").cast(DoubleType).as("distance"),
+        col("img.comment").as("comment"))
       .filter(col("id").isNotNull)
-  }
+
+  /** Full change-log parse: every event with a usable row image, tagged
+    * with its Debezium `op` (`c`/`r`/`u` carry payload.after; `d`
+    * carries payload.before — SaveDelta.scala:140-147 reads after only
+    * and silently drops deletes; a CDC engine at scale must surface
+    * them). Events with neither image or a NULL id are dropped as
+    * malformed, matching the reference's null-id filter (:149). */
+  def parseChangeLog(raw: DataFrame): DataFrame =
+    projectImage(raw
+      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
+      .select(
+        col("e.payload.op").as("op"),
+        when(col("e.payload.op") === "d", col("e.payload.before"))
+          .otherwise(col("e.payload.after")).as("img")))
+
+  /** Envelope parse + projection of the INSERT stream — the exact
+    * reference semantics (payload.after only, deletes/tombstones
+    * dropped): the logical plan both batch tests and the stream share.
+    * Input: a DataFrame with a string `value` column (Kafka value /
+    * file line). */
+  def parseEnvelope(raw: DataFrame): DataFrame =
+    projectImage(raw
+      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
+      .select(col("e.payload.op").as("op"), col("e.payload.after").as("img")))
+      .drop("op")
 
   /** Streaming source of Debezium JSON lines from a directory (stands in
     * for the Kafka topic; same `value: string` contract — S1/S7). */
@@ -92,5 +113,38 @@ object CdcIngest {
   def run(spark: SparkSession, inDir: String, outPath: String,
           checkpoint: String): StreamingQuery =
     appendSink(parseEnvelope(readJsonLines(spark, inDir)), outPath, checkpoint)
+      .start()
+
+  /** Op-routed ingest: upserts (`c`/`r`/`u`) append to `outPath`,
+    * deletes (`d`, row image from payload.before) append to
+    * `tombstonePath` — ONE source read and one parse per batch, split
+    * inside `foreachBatch` (two independent streams would read and parse
+    * the topic twice). The tombstone table is what a downstream MERGE
+    * replays to apply deletions; the reference drops them on the floor.
+    *
+    * Exactly-once note: `foreachBatch` file appends are at-least-once
+    * under batch retry (no per-sink transaction log like the single-sink
+    * path); downstream consumers dedup on (id, op, start_datetime) or
+    * MERGE idempotently — the standard multi-sink CDC trade. */
+  def runRouted(spark: SparkSession, inDir: String, outPath: String,
+                tombstonePath: String, checkpoint: String,
+                format: String = "parquet",
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    parseChangeLog(readJsonLines(spark, inDir)).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // cache: the batch feeds two sinks; without it the file-source
+        // batch re-reads and re-parses per sink
+        batch.persist()
+        try {
+          batch.filter(col("op") =!= "d" || col("op").isNull).drop("op")
+            .write.format(format).mode("append").save(outPath)
+          val dels = batch.filter(col("op") === "d").drop("op")
+          if (!dels.isEmpty)
+            dels.write.format(format).mode("append").save(tombstonePath)
+        } finally batch.unpersist()
+      }
       .start()
 }

@@ -41,13 +41,19 @@ object CommentAlerts {
         format_string("Type d'activité: %s",
           coalesce(col("a.sport_type"), lit(""))).as("text"))
 
-  /** Delivery target. Production posts to a webhook; tests collect. */
+  /** Delivery target, opened once per partition-task: the sink is
+    * serialized into the task closure and `deliver` runs ON THE
+    * EXECUTORS — alert volume never funnels through the driver, and a
+    * webhook sink holds one HTTP connection per partition instead of one
+    * global one. Implementations needing per-task setup/teardown (an
+    * HTTP client, a producer) do it inside `deliver` around the batch. */
   trait AlertSink extends Serializable {
     def deliver(batch: Seq[Alert]): Unit
   }
 
   /** Streaming job: JSON-lines dir (or any value:string stream) →
-    * filtered alerts → sink via foreachBatch. */
+    * filtered alerts → sink, delivered per partition on the executors
+    * (the driver only coordinates the micro-batch). */
   def run(spark: SparkSession, raw: DataFrame, sink: AlertSink,
           checkpoint: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -56,10 +62,12 @@ object CommentAlerts {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect().toSeq.map { r: Row =>
-          Alert(r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+        batch.foreachPartition { (it: Iterator[Row]) =>
+          val rows = it.map { r =>
+            Alert(r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+          }.toSeq
+          if (rows.nonEmpty) sink.deliver(rows)
         }
-        if (rows.nonEmpty) sink.deliver(rows)
       }
       .start()
 }

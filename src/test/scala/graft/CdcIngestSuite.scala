@@ -41,6 +41,42 @@ class CdcIngestSuite extends SparkSuite {
     assert(spark.read.parquet(out).count() === 5)
   }
 
+  test("op routing: deletes land in the tombstone path, inserts unaffected") {
+    val in = tmpDir("cdc-in4"); val out = tmpDir("cdc-out4")
+    val tomb = tmpDir("cdc-tomb4"); val cp = tmpDir("cdc-cp4")
+    Fixtures.writeCdcFixture(in)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "deletes.jsonl"),
+      Fixtures.envelopeDeleteJson(3, 3, 1713446400000000L, "Vélo").getBytes("UTF-8"))
+
+    CdcIngest.runRouted(spark, in, out, tomb, cp).awaitTermination()
+
+    val inserts = spark.read.parquet(out)
+    assert(inserts.count() === 5) // the 5 good events; delete not among them
+    assert(inserts.schema.fieldNames.toSeq ===
+      Seq("id", "id_employee", "start_datetime", "sport_type",
+        "activity_duration", "distance", "comment"))
+    val dels = spark.read.parquet(tomb)
+    assert(dels.count() === 1)
+    val d = dels.head()
+    assert(d.getAs[Int]("id") === 3) // row image came from payload.before
+    assert(d.getAs[String]("start_datetime") === "2024-04-18 13:20:00")
+  }
+
+  test("the insert-only path still drops delete events (reference parity)") {
+    import spark.implicits._
+    val df = Seq(
+      Fixtures.envelopeDeleteJson(7, 7, 1713439245000000L, "Judo"),
+      Fixtures.envelopeJson(8, 8, "A", "B", 1713439245000000L, "Box", None, 60, None))
+      .toDF("value")
+    val parsed = CdcIngest.parseEnvelope(df).collect()
+    assert(parsed.map(_.getAs[Int]("id")).toSeq === Seq(8))
+    // while the change-log parse surfaces both, tagged by op
+    val log = CdcIngest.parseChangeLog(df).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Int]("id")).toMap
+    assert(log === Map("d" -> 7, "c" -> 8))
+  }
+
   test("batch parse of the same plan handles all-null comment rows") {
     import spark.implicits._
     val df = Seq(

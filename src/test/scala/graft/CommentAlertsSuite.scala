@@ -26,20 +26,36 @@ class CommentAlertsSuite extends SparkSuite {
     assert(a.getAs[String]("text") === "Type d'activité: Course à pied")
   }
 
-  test("streaming delivery via foreachBatch reaches the sink exactly once") {
+  test("streaming delivery runs on the executors and reaches the sink exactly once") {
     val in = tmpDir("alerts-in"); val cp = tmpDir("alerts-cp")
     Fixtures.writeCdcFixture(in) // 2 of the 5 valid events carry comments
 
-    val received = mutable.Buffer[CommentAlerts.Alert]()
-    object CollectingSink extends CommentAlerts.AlertSink {
-      override def deliver(batch: Seq[CommentAlerts.Alert]): Unit =
-        received.synchronized { received ++= batch }
-    }
+    CollectingSink.received.synchronized { CollectingSink.received.clear() }
     val raw = spark.readStream.format("text").load(in)
       .withColumnRenamed("value", "value")
     CommentAlerts.run(spark, raw, CollectingSink, cp).awaitTermination()
 
-    assert(received.map(_.id).sorted === Seq(1, 3))
-    assert(received.forall(_.author.startsWith("Auteur: ")))
+    val got = CollectingSink.received.synchronized { CollectingSink.received.toList }
+    assert(got.map(_.id).sorted === Seq(1, 3))
+    assert(got.forall(_.author.startsWith("Auteur: ")))
   }
+
+  test("run contains no driver-side collect: delivery happens inside foreachPartition") {
+    // guard against regressing to batch.collect() in CommentAlerts.run —
+    // the source is the contract here, not runtime behavior
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/CommentAlerts.scala")), "UTF-8")
+    assert(!src.contains(".collect()"), "CommentAlerts.run must not collect to the driver")
+    assert(src.contains("foreachPartition"))
+  }
+}
+
+/** Top-level singleton: delivery happens on executor threads (local mode
+  * = same JVM, different classloader path through the serialized task
+  * closure) — a method-local object would be serialized BY VALUE and its
+  * mutations lost; the Scala module's static MODULE$ field survives. */
+private object CollectingSink extends CommentAlerts.AlertSink {
+  val received: mutable.Buffer[CommentAlerts.Alert] = mutable.Buffer[CommentAlerts.Alert]()
+  override def deliver(batch: Seq[CommentAlerts.Alert]): Unit =
+    received.synchronized { received ++= batch }
 }

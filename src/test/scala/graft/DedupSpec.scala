@@ -40,6 +40,31 @@ class DedupSpec extends SparkSuite {
     assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)))
   }
 
+  test("shingle frequency cap: no-op when cap ≥ max df; hot shingles stop pairing when capped") {
+    // every corpus shingle has df ≤ 4 (docs {1,2,5} are copies and share
+    // 6 shingles with near-dup 3), so a cap of 4 must be byte-identical
+    // to the uncapped run
+    val uncapped = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, 3, 0.5, maxShingleDocFreq = 4)
+      .collect().map(_.toSeq).toSet
+    assert(capped === uncapped)
+
+    // a boilerplate shingle shared by ALL docs (the f² scale-killer):
+    // docs overlap ONLY in the boilerplate → capping at df < 4 removes it
+    // from the index and the spurious pairs disappear
+    val boiler = Seq(
+      (1L, "subscribe to our newsletter alpha unique words one"),
+      (2L, "subscribe to our newsletter beta other tokens two"),
+      (3L, "subscribe to our newsletter gamma more content three"),
+      (4L, "subscribe to our newsletter delta extra filler four")
+    ).toDF("doc_id", "text")
+    val hot = Dedup.ngramJaccardPairs(boiler, 3, 0.1).count()
+    assert(hot > 0) // boilerplate alone creates pairs
+    val cold = Dedup.ngramJaccardPairs(boiler, 3, 0.1, maxShingleDocFreq = 3).count()
+    assert(cold === 0L)
+  }
+
   test("simhash: identical docs at distance 0, near dups closer than distinct docs") {
     val pairs = Dedup.simhashPairs(corpus, 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap

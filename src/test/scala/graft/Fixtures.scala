@@ -80,6 +80,16 @@ object Fixtures {
       s""""distance": $dist, "activity_duration": $duration, "comment": $comm}, "op": "c"}}"""
   }
 
+  /** Debezium DELETE envelope: `op: "d"`, row image in `payload.before`,
+    * `payload.after` null — the shape SaveDelta.scala:140-147 silently
+    * drops. */
+  def envelopeDeleteJson(id: Int, idEmployee: Int, epochMicros: Long,
+                         sportType: String): String =
+    s"""{"payload": {"before": {"id": $id, "id_employee": $idEmployee, """ +
+      s""""start_datetime": $epochMicros, "sport_type": "$sportType", """ +
+      s""""distance": null, "activity_duration": 100, "comment": null}, """ +
+      s""""after": null, "op": "d"}}"""
+
   /** A small CDC stream file: 5 good events (2 with comments), 1
     * tombstone-ish null-id event, 1 malformed line. */
   def writeCdcFixture(dir: String): Unit = {

@@ -116,6 +116,17 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
+  test("LSH cosine dedup never builds the O(n²) pair join (dedup_embed_cosine_lsh)") {
+    val p = Inventory.byName("dedup_embed_cosine_lsh").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the gated scale path must stay bucketed (band-key equi-joins only):\n$p")
+    // while the declared-brute baseline entry IS the nested-loop pair walk
+    val brute = Inventory.byName("dedup_embed_cosine").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("CartesianProduct"))
+  }
+
   test("range join is an equi-join on (key, bucket), not a product (t2)") {
     val p = Inventory.byName("t2_range_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString

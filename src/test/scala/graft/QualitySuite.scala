@@ -51,4 +51,14 @@ class QualitySuite extends SparkSuite {
     val e = intercept[IllegalStateException](Checks.validate(dirty, checks))
     assert(e.getMessage.contains("not_null_start_datetime"))
   }
+
+  test("uniqueKey counts extra rows per duplicated key in one aggregation pass") {
+    import spark.implicits._
+    val t = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (3, "f"))
+      .toDF("k", "v")
+    assert(Checks.uniqueKey(t, Seq("k")) === 3L)        // (3-1) + (2-1)
+    assert(Checks.uniqueKey(t, Seq("k", "v")) === 0L)   // composite key unique
+    assert(Checks.uniqueKey(t.filter($"k" === 2), Seq("k")) === 0L) // no dups
+    assert(Checks.uniqueKey(t.filter($"k" < 0), Seq("k")) === 0L)   // empty input
+  }
 }

@@ -45,6 +45,17 @@ class TemporalJoinSpec extends SparkSuite {
     assert(r.getAs[String]("asof_tag") === null)
   }
 
+  test("asof: a non-numeric tiebreak fails loudly instead of casting to NULL") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "row-a"))
+      .toDF("user_id", "ts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestPrior(left, right, "user_id", "ts",
+        Seq("event_id"), Seq("tag"), "tag")
+    }
+    assert(e.getMessage.contains("tag") && e.getMessage.contains("numeric"))
+  }
+
   test("range join: bucketed pairs equal the naive theta join") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 300).map { i =>
