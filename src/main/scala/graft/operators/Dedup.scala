@@ -184,6 +184,63 @@ object Dedup {
     jaccardScores(docShingles(candDocs, n).cache(), Some(candidates), threshold)
   }
 
+  // ------------------------------------------- near-dup pair clustering
+
+  /** Connected components over a near-duplicate pair graph — the final
+    * step of every dedup pipeline: pair lists ((a,b), (b,c)) must become
+    * clusters ({a,b,c}) before survivors can be chosen, or transitive
+    * duplicates survive in different pairs.
+    *
+    * Min-label propagation: every vertex starts as its own component and
+    * repeatedly adopts the smallest component id among itself and its
+    * neighbors, until no label changes — each round is ONE shuffle join
+    * of (edge endpoints × labels) plus a min-aggregate, and the label
+    * table is two longs per vertex regardless of corpus size. Rounds =
+    * graph diameter; dedup graphs are unions of near-cliques (pairs come
+    * from a similarity threshold), so this converges in 2–3 rounds.
+    * For adversarial long-chain graphs the O(log n) upgrade is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"); not needed for threshold graphs.
+    *
+    * `localCheckpoint` after each round truncates the growing lineage
+    * (iterative plans otherwise double per round and overwhelm the
+    * optimizer); on a real cluster use a reliable checkpoint dir for
+    * fault tolerance instead.
+    *
+    * Output: (idCol, cluster_id) for EVERY vertex — cluster_id = the
+    * minimum member id, so `idCol == cluster_id` selects survivors.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // pair generation (the expensive part) runs ONCE
+    var comp = vertices.select(col(idCol).as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("nid"), col("comp").as("ncomp")),
+          col("dst") === col("nid"))
+        .groupBy("src")
+        .agg(min("ncomp").as("nbr_comp"))
+      val next = comp.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(comp.as("c"), "id")
+        .filter(col("n.comp") < col("c.comp"))
+        .count() // control-flow only: the driver sees a count, never rows
+      comp = next
+      rounds += 1
+    }
+    comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Corpus-curation inventory over `documents`: the selection operators a
+  * training-data pipeline runs after cleaning/dedup — deterministic
+  * sampling and per-domain proportion capping (data mixing).
+  *
+  * Scale design:
+  *   - the hash sample is a pure map-side filter on a codegen'd md5 —
+  *     no shuffle, no RNG state: the same (salt, id) always lands on the
+  *     same side of the cut, so re-runs, retries, and incremental
+  *     appends stay consistent, and the sample rate is changed by
+  *     widening the accepted prefix range (1/16 granularity per hex
+  *     char). This is how 100 TB pipelines sample: seeded-RNG `sample()`
+  *     is neither stable across retries nor joinable across tables.
+  *   - the domain cap is one window pass per domain partition: rank
+  *     docs inside each `source` by quality proxy and keep the top N —
+  *     the standard "no single domain may dominate the mix" guard. One
+  *     shuffle on `source`; skewed domains are exactly what the cap
+  *     bounds (a domain contributes at most N rows downstream).
+  */
+object CurationOps {
+
+  val entries: Seq[Entry] = Seq(
+
+    // deterministic 4/16 hash sample: md5(salt || id) first hex char in
+    // [0-3]. Spark's md5 and DuckDB's md5 agree bit-for-bit on the same
+    // UTF-8 bytes, so the oracle IS the definition.
+    Entry(
+      "cur_hash_sample",
+      (s, dir) => Tables(s, dir, "documents")
+        .filter(substring(
+          md5(concat(lit("graft:"), col("doc_id").cast(StringType))), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3')
+              ORDER BY doc_id""")),
+
+    // per-domain proportion cap: keep the 50 longest docs per source
+    // (n_chars as the quality proxy; doc_id breaks ties so the kept set
+    // is total-ordered and the gate hash is deterministic).
+    Entry(
+      "cur_domain_cap",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 50)
+          .select("doc_id", "source", "n_chars", "rk")
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT doc_id, source, n_chars, rk FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM documents)
+              WHERE rk <= 50 ORDER BY source, rk"""))
+  )
+}

@@ -18,11 +18,12 @@ import graft.operators.Dedup
   */
 object DedupOps {
 
-  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — oracle for both
-    * the inverted-index join and the MinHash-LSH path. (Declared before
-    * `entries`, which captures it during object init.) */
-  val exactJaccardSql: String =
-    """WITH words AS (
+  /** Shared CTE chain: distinct word-3-gram shingles per doc + the
+    * common-shingle counts — the building blocks of every Jaccard
+    * oracle below. (Declared before `entries`, which captures the
+    * derived SQL during object init.) */
+  private val shingleCtes: String =
+    """words AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
        idx AS (
          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
@@ -32,7 +33,12 @@ object DedupOps {
        common AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — oracle for both
+    * the inverted-index join and the MinHash-LSH path. */
+  val exactJaccardSql: String =
+    s"""WITH $shingleCtes
        SELECT doc_a, doc_b,
               CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
        FROM common
@@ -40,6 +46,38 @@ object DedupOps {
          JOIN cnt cb ON doc_b = cb.doc_id
        WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
        ORDER BY doc_a, doc_b"""
+
+  /** Same edges + transitive closure via a recursive CTE: component id =
+    * the minimum doc id reachable through the undirected pair graph
+    * (every doc reaches itself) — the declarative twin of
+    * [[graft.operators.Dedup.connectedComponents]]. */
+  private val reachCtes: String =
+    s"""$shingleCtes,
+       edges AS (
+         SELECT doc_a, doc_b FROM common
+           JOIN cnt ca ON doc_a = ca.doc_id
+           JOIN cnt cb ON doc_b = cb.doc_id
+         WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+       und AS (
+         SELECT doc_a AS src, doc_b AS dst FROM edges
+         UNION ALL
+         SELECT doc_b AS src, doc_a AS dst FROM edges),
+       reach(id, comp) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT u.src, r.comp FROM und u JOIN reach r ON u.dst = r.id)"""
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $reachCtes
+       SELECT id AS doc_id, MIN(comp) AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
+
+  val survivorsSql: String =
+    s"""WITH RECURSIVE $reachCtes,
+       clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+       SELECT d.doc_id, d.source, d.n_chars
+       FROM documents d JOIN clusters c ON d.doc_id = c.id AND d.doc_id = c.comp
+       ORDER BY d.doc_id"""
 
   val entries: Seq[Entry] = Seq(
 
@@ -67,6 +105,35 @@ object DedupOps {
       (s, dir) => Dedup.minhashLshPairs(Tables(s, dir, "documents"), 3, 0.8)
         .orderBy("doc_a", "doc_b"),
       Some(DedupOps.exactJaccardSql)),
+
+    // pair lists → clusters: connected components over the Jaccard-0.8
+    // pair graph (min-label propagation; the DuckDB oracle is the same
+    // transitive closure as a recursive CTE). Without this step,
+    // transitive duplicates ((a,b), (b,c)) survive in separate pairs.
+    Entry(
+      "dedup_clusters",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.connectedComponents(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, 3, 0.8))
+          .orderBy("doc_id")
+      },
+      Some(DedupOps.clustersSql)),
+
+    // the end-to-end dedup pipeline a corpus user actually runs: keep
+    // ONE document per near-dup cluster (the minimum doc_id).
+    Entry(
+      "dedup_survivors",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val comp = Dedup.connectedComponents(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        docs.join(comp.filter(col("doc_id") === col("cluster_id"))
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(DedupOps.survivorsSql)),
 
     // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk blocking).
     // Signature depends on xxhash64 bit patterns — not expressible in

@@ -80,6 +80,27 @@ class DedupSpec extends SparkSuite {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("connected components: chains close transitively, singletons keep their own id") {
+    // component {1,2,3,4} is a CHAIN (diameter 3 → multiple propagation
+    // rounds), {10,11} a pair, {20} a singleton with no edges
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components on the corpus pair graph: copies cluster under the min id") {
+    // {1,2,5} are exact/near copies and 3 is a near-dup of all of them
+    // at J = 0.75 < 0.8... at threshold 0.5 all four join one cluster
+    val pairs = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+    val comp = Dedup.connectedComponents(corpus.select("doc_id"), "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L))
+  }
+
   test("minhash signature width = bands × rows and is stable across runs") {
     val sig1 = Dedup.minhashSignatures(corpus, 3, 8).orderBy("doc_id").collect()
     val sig2 = Dedup.minhashSignatures(corpus, 3, 8).orderBy("doc_id").collect()
