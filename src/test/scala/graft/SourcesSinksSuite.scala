@@ -7,10 +7,11 @@ import graft.core.{Sinks, Sources}
 import graft.quality.Checks
 
 /** Source/sink constructors (SURVEY §2.1–§2.2) that are testable without
-  * external services: CSV-with-schema (S5), rate fallback (S2), batch
-  * overwrite/append incl. partitioned form (K2), CSV/text probes (K3/K4),
-  * catalog introspection (S8). JDBC (S4/K5) has no server here; its
-  * constructors are exercised at the API-shape level by compilation. */
+  * external services: CSV-with-schema and real xlsx (S5), rate fallback
+  * (S2), batch overwrite/append incl. partitioned form (K2), CSV/text
+  * probes (K3/K4), catalog introspection (S8), and JDBC scan/pushdown/
+  * append (S4/K5) against the embedded Derby engine Spark already
+  * ships for its Hive metastore — a real JDBC server path, in-process. */
 class SourcesSinksSuite extends SparkSuite {
 
   import spark.implicits._
@@ -28,6 +29,81 @@ class SourcesSinksSuite extends SparkSuite {
     val df = Sources.csv(spark, dir, hrSchema)
     assert(df.schema === hrSchema)
     assert(df.orderBy("id_employee").collect().map(_.getInt(2)).toSeq === Seq(52000, 61000))
+  }
+
+  test("S5: real xlsx workbook reads through the explicit schema") {
+    val dir = tmpDir("xlsx-src")
+    val path = java.nio.file.Paths.get(dir, "hr.xlsx").toString
+    writeTestXlsx(path)
+    val df = Sources.xlsx(spark, path, hrSchema)
+    assert(df.schema.map(f => (f.name, f.dataType)) ===
+      hrSchema.map(f => (f.name, f.dataType)))
+    val rows = df.orderBy("id_employee").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // shared string, sparse cell (missing B3 → null), inline string with
+    // XML entities — the three cell shapes HR sheets contain
+    assert(rows.map(_.getString(1)).toSeq === Seq("Ada", null, "Grâce & Co"))
+    assert(rows.map(_.getInt(2)).toSeq === Seq(52000, 61000, 48000))
+  }
+
+  test("S4/K5: JDBC scan, pushdown, and append against embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE employees_masked (" +
+        "id_employee INT, first_name VARCHAR(40), gross_salary INT)")
+      st.execute("INSERT INTO employees_masked VALUES " +
+        "(1,'Ada',52000),(2,'Grace',61000),(3,'Edsger',48000)")
+      st.close()
+    } finally conn.close()
+
+    // S4: whole-table scan
+    val df = Sources.jdbc(spark, url, "employees_masked", props)
+    assert(df.count() === 3)
+    assert(df.schema.fieldNames.map(_.toLowerCase).toSeq ===
+      Seq("id_employee", "first_name", "gross_salary"))
+
+    // S4 at scale: projection + predicate execute inside the database —
+    // the frame never carries the pruned column
+    val pushed = Sources.jdbcPushdown(spark, url,
+      "SELECT id_employee, gross_salary FROM employees_masked WHERE gross_salary >= 50000",
+      props)
+    assert(pushed.schema.fieldNames.length === 2)
+    assert(pushed.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+
+    // K5: executor-side batched append; Spark creates the table through
+    // its Derby dialect
+    Sinks.jdbcAppend(df.filter(col("gross_salary") > 50000), url, "high_earners", props)
+    assert(Sources.jdbc(spark, url, "high_earners", props).count() === 2)
+    Sinks.jdbcAppend(df.filter(col("gross_salary") <= 50000), url, "high_earners", props)
+    assert(Sources.jdbc(spark, url, "high_earners", props).count() === 3)
+  }
+
+  /** A structurally complete workbook (content types, rels, workbook,
+    * shared strings, sheet) — what Excel itself would zip up, built with
+    * the same JDK zip the reader uses. */
+  private def writeTestXlsx(path: String): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="HR" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4"><si><t>id_employee</t></si><si><t>first_name</t></si><si><t>gross_salary</t></si><si><t>Ada</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row><row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>52000</v></c></row><row r="3"><c r="A3"><v>2</v></c><c r="C3"><v>61000</v></c></row><row r="4"><c r="A4"><v>3</v></c><c r="B4" t="inlineStr"><is><t>Gr&#226;ce &amp; Co</t></is></c><c r="C4"><v>48000</v></c></row></sheetData></worksheet>""")
+    zos.close()
   }
 
   test("S2: rate fallback presents the Kafka key/value string contract") {
