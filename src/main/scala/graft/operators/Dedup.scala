@@ -212,10 +212,11 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // pair generation (the expensive part) runs ONCE
+    // materialize the pair plan BEFORE mirroring it: union(plan, plan')
+    // embeds the (expensive) pair-generation subplan twice in one job
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var comp = vertices.select(col(idCol).as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -69,6 +69,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Multi-probe IVF top-k over a quantizer-assigned corpus
+    * (`[[Quantizer.trainAndAssign]]` output: vec_id, embedding, cell):
+    * each query probes its `nProbe` NEAREST cells instead of exactly one
+    * — the standard recall dial of IVF indexes (probe 1 = fastest,
+    * probe k = exact brute force; SimilaritySpec asserts both ends).
+    *
+    * Cell ranking is a map-side projection: centroids are a small
+    * literal array (k × dim floats), and argmax of cosine-by-centroid =
+    * argmax of (q·c − |c|²/2) up to the query's own constant norm, so
+    * ranking needs one [[vecDot]] per centroid and no shuffle. The
+    * probe list explodes to (query, cell) rows and equi-joins the
+    * corpus on its cell — broadcast on the tiny query side, so the scan
+    * reads only probed cells; with the corpus `partitionBy("cell")` on
+    * disk this becomes partition pruning at 100 TB. */
+  def knnIvfMultiProbe(assigned: DataFrame, queries: DataFrame,
+                       centroids: Array[Array[Float]], k: Int,
+                       nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+      struct(
+        (vecDot(col("q_emb"), typedlit(c.toSeq)) - lit(cNorm2 / 2)).as("score"),
+        lit(i).as("cell"))
+    }
+    val q = broadcast(withNorm(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "q_emb", "q_nrm")
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("probe.cell").as("q_cell")))
+    val d = withNorm(assigned, "embedding", "nrm")
+    val scored = d.join(q, col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   // ------------------------------------------- sign-LSH bucketed pairs
 
   /** Deterministic Rademacher (±1) hyperplanes via splitmix64 — stable

@@ -426,6 +426,44 @@ object Relational {
                        COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
                 FROM events)
-              WHERE rn <= 3"""))
+              WHERE rn <= 3""")),
+
+    // ⊕ sessionization via Spark's NATIVE session_window aggregate (the
+    // same operator drives streaming sessionization with watermarks —
+    // here in batch mode so the gate can check it). Session = events
+    // per user separated by < 30 min; Spark's window is [start, end)
+    // with end = last event + gap, so an event AT exactly gap distance
+    // opens a new session — the oracle's gaps-and-islands form uses >=
+    // to match. One shuffle on user_id; at 100 TB this is the shape a
+    // ts-sorted, user-bucketed events table serves without a sort.
+    Entry(
+      "w2_sessionize",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+                SELECT user_id, ts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              marks AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sids AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marks)
+              SELECT user_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events
+              FROM sids GROUP BY user_id, sid
+              ORDER BY user_id, session_start"""))
   )
 }

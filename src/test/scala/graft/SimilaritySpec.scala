@@ -111,6 +111,26 @@ class SimilaritySpec extends SparkSuite {
     assert(firstCell > 0 && firstCell < emb.count())
   }
 
+  test("multi-probe IVF: recall grows with probes; probing every cell equals brute force") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    val brute = hits(Similarity.knnBrute(emb, queries, 5))
+    val p1 = hits(Similarity.knnIvfMultiProbe(assigned, queries, centroids, 5, nProbe = 1))
+    val p2 = hits(Similarity.knnIvfMultiProbe(assigned, queries, centroids, 5, nProbe = 2))
+    val pAll = hits(Similarity.knnIvfMultiProbe(assigned, queries, centroids, 5, nProbe = 4))
+
+    // monotone recall dial: more probes never lose true neighbors
+    assert((p1 intersect brute).size <= (p2 intersect brute).size)
+    // probing every cell = scanning everything = exact
+    assert(pAll === brute)
+    // one-probe really prunes (fewer candidates than full top-k coverage)
+    assert(p1.size <= brute.size)
+  }
+
   test("vec_dot fails loudly on mismatched vector lengths") {
     val ragged = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
