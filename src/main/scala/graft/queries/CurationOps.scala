@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
+import graft.functions.TextFunctions
 
 /** Corpus-curation inventory over `documents`: the selection operators a
   * training-data pipeline runs after cleaning/dedup — deterministic
@@ -64,6 +65,61 @@ object CurationOps {
                          PARTITION BY source
                          ORDER BY n_chars DESC, doc_id ASC) AS rk
                 FROM documents)
-              WHERE rk <= 50 ORDER BY source, rk"""))
+              WHERE rk <= 50 ORDER BY source, rk""")),
+
+    // per-class stratified rates through the same md5 cut: 'en' is
+    // dominant in the corpus so it samples at 4/16, every other lang at
+    // 8/16 — the "downweight the over-represented class" move of
+    // training-mix construction, still retry-stable and map-side only.
+    Entry(
+      "cur_stratified_sample",
+      (s, dir) => {
+        val h = substring(
+          md5(concat(lit("strat:"), col("doc_id").cast(StringType))), 1, 1)
+        Tables(s, dir, "documents")
+          .filter((col("lang") === "en" && h <= "3") ||
+                  (col("lang") =!= "en" && h <= "7"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+                FROM documents)
+              WHERE (lang = 'en' AND h <= '3') OR (lang <> 'en' AND h <= '7')
+              ORDER BY doc_id""")),
+
+    // context-window chunking: split every document into fixed 64-word
+    // windows — THE preprocessing step between a cleaned corpus and a
+    // tokenizer. explode(sequence) keeps it one narrow projection: no
+    // shuffle, no UDF, and the token array is projected ONCE before the
+    // per-chunk slices read it (HOF re-evaluation trap).
+    Entry(
+      "cur_chunk_docs",
+      (s, dir) => {
+        val words = 64
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              ((size(col("toks")) - 1) / lit(words)).cast(IntegerType)))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+            concat_ws(" ",
+              slice(col("toks"), col("chunk_id") * words + 1, lit(words)))
+              .as("chunk_text"),
+            least(lit(words), size(col("toks")) - col("chunk_id") * words)
+              .cast(LongType).as("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents)
+              SELECT doc_id, i AS chunk_id,
+                     array_to_string(list_slice(w, i*64 + 1, (i+1)*64), ' ') AS chunk_text,
+                     least(64, len(w) - i*64) AS n_tokens
+              FROM words,
+                   unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
+              ORDER BY doc_id, chunk_id"""))
   )
 }

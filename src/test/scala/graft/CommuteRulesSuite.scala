@@ -78,4 +78,28 @@ class CommuteRulesSuite extends SparkSuite {
     assert(result.orderBy("id_employee").select("id_validate")
       .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
   }
+
+  test("reference data path end-to-end: HR xlsx → explicit schema → validation") {
+    // commute_validation.py:187 pandas-reads the HR workbook; here the
+    // same sheet flows through Sources.xlsx with the declared schema
+    val dir = tmpDir("hr-xlsx")
+    val path = java.nio.file.Paths.get(dir, "hr.xlsx").toString
+    val header = Seq("id_employee", "first_name", "last_name", "birthday",
+      "business_unity", "hire_date", "gross_salary", "constract_type",
+      "address", "transport_mode", "paid_leaved_days")
+    Fixtures.writeXlsx(path, Seq(header,
+      Seq("1", "F1", "L1", "1990-01-01", "R&D", "2020-01-01", "40000",
+        "CDI", "addr1", "Marche/running", "25"),
+      Seq("3", "F3", "L3", "1990-01-01", "R&D", "2020-01-01", "40000",
+        "CDI", "addr3", "Transports en commun", "25")))
+    val emp = graft.core.Sources.xlsx(spark, path, Schemas.employees)
+    assert(emp.schema("gross_salary").dataType.typeName === "integer")
+
+    val out = CommuteRules.validate(emp, FixedProvider, lit(null))
+    val byId = out.collect().map(r => r.getAs[Int]("id_employee") -> r).toMap
+    assert(byId.keySet === Set(1, 3))
+    assert(byId(1).getAs[Boolean]("is_valid"))
+    assert(!byId(3).getAs[Boolean]("is_valid"))
+    assert(byId(3).getAs[String]("error_message").contains("non sportif"))
+  }
 }

@@ -26,6 +26,25 @@ class StreamingExtSuite extends SparkSuite {
     q.processAllAvailable()
   }
 
+  test("stream-static join enriches the CDC stream through a broadcast dimension") {
+    val in = tmpDir("ss-in"); val cp = tmpDir("ss-cp")
+    Fixtures.writeCdcFixture(in)
+    // the dimension is a plain batch frame: Spark re-plans it per
+    // micro-batch, broadcast keeps the stream side shuffle-free — the
+    // standard enrichment shape at scale (dim fits, facts stream)
+    val dim = Fixtures.employees(spark).select(col("id_employee"), col("business_unity"))
+    val enriched = graft.streaming.CdcIngest
+      .parseEnvelope(spark.readStream.format("text").load(in))
+      .join(broadcast(dim), Seq("id_employee"), "left")
+    val q = enriched.writeStream.format("memory").queryName("ss_enriched")
+      .outputMode("append").option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ss_enriched").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[String]("business_unity") != null)) // all enriched
+  }
+
   test("tumbling windows aggregate per type; batch and stream plans agree") {
     val events = Seq(
       ("2024-04-18 10:05:00", "click", 1.0),
