@@ -231,7 +231,9 @@ object Dedup {
       val next = comp.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count below is the
+      // one action that materializes this round — eager would cost a
+      // second job per round for the same data
       changed = next.as("n")
         .join(comp.as("c"), "id")
         .filter(col("n.comp") < col("c.comp"))
