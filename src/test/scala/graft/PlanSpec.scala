@@ -116,6 +116,17 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
   }
 
+  test("sketch aggregates stay ObjectHashAggregate — no sort-based fallback") {
+    // the raised fallback threshold in Sessions is what keeps the typed
+    // MinHash sketch on the hash path; a regression here silently turns
+    // every signature build into sort-based aggregation
+    val p = graft.operators.Dedup
+      .minhashSignatureArray(graft.core.Tables(spark, sfDir, "documents"), 3, 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("LSH cosine dedup never builds the O(n²) pair join (dedup_embed_cosine_lsh)") {
     val p = Inventory.byName("dedup_embed_cosine_lsh").run(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Property-based checks: the operators whose correctness argument is
+  * "≡ a naive formulation on ANY input" get random inputs, not just the
+  * hand fixtures — a fixed scalacheck seed keeps runs deterministic, and
+  * sizes stay small so each property is a few Spark jobs, not a fuzz
+  * marathon. (Raw scalacheck: the scalatest bridge artifact is not on
+  * the offline classpath.) */
+class PropertySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** 20 deterministic cases per property — each case runs Spark jobs. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(20)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genEvents: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(40, for {
+      key <- Gen.choose(0L, 3L)   // few keys → collisions guaranteed
+      ts <- Gen.choose(0L, 20L)   // tiny ts domain → equal-ts ties guaranteed
+      id <- Gen.choose(0L, 500L)
+    } yield (key, ts, id))
+
+  test("asof ≡ naive quadratic join on random inputs, including ties") {
+    check(Prop.forAll(genEvents, genEvents) { (l, r) =>
+      (l.nonEmpty && r.nonEmpty) ==> {
+        // ids made unique so the greatest-tiebreak winner is well defined
+        val left = l.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+          .toDF("k", "ts", "lid")
+        val right = r.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+          .toDF("k", "ts", "rid")
+        val got = AsOfJoin.latestPrior(left, right, "k", "ts",
+          Seq("lid"), Seq("rid"), "rid")
+          .collect()
+          .map(row => row.getAs[Long]("lid") -> Option(row.get(3)).map(_.asInstanceOf[Long]))
+          .toMap
+        // naive oracle: all right rows at-or-before, take max (ts, rid)
+        val naive = left.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+          val cands = r.zipWithIndex.collect {
+            case ((rk, rt, _), i) if rk == k && rt <= t => (rt, i.toLong)
+          }
+          lid -> (if (cands.isEmpty) None else Some(cands.max._2))
+        }.toMap
+        got == naive
+      }
+    })
+  }
+
+  test("connected components: endpoints always co-clustered; cluster id is the min member") {
+    val genPairs = Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(genPairs) { ps =>
+      ps.nonEmpty ==> {
+        val ids = ps.flatMap(p => Seq(p._1, p._2)).distinct
+        val comp = Dedup.connectedComponents(
+            ids.toDF("doc_id"), "doc_id", ps.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val edgesOk = ps.forall { case (a, b) => comp(a) == comp(b) }
+        val minOk = comp.groupBy(_._2).forall { case (cid, members) =>
+          members.keys.min == cid
+        }
+        edgesOk && minOk
+      }
+    })
+  }
+
+  test("ngram jaccard: symmetric-unique pairs with scores in (0, 1]") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val genDocs = Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf(words)))
+    check(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val pairs = Dedup.ngramJaccardPairs(df, 2, 0.01).collect()
+        pairs.forall { p =>
+          val (a, b, j) = (p.getLong(0), p.getLong(1), p.getDouble(2))
+          a < b && j > 0.0 && j <= 1.0
+        }
+      }
+    })
+  }
+}
