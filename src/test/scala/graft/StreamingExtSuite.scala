@@ -45,6 +45,36 @@ class StreamingExtSuite extends SparkSuite {
     assert(rows.forall(_.getAs[String]("business_unity") != null)) // all enriched
   }
 
+  test("session windows in streaming mode: gap-separated sessions emit after the watermark") {
+    val in = tmpDir("sess-in")
+    def ev(ts: String, u: Long) = s"""{"ts":"$ts","user_id":$u}"""
+    val src = spark.readStream.schema("ts timestamp, user_id bigint").json(in)
+    // the SAME session_window operator the batch w2_sessionize query
+    // uses, driven with a watermark so closed sessions finalize
+    val sessions = src
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 2-hour jump
+      // that advances the watermark far past the session's end → emit
+      feed(in, q, Seq(
+        ev("2024-04-18 10:00:00", 1),
+        ev("2024-04-18 10:05:00", 1)))
+      feed(in, q, Seq(ev("2024-04-18 12:30:00", 1)))
+      feed(in, q, Seq(ev("2024-04-18 15:00:00", 1))) // close the 12:30 session too
+      val got = spark.table("sess_out")
+        .orderBy("session_start")
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+      assert(got.length >= 2)
+      assert(got(0) === ("2024-04-18 10:00:00.0", 2L)) // merged 2-event session
+      assert(got(1) === ("2024-04-18 12:30:00.0", 1L))
+    } finally q.stop()
+  }
+
   test("tumbling windows aggregate per type; batch and stream plans agree") {
     val events = Seq(
       ("2024-04-18 10:05:00", "click", 1.0),
