@@ -120,6 +120,64 @@ object CurationOps {
                      least(64, len(w) - i*64) AS n_tokens
               FROM words,
                    unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
-              ORDER BY doc_id, chunk_id"""))
+              ORDER BY doc_id, chunk_id""")),
+
+    // THE end-to-end curation pipeline: quality-filter the corpus, drop
+    // near-duplicates (cluster survivors), chunk what remains — the
+    // full documents → training-windows path, each stage the
+    // already-gated operator, composed and verified as ONE query
+    // against ONE composed oracle. Plan shape: the quality filter is a
+    // map-side projection fused into the scan; dedup shuffles only
+    // (shingle, doc_id); chunking is a final narrow explode.
+    Entry(
+      "pipeline_curate",
+      (s, dir) => {
+        import graft.operators.Dedup
+        val words = 64
+        val kept = Tables(s, dir, "documents")
+          .filter(TextFunctions.qualityScore(col("text"), TextOps.Stopwords) >= 0.5)
+        val comp = Dedup.connectedComponents(kept, "doc_id",
+          Dedup.ngramJaccardPairs(kept, 3, 0.8))
+        val surv = kept.join(
+          comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        surv
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              ((size(col("toks")) - 1) / lit(words)).cast(IntegerType)))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+            concat_ws(" ",
+              slice(col("toks"), col("chunk_id") * words + 1, lit(words)))
+              .as("chunk_text"),
+            least(lit(words), size(col("toks")) - col("chunk_id") * words)
+              .cast(LongType).as("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH RECURSIVE
+               raw AS (
+                 SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+               kept AS (
+                 SELECT doc_id, text, toks FROM (
+                   SELECT *,
+                          LEAST(len(toks) / 100.0, 1.0)
+                            * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                                     / len(toks)) AS quality
+                   FROM raw)
+                 WHERE quality >= 0.5),
+               ${DedupOps.reachCtes("kept")},
+               clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+               surv AS (
+                 SELECT k.doc_id, k.toks AS w FROM kept k
+                 JOIN clusters c ON k.doc_id = c.id AND k.doc_id = c.comp)
+               SELECT doc_id, i AS chunk_id,
+                      array_to_string(list_slice(w, i*64 + 1, (i+1)*64), ' ') AS chunk_text,
+                      least(64, len(w) - i*64) AS n_tokens
+               FROM surv,
+                    unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
+               ORDER BY doc_id, chunk_id"""))
   )
 }

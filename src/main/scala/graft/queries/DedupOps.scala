@@ -18,13 +18,14 @@ import graft.operators.Dedup
   */
 object DedupOps {
 
-  /** Shared CTE chain: distinct word-3-gram shingles per doc + the
-    * common-shingle counts — the building blocks of every Jaccard
-    * oracle below. (Declared before `entries`, which captures the
-    * derived SQL during object init.) */
-  private val shingleCtes: String =
-    """words AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  /** Shared CTE chain over base relation `base` (must expose doc_id +
+    * text): distinct word-3-gram shingles per doc + the common-shingle
+    * counts — the building blocks of every Jaccard oracle below.
+    * (Declared before `entries`, which captures the derived SQL during
+    * object init.) */
+  private[queries] def shingleCtes(base: String): String =
+    s"""words AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $base),
        idx AS (
          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
        sh AS (
@@ -38,7 +39,7 @@ object DedupOps {
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — oracle for both
     * the inverted-index join and the MinHash-LSH path. */
   val exactJaccardSql: String =
-    s"""WITH $shingleCtes
+    s"""WITH ${shingleCtes("documents")}
        SELECT doc_a, doc_b,
               CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
        FROM common
@@ -51,8 +52,8 @@ object DedupOps {
     * the minimum doc id reachable through the undirected pair graph
     * (every doc reaches itself) — the declarative twin of
     * [[graft.operators.Dedup.connectedComponents]]. */
-  private val reachCtes: String =
-    s"""$shingleCtes,
+  private[queries] def reachCtes(base: String): String =
+    s"""${shingleCtes(base)},
        edges AS (
          SELECT doc_a, doc_b FROM common
            JOIN cnt ca ON doc_a = ca.doc_id
@@ -63,17 +64,17 @@ object DedupOps {
          UNION ALL
          SELECT doc_b AS src, doc_a AS dst FROM edges),
        reach(id, comp) AS (
-         SELECT doc_id, doc_id FROM documents
+         SELECT doc_id, doc_id FROM $base
          UNION
          SELECT u.src, r.comp FROM und u JOIN reach r ON u.dst = r.id)"""
 
   val clustersSql: String =
-    s"""WITH RECURSIVE $reachCtes
+    s"""WITH RECURSIVE ${reachCtes("documents")}
        SELECT id AS doc_id, MIN(comp) AS cluster_id
        FROM reach GROUP BY id ORDER BY doc_id"""
 
   val survivorsSql: String =
-    s"""WITH RECURSIVE $reachCtes,
+    s"""WITH RECURSIVE ${reachCtes("documents")},
        clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
        SELECT d.doc_id, d.source, d.n_chars
        FROM documents d JOIN clusters c ON d.doc_id = c.id AND d.doc_id = c.comp
