@@ -300,6 +300,39 @@ object Relational {
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ⊕ CUBE: every grouping-set combination in one pass (partial
+    // aggregation expands grouping ids map-side; one shuffle total —
+    // the same property that makes rollup scale).
+    Entry(
+      "a12_cube",
+      (s, dir) => Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // ⊕ NULL-semantics battery: COALESCE / IS NULL / NULLIF / guarded
+    // arithmetic — the constructs whose three-valued-logic corners break
+    // ports silently; ×2 on a double is exponent arithmetic, bit-exact
+    // on both engines.
+    Entry(
+      "f11_null_funcs",
+      (s, dir) => Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          coalesce(col("value"), lit(-1.0)).as("value_or_default"),
+          isnull(col("value")).as("value_missing"),
+          expr("nullif(event_type, 'click')").as("type_nullif"),
+          when(col("value").isNotNull, col("value") * 2).otherwise(lit(0.0))
+            .as("doubled_or_zero"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     COALESCE(value, -1.0) AS value_or_default,
+                     value IS NULL AS value_missing,
+                     NULLIF(event_type, 'click') AS type_nullif,
+                     CASE WHEN value IS NOT NULL THEN value * 2 ELSE 0.0 END AS doubled_or_zero
+              FROM events ORDER BY event_id""")),
+
     // Approximate distinct count (HLL++) — the 100 TB cardinality
     // estimator (fixed-size sketch per group, mergeable across
     // partitions). Approximation differs across engines by design →
