@@ -37,12 +37,22 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — the inverted-index input.
     * Tokenizes in its own projection so the shingle lambda reads a
-    * materialized array (see [[TextFunctions.shinglesFromTokens]]). */
+    * materialized array (see [[TextFunctions.shinglesFromTokens]]).
+    *
+    * The shingle travels as its xxhash64, not the string: the distinct
+    * and the common-count self-join then shuffle 8-byte longs instead of
+    * n-word strings (standard shingle-index practice; an accidental
+    * 64-bit collision would need ~2³² distinct shingles per corpus to
+    * become likely, and the downstream Jaccard counts stay exact as
+    * long as hashes are collision-free — the DuckDB gate re-derives the
+    * same counts from the raw strings, so a collision would surface as
+    * a hash-mismatch, not silent corruption). */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
+        explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("shingle"))
       .distinct()
 
   /** Shared Jaccard scorer over an inverted index `sh` (distinct
