@@ -122,6 +122,42 @@ object CurationOps {
                    unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
               ORDER BY doc_id, chunk_id""")),
 
+    // sequence packing, concat-and-cut style: lay the corpus's tokens
+    // end-to-end in doc_id order and cut every 4096 — each document
+    // learns its (sequence, offset) coordinates from a running token
+    // sum, exactly how pretraining batches are packed from a shuffled
+    // corpus. Scale shape: a GLOBAL running sum would serialize, so
+    // packing is parallel across deterministic pack groups (100 docs
+    // per group — at 100 TB, a partition each); the waste is bounded by
+    // one partial sequence per group, the standard trade.
+    Entry(
+      "cur_pack_sequences",
+      (s, dir) => {
+        val budget = 4096L
+        val w = Window.partitionBy("pack_group").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") / lit(100L)).cast(LongType).as("pack_group"),
+            TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .withColumn("cum_prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+            (col("cum_prev") / budget).cast(LongType).as("seq_in_group"),
+            (col("cum_prev") % budget).as("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, pack_group, n_tokens,
+                     CAST(floor(cum_prev / 4096.0) AS BIGINT) AS seq_in_group,
+                     cum_prev % 4096 AS seq_offset
+              FROM (
+                SELECT doc_id, doc_id // 100 AS pack_group,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
+                         PARTITION BY doc_id // 100 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+                FROM documents)
+              ORDER BY doc_id""")),
+
     // THE end-to-end curation pipeline: quality-filter the corpus, drop
     // near-duplicates (cluster survivors), chunk what remains — the
     // full documents → training-windows path, each stage the
