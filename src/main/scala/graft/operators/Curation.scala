@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators: the selection and shaping steps between a
+  * cleaned/deduped corpus and a tokenizer. All are deterministic by
+  * construction (hash cuts, total-ordered ranks, fixed grouping) — at
+  * 100 TB, retry-stability and join-ability across tables matter more
+  * than statistical niceties a seeded RNG would buy.
+  *
+  * The gated twins live in [[graft.queries.CurationOps]]; these are the
+  * reusable API surface.
+  */
+object Curation {
+
+  /** Deterministic keep-predicate: md5(salt || key) first hex char <
+    * `rate16`/16. Same (salt, key) always lands on the same side —
+    * stable across retries, re-runs, and incremental appends; change
+    * `salt` for an independent resample. */
+  def hashKeep(key: Column, salt: String, rate16: Int): Column = {
+    require(rate16 >= 1 && rate16 <= 16, s"rate16 must be 1..16, got $rate16")
+    if (rate16 == 16) lit(true) // '<' against a 2-char "10" would compare lexicographically
+    else substring(md5(concat(lit(salt + ":"), key.cast(StringType))), 1, 1) <
+      lit(f"$rate16%x")
+  }
+
+  /** Uniform deterministic sample at `rate16`/16. */
+  def hashSample(df: DataFrame, keyCol: String, salt: String,
+                 rate16: Int): DataFrame =
+    df.filter(hashKeep(col(keyCol), salt, rate16))
+
+  /** Per-domain proportion cap: keep the top `n` rows per `domainCol`
+    * ranked by (`rankCol` desc, `keyCol` asc — total order, so the kept
+    * set is unique). One shuffle on the domain; Spark pushes a
+    * WindowGroupLimit below the exchange, so each map task forwards at
+    * most n rows per domain. */
+  def domainCap(df: DataFrame, domainCol: String, rankCol: String,
+                keyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy(desc(rankCol), asc(keyCol))
+    df.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= n)
+  }
+
+  /** Fixed `words`-token context windows per document: (doc_id,
+    * chunk_id, chunk_text, n_tokens). A narrow explode — no shuffle, no
+    * UDF; the token array is projected once before the slices read it
+    * (HOF re-evaluation trap). */
+  def chunkDocs(docs: DataFrame, words: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(words)).cast(IntegerType)))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * words + 1, lit(words)))
+          .as("chunk_text"),
+        least(lit(words), size(col("toks")) - col("chunk_id") * words)
+          .cast(LongType).as("n_tokens"))
+
+  /** Concat-and-cut sequence packing: documents laid end-to-end in
+    * doc_id order and cut every `budget` tokens — each doc learns its
+    * (pack_group, seq_in_group, seq_offset) coordinates from a running
+    * token sum. Packing is parallel across `groupSize`-doc pack groups
+    * (a global running sum would serialize); waste is bounded by one
+    * partial sequence per group. */
+  def packSequences(docs: DataFrame, budget: Long,
+                    groupSize: Long = 100L): DataFrame = {
+    val w = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") / lit(groupSize)).cast(LongType).as("pack_group"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+        (col("cum_prev") / budget).cast(LongType).as("seq_in_group"),
+        (col("cum_prev") % budget).as("seq_offset"))
+  }
+
+  /** The full curation pipeline: quality-filter → near-dup cluster
+    * survivors → fixed context windows. Each stage is the individually
+    * gated operator; [[graft.queries.CurationOps]] verifies the whole
+    * composition against one composed oracle. */
+  def curate(docs: DataFrame, stopwords: Seq[String], minQuality: Double,
+             shingleN: Int, jaccardThreshold: Double,
+             chunkWords: Int): DataFrame = {
+    val kept = docs.filter(
+      TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
+    val comp = Dedup.connectedComponents(kept, "doc_id",
+      Dedup.ngramJaccardPairs(kept, shingleN, jaccardThreshold))
+    val surv = kept.join(
+      comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    chunkDocs(surv, chunkWords)
+  }
+}

@@ -1,11 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.operators.Curation
 
 /** Corpus-curation inventory over `documents`: the selection operators a
   * training-data pipeline runs after cleaning/dedup — deterministic
@@ -34,10 +32,8 @@ object CurationOps {
     // UTF-8 bytes, so the oracle IS the definition.
     Entry(
       "cur_hash_sample",
-      (s, dir) => Tables(s, dir, "documents")
-        .filter(substring(
-          md5(concat(lit("graft:"), col("doc_id").cast(StringType))), 1, 1)
-          .isin("0", "1", "2", "3"))
+      (s, dir) => Curation
+        .hashSample(Tables(s, dir, "documents"), "doc_id", "graft", rate16 = 4)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
@@ -50,15 +46,10 @@ object CurationOps {
     // is total-ordered and the gate hash is deterministic).
     Entry(
       "cur_domain_cap",
-      (s, dir) => {
-        val w = Window.partitionBy("source")
-          .orderBy(desc("n_chars"), asc("doc_id"))
-        Tables(s, dir, "documents")
-          .withColumn("rk", row_number().over(w).cast(LongType))
-          .filter(col("rk") <= 50)
-          .select("doc_id", "source", "n_chars", "rk")
-          .orderBy("source", "rk")
-      },
+      (s, dir) => Curation
+        .domainCap(Tables(s, dir, "documents"), "source", "n_chars", "doc_id", 50)
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk"),
       Some("""SELECT doc_id, source, n_chars, rk FROM (
                 SELECT doc_id, source, n_chars,
                        ROW_NUMBER() OVER (
@@ -74,11 +65,10 @@ object CurationOps {
     Entry(
       "cur_stratified_sample",
       (s, dir) => {
-        val h = substring(
-          md5(concat(lit("strat:"), col("doc_id").cast(StringType))), 1, 1)
+        def keep(r: Int) = Curation.hashKeep(col("doc_id"), "strat", r)
         Tables(s, dir, "documents")
-          .filter((col("lang") === "en" && h <= "3") ||
-                  (col("lang") =!= "en" && h <= "7"))
+          .filter((col("lang") === "en" && keep(4)) ||
+                  (col("lang") =!= "en" && keep(8)))
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
@@ -96,22 +86,8 @@ object CurationOps {
     // per-chunk slices read it (HOF re-evaluation trap).
     Entry(
       "cur_chunk_docs",
-      (s, dir) => {
-        val words = 64
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0),
-              ((size(col("toks")) - 1) / lit(words)).cast(IntegerType)))
-              .as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
-            concat_ws(" ",
-              slice(col("toks"), col("chunk_id") * words + 1, lit(words)))
-              .as("chunk_text"),
-            least(lit(words), size(col("toks")) - col("chunk_id") * words)
-              .cast(LongType).as("n_tokens"))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, dir) => Curation.chunkDocs(Tables(s, dir, "documents"), 64)
+        .orderBy("doc_id", "chunk_id"),
       Some("""WITH words AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                 FROM documents)
@@ -132,20 +108,9 @@ object CurationOps {
     // one partial sequence per group, the standard trade.
     Entry(
       "cur_pack_sequences",
-      (s, dir) => {
-        val budget = 4096L
-        val w = Window.partitionBy("pack_group").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            (col("doc_id") / lit(100L)).cast(LongType).as("pack_group"),
-            TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-          .withColumn("cum_prev", coalesce(sum("n_tokens").over(w), lit(0L)))
-          .select(col("doc_id"), col("pack_group"), col("n_tokens"),
-            (col("cum_prev") / budget).cast(LongType).as("seq_in_group"),
-            (col("cum_prev") % budget).as("seq_offset"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => Curation
+        .packSequences(Tables(s, dir, "documents"), budget = 4096L)
+        .orderBy("doc_id"),
       Some("""SELECT doc_id, pack_group, n_tokens,
                      CAST(floor(cum_prev / 4096.0) AS BIGINT) AS seq_in_group,
                      cum_prev % 4096 AS seq_offset
@@ -167,30 +132,10 @@ object CurationOps {
     // (shingle, doc_id); chunking is a final narrow explode.
     Entry(
       "pipeline_curate",
-      (s, dir) => {
-        import graft.operators.Dedup
-        val words = 64
-        val kept = Tables(s, dir, "documents")
-          .filter(TextFunctions.qualityScore(col("text"), TextOps.Stopwords) >= 0.5)
-        val comp = Dedup.connectedComponents(kept, "doc_id",
-          Dedup.ngramJaccardPairs(kept, 3, 0.8))
-        val surv = kept.join(
-          comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        surv
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0),
-              ((size(col("toks")) - 1) / lit(words)).cast(IntegerType)))
-              .as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
-            concat_ws(" ",
-              slice(col("toks"), col("chunk_id") * words + 1, lit(words)))
-              .as("chunk_text"),
-            least(lit(words), size(col("toks")) - col("chunk_id") * words)
-              .cast(LongType).as("n_tokens"))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, dir) => Curation.curate(Tables(s, dir, "documents"),
+          TextOps.Stopwords, minQuality = 0.5,
+          shingleN = 3, jaccardThreshold = 0.8, chunkWords = 64)
+        .orderBy("doc_id", "chunk_id"),
       Some(s"""WITH RECURSIVE
                raw AS (
                  SELECT doc_id, text,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation operator semantics (the gated twins live in CurationOps;
+  * here: API edges the gate can't see). */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 64L)
+    .map(i => (i, Seq.fill(10)(s"w$i").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("hashKeep: rate 16 keeps everything, rate 1 keeps ~1/16, rates nest monotonically") {
+    def n(r: Int) = Curation.hashSample(docs, "doc_id", "t", r).count()
+    assert(n(16) === 64L)
+    assert(n(1) < n(8) && n(8) <= n(16))
+    // deterministic: the same cut twice is the same set
+    val a = Curation.hashSample(docs, "doc_id", "t", 4).select("doc_id")
+    assert(a.except(Curation.hashSample(docs, "doc_id", "t", 4).select("doc_id")).isEmpty)
+    // a different salt is an independent resample (almost surely differs)
+    val b = Curation.hashSample(docs, "doc_id", "u", 4).select("doc_id")
+    assert(a.union(b).distinct().count() > a.count())
+  }
+
+  test("hashKeep rejects out-of-range rates") {
+    intercept[IllegalArgumentException](Curation.hashKeep(col("doc_id"), "t", 0))
+    intercept[IllegalArgumentException](Curation.hashKeep(col("doc_id"), "t", 17))
+  }
+
+  test("domainCap keeps at most n per domain with a total-ordered tiebreak") {
+    val t = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 7L), (4L, "b", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Curation.domainCap(t, "source", "n_chars", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 1L, 4L)) // a: 7 then (5, id 1) wins the tie; b: all
+  }
+
+  test("chunkDocs covers every token exactly once") {
+    val chunks = Curation.chunkDocs(docs, 3).collect()
+    // 10 tokens per doc, 3-word windows → 4 chunks (3+3+3+1)
+    assert(chunks.length === 64 * 4)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.map(_.getAs[Long]("n_tokens")).sum == 10L))
+  }
+
+  test("packSequences: offsets stay inside the budget and cover tokens contiguously per group") {
+    val packed = Curation.packSequences(docs, budget = 25L, groupSize = 16L)
+      .orderBy("doc_id").collect()
+    assert(packed.forall(r => r.getAs[Long]("seq_offset") >= 0 &&
+      r.getAs[Long]("seq_offset") < 25L))
+    // within a group, (seq, offset) advances by exactly n_tokens
+    packed.groupBy(_.getAs[Long]("pack_group")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_in_group") === cum / 25L)
+        assert(r.getAs[Long]("seq_offset") === cum % 25L)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+}
