@@ -140,6 +140,13 @@ object DedupOps {
     // Signature depends on xxhash64 bit patterns — not expressible in
     // ANSI SQL, so this takes the rows-only check; SimHashSpec asserts
     // the semantics (planted dups found, hamming bound respected).
+    // A "pair set ⊆ loose exact-Jaccard candidates" oracle was measured
+    // and rejected: 3-gram Jaccard ≥ 0.2 misses real simhash pairs
+    // (simhash scores token BAGS, shingles score adjacency — 6/27
+    // outside at sf0.001), and token-set Jaccard ≥ 0.5 admits ~72% of
+    // ALL pairs on this small-vocabulary synthetic corpus — a vacuous
+    // containment. Rows-only + spec-asserted semantics is the honest
+    // check here.
     Entry(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables(s, dir, "documents"), 3)
