@@ -156,6 +156,50 @@ object Functions {
       Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
                      CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
                      COUNT(*) AS cnt
-              FROM events GROUP BY 1, 2 ORDER BY day, hr"""))
+              FROM events GROUP BY 1, 2 ORDER BY day, hr""")),
+
+    // ⊕ math battery — restricted to BIT-EXACT operations on both
+    // engines: abs/ceil/floor/sign are integral on doubles, IEEE sqrt is
+    // correctly rounded everywhere, pmod is integer arithmetic. (exp/ln/
+    // trig are deliberately absent: libm results differ in the last ulp
+    // across implementations and would flake the hash gate.)
+    Entry(
+      "f12_math_funcs",
+      (s, dir) => Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          abs(col("value")).as("abs_v"),
+          ceil(col("value")).as("ceil_v"),
+          floor(col("value")).as("floor_v"),
+          signum(col("value")).as("sign_v"),
+          sqrt(abs(col("value"))).as("sqrt_v"),
+          pmod(col("event_id"), lit(7L)).as("mod7"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     abs(value) AS abs_v,
+                     CAST(ceiling(value) AS BIGINT) AS ceil_v,
+                     CAST(floor(value) AS BIGINT) AS floor_v,
+                     CAST(sign(value) AS DOUBLE) AS sign_v,
+                     sqrt(abs(value)) AS sqrt_v,
+                     event_id % 7 AS mod7
+              FROM events ORDER BY event_id""")),
+
+    // ⊕ regex extraction: pull the numeric field out of the props JSON
+    // string by pattern — the scrub-and-extract move of log pipelines
+    // (F1 does it properly with from_json; this is the regex fallback
+    // every pipeline also needs). Spark's Java regex and DuckDB's RE2
+    // agree on this \d-class surface.
+    Entry(
+      "f13_regexp_extract",
+      (s, dir) => Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"),
+          regexp_replace(col("event_type"), "[aeiou]", "_").as("type_scrubbed"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     COALESCE(regexp_extract(props, '"k": (\d+)', 1), '') AS k_str,
+                     regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_scrubbed
+              FROM events ORDER BY event_id"""))
   )
 }
