@@ -158,6 +158,24 @@ object Functions {
                      COUNT(*) AS cnt
               FROM events GROUP BY 1, 2 ORDER BY day, hr""")),
 
+    // ⊕ array aggregation: per-user event-type arrays — the nested-type
+    // round trip through the gate (parquet LIST on the Spark side,
+    // DuckDB LIST on the oracle side). collect_list order is
+    // partition-dependent, so the array is SORTED — the only
+    // deterministic contract a distributed list-agg can offer.
+    Entry(
+      "x2_array_agg",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sort_array(collect_list("event_type")).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     list_sort(list(event_type)) AS types,
+                     COUNT(*) AS n
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ⊕ math battery — restricted to BIT-EXACT operations on both
     // engines: abs/ceil/floor/sign are integral on doubles, IEEE sqrt is
     // correctly rounded everywhere, pmod is integer arithmetic. (exp/ln/
