@@ -461,6 +461,33 @@ object Relational {
                 FROM events)
               WHERE rn <= 3""")),
 
+    // ⊕ window navigation battery: lag/lead + ntile + percent_rank over
+    // a total order (event_id unique per user → deterministic).
+    // percent_rank = (rank−1)/(n−1): one exact double division of small
+    // ints, bit-identical on both engines.
+    Entry(
+      "w3_window_nav",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            lag("event_id", 1).over(w).as("prev_id"),
+            lead("event_id", 1).over(w).as("next_id"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                     LAG(event_id, 1) OVER w AS prev_id,
+                     LEAD(event_id, 1) OVER w AS next_id,
+                     CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+                     PERCENT_RANK() OVER w AS pct_rank
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              ORDER BY user_id, event_id""")),
+
     // ⊕ sessionization via Spark's NATIVE session_window aggregate (the
     // same operator drives streaming sessionization with watermarks —
     // here in batch mode so the gate can check it). Session = events
