@@ -38,6 +38,29 @@ object Checks {
     def passed: Boolean = violations.valuesIterator.forall(_ == 0L)
   }
 
+  /** Zero-extra-scan variant: attach the checks as an OBSERVATION on the
+    * frame — Spark accumulates the conditional counts WHILE the caller's
+    * own action runs (a write, an aggregation), so at 100 TB the
+    * quality report costs nothing beyond the pass the pipeline was
+    * already making. Run any action on the returned frame, then read
+    * the metrics with [[observedResult]]; `run`/`validate` stay the
+    * standalone one-pass forms. */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation,
+               checks: Seq[Check]): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      checks.map(c => c.violations.as(c.name)): _*)
+
+  /** Metrics of an [[observed]] frame after an action has run (blocks
+    * until the observation's first action completes). */
+  def observedResult(obs: org.apache.spark.sql.Observation,
+                     checks: Seq[Check]): ValidationResult = {
+    val m = obs.get
+    ValidationResult(
+      m("n_rows").asInstanceOf[Long],
+      checks.map(c => c.name -> m(c.name).asInstanceOf[Long]).toMap)
+  }
+
   /** Q4 fail-the-run gate (data_validation_dag.py:360-361): evaluate and
     * throw on any violation. */
   def validate(df: DataFrame, checks: Seq[Check]): ValidationResult = {

@@ -52,6 +52,22 @@ class QualitySuite extends SparkSuite {
     assert(e.getMessage.contains("not_null_start_datetime"))
   }
 
+  test("observed checks ride the caller's own action — no extra scan") {
+    val dirty = df(
+      Row(null, "Yoga", 3600, 1000),
+      Row(ts, "Vélo", 3600, -1),
+      Row(ts, "Marche", 3600, null))
+    val obs = org.apache.spark.sql.Observation("quality")
+    val watched = Checks.observed(dirty, obs, checks)
+    // the caller's OWN action (a write) drives the metrics
+    watched.write.format("noop").mode("overwrite").save()
+    val res = Checks.observedResult(obs, checks)
+    assert(res.nRows === 3L)
+    assert(res.violations("not_null_start_datetime") === 1L)
+    assert(res.violations("non_negative_distance") === 1L)
+    assert(!res.passed)
+  }
+
   test("uniqueKey counts extra rows per duplicated key in one aggregation pass") {
     import spark.implicits._
     val t = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (3, "f"))
