@@ -153,6 +153,21 @@ class SourcesSinksSuite extends SparkSuite {
     assert(Checks.missingColumns(df, Seq("id", "salary")) === Seq("salary"))
   }
 
+  test("schema evolution: mergeSchema unions old and new columns, old rows read null") {
+    val out = tmpDir("evolve")
+    // batch 1 writes the v1 schema; batch 2 appends with an added column
+    Seq((1L, "a")).toDF("id", "name").write.mode("append").parquet(out)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.mode("append").parquet(out)
+
+    // default read picks ONE file's schema (footer sampling) — the
+    // evolving-lake read must opt into the merged view
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.sorted.toSeq === Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("score") === null) // pre-evolution row
+    assert(rows(1).getAs[Double]("score") === 9.5)
+  }
+
   test("format round-trips: ORC and JSON-lines preserve schema and rows") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
     val orcOut = tmpDir("fmt-orc"); val jsonOut = tmpDir("fmt-json")
