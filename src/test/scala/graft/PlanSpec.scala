@@ -138,6 +138,19 @@ class PlanSpec extends SparkSuite {
     assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("CartesianProduct"))
   }
 
+  test("domain cap pushes a partial top-N below the shuffle (cur_domain_cap)") {
+    val p = plan("cur_domain_cap")
+    // WindowGroupLimit before the exchange: each map task forwards at
+    // most N rows per domain — the property that makes the cap scale
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("the composed curation pipeline never degenerates to a product (pipeline_curate)") {
+    val p = Inventory.byName("pipeline_curate").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("range join is an equi-join on (key, bucket), not a product (t2)") {
     val p = Inventory.byName("t2_range_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString
