@@ -113,7 +113,10 @@ object CurationOps {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, pack_group, n_tokens,
                      CAST(floor(cum_prev / 4096.0) AS BIGINT) AS seq_in_group,
-                     cum_prev % 4096 AS seq_offset
+                     -- cum_prev is SUM(BIGINT) = HUGEINT in DuckDB and % preserves
+                     -- it; the driver's pandas hash renders HUGEINT as float64 and
+                     -- false-reds the row, so pin the output dtype explicitly.
+                     CAST(cum_prev % 4096 AS BIGINT) AS seq_offset
               FROM (
                 SELECT doc_id, doc_id // 100 AS pack_group,
                        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

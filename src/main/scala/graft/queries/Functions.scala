@@ -158,21 +158,23 @@ object Functions {
                      COUNT(*) AS cnt
               FROM events GROUP BY 1, 2 ORDER BY day, hr""")),
 
-    // ⊕ array aggregation: per-user event-type arrays — the nested-type
-    // round trip through the gate (parquet LIST on the Spark side,
-    // DuckDB LIST on the oracle side). collect_list order is
-    // partition-dependent, so the array is SORTED — the only
-    // deterministic contract a distributed list-agg can offer.
+    // ⊕ array aggregation: per-user event-type arrays. collect_list
+    // order is partition-dependent, so the array is SORTED — the only
+    // deterministic contract a distributed list-agg can offer. The gated
+    // column is the sorted array JOINED to one string: the driver's
+    // canonicalizer hashes scalar columns only (a LIST column crashes
+    // its pandas sort with "unhashable numpy.ndarray"); the genuine
+    // parquet-LIST round trip is covered by FunctionsSpec instead.
     Entry(
       "x2_array_agg",
       (s, dir) => Tables(s, dir, "events")
         .groupBy("user_id")
         .agg(
-          sort_array(collect_list("event_type")).as("types"),
+          array_join(sort_array(collect_list("event_type")), " ").as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
-                     list_sort(list(event_type)) AS types,
+                     array_to_string(list_sort(list(event_type)), ' ') AS types,
                      COUNT(*) AS n
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
