@@ -18,6 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      column passthrough is safe (bit-identical).
   *   3. Any LIMIT/top-k carries a total tie-breaking ORDER BY.
   *   4. Sort keys are non-nullable (Spark: NULLS FIRST, DuckDB: NULLS LAST).
+  *   5. Every gated output column is a SCALAR with the same type family on
+  *      both sides (int / double / varchar / date / timestamp / boolean).
+  *      The gate hashes through pandas, which renders DuckDB HUGEINT (from
+  *      SUM(BIGINT), preserved by % and //) as float64 ('32.0' vs Spark's
+  *      '32') and crashes sorting LIST columns — so CAST every widened
+  *      aggregate to BIGINT/DOUBLE explicitly and array_join any list.
+  *      Mechanical check: tools/dtype_audit.py <sfDir> <verifyOut> must
+  *      report zero hazards.
   */
 final case class Entry(
     name: String,
