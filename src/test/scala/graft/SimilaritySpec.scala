@@ -131,6 +131,26 @@ class SimilaritySpec extends SparkSuite {
     assert(p1.size <= brute.size)
   }
 
+  test("gated brute-cosine slice ≡ full-table brute restricted to the sample") {
+    // the dedup_embed_cosine gate runs over a deterministic 4/16 md5
+    // sample (bench-cost bound on the O(n²) baseline); prove the
+    // sampling is ONLY a row restriction — the full-table brute result,
+    // filtered to pairs whose BOTH endpoints are in the sample, is
+    // byte-identical to the sampled run.
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+    val sampled = graft.queries.Inventory.byName("dedup_embed_cosine")
+      .run(spark, sfDir)
+    val keptIds = graft.operators.Curation
+      .hashSample(emb, "vec_id", "cosb", rate16 = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val full = Similarity.cosinePairs(emb, 0.4)
+      .filter($"vec_a".isin(keptIds.toSeq: _*) &&
+              $"vec_b".isin(keptIds.toSeq: _*))
+      .orderBy("vec_a", "vec_b")
+    assert(sampled.exceptAll(full).isEmpty && full.exceptAll(sampled).isEmpty)
+  }
+
   test("vec_dot fails loudly on mismatched vector lengths") {
     val ragged = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
