@@ -212,24 +212,37 @@ object Dedup {
     * large-star/small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"); not needed for threshold graphs.
     *
-    * `localCheckpoint` after each round truncates the growing lineage
+    * Checkpointing after each round truncates the growing lineage
     * (iterative plans otherwise double per round and overwhelm the
-    * optimizer); on a real cluster use a reliable checkpoint dir for
-    * fault tolerance instead.
+    * optimizer). Default is `localCheckpoint` — blocks live on executor
+    * storage, fastest, but a lost executor kills the job. Pass
+    * `checkpointDir` (HDFS/S3 on a real cluster) to use RELIABLE
+    * checkpoints instead: each round's label table is persisted to
+    * fault-tolerant storage, so executor loss mid-propagation recomputes
+    * from the last round's files, never from the raw pair join. The
+    * table is two longs per vertex, so the per-round write is tiny
+    * relative to the join it protects.
     *
     * Output: (idCol, cluster_id) for EVERY vertex — cluster_id = the
     * minimum member id, so `idCol == cluster_id` selects survivors.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
-                          pairs: DataFrame): DataFrame = {
+                          pairs: DataFrame,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     // materialize the pair plan BEFORE mirroring it: union(plan, plan')
     // embeds the (expensive) pair-generation subplan twice in one job
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val p = ckpt(pairs.select(col("doc_a"), col("doc_b")), eager = true)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var comp = vertices.select(col(idCol).as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var comp = ckpt(
+      vertices.select(col(idCol).as("id")).distinct()
+        .withColumn("comp", col("id")),
+      eager = true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -238,10 +251,11 @@ object Dedup {
           col("dst") === col("nid"))
         .groupBy("src")
         .agg(min("ncomp").as("nbr_comp"))
-      val next = comp.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(false) // lazy: the convergence count below is the
+      val next = ckpt(
+        comp.join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
+        eager = false) // lazy: the convergence count below is the
       // one action that materializes this round — eager would cost a
       // second job per round for the same data
       changed = next.as("n")

@@ -92,6 +92,26 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components with a reliable checkpoint dir: same labels, lineage anchored on checkpoint files") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val dir = tmpDir("cc-ckpt")
+    val reliable = Dedup.connectedComponents(vertices, "doc_id", pairs,
+      checkpointDir = Some(dir))
+    val got = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // fault-tolerance contract: the final label table's RDD lineage is
+    // rooted at reliable checkpoint files (survives executor loss — a
+    // recompute replays from these files, never from the raw pair join),
+    // and the files really are on the requested storage.
+    assert(reliable.rdd.toDebugString.contains("ReliableCheckpointRDD"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("part-")))
+  }
+
   test("connected components on the corpus pair graph: copies cluster under the min id") {
     // {1,2,5} are exact/near copies and 3 is a near-dup of all of them
     // at J = 0.75 < 0.8... at threshold 0.5 all four join one cluster
