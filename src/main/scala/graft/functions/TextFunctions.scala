@@ -151,4 +151,46 @@ object TextFunctions {
             i => array_min(slice(hs, i, lit(k))))))
           .otherwise(array().cast(ArrayType(StringType)))),
       1)
+
+  /** Most frequent element of a STRING array and its count, as
+    * struct(tok, n) — computed as the longest run of the SORTED array,
+    * one interpreted fold, zero shuffle. Ties break to the
+    * lexicographically smallest element (the first run encountered in
+    * sorted order wins on strictly-greater). The per-doc relational
+    * alternative (explode → groupBy → window) costs two shuffles of
+    * every token in the corpus; this is a map-side scan. Pass a
+    * MATERIALIZED array column ([[shinglesFromTokens]] HOF trap).
+    * Empty arrays yield (null, 0). */
+  def topGram(arr: Column): Column = {
+    val folded = aggregate(
+      sort_array(arr),
+      struct(
+        lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+        lit(null).cast(StringType).as("best"), lit(0L).as("bestn")),
+      (st, x) => {
+        val run =
+          when(st.getField("prev") === x, st.getField("run") + lit(1L))
+            .otherwise(lit(1L))
+        val better = run > st.getField("bestn")
+        struct(
+          x.as("prev"), run.as("run"),
+          when(better, x).otherwise(st.getField("best")).as("best"),
+          when(better, run).otherwise(st.getField("bestn")).as("bestn"))
+      },
+      st => struct(st.getField("best").as("tok"),
+        st.getField("bestn").as("n")))
+    folded
+  }
+
+  /** Regex PII scrubber: emails then phone-shaped digit groups replaced
+    * with typed placeholder tags — the corpus-text twin of the
+    * reference's column-level masking view (SURVEY §2.3 P6;
+    * init-db.sql:74-89 nulls PII columns per user, this redacts PII
+    * SPANS inside free text). Both patterns stay inside the regex
+    * surface Java and RE2 agree on (character classes, +, {m,}). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{3}-\\d+", "<PHONE>")
 }

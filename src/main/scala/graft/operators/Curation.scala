@@ -84,6 +84,55 @@ object Curation {
         (col("cum_prev") % budget).as("seq_offset"))
   }
 
+  /** Benchmark decontamination: drop every document that shares ANY
+    * word-`n`-gram with the probe set — the step between corpus assembly
+    * and training that keeps eval benchmarks out of the training mix
+    * (the standard 100 TB-pipeline guard against test-set leakage).
+    *
+    * Scale shape: shingles travel as xxhash64 longs (8-byte shuffles,
+    * never text); the probe side (a benchmark suite) is tiny relative to
+    * the corpus, so AQE broadcasts the distinct probe-shingle set into
+    * the semi-join, and the contaminated-id set — bounded by the corpus
+    * docs that overlap probes — broadcasts into the final anti-join. No
+    * hints pinned: an adversarially large probe set degrades to shuffle
+    * joins instead of breaking a broadcast limit. `n` should be large
+    * enough that chance n-gram collisions are rare (8–13 words in
+    * published pipelines; small-n makes everything "contaminated"). */
+  def decontaminate(docs: DataFrame, probes: DataFrame, n: Int): DataFrame = {
+    val probeShingles = Dedup.docShingles(probes, n)
+      .select("shingle").distinct()
+    val contaminated = Dedup.docShingles(docs, n)
+      .join(probeShingles, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Gopher-style repetition stats per document: the most frequent
+    * unigram and bigram with their corpus fractions — excessive
+    * repetition is the strongest single predictor of low-quality
+    * machine-generated text (Rae et al., Gopher §A1.2 filters on
+    * exactly these fractions). Zero shuffle: both top-grams come from
+    * [[TextFunctions.topGram]]'s sorted-run fold, a map-side scan —
+    * the explode → groupBy → window alternative shuffles every token
+    * in the corpus twice. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextFunctions.shinglesFromTokens(col("toks"), 2).as("bgs"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        TextFunctions.topGram(col("toks")).as("tu"),
+        TextFunctions.topGram(col("bgs")).as("tb"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("tu.tok").as("top_tok"),
+        (col("tu.n").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("top_tok_frac"),
+        col("tb.tok").as("top_bigram"),
+        (col("tb.n").cast(DoubleType) /
+          (col("n_tokens") - lit(1L)).cast(DoubleType))
+          .as("top_bigram_frac"))
+
   /** The full curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole

@@ -126,6 +126,44 @@ object CurationOps {
                 FROM documents)
               ORDER BY doc_id""")),
 
+    // benchmark decontamination: a deterministic 2/16 hash sample of the
+    // corpus plays the benchmark (probe) set; any doc sharing a word
+    // 8-gram with a probe is dropped — probes drop themselves (every doc
+    // shares 8-grams with itself) plus their near-duplicate partners.
+    // n = 8 measured non-vacuous on this corpus: 3-grams would flag 97%
+    // of docs (tiny synthetic vocabulary), 8-grams flag the probes + a
+    // handful of true overlaps. NOT EXISTS, not NOT IN (NULL trap).
+    Entry(
+      "cur_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation
+          .decontaminate(docs,
+            Curation.hashSample(docs, "doc_id", "bench", rate16 = 2), n = 8)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH pw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+              psh AS (
+                SELECT DISTINCT array_to_string(list_slice(w, i, i+7), ' ') AS s
+                FROM pw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+                WHERE len(w) >= 8),
+              dw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              dsh AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+7), ' ') AS s
+                FROM dw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+                WHERE len(w) >= 8),
+              bad AS (SELECT DISTINCT doc_id FROM dsh JOIN psh USING (s))
+              SELECT d.doc_id, d.lang, d.source, d.n_chars
+              FROM documents d
+              WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
+              ORDER BY d.doc_id""")),
+
     // THE end-to-end curation pipeline: quality-filter the corpus, drop
     // near-duplicates (cluster survivors), chunk what remains — the
     // full documents → training-windows path, each stage the

@@ -107,6 +107,79 @@ object TextOps {
                           THEN 1 ELSE 0 END AS agree
               FROM h ORDER BY doc_id""")),
 
+    // Gopher-style repetition stats: most frequent unigram/bigram and
+    // their fractions — the repetition filters of Rae et al. §A1.2. The
+    // Spark side is a zero-shuffle sorted-run fold (TextFunctions
+    // .topGram); the oracle is the relational explode → count → rank
+    // formulation — identical argmax with (count desc, gram asc) ties.
+    Entry(
+      "text_repetition",
+      (s, dir) => graft.operators.Curation
+        .repetitionStats(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+              uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+              tu AS (
+                SELECT doc_id, tok, c FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rk
+                  FROM uc) WHERE rk = 1),
+              b AS (
+                SELECT doc_id, array_to_string(list_slice(w, i, i+1), ' ') AS bg
+                FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+                WHERE len(w) >= 2),
+              bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+              tb AS (
+                SELECT doc_id, bg, c FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rk
+                  FROM bc) WHERE rk = 1)
+              SELECT t.doc_id,
+                     CAST(len(w) AS BIGINT) AS n_tokens,
+                     tu.tok AS top_tok,
+                     CAST(tu.c AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_tok_frac,
+                     tb.bg AS top_bigram,
+                     CAST(tb.c AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) AS top_bigram_frac
+              FROM t
+                JOIN tu ON t.doc_id = tu.doc_id
+                JOIN tb ON t.doc_id = tb.doc_id
+              ORDER BY t.doc_id""")),
+
+    // PII scrubbing over free text: email + phone spans replaced by
+    // typed tags — the corpus twin of the reference's column-level
+    // masking view (init-db.sql:74-89 nulls whole PII COLUMNS per user;
+    // a training corpus must redact PII SPANS inside text). documents
+    // .text carries no PII by construction, so the gate synthesizes
+    // contact strings from customer rows IDENTICALLY on both sides and
+    // certifies that the Java and RE2 regex engines agree on the
+    // redaction over real matches.
+    Entry(
+      "text_pii_scrub",
+      (s, dir) => Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" <"),
+            lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+            lit("@example.com> call 555-"),
+            col("c_custkey").cast(StringType)).as("contact"))
+        .select(col("c_custkey"), col("contact"),
+          scrubPii(col("contact")).as("scrubbed"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, contact,
+                     regexp_replace(regexp_replace(contact,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\d{3}-\d+', '<PHONE>', 'g') AS scrubbed
+              FROM (
+                SELECT c_custkey,
+                       c_name || ' <' ||
+                         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+                         '@example.com> call 555-' || CAST(c_custkey AS VARCHAR)
+                         AS contact
+                FROM customer)
+              ORDER BY c_custkey""")),
+
     // document fingerprinting (md5 of normalized text = the dedup key).
     Entry(
       "text_fingerprint",

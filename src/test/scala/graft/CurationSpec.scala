@@ -38,6 +38,30 @@ class CurationSpec extends SparkSuite {
     assert(kept === Set(3L, 1L, 4L)) // a: 7 then (5, id 1) wins the tie; b: all
   }
 
+  test("decontaminate drops probes, their n-gram overlaps, and nothing else") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),     // probe
+      (2L, "xx one two three four five six seven eight yy"),        // shares an 8-gram with 1
+      (3L, "one two three four OTHER five six seven eight nine"),   // breaks every 8-gram
+      (4L, "totally different words that never overlap anything at all")
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter($"doc_id" === 1L)
+    val kept = Curation.decontaminate(corpus, probes, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("repetitionStats: exact fractions, relational-argmax tie semantics") {
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(d).collect().head
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[String]("top_tok") === "a")                 // 3 of 6
+    assert(math.abs(r.getAs[Double]("top_tok_frac") - 0.5) < 1e-12)
+    // bigrams: "a b"×2, "b a"×2, "a c"×1 → tie 2-2 → "a b" (smallest)
+    assert(r.getAs[String]("top_bigram") === "a b")
+    assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.4) < 1e-12)
+  }
+
   test("chunkDocs covers every token exactly once") {
     val chunks = Curation.chunkDocs(docs, 3).collect()
     // 10 tokens per doc, 3-word windows → 4 chunks (3+3+3+1)

@@ -8,6 +8,31 @@ import graft.functions.TextFunctions
 class TextFunctionsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("topGram: most frequent element, ties to the smallest, empty → (null, 0)") {
+    val df = Seq(
+      (1L, Seq("b", "a", "b", "c", "a", "b")),   // b wins with 3
+      (2L, Seq("z", "a", "z", "a")),             // tie 2-2 → a (smallest)
+      (3L, Seq.empty[String])
+    ).toDF("id", "arr")
+    val r = df.select($"id", TextFunctions.topGram($"arr").as("t"))
+      .orderBy("id")
+      .select($"id", $"t.tok", $"t.n").collect()
+    assert(r(0).getString(1) === "b" && r(0).getLong(2) === 3L)
+    assert(r(1).getString(1) === "a" && r(1).getLong(2) === 2L)
+    assert(r(2).isNullAt(1) && r(2).getLong(2) === 0L)
+  }
+
+  test("scrubPii redacts emails and phone spans, passes clean text through") {
+    val df = Seq(
+      "write to alice.smith+x@corp.example.org today",
+      "call 555-12345 or 020-99 now",
+      "no pii here at all").toDF("text")
+    val r = df.select(TextFunctions.scrubPii($"text")).collect().map(_.getString(0))
+    assert(r(0) === "write to <EMAIL> today")
+    assert(r(1) === "call <PHONE> or <PHONE> now")
+    assert(r(2) === "no pii here at all")
+  }
+
   test("token counts: whitespace vs regex tokenization") {
     val df = Seq("hello world", "a  b\tc", "don't stop-me now!").toDF("text")
     val r = df.select(
