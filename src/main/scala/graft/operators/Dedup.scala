@@ -268,6 +268,94 @@ object Dedup {
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to [[connectedComponents]]'s
+    * min-label propagation, whose round count is the graph DIAMETER.
+    * Near-dup threshold graphs are unions of near-cliques (diameter
+    * 2–3), so propagation is the right default; use this variant when
+    * the pair graph can contain adversarial long chains (e.g. chained
+    * plagiarism, sliding near-dup windows), where diameter ~ n but
+    * star-contraction still converges in O(log n) rounds.
+    *
+    * Each round is two edge-local steps, both single shuffles:
+    *   - large-star: every node connects its strictly-LARGER neighbors
+    *     to the minimum of its neighborhood (incl. itself);
+    *   - small-star: every node connects its smaller-or-equal neighbors
+    *     (and itself) to that minimum.
+    * The edge set monotonically contracts toward one star per
+    * component, rooted at the component minimum. Convergence is
+    * detected by (count, xxhash64-sum) fingerprint equality across
+    * rounds — one aggregate job, no rows to the driver; per-round
+    * `localCheckpoint` truncates lineage exactly as in
+    * [[connectedComponents]].
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (idCol, cluster_id) for every vertex, cluster_id = min member id.
+    */
+  def connectedComponentsAlternating(vertices: DataFrame, idCol: String,
+                                     pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // canonical undirected edges (lo < hi), self-loops dropped
+    var edges = p
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        // m = min(Γ(u) ∪ {u}) ≤ u < v, so (m, v) is already canonical
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // smaller-or-equal neighborhood of hi is exactly its lo side
+      val mins = e.groupBy("hi").agg(min("lo").as("m"))
+      val relink = e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+      val anchor = mins.select(col("m").as("lo"), col("hi"))
+      relink.union(anchor).distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // DECIMAL(38,0) sum: exact + order-insensitive; a raw long sum
+      // overflows under ANSI mode (Spark 4 default)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nfp = fingerprint(next) // the one action materializing the round
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      rounds += 1
+    }
+    // at the fixed point every component is one star rooted at its min:
+    // non-roots appear exactly once as hi; roots and singletons never do
+    vertices.select(col(idCol).as("id")).distinct()
+      .join(edges.select(col("hi").as("id"), col("lo").as("root")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):

@@ -92,6 +92,41 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("alternating (large-star/small-star) CC matches propagation on chains, cliques, forests, and random graphs") {
+    def labels(vertices: Seq[Long], pairs: Seq[(Long, Long)],
+               alg: String): Map[Long, Long] = {
+      val v = vertices.toDF("doc_id")
+      val e = pairs.toDF("doc_a", "doc_b")
+      val out = alg match {
+        case "prop" => Dedup.connectedComponents(v, "doc_id", e)
+        case "star" => Dedup.connectedComponentsAlternating(v, "doc_id", e)
+      }
+      out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // 24-node chain: diameter 23 — the adversarial case for propagation,
+    // where O(log n) star contraction is the point of this variant
+    val chainV = (1L to 24L)
+    val chainE = (1L until 24L).map(i => (i, i + 1))
+    // two cliques bridged by one edge + singletons
+    val cliqV = (1L to 11L)
+    val cliqE = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+      (for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)) :+ (4L -> 5L)
+    // seeded random graph: 40 nodes, 45 edges (multiple components,
+    // duplicate and reversed pairs included deliberately)
+    val rnd = new scala.util.Random(7)
+    val randV = (0L until 40L)
+    val randE = Seq.fill(45)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // empty edge set: every vertex is its own component
+    val loneV = (1L to 5L)
+    for ((v, e) <- Seq((chainV, chainE), (cliqV, cliqE),
+                       (randV, randE), (loneV, Seq.empty[(Long, Long)]))) {
+      assert(labels(v, e, "star") === labels(v, e, "prop"))
+    }
+    // chain sanity: one component rooted at 1
+    assert(labels(chainV, chainE, "star").values.toSet === Set(1L))
+  }
+
   test("connected components with a reliable checkpoint dir: same labels, lineage anchored on checkpoint files") {
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
