@@ -133,6 +133,46 @@ object Curation {
           (col("n_tokens") - lit(1L)).cast(DoubleType))
           .as("top_bigram_frac"))
 
+  /** Token-budget selection: keep the highest-quality documents whose
+    * tokens fit a global budget — the "fill the training run with the
+    * best data" step after cleaning/dedup. Selection order is (quality
+    * bucket desc, doc_id asc); a doc is kept iff every token before it
+    * in that order plus its own still fits.
+    *
+    * Scale shape: a naive global quality sort + running sum serializes
+    * the corpus through one partition. Instead quality is quantized to
+    * a fixed grid (`gridBuckets` ≤ 10k distinct values REGARDLESS of
+    * corpus size), so the prefix sum splits hierarchically:
+    *   1. per-bucket token totals — one groupBy over ≤10k keys;
+    *   2. bucket-level prefix sums — a single-partition window over the
+    *      ≤10k aggregated rows (bounded work at any corpus size);
+    *   3. within-bucket prefix sums — a window partitioned BY BUCKET,
+    *      so each partition holds one bucket's docs, never the corpus.
+    * The grid is part of the selection contract (ties inside a bucket
+    * fall back to doc_id order), which is what makes the result
+    * deterministic and oracle-checkable rather than dependent on
+    * float-sort tie order. */
+  def selectUnderBudget(docs: DataFrame, stopwords: Seq[String],
+                        budget: Long, gridBuckets: Int = 10000): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      floor(TextFunctions.qualityScore(col("text"), stopwords)
+        * gridBuckets).cast(LongType).as("qb"))
+    val bucketTotals = scored.groupBy("qb").agg(sum("n_tokens").as("btoks"))
+    val wBuckets = Window.orderBy(desc("qb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrev = bucketTotals.withColumn("bprev",
+      coalesce(sum("btoks").over(wBuckets), lit(0L)))
+    val wInBucket = Window.partitionBy("qb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("dprev", coalesce(sum("n_tokens").over(wInBucket), lit(0L)))
+      .join(bucketPrev.select("qb", "bprev"), Seq("qb"))
+      .filter(col("bprev") + col("dprev") + col("n_tokens") <= budget)
+      .select(col("doc_id"), col("qb"), col("n_tokens"),
+        (col("bprev") + col("dprev")).as("toks_before"))
+  }
+
   /** The full curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole

@@ -164,6 +164,41 @@ object CurationOps {
               WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
               ORDER BY d.doc_id""")),
 
+    // token-budget selection: the best documents whose tokens fit a
+    // 10k-token training budget, in (quality-bucket desc, doc_id) order.
+    // The oracle's single global prefix sum over that order equals the
+    // operator's hierarchical bucket-prefix + in-bucket-prefix split
+    // (the order is hierarchical), which is the point: the declarative
+    // truth is one window, the scale implementation never global-sorts.
+    // SUM results are CAST to BIGINT (DuckDB HUGEINT, rule 5).
+    Entry(
+      "cur_token_budget",
+      (s, dir) => Curation
+        .selectUnderBudget(Tables(s, dir, "documents"), TextOps.Stopwords,
+          budget = 10000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(floor(LEAST(len(toks) / 100.0, 1.0)
+                         * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                                  / len(toks))
+                         * 10000) AS BIGINT) AS qb
+                FROM t),
+              c AS (
+                SELECT doc_id, qb, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY qb DESC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS toks_before
+                FROM s)
+              SELECT doc_id, qb, n_tokens, toks_before
+              FROM c WHERE toks_before + n_tokens <= 10000
+              ORDER BY doc_id""")),
+
     // THE end-to-end curation pipeline: quality-filter the corpus, drop
     // near-duplicates (cluster survivors), chunk what remains — the
     // full documents → training-windows path, each stage the

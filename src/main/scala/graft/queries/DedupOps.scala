@@ -121,6 +121,20 @@ object DedupOps {
       },
       Some(DedupOps.clustersSql)),
 
+    // same clustering contract via the O(log n) alternating-star
+    // algorithm — the adversarial-diameter variant, gated against the
+    // SAME recursive-closure oracle as dedup_clusters: both
+    // implementations must agree with the declarative truth.
+    Entry(
+      "dedup_clusters_star",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.connectedComponentsAlternating(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, 3, 0.8))
+          .orderBy("doc_id")
+      },
+      Some(DedupOps.clustersSql)),
+
     // the end-to-end dedup pipeline a corpus user actually runs: keep
     // ONE document per near-dup cluster (the minimum doc_id).
     Entry(

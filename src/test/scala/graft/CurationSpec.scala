@@ -62,6 +62,28 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.4) < 1e-12)
   }
 
+  test("selectUnderBudget keeps an exact prefix of the (bucket, doc_id) order") {
+    // 3 long low-quality docs (stopword-heavy) + 4 short high-quality
+    val corpus = Seq(
+      (1L, Seq.fill(30)("the a").mkString(" ")),        // 60 toks, quality ~0
+      (2L, Seq.fill(25)("the a").mkString(" ")),
+      (3L, Seq.fill(20)("the a").mkString(" ")),
+      (4L, (1 to 40).map(i => s"word$i").mkString(" ")), // 40 toks, quality 0.4
+      (5L, (1 to 40).map(i => s"term$i").mkString(" ")),
+      (6L, (1 to 40).map(i => s"item$i").mkString(" ")),
+      (7L, (1 to 40).map(i => s"unit$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Curation.selectUnderBudget(corpus, Seq("the", "a"), budget = 100L)
+      .orderBy("doc_id").collect()
+    // the four high-quality docs rank first (same bucket, doc_id order):
+    // 4 (before=0), 5 (40), 6 (80 + 40 > 100 → out) — so exactly {4, 5}
+    assert(kept.map(_.getLong(0)).toSeq === Seq(4L, 5L))
+    assert(kept.map(_.getAs[Long]("n_tokens")).sum <= 100L)
+    // prefix property: every kept doc's toks_before + own tokens fits
+    assert(kept.forall(r =>
+      r.getAs[Long]("toks_before") + r.getAs[Long]("n_tokens") <= 100L))
+  }
+
   test("chunkDocs covers every token exactly once") {
     val chunks = Curation.chunkDocs(docs, 3).collect()
     // 10 tokens per doc, 3-word windows → 4 chunks (3+3+3+1)

@@ -159,4 +159,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("repetition stats are map-side: one scan, no aggregate, only the determinism sort shuffles") {
+    // executedPlan.toString prints each node once (formatted mode lists
+    // tree + detail, double-counting node names)
+    val p = Inventory.byName("text_repetition").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the sorted-run fold lives in a projection, not an aggregation —
+    // the explode→groupBy→window alternative would shuffle every token
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate")
+      && !p.contains("ObjectHashAggregate"), p)
+    // exactly one Exchange: the rangepartitioning of the final ORDER BY
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("decontamination is equi-joins end to end, never a product (cur_decontaminate)") {
+    val p = Inventory.byName("cur_decontaminate").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // probe overlap is a semi/anti join chain on hashed shingles
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("token-budget selection never global-sorts the corpus (cur_token_budget)") {
+    val p = Inventory.byName("cur_token_budget").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only single-partition window runs over the ≤10k aggregated
+    // bucket rows (SinglePartition AFTER a HashAggregate), never over
+    // raw documents: every Window over docs is partitioned by qb
+    assert(p.contains("Window"), p)
+  }
 }
