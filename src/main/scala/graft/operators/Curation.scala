@@ -84,6 +84,46 @@ object Curation {
         (col("cum_prev") % budget).as("seq_offset"))
   }
 
+  /** Mixture-to-target sampling (data mixing): downsample each domain so
+    * its share of the kept corpus approaches a target proportion — the
+    * step that turns "what we crawled" into "the mix we train on".
+    * Domains are kept at `rate = min(1, target_d · N / n_d)` through a
+    * deterministic md5 cut on a 1/256 grid (finer than [[hashKeep]]'s
+    * 1/16 — mixture rates need the resolution); unlisted domains fall
+    * back to `defaultTarget`. Oversampling (rate > 1) caps at keep-all:
+    * this operator never replicates rows, matching how mixture weights
+    * are applied at the sampling stage (upweighting happens at training
+    * time, not by duplicating corpus rows).
+    *
+    * Scale shape: per-domain counts are one small aggregate (≤ #domains
+    * rows), the rate table broadcasts into a map-side filter join, and
+    * the cut itself is the same retry-stable salted-hash predicate as
+    * [[hashKeep]] — no RNG state, no extra shuffle of the corpus. */
+  def sampleToMixture(docs: DataFrame, domainCol: String, keyCol: String,
+                      targets: Map[String, Double], defaultTarget: Double,
+                      salt: String): DataFrame = {
+    require(targets.values.forall(t => t >= 0 && t <= 1) &&
+      defaultTarget >= 0 && defaultTarget <= 1, "targets must be in [0,1]")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_dom"))
+    val targetCol = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (dom, t)) => when(col(domainCol) === dom, lit(t)).otherwise(acc)
+    }
+    // the window spans the tiny aggregated domain table, never the corpus
+    val rates = counts
+      .withColumn("n_total",
+        sum("n_dom").over(Window.partitionBy(lit(1))))
+      .withColumn("rate256",
+        least(lit(256L),
+          floor(lit(256.0) * targetCol * col("n_total") / col("n_dom"))
+            .cast(LongType)))
+      .select(domainCol, "rate256")
+    docs.join(broadcast(rates), Seq(domainCol))
+      .filter(col("rate256") >= 256 ||
+        substring(md5(concat(lit(salt + ":"), col(keyCol).cast(StringType))),
+          1, 2) < format_string("%02x", col("rate256")))
+      .drop("rate256")
+  }
+
   /** Benchmark decontamination: drop every document that shares ANY
     * word-`n`-gram with the probe set — the step between corpus assembly
     * and training that keeps eval benchmarks out of the training mix

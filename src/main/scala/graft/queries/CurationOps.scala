@@ -164,6 +164,41 @@ object CurationOps {
               WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
               ORDER BY d.doc_id""")),
 
+    // mixture-to-target sampling: reshape the 20-uniform-domain corpus
+    // toward explicit shares — src0 oversampled (rate caps at keep-all),
+    // src1/src2/src3 at fractional 1/256-grid rates, everything else at
+    // the default. The oracle recomputes the same rate arithmetic
+    // (identical literal/op order → identical IEEE doubles → identical
+    // floor) and the same 2-hex-char md5 cut.
+    Entry(
+      "cur_mixture_sample",
+      (s, dir) => Curation
+        .sampleToMixture(Tables(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.10, "src1" -> 0.02, "src2" -> 0.01,
+            "src3" -> 0.005),
+          defaultTarget = 0.002, salt = "mix")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH counts AS (
+                SELECT source, COUNT(*) AS n_dom FROM documents GROUP BY source),
+              tot AS (SELECT SUM(n_dom) AS n_total FROM counts),
+              rates AS (
+                SELECT source,
+                       CAST(LEAST(256, floor(256.0 *
+                         (CASE source WHEN 'src0' THEN 0.10
+                                      WHEN 'src1' THEN 0.02
+                                      WHEN 'src2' THEN 0.01
+                                      WHEN 'src3' THEN 0.005
+                                      ELSE 0.002 END) *
+                         n_total / n_dom)) AS BIGINT) AS rate256
+                FROM counts, tot)
+              SELECT d.doc_id, d.source, d.lang
+              FROM documents d JOIN rates r ON d.source = r.source
+              WHERE r.rate256 >= 256
+                 OR substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                      < printf('%02x', r.rate256)
+              ORDER BY d.doc_id""")),
+
     // token-budget selection: the best documents whose tokens fit a
     // 10k-token training budget, in (quality-bucket desc, doc_id) order.
     // The oracle's single global prefix sum over that order equals the

@@ -180,6 +180,24 @@ object TextOps {
                 FROM customer)
               ORDER BY c_custkey""")),
 
+    // corpus-level vocabulary heavy hitters: top-20 tokens by total
+    // frequency — the tokenizer-vocabulary / stopword-discovery scan.
+    // Shape: explode → map-side partial counts → one shuffle on token →
+    // TakeOrderedAndProject (top-k never global-sorts). Total ordering
+    // via (count desc, token asc) keeps the cut deterministic.
+    Entry(
+      "text_vocab_topk",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"))
+        .limit(20),
+      Some("""SELECT tok, COUNT(*) AS n
+              FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+                    FROM documents)
+              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""")),
+
     // document fingerprinting (md5 of normalized text = the dedup key).
     Entry(
       "text_fingerprint",

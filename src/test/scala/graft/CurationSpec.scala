@@ -62,6 +62,28 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.4) < 1e-12)
   }
 
+  test("sampleToMixture: oversampled domains cap at keep-all, rates thin deterministically, zero-target drops") {
+    val corpus = (0L until 256L)
+      .map(i => (i, if (i < 128) "big" else if (i < 240) "mid" else "rare", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    def run() = Curation.sampleToMixture(corpus, "source", "doc_id",
+      Map("rare" -> 1.0, "mid" -> 0.1, "big" -> 0.0),
+      defaultTarget = 0.0, salt = "t")
+    val kept = run().select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // rare: target 1.0 over 16/256 docs → rate ≫ 1, capped → all 16 kept
+    assert(bySrc.getOrElse("rare", 0) === 16)
+    // big: target 0 → dropped entirely
+    assert(!bySrc.contains("big"))
+    // mid: rate256 = floor(256·0.1·256/112) = 58 → ~58/256 of 112 ≈ 25,
+    // strictly thinned but non-empty
+    assert(bySrc("mid") > 0 && bySrc("mid") < 112)
+    // deterministic: the same call yields the same kept set
+    assert(run().select($"doc_id").as[Long].collect().toSet ===
+      kept.map(_._1).toSet)
+  }
+
   test("selectUnderBudget keeps an exact prefix of the (bucket, doc_id) order") {
     // 3 long low-quality docs (stopword-heavy) + 4 short high-quality
     val corpus = Seq(
