@@ -77,6 +77,63 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("topGram ≡ naive count-then-argmax on random token arrays") {
+    val words = Vector("a", "b", "c", "dd", "e")
+    val genArrs = Gen.listOfN(6, Gen.listOfN(12, Gen.oneOf(words)))
+    check(Prop.forAll(genArrs) { arrs =>
+      arrs.nonEmpty ==> {
+        val df = arrs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+          .toDF("id", "arr")
+        val got = df.select($"id",
+            graft.functions.TextFunctions.topGram($"arr").as("t"))
+          .select($"id", $"t.tok", $"t.n")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+        arrs.zipWithIndex.forall { case (ws, i) =>
+          val counts = ws.groupBy(identity).view.mapValues(_.size).toMap
+          val naive = counts.toSeq.sortBy { case (t, n) => (-n, t) }.head
+          got(i.toLong) == ((naive._1, naive._2.toLong))
+        }
+      }
+    })
+  }
+
+  test("alternating-star CC ≡ propagation CC on random pair graphs") {
+    val genPairs = Gen.listOfN(20, for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (a, b))
+    check(Prop.forAll(genPairs) { ps =>
+      ps.nonEmpty ==> {
+        val ids = ps.flatMap(p => Seq(p._1, p._2)).distinct.toDF("doc_id")
+        val pairs = ps.toDF("doc_a", "doc_b")
+        val prop = Dedup.connectedComponents(ids, "doc_id", pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val star = Dedup.connectedComponentsAlternating(ids, "doc_id", pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        prop == star
+      }
+    })
+  }
+
+  test("decontaminate: probes never survive and the kept set stays inside the corpus") {
+    val words = Vector("alpha", "beta", "gamma", "delta")
+    val genDocs = Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf(words)))
+    check(Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val probes = df.filter($"doc_id" % 3 === 0)
+        val kept = graft.operators.Curation.decontaminate(df, probes, n = 4)
+          .select("doc_id").as[Long].collect().toSet
+        // probes always flag themselves (every doc overlaps itself)
+        val probeIds = probes.select("doc_id").as[Long].collect().toSet
+        (kept intersect probeIds).isEmpty &&
+          kept.subsetOf(docs.indices.map(_.toLong).toSet)
+      }
+    })
+  }
+
   test("ngram jaccard: symmetric-unique pairs with scores in (0, 1]") {
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
     val genDocs = Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf(words)))
