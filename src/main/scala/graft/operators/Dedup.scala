@@ -194,6 +194,41 @@ object Dedup {
     jaccardScores(docShingles(candDocs, n).cache(), Some(candidates), threshold)
   }
 
+  /** Incremental near-dup detection: word-`n`-gram Jaccard pairs between
+    * an EXISTING corpus (`base`) and a NEW increment (`batch`) — the
+    * daily-crawl shape, where re-running all-pairs dedup over the whole
+    * corpus per increment would be quadratic in corpus size. Only
+    * cross pairs (base doc, batch doc) are scored; intra-batch dedup is
+    * [[ngramJaccardPairs]] over the (small) batch.
+    *
+    * Scale shape: the base's hashed shingle index and per-doc sizes are
+    * exactly the artifacts a production pipeline PERSISTS between
+    * increments (computed here for self-containment; at 100 TB they are
+    * bucketed tables written once per corpus version). The batch side
+    * is small, so its shingle index broadcasts under AQE and the
+    * per-increment cost is ∝ batch size, never corpus size.
+    *
+    * Output: (doc_a ∈ base, doc_b ∈ batch, jaccard ≥ threshold). */
+  def incrementalJaccardPairs(base: DataFrame, batch: DataFrame, n: Int,
+                              threshold: Double): DataFrame = {
+    val shB = docShingles(base, n)
+    val shN = docShingles(batch, n)
+    val szB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val szN = shN.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val common = shB.as("x")
+      .join(shN.as("y"), col("x.shingle") === col("y.shingle"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(szB.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(szN.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over a near-duplicate pair graph — the final

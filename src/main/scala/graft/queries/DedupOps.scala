@@ -23,14 +23,17 @@ object DedupOps {
     * counts — the building blocks of every Jaccard oracle below.
     * (Declared before `entries`, which captures the derived SQL during
     * object init.) */
-  private[queries] def shingleCtes(base: String): String =
+  private[queries] def shingleIndexCtes(base: String): String =
     s"""words AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $base),
        idx AS (
          SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
        sh AS (
          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)"""
+
+  private[queries] def shingleCtes(base: String): String =
+    s"""${shingleIndexCtes(base)},
        common AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -149,6 +152,42 @@ object DedupOps {
           .orderBy("doc_id")
       },
       Some(DedupOps.survivorsSql)),
+
+    // incremental dedup: a 12/16 md5 split plays existing-corpus vs
+    // new-increment; only cross pairs are scored — the daily-crawl
+    // pattern where per-increment cost must track the batch, not the
+    // corpus. Same Jaccard semantics as dedup_ngram_jaccard, restricted
+    // to (base, batch) pairs.
+    Entry(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = Curation.hashKeep(col("doc_id"), "inc", 12)
+        Dedup.incrementalJaccardPairs(
+            docs.filter(keep), docs.filter(!keep), 3, 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${shingleIndexCtes("documents")},
+              base AS (
+                SELECT doc_id FROM documents
+                WHERE substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'),
+              batch AS (
+                SELECT doc_id FROM documents
+                WHERE substring(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) >= 'c'),
+              common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a
+                  JOIN base ON a.doc_id = base.doc_id
+                  JOIN sh b ON a.s = b.s
+                  JOIN batch ON b.doc_id = batch.doc_id
+                GROUP BY 1, 2)
+              SELECT doc_a, doc_b,
+                     CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+              FROM common
+                JOIN cnt ca ON doc_a = ca.doc_id
+                JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+              ORDER BY doc_a, doc_b""")),
 
     // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk blocking).
     // Signature depends on xxhash64 bit patterns — not expressible in

@@ -92,6 +92,21 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("incremental dedup scores only cross pairs and matches the all-pairs scores") {
+    val base = corpus.filter($"doc_id" <= 3)
+    val batch = corpus.filter($"doc_id" > 3)
+    val inc = Dedup.incrementalJaccardPairs(base, batch, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 5 (whitespace variant of 1/2) crosses the split; 4 matches
+    // nothing; intra-base pairs (1,2),(1,3),(2,3) must NOT appear
+    assert(inc.keySet === Set((1L, 5L), (2L, 5L), (3L, 5L)))
+    assert(inc((1L, 5L)) === 1.0 && inc((2L, 5L)) === 1.0)
+    // cross scores equal the all-pairs run's scores for the same pairs
+    val all = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.forall { case (k, j) => all(k) === j })
+  }
+
   test("alternating (large-star/small-star) CC matches propagation on chains, cliques, forests, and random graphs") {
     def labels(vertices: Seq[Long], pairs: Seq[(Long, Long)],
                alg: String): Map[Long, Long] = {
