@@ -181,6 +181,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
 
+  test("incremental dedup stays equi-joined on shingles, never a product (dedup_incremental)") {
+    val p = Inventory.byName("dedup_incremental").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mixture sampling is a broadcast filter join over the corpus (cur_mixture_sample)") {
+    val p = Inventory.byName("cur_mixture_sample").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the tiny rate table must arrive via broadcast — a shuffle of the
+    // corpus to meet 20 rate rows would be the wrong plan at any scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("token-budget selection never global-sorts the corpus (cur_token_budget)") {
     val p = Inventory.byName("cur_token_budget").run(spark, sfDir)
       .queryExecution.executedPlan.toString
