@@ -6,45 +6,72 @@ object Bench {
 
   /** Time one full materialization per query (noop sink forces every
     * output column; count() would let Catalyst prune expensive
-    * projections away). Cache is cleared between queries: operators
+    * projections away). Cache is cleared between runs: operators
     * that cache internally (the dedup shingle indexes) must not
     * subsidize later queries or accumulate storage memory across the
     * full inventory in one JVM.
     *
+    * Each query runs `runs` times and reports the per-query MIN — this
+    * box's wall clock swings ±50% (same binary measured 458 s / 162 s /
+    * 70 s across three round-6 runs), so a single-shot number cannot
+    * distinguish a regression from ambient load; the min of repeated
+    * runs is the standard noise-resistant estimator of query cost. The
+    * raw per-run timings are kept alongside (`"runs"` in the JSON) so
+    * the artifact itself shows the spread.
+    *
     * A failed query must be VISIBLE in the result (-1 timing), never a
-    * normal-looking fast number — on a box whose wall clock swings with
-    * ambient load, a silently-swallowed failure is indistinguishable
-    * from a fast run. (BenchSuite feeds a deliberately-broken query and
-    * asserts the -1 + errors contract.) */
+    * normal-looking fast number — a silently-swallowed failure is
+    * indistinguishable from a fast run. A failure on ANY run marks the
+    * query failed (-1, remaining runs skipped). (BenchSuite feeds a
+    * deliberately-broken query and asserts the -1 + errors contract.) */
   def timeQueries(spark: SparkSession, sfDir: String,
-                  queries: Seq[(String, (SparkSession, String) => DataFrame)])
-      : Seq[(String, Double)] =
+                  queries: Seq[(String, (SparkSession, String) => DataFrame)],
+                  runs: Int = 2): Seq[(String, Seq[Double])] =
     queries.map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"bench: query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
+      val timings = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          timings += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench: query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            failed = true
+            timings += -1.0
+        }
+        i += 1
       }
+      name -> timings.toSeq
     }
 
-  /** The driver's one-line JSON contract: total excludes failed queries,
-    * which appear as -1 in `queries` and by name in `errors`. */
-  def toJson(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+  /** Min over a query's runs; -1 (failure) if any run failed. */
+  def best(timings: Seq[Double]): Double =
+    if (timings.exists(_ < 0)) -1.0 else timings.min
+
+  /** The driver's one-line JSON contract: `queries` carries the
+    * per-query MIN across runs, `runs` the raw timings behind it,
+    * `value` the total of the mins; failed queries are -1 in `queries`
+    * and listed by name in `errors` (excluded from the total). */
+  def toJson(results: Seq[(String, Seq[Double])], sfDir: String): String = {
+    val mins = results.map { case (k, v) => k -> best(v) }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}"""
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$failed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = graft.core.Sessions.local("graft-bench")
 
     // Warm-up: JVM/codegen/classloading dominate the first query in a
@@ -55,7 +82,8 @@ object Bench {
     catch { case _: Throwable => () }
 
     println(toJson(
-      timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1)), sfDir))
+      timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), runs),
+      sfDir))
     spark.stop()
   }
 }

@@ -154,7 +154,13 @@ object Curation {
     * exactly these fractions). Zero shuffle: both top-grams come from
     * [[TextFunctions.topGram]]'s sorted-run fold, a map-side scan —
     * the explode → groupBy → window alternative shuffles every token
-    * in the corpus twice. */
+    * in the corpus twice.
+    *
+    * Docs with fewer than 2 tokens have no bigrams: `top_bigram` and
+    * `top_bigram_frac` are null there (an unguarded `tb.n / (n_tokens
+    * − 1)` would be 0.0/0.0 = NaN — a Gopher-style gate comparing
+    * `top_bigram_frac < cap` would then silently drop the doc, since
+    * NaN compares false both ways). */
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -169,8 +175,9 @@ object Curation {
         (col("tu.n").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .as("top_tok_frac"),
         col("tb.tok").as("top_bigram"),
-        (col("tb.n").cast(DoubleType) /
-          (col("n_tokens") - lit(1L)).cast(DoubleType))
+        when(col("n_tokens") > 1,
+          col("tb.n").cast(DoubleType) /
+            (col("n_tokens") - lit(1L)).cast(DoubleType))
           .as("top_bigram_frac"))
 
   /** Token-budget selection: keep the highest-quality documents whose

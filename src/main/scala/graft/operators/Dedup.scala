@@ -327,9 +327,19 @@ object Dedup {
     *
     * Output contract is identical to [[connectedComponents]]:
     * (idCol, cluster_id) for every vertex, cluster_id = min member id.
+    *
+    * Exit is VALIDATED, never silent: hitting `maxRounds` without
+    * fingerprint convergence throws, and the final edge set is checked
+    * to actually be a forest of stars (no node appears on both sides —
+    * a chain residue would emit wrong labels) before labels are
+    * emitted. The star check also backstops the astronomically-unlikely
+    * fingerprint collision that could fake convergence: a collision on
+    * a non-fixed-point edge set would leave non-star edges behind and
+    * throw here instead of returning duplicate (id, cluster_id) rows.
     */
   def connectedComponentsAlternating(vertices: DataFrame, idCol: String,
-                                     pairs: DataFrame): DataFrame = {
+                                     pairs: DataFrame,
+                                     maxRounds: Int = 50): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     // canonical undirected edges (lo < hi), self-loops dropped
     var edges = p
@@ -374,7 +384,7 @@ object Dedup {
     var fp = fingerprint(edges)
     var converged = edges.isEmpty
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next) // the one action materializing the round
       converged = nfp == fp
@@ -382,8 +392,32 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxRounds " +
+          "rounds — refusing to emit labels from a non-fixed-point edge " +
+          "set (raise maxRounds; O(log n) convergence means a legitimate " +
+          "graph needs ~2·log2(n) rounds)")
     // at the fixed point every component is one star rooted at its min:
-    // non-roots appear exactly once as hi; roots and singletons never do
+    // non-roots appear exactly once as hi, roots never as hi — so no
+    // node may appear on BOTH sides. One cheap aggregate over the
+    // contracted (tiny) edge set; a violation means the fingerprint
+    // lied (collision) or the contraction is broken.
+    val nonStar = edges.select(col("hi").as("v"))
+      .join(edges.select(col("lo").as("v")), Seq("v"), "left_semi")
+    if (!nonStar.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponentsAlternating converged to a non-star edge set " +
+          "(some node is both a root and a member) — refusing to emit " +
+          "wrong cluster labels")
+    // ...and each member has exactly ONE root: duplicate hi would emit
+    // two (id, cluster_id) rows for the same vertex
+    val dupHi = edges.groupBy("hi").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    if (!dupHi.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponentsAlternating converged with a member linked to " +
+          "multiple roots — refusing to emit duplicate cluster labels")
     vertices.select(col(idCol).as("id")).distinct()
       .join(edges.select(col("hi").as("id"), col("lo").as("root")),
         Seq("id"), "left")

@@ -112,6 +112,10 @@ object TextOps {
     // Spark side is a zero-shuffle sorted-run fold (TextFunctions
     // .topGram); the oracle is the relational explode → count → rank
     // formulation — identical argmax with (count desc, gram asc) ties.
+    // Bigram columns join LEFT: a <2-token doc has no bigrams, so
+    // top_bigram/top_bigram_frac are NULL on both sides (an inner join
+    // would drop the doc row entirely; the Spark side guards the
+    // denominator so no 0/0 NaN can leak into a downstream gate).
     Entry(
       "text_repetition",
       (s, dir) => graft.operators.Curation
@@ -145,7 +149,7 @@ object TextOps {
                      CAST(tb.c AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) AS top_bigram_frac
               FROM t
                 JOIN tu ON t.doc_id = tu.doc_id
-                JOIN tb ON t.doc_id = tb.doc_id
+                LEFT JOIN tb ON t.doc_id = tb.doc_id
               ORDER BY t.doc_id""")),
 
     // PII scrubbing over free text: email + phone spans replaced by

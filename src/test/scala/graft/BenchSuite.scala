@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The bench gate's integrity contract: a failing query can never
-  * impersonate a fast run. */
+  * impersonate a fast run, and the reported number is the min over
+  * repeated runs (noise resistance) with the raw runs preserved. */
 class BenchSuite extends SparkSuite {
   import spark.implicits._
 
@@ -17,14 +18,14 @@ class BenchSuite extends SparkSuite {
     val results = Bench.timeQueries(spark, "/tmp/unused",
       Seq("q_ok" -> good, "q_broken" -> broken))
     val byName = results.toMap
-    assert(byName("q_ok") >= 0.0)
-    assert(byName("q_broken") === -1.0)
+    assert(Bench.best(byName("q_ok")) >= 0.0)
+    assert(Bench.best(byName("q_broken")) === -1.0)
 
     val json = Bench.toJson(results, "/tmp/unused")
     assert(json.contains(""""errors":["q_broken"]"""))
     assert(json.contains(""""q_broken":-1"""))
     // the total excludes the failure instead of silently absorbing it
-    assert(json.contains(s""""value":${byName("q_ok")}"""))
+    assert(json.contains(s""""value":${Bench.best(byName("q_ok"))}"""))
   }
 
   test("runtime failures (not just construction) also surface as -1") {
@@ -34,6 +35,34 @@ class BenchSuite extends SparkSuite {
         .filter($"n" > 0) // ANSI cast throws at EXECUTION, not planning
     }
     val results = Bench.timeQueries(spark, "/tmp/unused", Seq("q_lazy" -> lazyBoom))
-    assert(results.head._2 === -1.0)
+    assert(Bench.best(results.head._2) === -1.0)
+  }
+
+  test("each query runs `runs` times; the reported number is the min; raw runs are kept") {
+    val good = (s: SparkSession, _: String) => {
+      import s.implicits._
+      Seq(1, 2, 3).toDF("x")
+    }
+    val results = Bench.timeQueries(spark, "/tmp/unused",
+      Seq("q_ok" -> good), runs = 3)
+    val timings = results.head._2
+    assert(timings.length === 3)
+    assert(timings.forall(_ >= 0.0))
+    assert(Bench.best(timings) === timings.min)
+
+    val json = Bench.toJson(results, "/tmp/unused")
+    // the min lands in `queries`, the raw spread in `runs`
+    assert(json.contains(s""""queries":{"q_ok":${timings.min}}"""))
+    assert(json.contains(s""""runs":{"q_ok":[${timings.mkString(",")}]}"""))
+  }
+
+  test("a failure stops further runs for that query (no wasted re-runs of a broken plan)") {
+    var calls = 0
+    val broken = (_: SparkSession, _: String) => {
+      calls += 1
+      throw new RuntimeException("boom")
+    }
+    Bench.timeQueries(spark, "/tmp/unused", Seq("q_broken" -> broken), runs = 3)
+    assert(calls === 1)
   }
 }

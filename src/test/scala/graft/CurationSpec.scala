@@ -62,6 +62,31 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.4) < 1e-12)
   }
 
+  test("repetitionStats: <2-token docs get null bigram columns, never NaN") {
+    // empty text tokenizes to [""] (split semantics) — both rows have
+    // exactly one token and therefore no bigrams
+    val d = Seq((1L, "solo"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+    val rows = Curation.repetitionStats(d).orderBy("doc_id").collect()
+    val solo = rows(0)
+    assert(solo.getAs[Long]("n_tokens") === 1L)
+    assert(solo.getAs[String]("top_tok") === "solo")
+    assert(solo.getAs[Double]("top_tok_frac") === 1.0)
+    assert(solo.isNullAt(solo.fieldIndex("top_bigram")))
+    assert(solo.isNullAt(solo.fieldIndex("top_bigram_frac")),
+      "1-token doc must yield NULL, not 0/0 = NaN")
+    val empty = rows(1)
+    assert(empty.getAs[Long]("n_tokens") === 1L) // [""]
+    assert(empty.isNullAt(empty.fieldIndex("top_bigram_frac")))
+    // a real bigram doc is untouched by the guard
+    val two = rows(2)
+    assert(two.getAs[String]("top_bigram") === "two words")
+    assert(two.getAs[Double]("top_bigram_frac") === 1.0)
+    // no NaN anywhere in the output
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("top_bigram_frac")) ||
+      !r.getAs[Double]("top_bigram_frac").isNaN))
+  }
+
   test("sampleToMixture: oversampled domains cap at keep-all, rates thin deterministically, zero-target drops") {
     val corpus = (0L until 256L)
       .map(i => (i, if (i < 128) "big" else if (i < 240) "mid" else "rare", s"doc $i"))

@@ -142,6 +142,23 @@ class DedupSpec extends SparkSuite {
     assert(labels(chainV, chainE, "star").values.toSet === Set(1L))
   }
 
+  test("alternating CC refuses to emit labels when the round cap cuts convergence short") {
+    // a 24-node chain needs several contraction rounds; maxRounds = 1
+    // leaves a non-fixed-point edge set — the old code silently emitted
+    // wrong/duplicate labels here, now it must throw
+    val v = (1L to 24L).toDF("doc_id")
+    val e = (1L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponentsAlternating(v, "doc_id", e, maxRounds = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with the default cap the same graph converges and labels cleanly
+    val ok = Dedup.connectedComponentsAlternating(v, "doc_id", e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("connected components with a reliable checkpoint dir: same labels, lineage anchored on checkpoint files") {
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
