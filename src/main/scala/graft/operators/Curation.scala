@@ -201,10 +201,17 @@ object Curation {
     * float-sort tie order. */
   def selectUnderBudget(docs: DataFrame, stopwords: Seq[String],
                         budget: Long, gridBuckets: Int = 10000): DataFrame = {
+    // cached: consumed by BOTH the bucket-totals aggregate and the
+    // in-bucket window below — without this the entire upstream plan
+    // (in a composed pipeline: quality filter, dedup semi-join,
+    // decontamination, mixture sample) executes twice. The projection
+    // is three longs per doc (~24 B), so MEMORY_AND_DISK holds it at
+    // any corpus size the cluster can process at all.
     val scored = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
       floor(TextFunctions.qualityScore(col("text"), stopwords)
         * gridBuckets).cast(LongType).as("qb"))
+      .cache()
     val bucketTotals = scored.groupBy("qb").agg(sum("n_tokens").as("btoks"))
     val wBuckets = Window.orderBy(desc("qb"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -220,7 +227,7 @@ object Curation {
         (col("bprev") + col("dprev")).as("toks_before"))
   }
 
-  /** The full curation pipeline: quality-filter → near-dup cluster
+  /** The core curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole
     * composition against one composed oracle. */
@@ -235,5 +242,40 @@ object Curation {
       comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     chunkDocs(surv, chunkWords)
+  }
+
+  /** The FULL curation chain — every selection stage a training-data
+    * pipeline runs between a raw crawl and a tokenizer, composed as one
+    * plan: quality-filter → near-dup cluster survivors →
+    * benchmark-decontaminate → mixture-to-target sample → token-budget
+    * select → fixed context windows. Each stage is the individually
+    * gated operator above; the composition itself is gated as
+    * `pipeline_curate_full` against ONE composed oracle, proving the
+    * family composes without plan blow-ups (PlanSpec: no product, and
+    * the only single-partition funnel is the ≤10k-row bucket window
+    * inside [[selectUnderBudget]]).
+    *
+    * Scale shape of the composition: the final chunk stage semi-joins
+    * the RAW corpus on the selected ids instead of carrying text
+    * through the token-budget windows — the selected id set is bounded
+    * by `budget / avg_doc_tokens` (tiny), so it broadcasts, and
+    * document text never rides a window shuffle. */
+  def curateFull(docs: DataFrame, probes: DataFrame, stopwords: Seq[String],
+                 minQuality: Double, shingleN: Int, jaccardThreshold: Double,
+                 decontamN: Int, targets: Map[String, Double],
+                 defaultTarget: Double, mixSalt: String, budget: Long,
+                 chunkWords: Int): DataFrame = {
+    val kept = docs.filter(
+      TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
+    val comp = Dedup.connectedComponents(kept, "doc_id",
+      Dedup.ngramJaccardPairs(kept, shingleN, jaccardThreshold))
+    val surv = kept.join(
+      comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val clean = decontaminate(surv, probes, decontamN)
+    val mixed = sampleToMixture(clean, "source", "doc_id", targets,
+      defaultTarget, mixSalt)
+    val sel = selectUnderBudget(mixed, stopwords, budget).select("doc_id")
+    chunkDocs(docs.join(sel, Seq("doc_id"), "left_semi"), chunkWords)
   }
 }

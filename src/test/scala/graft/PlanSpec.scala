@@ -151,6 +151,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("the FULL curation chain composes without products or a corpus-wide funnel (pipeline_curate_full)") {
+    val p = Inventory.byName("pipeline_curate_full").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // no corpus global sort: the one rangepartitioning exchange is the
+    // final determinism ORDER BY of the gated entry
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) === 1, p)
+    // every single-partition funnel must sit directly above an
+    // AGGREGATE (domain counts for the mixture rates, bucket totals
+    // for the token-budget prefix, bloom-filter runtime-filter builds)
+    // — bounded-cardinality inputs by construction. A SinglePartition
+    // exchange fed by raw rows would mean one of the six stages
+    // serializes the corpus through a single task.
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 4).exists(_.contains("Aggregate")),
+          s"SinglePartition exchange at line $i is not fed by an aggregate:\n" +
+            lines.slice(i - 3, i + 4).mkString("\n"))
+      }
+    // survivors/decontamination/selection arrive as semi joins
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("range join is an equi-join on (key, bucket), not a product (t2)") {
     val p = Inventory.byName("t2_range_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString
