@@ -203,17 +203,64 @@ object Dedup {
     *
     * Scale shape: the base's hashed shingle index and per-doc sizes are
     * exactly the artifacts a production pipeline PERSISTS between
-    * increments (computed here for self-containment; at 100 TB they are
-    * bucketed tables written once per corpus version). The batch side
-    * is small, so its shingle index broadcasts under AQE and the
-    * per-increment cost is ∝ batch size, never corpus size.
+    * increments — [[writeShingleIndex]] writes them as a bucketed table
+    * pair and [[incrementalJaccardPairsFromIndex]] scores a batch
+    * against them with the base side read shuffle-free (DedupSpec
+    * asserts the bucketed scan joins with zero Exchange). This overload
+    * computes both base artifacts inline for self-containment. The
+    * batch side is small, so its shingle index broadcasts under AQE and
+    * the per-increment cost is ∝ batch size, never corpus size.
     *
     * Output: (doc_a ∈ base, doc_b ∈ batch, jaccard ≥ threshold). */
   def incrementalJaccardPairs(base: DataFrame, batch: DataFrame, n: Int,
                               threshold: Double): DataFrame = {
     val shB = docShingles(base, n)
-    val shN = docShingles(batch, n)
     val szB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    incrementalScore(shB, szB, batch, n, threshold)
+  }
+
+  /** Persist a base corpus's shingle index for incremental dedup: the
+    * (doc_id, shingle) inverted index bucketed + sorted on `shingle`
+    * (table `<name>_shingles`) and the per-doc shingle counts
+    * (`<name>_sizes`: doc_id, na). Written ONCE per corpus version;
+    * every daily increment then probes the index without re-shingling
+    * or re-shuffling the corpus — the bucketed layout means the
+    * per-increment shingle join shuffles ONLY the batch side
+    * (`bucketBy` pre-shuffles at write time; see [[graft.core.Bucketing]]).
+    * Size `buckets` to target-partition bytes at the corpus's index
+    * size, not to the cluster of the day. */
+  def writeShingleIndex(base: DataFrame, n: Int, name: String,
+                        buckets: Int): Unit = {
+    val sh = docShingles(base, n).cache() // consumed twice: index + sizes
+    try {
+      graft.core.Bucketing.writeBucketed(sh, s"${name}_shingles", "shingle",
+        buckets)
+      sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(s"${name}_sizes")
+    } finally sh.unpersist()
+  }
+
+  /** Incremental near-dup pairs against a PERSISTED base index written
+    * by [[writeShingleIndex]] — the production daily-crawl path: the
+    * corpus is never re-read, the bucketed index side joins with zero
+    * Exchange, and per-increment cost is ∝ batch size. Output contract
+    * is identical to [[incrementalJaccardPairs]] (DedupSpec asserts
+    * pair-for-pair equality). */
+  def incrementalJaccardPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                       name: String, batch: DataFrame, n: Int,
+                                       threshold: Double): DataFrame =
+    incrementalScore(spark.table(s"${name}_shingles"),
+      spark.table(s"${name}_sizes"), batch, n, threshold)
+
+  /** Shared scoring tail of the incremental variants: join the base
+    * shingle index (`shB`: doc_id, shingle) against the batch's,
+    * count common shingles per cross pair, attach both size tables,
+    * one exact Jaccard division. */
+  private def incrementalScore(shB: DataFrame, szB: DataFrame,
+                               batch: DataFrame, n: Int,
+                               threshold: Double): DataFrame = {
+    val shN = docShingles(batch, n)
     val szN = shN.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val common = shB.as("x")
       .join(shN.as("y"), col("x.shingle") === col("y.shingle"))

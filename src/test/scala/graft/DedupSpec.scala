@@ -107,6 +107,37 @@ class DedupSpec extends SparkSuite {
     assert(inc.forall { case (k, j) => all(k) === j })
   }
 
+  test("persisted incremental index: identical pairs, base side scans bucketed with zero exchange") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val keep = graft.operators.Curation.hashKeep(col("doc_id"), "inc", 12)
+    val base = docs.filter(keep)
+    val batch = docs.filter(!keep)
+    Dedup.writeShingleIndex(base, 3, "inc_idx", buckets = 8)
+    // force a sort-merge join so only bucketing can remove the
+    // base-side shuffle (a broadcast would hide it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fromIdx = Dedup.incrementalJaccardPairsFromIndex(
+        spark, "inc_idx", batch, 3, 0.8)
+      val plan = fromIdx.queryExecution.executedPlan.toString
+      // the index is read through its buckets ...
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      // ... and only the BATCH side shuffles into the shingle join
+      assert(plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning(shingle")) === 1, plan)
+      // output contract: pair-for-pair identical to the inline variant
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val expected = pairs(Dedup.incrementalJaccardPairs(base, batch, 3, 0.8))
+      assert(pairs(fromIdx) === expected)
+      assert(expected.nonEmpty) // non-vacuous on the planted corpus
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS inc_idx_shingles")
+      spark.sql("DROP TABLE IF EXISTS inc_idx_sizes")
+    }
+  }
+
   test("alternating (large-star/small-star) CC matches propagation on chains, cliques, forests, and random graphs") {
     def labels(vertices: Seq[Long], pairs: Seq[(Long, Long)],
                alg: String): Map[Long, Long] = {
