@@ -19,6 +19,24 @@ object SimilarityOps {
     """list_dot_product(q.e, d.e)
        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(d.e, d.e)))"""
 
+  /** Exact brute-force top-k SQL — the oracle for the brute entry AND
+    * (verbatim) for the all-cells multi-probe entry, whose output is
+    * provably the same set: probing every cell scores every (query,
+    * vector) pair exactly once. */
+  private val bruteSql =
+    s"""WITH d AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+          FROM q, d WHERE d.vec_id <> q.query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, cos
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val entries: Seq[Entry] = Seq(
 
     // brute-force cosine top-k — the exact baseline every ANN variant is
@@ -29,18 +47,7 @@ object SimilarityOps {
         .knnBrute(Tables(s, dir, "embeddings"), queries(s, dir), 5)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy("query_id", "rank"),
-      Some(s"""WITH d AS (
-                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-               q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < 10),
-               scored AS (
-                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
-                 FROM q, d WHERE d.vec_id <> q.query_id),
-               r AS (
-                 SELECT *, ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-                 FROM scored)
-               SELECT query_id, neighbor_id, rank, cos
-               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(bruteSql)),
 
     // IVF-style one-probe ANN: scan only the query's own cell (label);
     // the 100 TB path scans 1/cells of the data via partition pruning.
@@ -61,6 +68,29 @@ object SimilarityOps {
                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
                  FROM scored)
                SELECT query_id, neighbor_id, rank, cos
-               FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // multi-probe IVF over a trained coarse quantizer, gated at its
+    // exact end of the recall dial: probing ALL cells scores every
+    // (query, vector) pair exactly once — each corpus vector lives in
+    // exactly one cell and every cell is probed — so the output is
+    // provably the brute-force top-k and the oracle is sim_knn_brute's
+    // SQL verbatim. The probe list, centroid ranking, and per-cell
+    // equi-join are the REAL multi-probe plan (partition pruning at
+    // scale); SimilaritySpec covers the interior of the dial (recall
+    // grows monotonically with nProbe) where no exact oracle exists.
+    Entry(
+      "sim_knn_ivf_multiprobe",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val (assigned, centroids) =
+          graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+        Similarity
+          .knnIvfMultiProbe(assigned, queries(s, dir), centroids, 5,
+            nProbe = centroids.length)
+          .withColumn("rank", col("rank").cast(LongType))
+          .orderBy("query_id", "rank")
+      },
+      Some(bruteSql))
   )
 }
