@@ -147,6 +147,29 @@ object Curation {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Contamination audit report — the investigative twin of
+    * [[decontaminate]]: instead of silently dropping contaminated
+    * documents, emit WHICH benchmark (probe) document each one overlaps
+    * and by how many word-`n`-grams. A 100 TB pipeline runs this before
+    * committing a decontamination pass: the report is how eval owners
+    * confirm the probe set is right and how "unexplained" high scores
+    * get audited after the fact.
+    *
+    * Scale shape: identical to [[decontaminate]]'s semi-join — shingles
+    * travel as xxhash64 longs, the tiny probe index broadcasts under
+    * AQE, and the output is bounded by actual overlap, not the corpus.
+    *
+    * Output: (doc_id, probe_id, n_shared) for every overlapping pair. */
+  def contaminationReport(docs: DataFrame, probes: DataFrame,
+                          n: Int): DataFrame = {
+    val probeShingles = Dedup.docShingles(probes, n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    Dedup.docShingles(docs, n)
+      .join(probeShingles, Seq("shingle"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Gopher-style repetition stats per document: the most frequent
     * unigram and bigram with their corpus fractions — excessive
     * repetition is the strongest single predictor of low-quality

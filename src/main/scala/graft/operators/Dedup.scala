@@ -276,6 +276,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Span-level exact dedup: repeated `words`-token windows across the
+    * corpus (boilerplate headers, license blocks, navigation chrome —
+    * the within-and-across-document repetition that whole-doc
+    * [[exact]] cannot see). Documents are cut on the fixed
+    * [[Curation.chunkDocs]] grid and identical chunks grouped by
+    * fingerprint; output keeps each duplicated span's minimum owner and
+    * its multiplicity, for a downstream span-removal or reweighting
+    * pass.
+    *
+    * The fixed grid only catches ALIGNED repeats — that is the cheap
+    * end of the span-dedup spectrum (one narrow pass + one 16-byte
+    * fingerprint shuffle, no index); [[TextFunctions.winnowFingerprints]]
+    * is the sliding-window complement that catches arbitrary-offset
+    * overlap at higher index cost. Like [[exact]], the shuffle carries
+    * (fingerprint, ids), never span text. */
+  def duplicateSpans(docs: DataFrame, words: Int): DataFrame =
+    Curation.chunkDocs(docs, words)
+      .select(md5(col("chunk_text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over a near-duplicate pair graph — the final

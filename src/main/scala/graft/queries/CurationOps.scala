@@ -164,6 +164,42 @@ object CurationOps {
               WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)
               ORDER BY d.doc_id""")),
 
+    // contamination audit report — the investigative twin of
+    // cur_decontaminate (same probe cut, same 8-grams): WHICH probe
+    // each contaminated doc overlaps and by how many n-grams, the
+    // audit trail an eval owner reviews before committing the drop.
+    // Probes report against themselves too (every doc shares all its
+    // 8-grams with itself) — the self-rows double as a sanity floor.
+    Entry(
+      "cur_contamination_report",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation
+          .contaminationReport(docs,
+            Curation.hashSample(docs, "doc_id", "bench", rate16 = 2), n = 8)
+          .orderBy("doc_id", "probe_id")
+      },
+      Some("""WITH pw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+              psh AS (
+                SELECT DISTINCT doc_id AS probe_id,
+                       array_to_string(list_slice(w, i, i+7), ' ') AS s
+                FROM pw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+                WHERE len(w) >= 8),
+              dw AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              dsh AS (
+                SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+7), ' ') AS s
+                FROM dw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+                WHERE len(w) >= 8)
+              SELECT d.doc_id, p.probe_id, COUNT(*) AS n_shared
+              FROM dsh d JOIN psh p ON d.s = p.s
+              GROUP BY 1, 2
+              ORDER BY doc_id, probe_id""")),
+
     // mixture-to-target sampling: reshape the 20-uniform-domain corpus
     // toward explicit shares — src0 oversampled (rate caps at keep-all),
     // src1/src2/src3 at fractional 1/256-grid rates, everything else at

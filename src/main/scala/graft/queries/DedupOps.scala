@@ -95,6 +95,28 @@ object DedupOps {
                      COUNT(*) AS n_copies
               FROM documents GROUP BY 1 ORDER BY survivor_id""")),
 
+    // span-level exact dedup: repeated 64-word windows across the
+    // corpus — the boilerplate/license-block repetition whole-doc
+    // dedup_exact cannot see. Fixed-grid chunking means one narrow
+    // pass + one (md5, id) shuffle; winnowing (text_winnow_fp) is the
+    // sliding-window complement for arbitrary-offset overlap.
+    Entry(
+      "dedup_span_exact",
+      (s, dir) => Dedup.duplicateSpans(Tables(s, dir, "documents"), 64)
+        .orderBy("fp"),
+      Some("""WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              ch AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(w, i*64 + 1, (i+1)*64), ' ') AS chunk_text
+                FROM words,
+                     unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i))
+              SELECT md5(chunk_text) AS fp, MIN(doc_id) AS survivor_id,
+                     COUNT(*) AS n_copies
+              FROM ch GROUP BY 1 HAVING COUNT(*) > 1
+              ORDER BY fp""")),
+
     // exact n-gram Jaccard near-dup pairs via the inverted-index join.
     Entry(
       "dedup_ngram_jaccard",

@@ -51,6 +51,29 @@ class CurationSpec extends SparkSuite {
     assert(kept === Set(3L, 4L))
   }
 
+  test("contaminationReport names the overlapping probe and counts shared n-grams exactly") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),   // probe
+      (2L, "xx one two three four five six seven eight yy"),      // 1 shared 8-gram with probe 1
+      (3L, "one two three four five six seven eight nine zz"),    // 2 shared 8-grams with probe 1
+      (4L, "totally different words that never overlap anything at all")
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter($"doc_id" === 1L)
+    val report = Curation.contaminationReport(corpus, probes, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // probe vs itself: all 3 of its 8-grams
+    assert(report((1L, 1L)) === 3L)
+    assert(report((2L, 1L)) === 1L)
+    assert(report((3L, 1L)) === 2L)
+    // the clean doc never appears
+    assert(!report.keySet.exists(_._1 == 4L))
+    // the report's keyset is exactly what decontaminate drops
+    val dropped = Curation.decontaminate(corpus, probes, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(report.keySet.map(_._1) === corpus.select("doc_id").as[Long]
+      .collect().toSet -- dropped)
+  }
+
   test("repetitionStats: exact fractions, relational-argmax tie semantics") {
     val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val r = Curation.repetitionStats(d).collect().head

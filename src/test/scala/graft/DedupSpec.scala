@@ -107,6 +107,21 @@ class DedupSpec extends SparkSuite {
     assert(inc.forall { case (k, j) => all(k) === j })
   }
 
+  test("duplicateSpans finds aligned repeated windows, not merely duplicate docs") {
+    val span = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-word window
+    val corpus = Seq(
+      (1L, span + " " + (5 to 8).map(i => s"a$i").mkString(" ")), // span + unique tail
+      (2L, span + " " + (5 to 8).map(i => s"b$i").mkString(" ")), // same FIRST window, different doc
+      (3L, (9 to 16).map(i => s"c$i").mkString(" "))              // no repeats
+    ).toDF("doc_id", "text")
+    val dups = Dedup.duplicateSpans(corpus, words = 4).collect()
+    // exactly the shared leading window is flagged (docs 1 and 2 are
+    // NOT whole-doc duplicates)
+    assert(dups.length === 1)
+    assert(dups.head.getAs[Long]("survivor_id") === 1L)
+    assert(dups.head.getAs[Long]("n_copies") === 2L)
+  }
+
   test("persisted incremental index: identical pairs, base side scans bucketed with zero exchange") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val keep = graft.operators.Curation.hashKeep(col("doc_id"), "inc", 12)
