@@ -111,6 +111,33 @@ class SimilaritySpec extends SparkSuite {
     assert(firstCell > 0 && firstCell < emb.count())
   }
 
+  test("cell-partitioned IVF layout turns probes into partition-pruned scans") {
+    // the 100 TB contract behind knnIvf/knnIvfMultiProbe: store the
+    // assigned corpus partitionBy("cell") and a probe's cell filter
+    // becomes PartitionFilters at the scan — only probed cells are read
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, _) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    val dir = tmpDir("ivf-cells")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val probe = onDisk.filter(col("cell") === 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"), plan)
+    // the cell predicate prunes at the partition level, so it never
+    // appears as a data filter over row contents
+    assert(!plan.contains("PushedFilters: [IsNotNull(cell"), plan)
+    // pruning is real: the probe reads strictly fewer files than the table
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().map(_.metrics
+        .get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
+    val probedFiles = filesRead(spark.read.parquet(dir).filter(col("cell") === 2))
+    val allFiles = filesRead(spark.read.parquet(dir))
+    assert(probedFiles > 0 && probedFiles < allFiles,
+      s"probe read $probedFiles of $allFiles files — no pruning happened")
+  }
+
   test("multi-probe IVF: recall grows with probes; probing every cell equals brute force") {
     val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
