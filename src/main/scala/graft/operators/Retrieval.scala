@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Sparse-lexical retrieval over the corpus: BM25 top-k — the
+  * "find training documents like these seeds" primitive behind
+  * retrieval-based curation (seed-similar upsampling, targeted corpus
+  * slices, nearest-neighbor quality audits by keyword rather than
+  * embedding).
+  *
+  * Scale design:
+  *   - the corpus term-frequency table is the only corpus-sized
+  *     intermediate; everything else (document frequencies, query
+  *     terms, the 1-row corpus stats) is vocabulary- or query-sized;
+  *   - the query-term table broadcasts FIRST, so the scoring join
+  *     touches only postings of query terms — cost ∝ matched postings,
+  *     never |corpus| × |queries|;
+  *   - per-document scores aggregate FIXED-POINT contributions:
+  *     each term's (bit-identical IEEE) double is quantized to
+  *     micro-points via `floor(c · 10⁶)` and summed as longs — exact
+  *     and order-insensitive under any partitioning (a raw double sum
+  *     would be partition-order-dependent — gate rule 2). A
+  *     DECIMAL(38,15) intermediate was measured and rejected: the
+  *     double→decimal CAST itself rounds differently across engines
+  *     (Spark goes through the shortest string representation, DuckDB
+  *     rounds the exact binary value), producing last-ulp mismatches;
+  *     `floor` of an identical double is identical everywhere;
+  *   - top-k per query is a rank over the already-reduced scored set.
+  *
+  * Exactness: idf is the RATIONAL form (N − df + ½)/(df + ½) — the
+  * standard BM25 idf without the log. The log damps idf's dynamic
+  * range but contributes nothing to ordering for single-term matches
+  * and little for short queries; dropping it keeps every operation in
+  * IEEE-exact +,−,×,÷ (libm `ln` is not correctly-rounded and differs
+  * across engines, which would break the bit-exact DuckDB oracle).
+  * Swap in `log(...)` for published-BM25 fidelity where cross-engine
+  * bit-equality is not a requirement. */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query by rational-idf BM25.
+    *
+    * `queries` must expose (query_id, text); query term multiplicity is
+    * ignored (set semantics — standard BM25). Output: (query_id,
+    * doc_id, rank, score), rank 1..k by (score desc, doc_id asc).
+    * Query documents drawn from the corpus match themselves — the
+    * standard sanity anchor (self ranks first). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("dl"))
+    // 1-row corpus stats; avgdl = sum/count in DOUBLE on both sides
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    // query terms restrict FIRST (broadcast), then attach df/dl/stats
+    // to the matched postings only. The literal arithmetic mirrors the
+    // oracle SQL token for token — same IEEE ops, same association —
+    // so scores are bit-identical.
+    val contrib = tf
+      .join(broadcast(qt), "term")
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // one row: n_docs, avgdl
+      .select(col("query_id"), col("doc_id"),
+        floor((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          * lit(1000000.0)).as("c"))
+    val scores = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("sc"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sc"), asc("doc_id"))
+    scores.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        (col("sc").cast(DoubleType) / lit(1000000.0)).as("score"))
+  }
+}

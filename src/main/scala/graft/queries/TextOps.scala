@@ -202,6 +202,63 @@ object TextOps {
                     FROM documents)
               GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""")),
 
+    // BM25 top-k retrieval: the "find training docs like these seeds"
+    // primitive of retrieval-based curation. Query set = docs 0-2, set
+    // semantics on query terms, k = 10. Rational idf (no log — libm ln
+    // is not correctly rounded and differs across engines) keeps every
+    // op IEEE-exact so per-term doubles are bit-identical to the
+    // oracle; per-doc sums ride floor(c·10⁶) micro-point LONGS
+    // (order-insensitive, rule 2 — a DECIMAL intermediate was measured
+    // to diverge at the last ulp because the double→decimal CAST
+    // rounds differently across engines). Self-match ranks first
+    // (sanity anchor). The oracle is the same algebra token for token.
+    Entry(
+      "text_bm25_topk",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.operators.Retrieval.bm25TopK(docs,
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("query_id"), col("text")),
+            k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              dl AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+                FROM documents),
+              stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM dl),
+              dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              qt AS (
+                SELECT DISTINCT doc_id AS query_id, term FROM toks
+                WHERE doc_id < 3),
+              contrib AS (
+                SELECT qt.query_id, tf.doc_id,
+                       CAST(floor((((s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)))
+                         * 1000000.0) AS BIGINT) AS c
+                FROM tf
+                  JOIN qt ON tf.term = qt.term
+                  JOIN dfr ON tf.term = dfr.term
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+              scores AS (
+                SELECT query_id, doc_id, SUM(c) AS sc
+                FROM contrib GROUP BY 1, 2),
+              r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY sc DESC, doc_id ASC) AS rank
+                FROM scores)
+              SELECT query_id, doc_id, rank,
+                     CAST(sc AS DOUBLE) / 1000000.0 AS score
+              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // document fingerprinting (md5 of normalized text = the dedup key).
     Entry(
       "text_fingerprint",
