@@ -372,6 +372,58 @@ object Dedup {
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
+  /** Incremental connected components: fold a NEW batch into PERSISTED
+    * cluster labels without re-clustering the corpus — the label-side
+    * twin of [[incrementalJaccardPairsFromIndex]], completing the
+    * daily-crawl loop (index probe → new pairs → label update).
+    *
+    * Because cluster_id = the component's minimum member id and every
+    * persisted root is already the min of its old cluster, merging
+    * reduces to components over a TINY graph: new edges lifted to
+    * their endpoints' roots, plus the batch vertices. Propagation runs
+    * on that graph only, then relabels just the touched base clusters
+    * via one root→new-root join. Cost ∝ batch + touched clusters —
+    * never corpus size; untouched labels stream through unchanged.
+    *
+    * Output contract is identical to [[connectedComponents]] over the
+    * UNION graph (DedupSpec asserts equality; the gate checks the
+    * composed daily-crawl pipeline against the whole-corpus
+    * recursive-closure oracle — pairwise Jaccard makes the union of
+    * base, batch, and cross pairs exactly the all-pairs set).
+    *
+    * @param baseLabels persisted (idCol, cluster_id) for the base corpus
+    * @param newVertices the batch's vertex set (idCol)
+    * @param newPairs (doc_a, doc_b) pairs touching the batch: cross
+    *                 base×batch pairs and intra-batch pairs */
+  def incrementalConnectedComponents(baseLabels: DataFrame,
+                                     newVertices: DataFrame, idCol: String,
+                                     newPairs: DataFrame): DataFrame = {
+    val lbl = baseLabels.select(col(idCol).as("lid"), col("cluster_id"))
+    val lifted = newPairs.select(col("doc_a"), col("doc_b"))
+      .join(lbl.select(col("lid").as("doc_a"), col("cluster_id").as("ra")),
+        Seq("doc_a"), "left")
+      .join(lbl.select(col("lid").as("doc_b"), col("cluster_id").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+    val tinyV = lifted.select(col("doc_a").as(idCol))
+      .union(lifted.select(col("doc_b").as(idCol)))
+      .union(newVertices.select(col(idCol)))
+      .distinct()
+    // min-label propagation over roots + batch ids only; a root is its
+    // old cluster's min, so the merged min-member invariant holds
+    val tiny = connectedComponents(tinyV, idCol, lifted)
+    val rootMap = tiny
+      .select(col(idCol).as("old_root"), col("cluster_id").as("new_root"))
+    val updatedBase = baseLabels
+      .join(rootMap, col("cluster_id") === col("old_root"), "left")
+      .select(col(idCol),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+    val batchLabels = tiny
+      .join(newVertices.select(col(idCol)), Seq(idCol), "left_semi")
+    updatedBase.union(batchLabels)
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the O(log n)-round alternative to [[connectedComponents]]'s

@@ -211,6 +211,38 @@ object DedupOps {
               WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
               ORDER BY doc_a, doc_b""")),
 
+    // the complete incremental daily-crawl loop: persisted base labels
+    // + (cross + intra-batch) new pairs → updated labels WITHOUT
+    // re-clustering the corpus (components run over touched roots +
+    // batch ids only). Pairwise Jaccard makes base ∪ cross ∪ batch
+    // pairs exactly the all-pairs set, so the oracle is the SAME
+    // whole-corpus recursive closure as dedup_clusters — incremental
+    // must be indistinguishable from batch. For gate self-containment
+    // the base labels are recomputed inline and ONE cached pair set is
+    // split by the membership predicate (three separate shingle
+    // indexes would triple the scan work in a single plan); production
+    // reads persisted labels and sources cross pairs from the bucketed
+    // index (incrementalJaccardPairsFromIndex, gated separately) — the
+    // incremental STEP itself is the cheap part (DedupSpec isolates it).
+    Entry(
+      "dedup_clusters_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def keep(c: org.apache.spark.sql.Column) =
+          Curation.hashKeep(c, "inc", 12)
+        val batch = docs.filter(!keep(col("doc_id")))
+        val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+          .select("doc_a", "doc_b").cache()
+        val basePairs = pairs.filter(keep(col("doc_a")) && keep(col("doc_b")))
+        val newPairs = pairs.filter(!(keep(col("doc_a")) && keep(col("doc_b"))))
+        val baseLabels = Dedup.connectedComponents(
+          docs.filter(keep(col("doc_id"))), "doc_id", basePairs)
+        Dedup.incrementalConnectedComponents(baseLabels,
+            batch.select("doc_id"), "doc_id", newPairs)
+          .orderBy("doc_id")
+      },
+      Some(DedupOps.clustersSql)),
+
     // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk blocking).
     // Signature depends on xxhash64 bit patterns — not expressible in
     // ANSI SQL, so this takes the rows-only check; SimHashSpec asserts

@@ -188,6 +188,27 @@ class DedupSpec extends SparkSuite {
     assert(labels(chainV, chainE, "star").values.toSet === Set(1L))
   }
 
+  test("incremental CC: batch update merges across old clusters and equals full re-clustering") {
+    val baseV = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val baseLabels = Dedup.connectedComponents(baseV, "doc_id", basePairs)
+    // batch doc 30 bridges BOTH old clusters; 31 rides along; 40 is a
+    // batch singleton; base singleton 20 stays untouched
+    val batchV = Seq(30L, 31L, 40L).toDF("doc_id")
+    val newPairs = Seq((3L, 30L), (11L, 30L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val inc = Dedup.incrementalConnectedComponents(
+        baseLabels, batchV, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(baseV.union(batchV), "doc_id",
+        basePairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    // the bridge really merged: everything except the singletons is 1
+    assert(inc.filterNot(kv => kv._1 == 20L || kv._1 == 40L)
+      .values.toSet === Set(1L))
+    assert(inc(20L) === 20L && inc(40L) === 40L)
+  }
+
   test("alternating CC refuses to emit labels when the round cap cuts convergence short") {
     // a 24-node chain needs several contraction rounds; maxRounds = 1
     // leaves a non-fixed-point edge set — the old code silently emitted
