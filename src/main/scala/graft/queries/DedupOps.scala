@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, SemanticDedup}
 
 /** Deduplication inventory over `documents` / `embeddings`.
   *
@@ -321,6 +321,51 @@ object DedupOps {
                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
                 JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
                   ON a.vec_id < b.vec_id)
-              WHERE cos >= 0.9 ORDER BY vec_a, vec_b"""))
+              WHERE cos >= 0.9 ORDER BY vec_a, vec_b""")),
+
+    // semantic dedup (SemDeDup): coarse cells, then cosine prune WITHIN
+    // each cell — the cluster-then-prune scale path for embedding dedup
+    // (pair space ÷ k vs the brute join above). The GATED form seeds the
+    // codebook deterministically with the k=8 lowest-id embeddings (a
+    // zero-iteration quantizer, SQL-expressible, so DuckDB replays
+    // assignment + prune bit-exactly); production swaps in
+    // Quantizer.trainAndAssign centroids — SemanticDedupSpec proves that
+    // path on planted duplicates. The collect here fetches the 8-row
+    // codebook (k·dim floats), the IVF-style centroid shipment — not a
+    // data collect.
+    Entry(
+      "dedup_semantic",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        SemanticDedup
+          .survivors(SemanticDedup.assignCells(emb, codebook), 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+              av AS (SELECT a.vec_id, a.cell, v.e FROM asg a JOIN v ON a.vec_id = v.vec_id),
+              dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                      >= 0.4)
+              SELECT vec_id, cell FROM asg
+              WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              ORDER BY vec_id"""))
   )
 }
