@@ -46,6 +46,47 @@ object Curation {
       .filter(col("rk") <= n)
   }
 
+  /** Content-defined chunking (the LBFS/rsync boundary rule, token
+    * granularity): a chunk boundary falls AFTER every token whose md5
+    * starts with hex '0' — p = 1/16, mean chunk ≈ 16 tokens. Unlike the
+    * fixed grid of [[chunkDocs]], boundaries move WITH the content:
+    * inserting a token re-cuts only the chunk it lands in, so every
+    * other chunk fingerprint is unchanged — what makes chunk-hash dedup
+    * robust to boilerplate shifted by edits (CurationSpec pins this).
+    *
+    * Entirely map-side array algebra — boundary positions → (start, end)
+    * spans → slices — instead of the explode → window-cumsum → re-group
+    * relational form (the oracle's shape), which would shuffle every
+    * TOKEN of a 100 TB corpus twice. The HOF stack runs interpreted
+    * (higher-order functions are CodegenFallback) with subexpression
+    * elimination; arrays are per-document, so the cost stays linear in
+    * corpus size. Output (doc_id, chunk_idx, n_tokens, fp). */
+  def contentDefinedChunks(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    // 1-based positions of boundary tokens; document end closes the last
+    // chunk unless the final token is itself a boundary
+    val bnd = filter(sequence(lit(1), n),
+      j => substring(md5(element_at(col("toks"), j)), 1, 1) === lit("0"))
+    // "last boundary == n" via a slice compare — element_at would choke
+    // on index 0 when a document has no boundary token at all
+    val ends = when(slice(col("bnd"), -1, 1) === array(n), col("bnd"))
+      .otherwise(concat(col("bnd"), array(n)))
+    val starts = concat(
+      array(lit(1)),
+      transform(slice(col("ends"), lit(1), size(col("ends")) - 1), e => e + 1))
+    val chunks = zip_with(col("starts"), col("ends"), (s, e) =>
+      struct((e - s + 1).cast(LongType).as("n_tokens"),
+        md5(array_join(slice(col("toks"), s, e - s + 1), " ")).as("fp")))
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("bnd", bnd)
+      .withColumn("ends", ends)
+      .withColumn("starts", starts)
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.fp").as("fp"))
+  }
+
   /** Fixed `words`-token context windows per document: (doc_id,
     * chunk_id, chunk_text, n_tokens). A narrow explode — no shuffle, no
     * UDF; the token array is projected once before the slices read it

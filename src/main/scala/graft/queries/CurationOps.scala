@@ -98,6 +98,38 @@ object CurationOps {
                    unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
               ORDER BY doc_id, chunk_id""")),
 
+    // content-defined chunking: rolling-boundary chunks whose hashes
+    // survive insertions (the fixed grid above re-cuts EVERY downstream
+    // chunk when one token shifts; CurationSpec pins the contrast). The
+    // Spark side is pure map-side array algebra; the oracle is the
+    // relational twin — explode tokens, windowed boundary-prefix count,
+    // regroup — which proves the span algebra against an independent
+    // formulation, not a transliteration.
+    Entry(
+      "cur_cdc_chunk",
+      (s, dir) => Curation.contentDefinedChunks(Tables(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              tok AS (
+                SELECT doc_id, w[i] AS t, i
+                FROM words, unnest(generate_series(1, len(w))) AS u(i)),
+              fl AS (
+                SELECT doc_id, t, i,
+                       CASE WHEN substring(md5(t), 1, 1) = '0' THEN 1 ELSE 0 END AS f
+                FROM tok),
+              ch AS (
+                SELECT doc_id, t, i,
+                       COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+                FROM fl)
+              SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     md5(string_agg(t, ' ' ORDER BY i)) AS fp
+              FROM ch GROUP BY doc_id, c
+              ORDER BY doc_id, chunk_idx""")),
+
     // sequence packing, concat-and-cut style: lay the corpus's tokens
     // end-to-end in doc_id order and cut every 4096 — each document
     // learns its (sequence, offset) coordinates from a running token

@@ -162,6 +162,48 @@ class CurationSpec extends SparkSuite {
     assert(byDoc.values.forall(_.map(_.getAs[Long]("n_tokens")).sum == 10L))
   }
 
+  test("contentDefinedChunks: chunks partition the tokens, boundaries end on md5-'0' tokens") {
+    val varied = (0L until 32L)
+      .map(i => (i, (0 until 40).map(j => s"t${(i * 7 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.contentDefinedChunks(varied).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.size === 32)
+    byDoc.values.foreach { rows =>
+      // chunks tile the doc: indices 0..k-1, token counts sum to 40
+      assert(rows.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+        === (0L until rows.length.toLong))
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum === 40L)
+    }
+  }
+
+  test("contentDefinedChunks: an insertion re-cuts ONE chunk; the fixed grid re-cuts all downstream") {
+    // pick tokens so none is a boundary collision with the insert site
+    val base = (0 until 60).map(j => s"t${j % 97}").mkString(" ")
+    val edited = ("XINS " + base) // one token prepended
+    val two = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val fps = Curation.contentDefinedChunks(two).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getAs[String]("fp")).toSet }
+    // all original chunk hashes except the first chunk survive the edit
+    val shared = fps(0L).intersect(fps(1L))
+    assert(shared.size >= fps(0L).size - 1)
+    // the fixed 16-token grid shares NO chunk hash after a 1-token shift
+    val grid = Curation.chunkDocs(two, 16).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("chunk_text")).toSet }
+    assert(grid(0L).intersect(grid(1L)).isEmpty)
+  }
+
+  test("contentDefinedChunks is map-side: no Exchange, no Join in the plan") {
+    val plan = Curation.contentDefinedChunks(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"))
+    // no join operator ("Join" alone would false-match array_join)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin")
+      && !plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("packSequences: offsets stay inside the budget and cover tokens contiguously per group") {
     val packed = Curation.packSequences(docs, budget = 25L, groupSize = 16L)
       .orderBy("doc_id").collect()
