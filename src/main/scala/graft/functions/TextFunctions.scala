@@ -50,6 +50,33 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  private val HexAlphabet = "0123456789abcdef"
+
+  /** 0-based position of a (lowercase hex) character column in the hex
+    * alphabet — `instr` is 1-based and identical in DuckDB. */
+  private def hexVal(c: Column): Column =
+    call_function("instr", lit(HexAlphabet), c) - lit(1)
+
+  /** Hashed bag-of-words feature bucket of a token: the first md5 byte,
+    * 0..255 — the feature-hashing trick (Weinberger et al. 2009) with
+    * D = 256 buckets, computed engine-portably from hex chars. */
+  def tokenBucket(t: Column): Column =
+    hexVal(substring(md5(t), 1, 1)) * lit(16) + hexVal(substring(md5(t), 2, 1))
+
+  /** Exact integer weight sum of a hashed bag-of-words linear model:
+    * Σ (bucket(token) − 128) ∈ BIGINT. The per-bucket weights here are
+    * the centered hash value itself — a deterministic stand-in for
+    * trained parameters (no model ships in this sandbox); the SHAPE is
+    * the deployable artifact: swap the affine bucket→weight map for a
+    * 256-entry literal lookup and this is a fasttext-style classifier
+    * scoring 100 TB map-side, no shuffle, no UDF. Integer accumulation
+    * keeps the sum order-free and bit-identical across engines — the
+    * double division happens once, after the fold. */
+  def hashedBowSum(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => (tokenBucket(t) - lit(128)).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Stopword ratio over a fixed stopword set. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

@@ -296,6 +296,93 @@ object TextOps {
                          i -> list_min(hs[i:i+3]))) AS fps
                 FROM s WHERE len(hs) >= 4)
               SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp
-              FROM wins"""))
+              FROM wins""")),
+
+    // hashed bag-of-words linear scorer (fasttext-shaped): feature-hash
+    // every token into 256 buckets, sum per-bucket weights, squash
+    // rationally (z/(1+|z|) — libm exp/tanh are not correctly rounded
+    // and would diverge across engines; the rational squash is IEEE
+    // division + abs, bit-exact). Map-side only: no shuffle, no UDF —
+    // the shape of running a learned quality classifier over 100 TB.
+    // Integer weight sums keep the fold order-free (rule 2).
+    Entry(
+      "text_quality_model",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          hashedBowSum(col("text")).as("bow_sum"))
+        .withColumn("bow_logit",
+          col("bow_sum").cast(DoubleType) / (lit(256.0) * col("n_tokens")))
+        .withColumn("bow_score",
+          col("bow_logit") / (lit(1.0) + abs(col("bow_logit"))))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+              s AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(list_aggregate(list_transform(toks, x ->
+                         (instr('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16
+                           + instr('0123456789abcdef', substring(md5(x), 2, 1)) - 1
+                           - 128), 'sum') AS BIGINT) AS bow_sum
+                FROM t),
+              z AS (
+                SELECT doc_id, n_tokens, bow_sum,
+                       CAST(bow_sum AS DOUBLE) / (256.0 * n_tokens) AS bow_logit
+                FROM s)
+              SELECT doc_id, n_tokens, bow_sum, bow_logit,
+                     bow_logit / (1.0 + abs(bow_logit)) AS bow_score
+              FROM z ORDER BY doc_id""")),
+
+    // per-source corpus report: doc/token totals + exact rank-based
+    // percentiles of doc length. Percentiles are MANUAL rank picks
+    // (floor((n+1)/2), ceil(0.9n)) over a (n_tokens, doc_id) total
+    // order — engine-portable integer semantics, where quantile_cont /
+    // percentile interpolation differs subtly across engines. Shape:
+    // one narrow map pass → one shuffle on source → per-group window +
+    // conditional agg; at 100 TB the window spans one source's docs,
+    // not the corpus.
+    Entry(
+      "text_corpus_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+        t.withColumn("rk", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("n_tokens")).cast(DoubleType) / count(lit(1)))
+              .as("avg_tokens"),
+            max(when(col("rk") === floor((col("n") + lit(1)) / lit(2)),
+              col("n_tokens"))).as("p50_tokens"),
+            max(when(col("rk") === ceil(col("n") * lit(0.9)),
+              col("n_tokens"))).as("p90_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                         AS n_tokens
+                FROM documents),
+              r AS (
+                SELECT source, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY n_tokens, doc_id) AS rk,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM t)
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                     MAX(CASE WHEN rk = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+                     MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END)
+                       AS p90_tokens
+              FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -99,4 +99,21 @@ class TextFunctionsSpec extends SparkSuite {
     // disjoint vocabulary → zero common fingerprints
     assert((fps(1L) & fps(3L)).isEmpty)
   }
+
+  test("tokenBucket is the first md5 byte; hashedBowSum folds centered weights exactly") {
+    // md5("the") = 8fc42c6d... → bucket 0x8f = 143, weight 143-128 = 15
+    val one = Seq(Tuple1("the")).toDF("text")
+    val b = one.select(TextFunctions.tokenBucket(col("text"))).head().getInt(0)
+    assert(b === 0x8f)
+    val s = Seq(Tuple1("the the the")).toDF("text")
+      .select(TextFunctions.hashedBowSum(col("text"))).head().getLong(0)
+    assert(s === 3L * (0x8f - 128))
+    // buckets stay in 0..255 over a spread of tokens
+    val buckets = (0 until 200).map(i => Tuple1(s"tok$i")).toDF("text")
+      .select(TextFunctions.tokenBucket(col("text")).as("b"))
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(x => x >= 0 && x <= 255))
+    // and actually disperse (not all in one bucket)
+    assert(buckets.distinct.length > 50)
+  }
 }
