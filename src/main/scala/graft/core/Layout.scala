@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multi-dimensional data layout: Morton (Z-order) keys and the z-sorted
+  * write — the file-skipping complement to [[Bucketing]]'s co-location.
+  *
+  * A single-column sort clusters ONE predicate dimension; a z-sorted
+  * layout interleaves the bits of two dimensions so that a range filter
+  * on EITHER column maps to a bounded set of z-ranges — parquet min/max
+  * stats then skip most files for 2-D slices (ZOrderSpec measures both
+  * layouts on the same grid). This is the layout trick behind Delta's
+  * OPTIMIZE ZORDER BY, built here from plain bit algebra — at 100 TB
+  * the write becomes the compaction job, and every (x, y) slice query
+  * afterwards reads ~√(selectivity) of the files instead of all of them.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * integer columns (x on even positions, y on odd). Pure codegen'd
+    * bit algebra — `2·bits` shifts and ORs, no UDF. Callers pick `bits`
+    * to cover their value range (values ≥ 2^bits fold onto the low
+    * bits: correct as a hash-like key, but range pruning then weakens —
+    * size bits to the domain). */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    val xl = x.cast(LongType)
+    val yl = y.cast(LongType)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB-equivalent SQL for [[zValue]] — generated, so the oracle
+    * and the Spark expression stay in lockstep by construction. */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Z-ordered parquet layout: range-partition by the z-key into `files`
+    * files, sorted within each — every file then owns one contiguous
+    * z-range, which is what makes min/max stats selective for filters
+    * on either source column. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                    files: Int, dir: String): Unit =
+    df.withColumn("zkey", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Layout, Tables}
 import graft.operators.Curation
 
 /** Corpus-curation inventory over `documents`: the selection operators a
@@ -437,6 +437,23 @@ object CurationOps {
                       least(64, len(w) - i*64) AS n_tokens
                FROM sel,
                     unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
-               ORDER BY doc_id, chunk_id"""))
+               ORDER BY doc_id, chunk_id""")),
+
+    // Morton z-key over (o_custkey, o_orderkey): the 2-D layout key
+    // behind Delta's OPTIMIZE ZORDER BY, as plain bit algebra. The gate
+    // certifies the interleave; ZOrderSpec measures the payoff (a
+    // y-only slice over a z-sorted layout touches a fraction of the
+    // files a single-column sort forces). The oracle SQL is GENERATED
+    // from the same (bits, positions) spec as the Spark expression —
+    // lockstep by construction, 24 bits covering both key domains.
+    Entry(
+      "cur_zorder_key",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Layout.zValue(col("o_custkey"), col("o_orderkey"), 24).as("zkey"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey, o_custkey,
+                      ${Layout.zValueSql("o_custkey", "o_orderkey", 24)} AS zkey
+               FROM orders ORDER BY o_orderkey"""))
   )
 }
