@@ -334,6 +334,45 @@ object TextOps {
                      bow_logit / (1.0 + abs(bow_logit)) AS bow_score
               FROM z ORDER BY doc_id""")),
 
+    // first BPE merge-round statistics: top adjacent CHARACTER pairs
+    // across the corpus. The scale trick: aggregate to the DISTINCT
+    // vocabulary first (heavy shuffle on small keys), then explode
+    // char pairs over the vocab × its corpus frequency — pair work is
+    // O(vocab · token_len), not O(corpus tokens). This
+    // aggregate-then-expand shape is how every tokenizer-induction
+    // pass should meet 100 TB. Total (n desc, pair asc) order keeps
+    // the top-k cut deterministic.
+    Entry(
+      "text_bpe_pairs",
+      (s, dir) => {
+        val vocab = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        vocab
+          .filter(length(col("tok")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"),
+            col("freq"))
+          .groupBy("pair").agg(sum(col("freq")).cast(LongType).as("n"))
+          .orderBy(desc("n"), asc("pair"))
+          .limit(20)
+      },
+      Some("""WITH vocab AS (
+                SELECT tok, COUNT(*) AS freq
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              pairs AS (
+                SELECT unnest(list_transform(
+                         generate_series(1, length(tok) - 1),
+                         i -> substring(tok, i, 2))) AS pair,
+                       freq
+                FROM vocab WHERE length(tok) >= 2)
+              SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+              FROM pairs GROUP BY pair
+              ORDER BY n DESC, pair ASC LIMIT 20""")),
+
     // per-source corpus report: doc/token totals + exact rank-based
     // percentiles of doc length. Percentiles are MANUAL rank picks
     // (floor((n+1)/2), ceil(0.9n)) over a (n_tokens, doc_id) total

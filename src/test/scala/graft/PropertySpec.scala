@@ -134,6 +134,71 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  /** First md5 byte, unsigned — the reference for tokenBucket and the
+    * CDC boundary rule (first hex char '0' ⟺ first byte < 16). */
+  private def md5Byte(s: String): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))(0) & 0xff
+
+  private val genToken: Gen[String] =
+    Gen.choose(0, 2999).map(i => s"tk$i")
+
+  test("content-defined chunks tile the tokens and cut exactly at md5-'0' boundaries") {
+    val genDoc = Gen.listOfN(30, genToken)
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { docs =>
+      docs.nonEmpty ==> {
+        val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val out = graft.operators.Curation.contentDefinedChunks(df).collect()
+          .groupBy(_.getLong(0))
+        docs.indices.forall { i =>
+          val toks = docs(i)
+          val boundaries = toks.count(t => md5Byte(t) < 16)
+          val expectChunks =
+            boundaries + (if (md5Byte(toks.last) < 16) 0 else 1)
+          val rows = out(i.toLong)
+          rows.map(_.getAs[Long]("n_tokens")).sum == toks.length.toLong &&
+            rows.length == expectChunks &&
+            rows.map(_.getAs[Long]("chunk_idx")).sorted.toSeq ==
+              (0L until rows.length.toLong)
+        }
+      }
+    })
+  }
+
+  test("hashedBowSum ≡ summing reference md5 first bytes, centered") {
+    val genDoc = Gen.nonEmptyListOf(genToken).map(_.take(20))
+    check(Prop.forAll(genDoc) { toks =>
+      val expected = toks.map(t => (md5Byte(t) - 128).toLong).sum
+      val got = Seq(Tuple1(toks.mkString(" "))).toDF("text")
+        .select(graft.functions.TextFunctions.hashedBowSum(col("text")))
+        .head().getLong(0)
+      got == expected
+    })
+  }
+
+  test("zValue round-trips: deinterleaving recovers both coordinates") {
+    val genXY = Gen.listOfN(32, for {
+      x <- Gen.choose(0L, (1L << 12) - 1)
+      y <- Gen.choose(0L, (1L << 12) - 1)
+    } yield (x, y))
+    def deinterleave(z: Long, bits: Int): (Long, Long) =
+      (0 until bits).foldLeft((0L, 0L)) { case ((x, y), i) =>
+        (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+    check(Prop.forAll(genXY) { pts =>
+      pts.nonEmpty ==> {
+        val zs = pts.toDF("x", "y")
+          .select(col("x"), col("y"),
+            graft.core.Layout.zValue(col("x"), col("y"), 12).as("z"))
+          .collect()
+        zs.forall { r =>
+          deinterleave(r.getLong(2), 12) == ((r.getLong(0), r.getLong(1)))
+        }
+      }
+    })
+  }
+
   test("ngram jaccard: symmetric-unique pairs with scores in (0, 1]") {
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
     val genDocs = Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf(words)))
