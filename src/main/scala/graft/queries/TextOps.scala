@@ -334,6 +334,25 @@ object TextOps {
                      bow_logit / (1.0 + abs(bow_logit)) AS bow_score
               FROM z ORDER BY doc_id""")),
 
+    // the SAME top-20 vocabulary, computed with bounded memory: merged
+    // Misra-Gries sketches (256 counters/task however many distinct
+    // tokens stream by) nominate candidates, a second pass exact-counts
+    // candidates only. ≡ text_vocab_topk whenever the 20th frequency
+    // exceeds N/257 (holds on this corpus by orders of magnitude); the
+    // oracle IS the exact top-k SQL — a hash match certifies the sketch
+    // path loses nothing. This is the shape that survives a token
+    // domain too large for per-task count maps at 100 TB.
+    Entry(
+      "text_vocab_topk_mg",
+      (s, dir) => graft.operators.HeavyHitters.topK(
+        Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok")),
+        "tok", k = 20, sketchK = 256),
+      Some("""SELECT tok, COUNT(*) AS n
+              FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+                    FROM documents)
+              GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""")),
+
     // first BPE merge-round statistics: top adjacent CHARACTER pairs
     // across the corpus. The scale trick: aggregate to the DISTINCT
     // vocabulary first (heavy shuffle on small keys), then explode
