@@ -328,7 +328,43 @@ object Curation {
                  minQuality: Double, shingleN: Int, jaccardThreshold: Double,
                  decontamN: Int, targets: Map[String, Double],
                  defaultTarget: Double, mixSalt: String, budget: Long,
-                 chunkWords: Int): DataFrame = {
+                 chunkWords: Int): DataFrame =
+    chunkDocs(
+      docs.join(
+        selectCurated(docs, probes, stopwords, minQuality, shingleN,
+          jaccardThreshold, decontamN, targets, defaultTarget, mixSalt,
+          budget),
+        Seq("doc_id"), "left_semi"),
+      chunkWords)
+
+  /** [[curateFull]] with [[contentDefinedChunks]] as the final stage:
+    * the edit-robust chunker composed into the same selection chain —
+    * chunk hashes from this pipeline stay join-able across corpus
+    * re-curations even when upstream edits shift token offsets. Gated
+    * as `pipeline_curate_cdc` against the shared chain oracle + the
+    * relational CDC formulation. */
+  def curateFullCdc(docs: DataFrame, probes: DataFrame,
+                    stopwords: Seq[String], minQuality: Double,
+                    shingleN: Int, jaccardThreshold: Double, decontamN: Int,
+                    targets: Map[String, Double], defaultTarget: Double,
+                    mixSalt: String, budget: Long): DataFrame =
+    contentDefinedChunks(
+      docs.join(
+        selectCurated(docs, probes, stopwords, minQuality, shingleN,
+          jaccardThreshold, decontamN, targets, defaultTarget, mixSalt,
+          budget),
+        Seq("doc_id"), "left_semi"))
+
+  /** The shared selection chain: quality → near-dup survivors →
+    * decontaminate → mixture-sample → token-budget; returns selected
+    * doc ids (tiny — bounded by budget / avg doc tokens — so the
+    * final semi-join broadcasts and text never rides a window). */
+  private def selectCurated(docs: DataFrame, probes: DataFrame,
+                            stopwords: Seq[String], minQuality: Double,
+                            shingleN: Int, jaccardThreshold: Double,
+                            decontamN: Int, targets: Map[String, Double],
+                            defaultTarget: Double, mixSalt: String,
+                            budget: Long): DataFrame = {
     val kept = docs.filter(
       TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
     val comp = Dedup.connectedComponents(kept, "doc_id",
@@ -339,7 +375,6 @@ object Curation {
     val clean = decontaminate(surv, probes, decontamN)
     val mixed = sampleToMixture(clean, "source", "doc_id", targets,
       defaultTarget, mixSalt)
-    val sel = selectUnderBudget(mixed, stopwords, budget).select("doc_id")
-    chunkDocs(docs.join(sel, Seq("doc_id"), "left_semi"), chunkWords)
+    selectUnderBudget(mixed, stopwords, budget).select("doc_id")
   }
 }

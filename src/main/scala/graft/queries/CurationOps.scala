@@ -25,6 +25,83 @@ import graft.operators.Curation
   */
 object CurationOps {
 
+  /** CTE chain shared by the composed-pipeline oracles (`pipeline_
+    * curate_full`, `pipeline_curate_cdc`): raw corpus → quality filter →
+    * near-dup cluster survivors → benchmark-decontaminate → mixture-to-
+    * target sample → token-budget selection. `sel` exposes (doc_id, w)
+    * for the chunking tail. Parameters are the standalone gated
+    * entries' (same probe cut, mixture targets, salt, budget) so each
+    * stage's semantics are pinned twice. */
+  private def curateChainCtes: String =
+    s"""raw AS (
+         SELECT doc_id, text, source,
+                regexp_split_to_array(trim(text), '\\s+') AS toks
+         FROM documents),
+       kept AS (
+         SELECT doc_id, text, source, toks FROM (
+           SELECT *,
+                  LEAST(len(toks) / 100.0, 1.0)
+                    * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                             / len(toks)) AS quality
+           FROM raw)
+         WHERE quality >= 0.5),
+       ${DedupOps.reachCtes("kept")},
+       clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       surv AS (
+         SELECT k.doc_id, k.source, k.toks FROM kept k
+         JOIN clusters c ON k.doc_id = c.id AND k.doc_id = c.comp),
+       pw AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents
+         WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+       psh AS (
+         SELECT DISTINCT array_to_string(list_slice(w, i, i+7), ' ') AS s8
+         FROM pw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+         WHERE len(w) >= 8),
+       dsh AS (
+         SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS s8
+         FROM surv, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         WHERE len(toks) >= 8),
+       bad AS (SELECT DISTINCT doc_id FROM dsh JOIN psh USING (s8)),
+       clean AS (
+         SELECT s.* FROM surv s
+         WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = s.doc_id)),
+       counts AS (SELECT source, COUNT(*) AS n_dom FROM clean GROUP BY source),
+       tot AS (SELECT SUM(n_dom) AS n_total FROM counts),
+       rates AS (
+         SELECT source,
+                CAST(LEAST(256, floor(256.0 *
+                  (CASE source WHEN 'src0' THEN 0.10
+                               WHEN 'src1' THEN 0.02
+                               WHEN 'src2' THEN 0.01
+                               WHEN 'src3' THEN 0.005
+                               ELSE 0.002 END) *
+                  n_total / n_dom)) AS BIGINT) AS rate256
+         FROM counts, tot),
+       mixed AS (
+         SELECT d.doc_id, d.toks FROM clean d JOIN rates r ON d.source = r.source
+         WHERE r.rate256 >= 256
+            OR substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                 < printf('%02x', r.rate256)),
+       sc AS (
+         SELECT doc_id, toks,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(floor(LEAST(len(toks) / 100.0, 1.0)
+                  * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                           / len(toks))
+                  * 10000) AS BIGINT) AS qb
+         FROM mixed),
+       cum AS (
+         SELECT doc_id, toks, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY qb DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS toks_before
+         FROM sc),
+       sel AS (
+         SELECT doc_id, toks AS w FROM cum
+         WHERE toks_before + n_tokens <= 5000)"""
+
   val entries: Seq[Entry] = Seq(
 
     // deterministic 4/16 hash sample: md5(salt || id) first hex char in
@@ -340,6 +417,44 @@ object CurationOps {
                     unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
                ORDER BY doc_id, chunk_id""")),
 
+    // the same selection chain finished by CONTENT-DEFINED chunks: the
+    // edit-robust chunker composed end-to-end. One plan, one composed
+    // oracle (shared chain CTEs + the relational CDC formulation);
+    // PlanSpec pins the same no-product/no-corpus-funnel shape as the
+    // fixed-grid chain.
+    Entry(
+      "pipeline_curate_cdc",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation.curateFullCdc(docs,
+            probes = Curation.hashSample(docs, "doc_id", "bench", rate16 = 2),
+            stopwords = TextOps.Stopwords, minQuality = 0.5,
+            shingleN = 3, jaccardThreshold = 0.8, decontamN = 8,
+            targets = Map("src0" -> 0.10, "src1" -> 0.02, "src2" -> 0.01,
+              "src3" -> 0.005),
+            defaultTarget = 0.002, mixSalt = "mix", budget = 5000L)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH RECURSIVE
+               $curateChainCtes,
+               tok AS (
+                 SELECT doc_id, w[i] AS t, i
+                 FROM sel, unnest(generate_series(1, len(w))) AS u(i)),
+               fl AS (
+                 SELECT doc_id, t, i,
+                        CASE WHEN substring(md5(t), 1, 1) = '0' THEN 1 ELSE 0 END AS f
+                 FROM tok),
+               ch AS (
+                 SELECT doc_id, t, i,
+                        COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+                 FROM fl)
+               SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      md5(string_agg(t, ' ' ORDER BY i)) AS fp
+               FROM ch GROUP BY doc_id, c
+               ORDER BY doc_id, chunk_idx""")),
+
     // the FULL curation chain as ONE gated query: quality-filter →
     // near-dup survivors → benchmark-decontaminate (8-grams vs a 2/16
     // probe sample) → mixture-to-target sample → 5k-token-budget
@@ -364,74 +479,7 @@ object CurationOps {
           .orderBy("doc_id", "chunk_id")
       },
       Some(s"""WITH RECURSIVE
-               raw AS (
-                 SELECT doc_id, text, source,
-                        regexp_split_to_array(trim(text), '\\s+') AS toks
-                 FROM documents),
-               kept AS (
-                 SELECT doc_id, text, source, toks FROM (
-                   SELECT *,
-                          LEAST(len(toks) / 100.0, 1.0)
-                            * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
-                                     / len(toks)) AS quality
-                   FROM raw)
-                 WHERE quality >= 0.5),
-               ${DedupOps.reachCtes("kept")},
-               clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
-               surv AS (
-                 SELECT k.doc_id, k.source, k.toks FROM kept k
-                 JOIN clusters c ON k.doc_id = c.id AND k.doc_id = c.comp),
-               pw AS (
-                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                 FROM documents
-                 WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
-               psh AS (
-                 SELECT DISTINCT array_to_string(list_slice(w, i, i+7), ' ') AS s8
-                 FROM pw, unnest(generate_series(1, len(w) - 7)) AS t(i)
-                 WHERE len(w) >= 8),
-               dsh AS (
-                 SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS s8
-                 FROM surv, unnest(generate_series(1, len(toks) - 7)) AS t(i)
-                 WHERE len(toks) >= 8),
-               bad AS (SELECT DISTINCT doc_id FROM dsh JOIN psh USING (s8)),
-               clean AS (
-                 SELECT s.* FROM surv s
-                 WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = s.doc_id)),
-               counts AS (SELECT source, COUNT(*) AS n_dom FROM clean GROUP BY source),
-               tot AS (SELECT SUM(n_dom) AS n_total FROM counts),
-               rates AS (
-                 SELECT source,
-                        CAST(LEAST(256, floor(256.0 *
-                          (CASE source WHEN 'src0' THEN 0.10
-                                       WHEN 'src1' THEN 0.02
-                                       WHEN 'src2' THEN 0.01
-                                       WHEN 'src3' THEN 0.005
-                                       ELSE 0.002 END) *
-                          n_total / n_dom)) AS BIGINT) AS rate256
-                 FROM counts, tot),
-               mixed AS (
-                 SELECT d.doc_id, d.toks FROM clean d JOIN rates r ON d.source = r.source
-                 WHERE r.rate256 >= 256
-                    OR substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
-                         < printf('%02x', r.rate256)),
-               sc AS (
-                 SELECT doc_id, toks,
-                        CAST(len(toks) AS BIGINT) AS n_tokens,
-                        CAST(floor(LEAST(len(toks) / 100.0, 1.0)
-                          * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
-                                   / len(toks))
-                          * 10000) AS BIGINT) AS qb
-                 FROM mixed),
-               cum AS (
-                 SELECT doc_id, toks, n_tokens,
-                        CAST(COALESCE(SUM(n_tokens) OVER (
-                          ORDER BY qb DESC, doc_id ASC
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                          AS BIGINT) AS toks_before
-                 FROM sc),
-               sel AS (
-                 SELECT doc_id, toks AS w FROM cum
-                 WHERE toks_before + n_tokens <= 5000)
+               $curateChainCtes
                SELECT doc_id, i AS chunk_id,
                       array_to_string(list_slice(w, i*64 + 1, (i+1)*64), ' ') AS chunk_text,
                       least(64, len(w) - i*64) AS n_tokens

@@ -175,6 +175,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("the CDC-chunked chain keeps the same shape: no product, map-side chunk tail (pipeline_curate_cdc)") {
+    val p = Inventory.byName("pipeline_curate_cdc").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the CDC tail adds NO shuffle beyond the fixed-grid chain's: the
+    // only rangepartitioning is still the final determinism sort
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) === 1, p)
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 4).exists(_.contains("Aggregate")),
+          s"SinglePartition exchange at line $i is not fed by an aggregate:\n" +
+            lines.slice(i - 3, i + 4).mkString("\n"))
+      }
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("range join is an equi-join on (key, bucket), not a product (t2)") {
     val p = Inventory.byName("t2_range_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString
