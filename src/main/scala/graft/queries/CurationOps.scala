@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.core.{Layout, Tables}
 import graft.operators.Curation
@@ -155,6 +156,53 @@ object CurationOps {
                 FROM documents)
               WHERE (lang = 'en' AND h <= '3') OR (lang <> 'en' AND h <= '7')
               ORDER BY doc_id""")),
+
+    // deterministic train/val/test assignment: md5 hex ranges 14/1/1 of
+    // 16 — the eval-split primitive. Hash-based (not RNG) so the split
+    // is stable across re-runs, retries, and corpus appends, and any
+    // table keyed on doc_id lands on the same side (leakage-free
+    // joins). Map-side only.
+    Entry(
+      "cur_split_assign",
+      (s, dir) => {
+        val h = substring(md5(concat(lit("split:"),
+          col("doc_id").cast(StringType))), 1, 1)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            when(h < "e", "train").when(h < "f", "val").otherwise("test")
+              .as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+                     CASE WHEN h < 'e' THEN 'train'
+                          WHEN h < 'f' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, source,
+                           substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // exact-k uniform sample PER GROUP: rank by md5(salt||id) inside
+    // each source, keep the first 10 — deterministic reservoir-free
+    // group sampling (eval sets need exactly k per class, not a rate).
+    // One window pass per group partition, same shape as the domain cap.
+    Entry(
+      "cur_group_sample",
+      (s, dir) => Curation.domainCap(
+          Tables(s, dir, "documents")
+            .withColumn("h", md5(concat(lit("gs:"),
+              col("doc_id").cast(StringType)))),
+          "source", "h", "doc_id", 10)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk"),
+      Some("""SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)) DESC,
+                                  doc_id ASC) AS rk
+                FROM documents)
+              WHERE rk <= 10 ORDER BY source, rk""")),
 
     // context-window chunking: split every document into fixed 64-word
     // windows — THE preprocessing step between a cleaned corpus and a
