@@ -298,6 +298,40 @@ object TextOps {
               SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp
               FROM wins""")),
 
+    // corpus-trained char-bigram LM scoring (the CCNet/KenLM filter
+    // shape in miniature): P(bigram) estimated from the corpus itself,
+    // docs scored by mean bigram probability. Probabilities ride exact
+    // integer micro-points (floor(1e6·n2/n1) via DIV ≡ DuckDB //) so
+    // the fold is order-free and bit-identical — no libm log. The
+    // model table is ≤ |charset|² rows whatever the corpus size: it
+    // broadcasts, and scoring is map-side after one training count.
+    Entry(
+      "text_char_lm",
+      (s, dir) => graft.operators.LanguageModel
+        .scoreDocs(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, length(text) - 1),
+                         i -> substring(text, i, 2))) AS bg
+                FROM documents),
+              counts AS (SELECT bg, COUNT(*) AS n2 FROM bg GROUP BY bg),
+              prefix AS (
+                SELECT substring(bg, 1, 1) AS c1, SUM(n2) AS n1
+                FROM counts GROUP BY 1),
+              model AS (
+                SELECT bg, n2, n1 FROM counts
+                JOIN prefix ON substring(counts.bg, 1, 1) = prefix.c1),
+              scored AS (
+                SELECT b.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM((1000000 * m.n2) // m.n1) AS BIGINT) AS lm_micro_sum
+                FROM bg b JOIN model m ON b.bg = m.bg
+                GROUP BY b.doc_id)
+              SELECT doc_id, n_bigrams, lm_micro_sum,
+                     CAST(lm_micro_sum AS DOUBLE) / (1000000.0 * n_bigrams) AS lm_score
+              FROM scored ORDER BY doc_id""")),
+
     // hashed bag-of-words linear scorer (fasttext-shaped): feature-hash
     // every token into 256 buckets, sum per-bucket weights, squash
     // rationally (z/(1+|z|) — libm exp/tanh are not correctly rounded
