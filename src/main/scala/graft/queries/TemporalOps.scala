@@ -49,6 +49,42 @@ object TemporalOps {
                      ABS(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
               FROM events a JOIN events b
                 ON a.user_id = b.user_id AND a.event_id < b.event_id
-              WHERE ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000"""))
+              WHERE ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000""")),
+
+    // ordered funnel view → click → purchase per user: greedy earliest
+    // chain with strictly increasing ts. Spark side = ONE shuffle on
+    // user_id + a per-user fold over sorted event structs; the oracle
+    // states the identical semantics as chained MIN self-joins — the
+    // independent relational formulation, not a transliteration.
+    Entry(
+      "t3_funnel",
+      (s, dir) => graft.operators.Funnel.stages(
+          Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+              u AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase'))
+              SELECT u.user_id,
+                     CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                               WHEN c.user_id IS NOT NULL THEN 2
+                               WHEN v.user_id IS NOT NULL THEN 1
+                               ELSE 0 END AS BIGINT) AS stage,
+                     v.t1, c.t2, p.t3
+              FROM u
+                LEFT JOIN v ON u.user_id = v.user_id
+                LEFT JOIN c ON u.user_id = c.user_id
+                LEFT JOIN p ON u.user_id = p.user_id
+              ORDER BY u.user_id"""))
   )
 }

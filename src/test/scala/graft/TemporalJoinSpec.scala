@@ -76,4 +76,30 @@ class TemporalJoinSpec extends SparkSuite {
     assert(naive.nonEmpty)
     assert(banded === naive)
   }
+
+  test("funnel: order matters, ties don't advance, stages are greedy-earliest") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE click → stage stops at click
+      (2L, ts(10), "view"), (2L, ts(15), "purchase"), (2L, ts(20), "click"),
+      // user 3: click at the SAME ts as view → strict ordering rejects it
+      (3L, ts(10), "view"), (3L, ts(10), "click"),
+      // user 4: only clicks → stage 0
+      (4L, ts(5), "click"), (4L, ts(6), "click"),
+      // user 5: two views; funnel anchors on the EARLIEST, later click counts
+      (5L, ts(10), "view"), (5L, ts(40), "view"), (5L, ts(20), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel
+      .stages(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+    // reached timestamps are the greedy-earliest chain for user 1
+    val u1 = graft.operators.Funnel
+      .stages(events, Seq("view", "click", "purchase"))
+      .filter(col("user_id") === 1L).head()
+    assert(u1.getTimestamp(2) === ts(10) && u1.getTimestamp(3) === ts(20)
+      && u1.getTimestamp(4) === ts(30))
+  }
 }
