@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -85,6 +86,42 @@ object TemporalOps {
                 LEFT JOIN v ON u.user_id = v.user_id
                 LEFT JOIN c ON u.user_id = c.user_id
                 LEFT JOIN p ON u.user_id = p.user_id
-              ORDER BY u.user_id"""))
+              ORDER BY u.user_id""")),
+
+    // weekly cohort retention: users grouped by the week of their first
+    // event, counted distinct per week offset — the classic cohort
+    // table. Week offsets via exact integer µs division (both sides
+    // truncate to Monday-start weeks in pinned UTC, so gaps are exact
+    // multiples of 604800e6 µs). Shape: one distinct shuffle on
+    // (user, week), one per-user min, tiny cohort-grid aggregate.
+    Entry(
+      "t4_retention",
+      (s, dir) => {
+        val w = Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val first = w.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+        w.join(first, "user_id")
+          .select(col("cohort_week"),
+            expr("(unix_micros(wk) - unix_micros(cohort_week)) DIV 604800000000")
+              .as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count_distinct(col("user_id")).cast(LongType).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH w AS (
+                -- DuckDB's date_trunc('week') yields a DATE; Spark's a
+                -- timestamp — cast so the gate renders both identically
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+                FROM events),
+              f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1)
+              SELECT f.cohort_week,
+                     (epoch_us(w.wk) - epoch_us(f.cohort_week)) // 604800000000
+                       AS week_offset,
+                     CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+              FROM w JOIN f ON w.user_id = f.user_id
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
