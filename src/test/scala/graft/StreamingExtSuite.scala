@@ -186,6 +186,33 @@ class StreamingExtSuite extends SparkSuite {
     spark.streams.removeListener(monitor)
   }
 
+  test("streaming heavy hitters: bounded state per group, counts accumulate across batches") {
+    val in = tmpDir("hh-in")
+    val src = spark.readStream.format("text").load(in).as[String]
+    val q = graft.streaming.StreamingHeavyHitters.track(src, groups = 4, k = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    try {
+      feed(in, q, Seq.fill(10)("hot") ++ Seq("a", "b"))
+      feed(in, q, Seq.fill(10)("hot") ++ Seq("c", "d", "e", "f"))
+    } finally q.stop()
+
+    val rows = spark.table("hh").collect()
+      .map(r => (r.getAs[Int]("group"), r.getAs[String]("tok"), r.getAs[Long]("est")))
+    // latest estimate per token = the last emission (update mode re-emits)
+    val latest = rows.zipWithIndex
+      .groupBy(x => (x._1._1, x._1._2))
+      .map { case (_, v) => v.maxBy(_._2)._1 }
+    // the heavy token is tracked across batches with est ≤ 20 true and
+    // within the MG bound for its group's stream
+    val hot = latest.find(_._2 == "hot").get
+    assert(hot._3 <= 20L && hot._3 >= 20L - 20L / 4)
+    // state is bounded: every emission batch carries ≤ k rows per group
+    rows.groupBy(_._1).foreach { case (_, grpRows) =>
+      assert(grpRows.map(_._2).distinct.length <= 3 + 3) // ≤ k live + evicted re-emits
+    }
+  }
+
   test("stream-stream join: purchases match clicks within the window, state evicted") {
     val cin = tmpDir("sj-c"); val pin = tmpDir("sj-p")
     def ev(id: Long, user: Long, ts: String) =
