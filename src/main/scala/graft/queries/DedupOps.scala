@@ -175,6 +175,39 @@ object DedupOps {
       },
       Some(DedupOps.survivorsSql)),
 
+    // per-source dedup-rate report: the audit artifact a curation run
+    // publishes — how much of each domain is near-duplicate. Reuses the
+    // clustering (docs vs distinct clusters per source); dup_rate rides
+    // an exact int/int double division (rule 2).
+    Entry(
+      "dedup_rate_report",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val comp = Dedup.connectedComponents(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        docs.select(col("doc_id"), col("source"))
+          .join(comp, "doc_id")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
+          .select(col("source"), col("n_docs"), col("n_clusters"),
+            (col("n_docs") - col("n_clusters")).as("n_dupes"),
+            ((col("n_docs") - col("n_clusters")).cast(DoubleType)
+              / col("n_docs")).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.reachCtes("documents")},
+               clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+               SELECT d.source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(DISTINCT c.comp) AS BIGINT) AS n_clusters,
+                      CAST(COUNT(*) - COUNT(DISTINCT c.comp) AS BIGINT) AS n_dupes,
+                      CAST(COUNT(*) - COUNT(DISTINCT c.comp) AS DOUBLE) / COUNT(*)
+                        AS dup_rate
+               FROM documents d JOIN clusters c ON d.doc_id = c.id
+               GROUP BY d.source ORDER BY d.source""")),
+
     // incremental dedup: a 12/16 md5 split plays existing-corpus vs
     // new-increment; only cross pairs are scored — the daily-crawl
     // pattern where per-increment cost must track the batch, not the

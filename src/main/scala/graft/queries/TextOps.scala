@@ -298,6 +298,33 @@ object TextOps {
               SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp
               FROM wins""")),
 
+    // boilerplate discovery: the word-8-grams shared by the most
+    // DOCUMENTS (doc frequency, not raw count) — license headers, nav
+    // chrome, templates. Shape: distinct (doc, shingle) → df count →
+    // TakeOrderedAndProject; the same hot-shingle signal the ngram
+    // dedup path caps (Dedup.maxShingleDocFreq), surfaced as a report.
+    Entry(
+      "text_boilerplate_ngrams",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 8)).as("s8"))
+        .distinct()
+        .groupBy("s8").agg(count(lit(1)).cast(LongType).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(desc("df"), asc("s8"))
+        .limit(20),
+      Some("""WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i, i+7), ' ') AS s8
+                FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+                WHERE len(w) >= 8)
+              SELECT s8, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sh GROUP BY s8 HAVING COUNT(*) >= 2
+              ORDER BY df DESC, s8 ASC LIMIT 20""")),
+
     // corpus-trained char-bigram LM scoring (the CCNet/KenLM filter
     // shape in miniature): P(bigram) estimated from the corpus itself,
     // docs scored by mean bigram probability. Probabilities ride exact
