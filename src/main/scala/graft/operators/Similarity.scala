@@ -114,6 +114,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥ `radius`
+    * of each query — the threshold dual of top-k (dedup and recall
+    * sweeps want "all within ε", not "the best k"). Cheaper than top-k:
+    * broadcast query side, map-side cosine filter, and NO rank window —
+    * nothing shuffles at all until the caller aggregates. The same cell
+    * / LSH pruning as the kNN variants applies when radius is high. */
+  def rangeSearch(emb: DataFrame, queries: DataFrame, radius: Double): DataFrame = {
+    val q = broadcast(withNorm(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_nrm"))
+    val d = withNorm(emb, "embedding", "nrm")
+    d.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+      .filter(col("cos") >= radius)
+  }
+
   // ------------------------------------------- sign-LSH bucketed pairs
 
   /** Deterministic Rademacher (±1) hyperplanes via splitmix64 — stable

@@ -311,6 +311,23 @@ object Relational {
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // ⊕ explicit GROUPING SETS — the general form rollup/cube sugar over:
+    // only the named sets are computed (here: pair, status, grand total
+    // — skipping the priority-only set a cube would add). Same partial-
+    // agg expansion as rollup, so it scales the same way.
+    Entry(
+      "a13_grouping_sets",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                      (o_orderstatus), ())""")),
+
     // ⊕ NULL-semantics battery: COALESCE / IS NULL / NULLIF / guarded
     // arithmetic — the constructs whose three-valued-logic corners break
     // ports silently; ×2 on a double is exponent arithmetic, bit-exact

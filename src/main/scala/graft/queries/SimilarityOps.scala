@@ -91,6 +91,24 @@ object SimilarityOps {
           .withColumn("rank", col("rank").cast(LongType))
           .orderBy("query_id", "rank")
       },
-      Some(bruteSql))
+      Some(bruteSql)),
+
+    // radius search — the threshold dual of top-k ("all within ε", the
+    // dedup/recall-sweep primitive). No rank window at all: broadcast
+    // queries, map-side cosine filter, nothing shuffles until the final
+    // determinism sort.
+    Entry(
+      "sim_range_search",
+      (s, dir) => Similarity
+        .rangeSearch(Tables(s, dir, "embeddings"), queries(s, dir), 0.2)
+        .orderBy("query_id", "neighbor_id"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < 10),
+               scored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id)
+               SELECT query_id, neighbor_id, cos FROM scored
+               WHERE cos >= 0.2 ORDER BY query_id, neighbor_id"""))
   )
 }
