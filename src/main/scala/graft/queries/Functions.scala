@@ -220,6 +220,63 @@ object Functions {
       Some("""SELECT event_id,
                      COALESCE(regexp_extract(props, '"k": (\d+)', 1), '') AS k_str,
                      regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_scrubbed
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // ⊕ bitwise battery: scalar shifts/and/xor + the BIT_AND/BIT_OR/
+    // BIT_XOR aggregates — flag-mask analytics and the algebra under
+    // the z-order layout, checked cross-engine (exact int semantics).
+    Entry(
+      "f14_bitwise",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("k_lo"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("k_xor"),
+          shiftleft(col("o_custkey").cast("long"), 4).as("c_shl"))
+        .groupBy((col("o_orderkey") % 4).as("grp"))
+        .agg(
+          bit_and(col("k_lo")).as("band"),
+          bit_or(col("k_lo")).as("bor"),
+          bit_xor(col("k_xor")).as("bxor"),
+          sum(col("c_shl")).cast(org.apache.spark.sql.types.LongType).as("shl_sum"))
+        .orderBy("grp"),
+      Some("""SELECT o_orderkey % 4 AS grp,
+                     BIT_AND(o_orderkey & 255) AS band,
+                     BIT_OR(o_orderkey & 255) AS bor,
+                     BIT_XOR(xor(o_orderkey, o_custkey)) AS bxor,
+                     CAST(SUM(o_custkey << 4) AS BIGINT) AS shl_sum
+              FROM orders GROUP BY 1 ORDER BY grp""")),
+
+    // ⊕ URL domain extraction — the real input to domain capping /
+    // per-site dedup when corpora carry provenance URLs. documents has
+    // none, so (text_pii_scrub precedent) URLs are SYNTHESIZED from
+    // customer rows identically on both sides; extraction uses the
+    // same regex on both engines, certifying Java ≡ RE2 on real
+    // matches. Registered-domain = last two host labels before the
+    // path (the public-suffix-list-free approximation).
+    Entry(
+      "f15_url_domain",
+      (s, dir) => {
+        val url = concat(lit("https://sub"), col("c_custkey").cast("string"),
+          lit(".host"), (col("c_custkey") % 50).cast("string"),
+          lit(".example.com/p/"), col("c_nationkey").cast("string"),
+          lit("?q="), col("c_mktsegment"))
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), url.as("url"))
+          .select(col("c_custkey"), col("url"),
+            regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+            regexp_extract(col("url"), "([^./]+\\.[^./]+)/", 1).as("reg_domain"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, url,
+                     COALESCE(regexp_extract(url, '^https?://([^/]+)/', 1), '') AS host,
+                     COALESCE(regexp_extract(url, '([^./]+\.[^./]+)/', 1), '') AS reg_domain
+              FROM (
+                SELECT c_custkey,
+                       'https://sub' || CAST(c_custkey AS VARCHAR) ||
+                       '.host' || CAST(c_custkey % 50 AS VARCHAR) ||
+                       '.example.com/p/' || CAST(c_nationkey AS VARCHAR) ||
+                       '?q=' || c_mktsegment AS url
+                FROM customer)
+              ORDER BY c_custkey"""))
   )
 }
