@@ -71,7 +71,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2")
+    val runs = runsRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$runsRaw'"))
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = graft.core.Sessions.local("graft-bench")
 
     // Warm-up: JVM/codegen/classloading dominate the first query in a

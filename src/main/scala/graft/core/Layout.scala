@@ -51,5 +51,9 @@ object Layout {
     df.withColumn("zkey", zValue(col(xCol), col(yCol), bits))
       .repartitionByRange(files, col("zkey"))
       .sortWithinPartitions("zkey")
+      // the layout key is an implementation detail — project it away so
+      // the output schema matches the input (OPTIMIZE ZORDER BY parity);
+      // file skipping needs only the source columns' min/max stats
+      .select(df.columns.map(col): _*)
       .write.mode("overwrite").parquet(dir)
 }

@@ -50,18 +50,15 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  private val HexAlphabet = "0123456789abcdef"
-
-  /** 0-based position of a (lowercase hex) character column in the hex
-    * alphabet — `instr` is 1-based and identical in DuckDB. */
-  private def hexVal(c: Column): Column =
-    call_function("instr", lit(HexAlphabet), c) - lit(1)
-
   /** Hashed bag-of-words feature bucket of a token: the first md5 byte,
     * 0..255 — the feature-hashing trick (Weinberger et al. 2009) with
-    * D = 256 buckets, computed engine-portably from hex chars. */
+    * D = 256 buckets. ONE md5 per token (`conv` of the first two hex
+    * chars): this runs inside `transform` lambdas, where Spark applies
+    * no subexpression elimination, so a two-`md5` formulation would
+    * double the hashing on the hot path. The gated oracle states the
+    * same byte independently via per-char `instr` arithmetic. */
   def tokenBucket(t: Column): Column =
-    hexVal(substring(md5(t), 1, 1)) * lit(16) + hexVal(substring(md5(t), 2, 1))
+    conv(substring(md5(t), 1, 2), 16, 10).cast(IntegerType)
 
   /** Exact integer weight sum of a hashed bag-of-words linear model:
     * Σ (bucket(token) − 128) ∈ BIGINT. The per-bucket weights here are

@@ -399,6 +399,12 @@ object Dedup {
                                      newVertices: DataFrame, idCol: String,
                                      newPairs: DataFrame): DataFrame = {
     val lbl = baseLabels.select(col(idCol).as("lid"), col("cluster_id"))
+    // a re-crawled id (present in BOTH baseLabels and the batch) is
+    // already labeled — it must ride the base-update path only, or the
+    // union below would emit two conflicting labels for it (its pairs
+    // lift to its existing root either way)
+    val trulyNew = newVertices.select(col(idCol))
+      .join(lbl.select(col("lid").as(idCol)), Seq(idCol), "left_anti")
     val lifted = newPairs.select(col("doc_a"), col("doc_b"))
       .join(lbl.select(col("lid").as("doc_a"), col("cluster_id").as("ra")),
         Seq("doc_a"), "left")
@@ -408,7 +414,7 @@ object Dedup {
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
     val tinyV = lifted.select(col("doc_a").as(idCol))
       .union(lifted.select(col("doc_b").as(idCol)))
-      .union(newVertices.select(col(idCol)))
+      .union(trulyNew)
       .distinct()
     // min-label propagation over roots + batch ids only; a root is its
     // old cluster's min, so the merged min-member invariant holds
@@ -420,7 +426,7 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
     val batchLabels = tiny
-      .join(newVertices.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(trulyNew, Seq(idCol), "left_semi")
     updatedBase.union(batchLabels)
   }
 

@@ -209,6 +209,23 @@ class DedupSpec extends SparkSuite {
     assert(inc(20L) === 20L && inc(40L) === 40L)
   }
 
+  test("incremental CC: a re-crawled id (in base AND batch) gets exactly one label") {
+    val baseV = Seq(1L, 2L, 5L).toDF("doc_id")
+    val basePairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val baseLabels = Dedup.connectedComponents(baseV, "doc_id", basePairs)
+    // doc 2 is re-crawled (appears in the batch again) alongside a truly
+    // new doc 30 that pairs with it; base singleton 5 is also re-crawled
+    // with no new pairs
+    val batchV = Seq(2L, 5L, 30L).toDF("doc_id")
+    val newPairs = Seq((2L, 30L)).toDF("doc_a", "doc_b")
+    val inc = Dedup.incrementalConnectedComponents(
+      baseLabels, batchV, "doc_id", newPairs).collect()
+    // one row per id — the overlap must not produce conflicting labels
+    assert(inc.length === inc.map(_.getLong(0)).distinct.length)
+    val m = inc.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 30L -> 1L))
+  }
+
   test("alternating CC refuses to emit labels when the round cap cuts convergence short") {
     // a 24-node chain needs several contraction rounds; maxRounds = 1
     // leaves a non-fixed-point edge set — the old code silently emitted

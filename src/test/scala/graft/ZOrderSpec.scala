@@ -64,5 +64,7 @@ class ZOrderSpec extends SparkSuite {
     // and both layouts return the identical rows
     assert(spark.read.parquet(zDir).filter(col("y") < 8).count()
       === spark.read.parquet(xDir).filter(col("y") < 8).count())
+    // the layout key is an implementation detail: output schema = input
+    assert(spark.read.parquet(zDir).columns.sorted === Array("x", "y"))
   }
 }
