@@ -270,7 +270,11 @@ object Curation {
     // (in a composed pipeline: quality filter, dedup semi-join,
     // decontamination, mixture sample) executes twice. The projection
     // is three longs per doc (~24 B), so MEMORY_AND_DISK holds it at
-    // any corpus size the cluster can process at all.
+    // any corpus size the cluster can process at all. Lifetime is
+    // caller-managed (a lazy result can't unpersist before it is
+    // consumed): one-shot drivers like Verify/Bench clearCache between
+    // queries; a long-lived service should unpersist via
+    // spark.catalog after consuming the selection.
     val scored = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
       floor(TextFunctions.qualityScore(col("text"), stopwords)
