@@ -47,13 +47,18 @@ object Layout {
     * z-range, which is what makes min/max stats selective for filters
     * on either source column. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
-                    files: Int, dir: String): Unit =
-    df.withColumn("zkey", zValue(col(xCol), col(yCol), bits))
-      .repartitionByRange(files, col("zkey"))
-      .sortWithinPartitions("zkey")
+                    files: Int, dir: String): Unit = {
+    // an unlikely internal name: a user column called "zkey" must survive
+    // the round trip, not be overwritten by the layout key
+    val zk = "__graft_zkey"
+    require(!df.columns.contains(zk), s"input already has a $zk column")
+    df.withColumn(zk, zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col(zk))
+      .sortWithinPartitions(zk)
       // the layout key is an implementation detail — project it away so
       // the output schema matches the input (OPTIMIZE ZORDER BY parity);
       // file skipping needs only the source columns' min/max stats
       .select(df.columns.map(col): _*)
       .write.mode("overwrite").parquet(dir)
+  }
 }

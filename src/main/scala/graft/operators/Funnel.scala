@@ -24,11 +24,32 @@ object Funnel {
 
   /** Per-user funnel: (user_id, stage, t1..tN) — stage = steps reached,
     * tᵢ null once past the user's last reached step. Users with none of
-    * the step events are absent (they have no funnel state). */
-  def stages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * the step events are absent (they have no funnel state).
+    *
+    * `maxPerStep` bounds the per-user collected state: when set, only
+    * each user's first `maxPerStep` events PER STEP (by ts) enter the
+    * fold — a `row_number <= k` filter Spark pushes below the exchange
+    * as WindowGroupLimit, so the cap is applied map-side before any
+    * buffer grows. Without it, one pathological user (a bot with 10⁸
+    * events) makes a single `collect_list` row arbitrarily large. The
+    * cap is exact for any user whose qualifying step-i event is among
+    * that step's first `maxPerStep` occurrences (every non-adversarial
+    * funnel); a user whose chain only continues past the cap
+    * undercounts — the standard bounded-state trade, spec-pinned. */
+  def stages(events: DataFrame, steps: Seq[String],
+             maxPerStep: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    val perUser = events
-      .filter(col("event_type").isin(steps: _*))
+    val stepEvents = events.filter(col("event_type").isin(steps: _*))
+    val capped = maxPerStep match {
+      case None => stepEvents
+      case Some(n) =>
+        require(n >= 1, s"maxPerStep must be >= 1, got $n")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type").orderBy("ts")
+        stepEvents.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n).drop("__rk")
+    }
+    val perUser = capped
       .groupBy("user_id")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_type").as("et")))).as("seq"))
@@ -38,9 +59,13 @@ object Funnel {
         size(acc) === 0 && e.getField("et") === steps.head,
         array(e.getField("ts")))
       steps.zipWithIndex.drop(1).foldLeft(step0) { case (w, (step, i)) =>
+        // get() (0-based, null out of bounds) rather than element_at: the
+        // size(acc) === i guard makes the index safe today, but only via
+        // And's short-circuit — get keeps this correct under ANY conjunct
+        // evaluation order (ts > null is null, the when just won't fire)
         w.when(
           size(acc) === i && e.getField("et") === step &&
-            e.getField("ts") > element_at(acc, i),
+            e.getField("ts") > get(acc, lit(i - 1)),
           concat(acc, array(e.getField("ts"))))
       }.otherwise(acc)
     })

@@ -31,12 +31,19 @@ object HeavyHitters {
   def topK(items: DataFrame, itemCol: String, k: Int, sketchK: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val ds = items.select(col(itemCol).cast(StringType)).as[String]
+    // nulls are dropped up front (a null key would become a null map key
+    // in the sketch buffer, which the SQL map encoder rejects), and BOTH
+    // passes compare the item through the same string cast — matching the
+    // raw column against string candidates would route non-string items
+    // (decimal, timestamp) through implicit casts that can disagree with
+    // pass 1's explicit one.
+    val nonNull = items.filter(col(itemCol).isNotNull)
+    val ds = nonNull.select(col(itemCol).cast(StringType)).as[String]
     val sketch = ds.select(new MisraGries(sketchK).toColumn).head()
     val candidates = sketch.keys.toSeq
-    items
+    nonNull
       .filter(if (candidates.isEmpty) lit(false)
-              else col(itemCol).isInCollection(candidates))
+              else col(itemCol).cast(StringType).isInCollection(candidates))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc(itemCol))

@@ -29,6 +29,10 @@ object StreamingHeavyHitters {
     import spark.implicits._
     val mg = new MisraGries(k)
     tokens
+      // null tokens would NPE in the group router and become null map
+      // keys in the sketch state (rejected by the map encoder) — drop
+      // them before any state is touched
+      .filter((t: String) => t != null)
       .groupByKey(t => math.floorMod(t.hashCode, groups))
       .flatMapGroupsWithState[Map[String, Long], TokenEst](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {

@@ -61,4 +61,19 @@ class HeavyHittersSpec extends SparkSuite {
     val empty = Seq.empty[String].toDF("tok")
     assert(HeavyHitters.topK(empty, "tok", k = 5, sketchK = 8).count() === 0L)
   }
+
+  test("null items are ignored and non-string columns count exactly (both passes cast alike)") {
+    // Integer column with nulls: pass 1 sketches strings, pass 2 must
+    // filter through the SAME cast — and no null may reach the sketch
+    val rows = ((1 to 40).flatMap(i => Seq.fill(80 / i)(Integer.valueOf(i)))
+      ++ Seq.fill(10)(null.asInstanceOf[Integer])).toDF("v")
+    val got = HeavyHitters.topK(rows, "v", k = 5, sketchK = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val exact = rows.filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("v")).limit(5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === exact)
+    assert(!got.exists(_._2 == 0L))
+  }
 }

@@ -102,4 +102,31 @@ class TemporalJoinSpec extends SparkSuite {
     assert(u1.getTimestamp(2) === ts(10) && u1.getTimestamp(3) === ts(20)
       && u1.getTimestamp(4) === ts(30))
   }
+
+  test("funnel: maxPerStep bounds a pathological user's state without changing sane users") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 9 is the bot: 10_000 views then one click — unbounded
+    // collect_list state without the cap. user 1 is an ordinary funnel.
+    val bot = (1 to 10000).map(i => (9L, ts(i.toLong), "view")) :+
+      ((9L, ts(20000L), "click"))
+    val sane = Seq((1L, ts(10), "view"), (1L, ts(20), "click"),
+      (1L, ts(30), "purchase"))
+    val events = (bot ++ sane).toDF("user_id", "ts", "event_type")
+    val capped = graft.operators.Funnel
+      .stages(events, Seq("view", "click", "purchase"), maxPerStep = Some(50))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    // the bot's qualifying chain (first view → later click) survives the
+    // cap — its earliest 50 views include t₁ — and the sane user is
+    // untouched
+    assert(capped === Map(1L -> 3L, 9L -> 2L))
+    // documented trade: a chain that only continues past the cap undercounts
+    val lateOnly = ((1 to 100).map(i => (7L, ts(i.toLong), "view")) :+
+      ((7L, ts(5L), "click"))).toDF("user_id", "ts", "event_type")
+    val under = graft.operators.Funnel
+      .stages(lateOnly, Seq("click", "view"), maxPerStep = Some(3))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    // click at t=5 then views at 1..100: uncapped reaches stage 2 via the
+    // first view AFTER t=5 (t=6); capped keeps views t=1,2,3 only → stage 1
+    assert(under === Map(7L -> 1L))
+  }
 }

@@ -67,4 +67,16 @@ class ZOrderSpec extends SparkSuite {
     // the layout key is an implementation detail: output schema = input
     assert(spark.read.parquet(zDir).columns.sorted === Array("x", "y"))
   }
+
+  test("a user column named zkey survives the z-ordered write untouched") {
+    val df = (0 until 32).map(i => (i % 8, i / 8, s"payload$i"))
+      .toDF("x", "y", "zkey")
+    val dir = tmpDir("zorder-usercol")
+    Layout.writeZOrdered(df, "x", "y", bits = 3, files = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted === Array("x", "y", "zkey"))
+    // values round-trip: zkey still holds the user's strings, not Morton keys
+    assert(back.select("x", "y", "zkey").as[(Int, Int, String)].collect().toSet
+      === df.as[(Int, Int, String)].collect().toSet)
+  }
 }
