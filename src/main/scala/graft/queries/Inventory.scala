@@ -37,7 +37,8 @@ object Inventory {
   val all: Seq[Entry] =
     Relational.entries ++ Functions.entries ++ Quality.entries ++
       TextOps.entries ++ DedupOps.entries ++ SimilarityOps.entries ++
-      MultimodalOps.entries ++ TemporalOps.entries ++ CurationOps.entries
+      MultimodalOps.entries ++ TemporalOps.entries ++ CurationOps.entries ++
+      CdcOps.entries
 
   lazy val byName: Map[String, Entry] = {
     val m = all.map(e => e.name -> e).toMap

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC apply: materialize the CURRENT state of a table from its routed
+  * change log — the parquet stand-in for Delta's `MERGE INTO` that
+  * [[CdcIngest.runRouted]]'s tombstone table exists to feed. The
+  * reference pipeline is insert-only and drops deletes on the floor
+  * (`/root/reference/spark/SaveDelta.scala:149`); any real CDC consumer
+  * with updates/deletes needs this step: latest row image per key wins,
+  * and a key whose latest change is a delete is absent.
+  *
+  * Shape: tag each side, union, ONE hash aggregate on the key taking
+  * `max_by(row-image-struct, change-order-struct)` — partial aggregation
+  * applies (each map task keeps one candidate row per key), so the single
+  * shuffle carries at most one row per (task, key), never the change
+  * history. No window, no sort, no join: at 100 TB of changelog this is
+  * strictly cheaper than the row_number-over-key formulation (which
+  * shuffles EVERY change to sort it) while computing the same argmax.
+  *
+  * Ordering: `orderCols` must totally order changes within a key —
+  * Debezium's `ts_ms` is millisecond-granular, so real deployments
+  * append the log offset/LSN as a tiebreak (the suite uses `ts_ms`
+  * alone with distinct values). Struct comparison is lexicographic in
+  * column order.
+  *
+  * Idempotence: the operator is a pure function of the accumulated
+  * (upserts, tombstones) tables, so replaying it — or re-appending the
+  * same at-least-once batch before it — yields the identical state:
+  * duplicate rows share their (key, order) coordinates and the argmax is
+  * unchanged. That is exactly the downstream-dedup contract runRouted's
+  * scaladoc promises.
+  */
+object CdcApply {
+
+  /** Current state: one row per live key — the key's latest row image by
+    * `orderCols`, omitted when that latest change is a tombstone.
+    * `upserts` and `tombstones` must share a schema (runRouted's two
+    * outputs do by construction); output schema = that schema. */
+  def currentState(upserts: DataFrame, tombstones: DataFrame,
+                   keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val cols = upserts.columns.toSeq
+    require(tombstones.columns.toSeq == cols,
+      s"changelog sides must share a schema: $cols vs ${tombstones.columns.toSeq}")
+    val tagged = upserts.withColumn("__graft_deleted", lit(false))
+      .unionByName(tombstones.withColumn("__graft_deleted", lit(true)))
+    val image = struct((cols :+ "__graft_deleted").map(col): _*)
+    val order = struct(orderCols.map(col): _*)
+    tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(image, order).as("__latest"))
+      .where(!col("__latest.__graft_deleted"))
+      .select(cols.map(c => col(s"__latest.`$c`").as(c)): _*)
+  }
+}

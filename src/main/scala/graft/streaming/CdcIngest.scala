@@ -33,10 +33,12 @@ import graft.core.Schemas
 object CdcIngest {
 
   /** Typed projection of one row image (payload.after or payload.before)
-    * plus the change kind. */
-  private def projectImage(parsed: DataFrame): DataFrame =
+    * plus the change kind (and any extra envelope columns, e.g. the
+    * change timestamp the apply step orders by). */
+  private def projectImage(parsed: DataFrame,
+                           extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     parsed
-      .select(
+      .select(Seq(
         col("op"),
         col("img.id").cast(IntegerType).as("id"),
         col("img.id_employee").cast(IntegerType).as("id_employee"),
@@ -46,7 +48,7 @@ object CdcIngest {
         col("img.sport_type").as("sport_type"),
         col("img.activity_duration").cast(IntegerType).as("activity_duration"),
         col("img.distance").cast(DoubleType).as("distance"),
-        col("img.comment").as("comment"))
+        col("img.comment").as("comment")) ++ extra: _*)
       .filter(col("id").isNotNull)
 
   /** Full change-log parse: every event with a usable row image, tagged
@@ -54,14 +56,22 @@ object CdcIngest {
     * carries payload.before — SaveDelta.scala:140-147 reads after only
     * and silently drops deletes; a CDC engine at scale must surface
     * them). Events with neither image or a NULL id are dropped as
-    * malformed, matching the reference's null-id filter (:149). */
+    * malformed, matching the reference's null-id filter (:149).
+    *
+    * Carries the envelope's `ts_ms` change timestamp: downstream
+    * [[CdcApply]] needs the CHANGE order, not the row image's business
+    * timestamp — a delete's before-image keeps the original
+    * start_datetime, so replaying on it would mis-order
+    * upsert→delete→re-insert sequences. */
   def parseChangeLog(raw: DataFrame): DataFrame =
     projectImage(raw
       .select(from_json(col("value"), Schemas.debeziumEnvelope).as("e"))
       .select(
         col("e.payload.op").as("op"),
         when(col("e.payload.op") === "d", col("e.payload.before"))
-          .otherwise(col("e.payload.after")).as("img")))
+          .otherwise(col("e.payload.after")).as("img"),
+        col("e.payload.ts_ms").as("ts_ms")),
+      extra = Seq(col("ts_ms")))
 
   /** Envelope parse + projection of the INSERT stream — the exact
     * reference semantics (payload.after only, deletes/tombstones

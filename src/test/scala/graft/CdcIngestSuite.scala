@@ -53,9 +53,10 @@ class CdcIngestSuite extends SparkSuite {
 
     val inserts = spark.read.parquet(out)
     assert(inserts.count() === 5) // the 5 good events; delete not among them
+    // the routed (beyond-parity) path carries ts_ms: CdcApply orders on it
     assert(inserts.schema.fieldNames.toSeq ===
       Seq("id", "id_employee", "start_datetime", "sport_type",
-        "activity_duration", "distance", "comment"))
+        "activity_duration", "distance", "comment", "ts_ms"))
     val dels = spark.read.parquet(tomb)
     assert(dels.count() === 1)
     val d = dels.head()
@@ -75,6 +76,46 @@ class CdcIngestSuite extends SparkSuite {
     val log = CdcIngest.parseChangeLog(df).collect()
       .map(r => r.getAs[String]("op") -> r.getAs[Int]("id")).toMap
     assert(log === Map("d" -> 7, "c" -> 8))
+  }
+
+  test("cdc apply: replayed routed output materializes current state, idempotently") {
+    import graft.streaming.CdcApply
+    val in = tmpDir("cdc-in5"); val out = tmpDir("cdc-out5")
+    val tomb = tmpDir("cdc-tomb5"); val cp = tmpDir("cdc-cp5")
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    // id 1: insert → delete (stays deleted); id 2: insert only;
+    // id 3: insert → delete → RE-INSERT with a new image (the sequence
+    // that breaks any business-timestamp ordering — ts_ms decides)
+    write("inserts.jsonl",
+      Fixtures.envelopeJson(1, 1, "A", "A", 1713439245000000L, "Yoga",
+        None, 60, None, tsMs = 1000L),
+      Fixtures.envelopeJson(2, 2, "B", "B", 1713439245000000L, "Marche",
+        Some(4000), 30, None, tsMs = 1000L),
+      Fixtures.envelopeJson(3, 3, "C", "C", 1713439245000000L, "Vélo",
+        Some(25000), 45, None, tsMs = 1000L))
+    write("deletes.jsonl",
+      Fixtures.envelopeDeleteJson(1, 1, 1713439245000000L, "Yoga", tsMs = 2000L),
+      Fixtures.envelopeDeleteJson(3, 3, 1713439245000000L, "Vélo", tsMs = 2500L))
+    write("reinsert.jsonl",
+      Fixtures.envelopeJson(3, 3, "C", "C", 1713439245000000L, "Judo",
+        None, 90, None, tsMs = 3000L))
+    CdcIngest.runRouted(spark, in, out, tomb, cp).awaitTermination()
+
+    def state() = CdcApply.currentState(
+      spark.read.parquet(out), spark.read.parquet(tomb),
+      keyCols = Seq("id"), orderCols = Seq("ts_ms"))
+    val cur = state().collect().map(r =>
+      r.getAs[Int]("id") -> r.getAs[String]("sport_type")).toMap
+    assert(cur === Map(2 -> "Marche", 3 -> "Judo"))
+
+    // at-least-once replay: re-append the SAME batches (fresh checkpoint →
+    // duplicate rows in both tables); the materialized state is unchanged
+    CdcIngest.runRouted(spark, in, out, tomb, tmpDir("cdc-cp5b")).awaitTermination()
+    val replayed = state().collect().map(r =>
+      r.getAs[Int]("id") -> r.getAs[String]("sport_type")).toMap
+    assert(replayed === cur)
   }
 
   test("batch parse of the same plan handles all-null comment rows") {

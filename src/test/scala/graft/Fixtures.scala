@@ -70,25 +70,26 @@ object Fixtures {
   def envelopeJson(id: Int, idEmployee: Int, firstName: String,
                    lastName: String, epochMicros: Long, sportType: String,
                    distance: Option[Int], duration: Int,
-                   comment: Option[String]): String = {
+                   comment: Option[String], tsMs: Long = 0L): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val dist = distance.map(_.toString).getOrElse("null")
     val comm = comment.map(q).getOrElse("null")
     s"""{"payload": {"after": {"id": $id, "id_employee": $idEmployee, """ +
       s""""first_name": ${q(firstName)}, "last_name": ${q(lastName)}, """ +
       s""""start_datetime": $epochMicros, "sport_type": ${q(sportType)}, """ +
-      s""""distance": $dist, "activity_duration": $duration, "comment": $comm}, "op": "c"}}"""
+      s""""distance": $dist, "activity_duration": $duration, "comment": $comm}, """ +
+      s""""op": "c", "ts_ms": $tsMs}}"""
   }
 
   /** Debezium DELETE envelope: `op: "d"`, row image in `payload.before`,
     * `payload.after` null — the shape SaveDelta.scala:140-147 silently
     * drops. */
   def envelopeDeleteJson(id: Int, idEmployee: Int, epochMicros: Long,
-                         sportType: String): String =
+                         sportType: String, tsMs: Long = 0L): String =
     s"""{"payload": {"before": {"id": $id, "id_employee": $idEmployee, """ +
       s""""start_datetime": $epochMicros, "sport_type": "$sportType", """ +
       s""""distance": null, "activity_duration": 100, "comment": null}, """ +
-      s""""after": null, "op": "d"}}"""
+      s""""after": null, "op": "d", "ts_ms": $tsMs}}"""
 
   /** Minimal structurally-complete xlsx workbook (zip of OOXML parts),
     * every cell an inline string — the generic builder for S5 source

@@ -246,4 +246,25 @@ class PlanSpec extends SparkSuite {
     // raw documents: every Window over docs is partitioned by qb
     assert(p.contains("Window"), p)
   }
+
+  test("cdc apply is one partial-aggregated shuffle on the key — no window sort, no join (cdc_apply)") {
+    val p = plan("cdc_apply")
+    // the changelog shuffles ONCE, on the key's hashpartitioning (plus
+    // the gate's determinism rangepartitioning for the final orderBy) —
+    // formatted mode puts Exchange arguments on their own line, so count
+    // the partitioning tokens, not the operator lines
+    assert("hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert("rangepartitioning".r.findAllIn(p).size === 1, p)
+    // partial max_by runs map-side before that shuffle: at most one
+    // candidate row per (task, key) moves, never the change history
+    // (struct-buffer max_by aggregates sort-based — still partial+final)
+    assert(p.contains("partial_max_by"), p)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+    // and the argmax is NOT the row_number formulation (which would sort
+    // every change) or any join (bare "Join" would match array_join —
+    // name the physical operators)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("NestedLoopJoin"), p)
+  }
 }
