@@ -45,4 +45,63 @@ object IncrementalFinal {
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Keyed MERGE into the persisted `final` table: update-or-insert the
+    * `changeset` rows on (`id_employee`, `activity_date`) — the step
+    * [[upsertBatch]]'s partition-granular overwrite cannot express (it
+    * replaces WHOLE partitions, so a changeset touching one employee on a
+    * busy day would drop that day's other rows). This is the parquet
+    * stand-in for Delta's `MERGE INTO` on the batch layer, the twin of
+    * [[graft.streaming.CdcApply]] on the streaming one.
+    *
+    * Cost ∝ touched partitions: the existing side is read with a
+    * partition-value filter (partition pruning — untouched dates are
+    * never opened), rows being updated are dropped with an anti join
+    * against the changeset's keys (broadcast: a changeset is small by
+    * construction), and only the touched date partitions are rewritten
+    * via dynamic partition overwrite. Untouched history is never read,
+    * shuffled, or rewritten.
+    *
+    * Idempotent by construction: merge(C) ∘ merge(C) ≡ merge(C) — the
+    * second application anti-joins away exactly the rows the first one
+    * wrote and re-inserts them unchanged (suite-pinned).
+    *
+    * `changeset` must carry the full `final` row schema (including
+    * `activity_date`). The read-modify-write of a touched partition is
+    * not atomic under concurrent writers — single-writer-per-table is
+    * this parquet layout's standing contract (same as upsertBatch; a
+    * transaction log is what Delta would add). */
+  def mergeChangeset(spark: SparkSession, changeset: DataFrame,
+                     finalPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(finalPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // an absent OR empty directory is a first write (no schema to read)
+    val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
+    val merged = if (!exists) changeset else {
+      // touched partition values: a changeset covers few dates — this
+      // collect is bounded by the batch's date span, not table size
+      val touched = changeset.select("activity_date").distinct()
+        .collect().map(_.get(0))
+      val existing = spark.read.parquet(finalPath)
+        .filter(col("activity_date").isin(touched: _*))
+      val kept = existing.join(
+        broadcast(changeset.select("id_employee", "activity_date").distinct()),
+        Seq("id_employee", "activity_date"), "left_anti")
+      // materialize before overwriting the partitions we just read —
+      // lineage must not reach back into the files being replaced
+      kept.unionByName(changeset.select(existing.columns.map(col): _*))
+        .localCheckpoint(true)
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("activity_date")
+        .parquet(finalPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -50,4 +50,54 @@ class IncrementalFinalSuite extends SparkSuite {
     IncrementalFinal.upsertBatch(spark, employees, batch, out)
     assert(spark.read.parquet(out).collect().toSet === first)
   }
+
+  private def changesetOf(rows: (Int, String, Int)*) =
+    graft.pipeline.JoinPipeline.employeeProjection(employees)
+      .join(IncrementalFinal.aggregateBatch(acts(rows: _*)), Seq("id_employee"))
+
+  test("mergeChangeset: keyed update-or-insert, untouched rows AND partitions survive, idempotent") {
+    val out = tmpDir("incr-merge")
+    // seed: both employees on day 1 and day 2
+    IncrementalFinal.upsertBatch(spark, employees, acts(
+      (1, "2024-04-01 10:00:00", 30), (2, "2024-04-01 11:00:00", 50),
+      (1, "2024-04-02 10:00:00", 40), (2, "2024-04-02 11:00:00", 60)), out)
+    // prove cost ∝ touched partitions: day-1 files must not be rewritten
+    val day1 = new java.io.File(out, "activity_date=2024-04-01")
+    val before = day1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(before.nonEmpty)
+
+    // changeset: UPDATE employee 1 on day 2, INSERT employee 2 on day 3
+    IncrementalFinal.mergeChangeset(spark, changesetOf(
+      (1, "2024-04-02 10:00:00", 99), (2, "2024-04-03 09:00:00", 20)), out)
+
+    val v = spark.read.parquet(out).cache()
+    def mean(date: String, emp: Int): Seq[Double] =
+      v.filter(col("activity_date") === date && col("id_employee") === emp)
+        .select("mean_duration").as[Double].collect().toSeq
+    assert(v.filter(col("activity_date") === "2024-04-01").count() === 2) // day 1 intact
+    assert(mean("2024-04-02", 1) === Seq(99.0)) // updated in place
+    assert(mean("2024-04-02", 2) === Seq(60.0)) // partition-mate SURVIVES the merge
+    assert(mean("2024-04-03", 2) === Seq(20.0)) // inserted, new partition
+    val snapshot = v.collect().toSet
+    v.unpersist()
+    // day-1 partition files untouched (partition pruning + dynamic overwrite)
+    val after = day1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "merge rewrote an untouched partition")
+
+    // merge(C) ∘ merge(C) ≡ merge(C)
+    IncrementalFinal.mergeChangeset(spark, changesetOf(
+      (1, "2024-04-02 10:00:00", 99), (2, "2024-04-03 09:00:00", 20)), out)
+    assert(spark.read.parquet(out).collect().toSet === snapshot)
+  }
+
+  test("mergeChangeset on an empty table is a plain first write") {
+    val out = tmpDir("incr-merge-empty")
+    IncrementalFinal.mergeChangeset(spark, changesetOf(
+      (1, "2024-04-10 08:00:00", 15)), out)
+    val v = spark.read.parquet(out)
+    assert(v.count() === 1)
+    assert(v.select("mean_duration").as[Double].head() === 15.0)
+  }
 }
