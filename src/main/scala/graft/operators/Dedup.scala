@@ -298,6 +298,37 @@ object Dedup {
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Span REMOVAL — the consumer of [[duplicateSpans]]' report: every
+    * duplicated span keeps only its FIRST occurrence (min (doc_id,
+    * chunk_id) across the corpus) and each document is reassembled from
+    * its surviving chunks in chunk order — the Gopher/CCNet
+    * boilerplate-removal step (shared headers, license blocks, nav
+    * chrome appear once in the cleaned corpus, not per page). This also
+    * collapses WITHIN-document repetition: a doc made of one chunk
+    * repeated k times keeps exactly one copy.
+    *
+    * Shape: two inherent shuffles — occurrence ranking partitions by the
+    * 16-byte fingerprint (row_number over (doc_id, chunk_id): a total
+    * order, so survivor choice is deterministic), reassembly partitions
+    * by doc_id. Chunk text crosses the wire once for the rebuild; the
+    * dedup decision itself rides the fingerprint. Documents whose every
+    * chunk was removed elsewhere's duplicate are ABSENT from the output
+    * (nothing left to reassemble) — callers keeping empty shells left
+    * join on the original ids. */
+  def removeDuplicateSpans(docs: DataFrame, words: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    Curation.chunkDocs(docs, words)
+      .withColumn("fp", md5(col("chunk_text")))
+      .withColumn("occ", row_number().over(occ))
+      .filter(col("occ") === 1)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          c => c.getField("chunk_text"))).as("text"))
+  }
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over a near-duplicate pair graph — the final

@@ -117,6 +117,32 @@ object DedupOps {
               FROM ch GROUP BY 1 HAVING COUNT(*) > 1
               ORDER BY fp""")),
 
+    // span REMOVAL — the consumer of the span report: duplicated chunks
+    // keep their first (doc_id, chunk_id) occurrence only, documents are
+    // reassembled from surviving chunks in chunk order. Oracle = the
+    // same chunk CTE + an occurrence window + an ordered string_agg.
+    Entry(
+      "dedup_span_removed",
+      (s, dir) => Dedup.removeDuplicateSpans(Tables(s, dir, "documents"), 64)
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              ch AS (
+                SELECT doc_id, i AS chunk_id,
+                       array_to_string(list_slice(w, i*64 + 1, (i+1)*64), ' ') AS chunk_text
+                FROM words,
+                     unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)),
+              kept AS (
+                SELECT doc_id, chunk_id, chunk_text,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY md5(chunk_text)
+                         ORDER BY doc_id, chunk_id) AS occ
+                FROM ch)
+              SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
+              FROM kept WHERE occ = 1
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // exact n-gram Jaccard near-dup pairs via the inverted-index join.
     Entry(
       "dedup_ngram_jaccard",

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSuite {
     assert(dups.head.getAs[Long]("n_copies") === 2L)
   }
 
+  test("removeDuplicateSpans: shared header kept once, within-doc repeats collapsed, empty shells absent") {
+    val corpus = Seq(
+      (1L, "h1 h2 h3 h4 a b c d"), // header + unique tail — keeps everything
+      (2L, "h1 h2 h3 h4 x y z w"), // same header — loses it, keeps the tail
+      (3L, "r r r r r r r r"),     // one chunk repeated within the doc
+      (4L, "h1 h2 h3 h4")          // NOTHING but the shared header — fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, words = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "h1 h2 h3 h4 a b c d",
+      2L -> "x y z w",
+      3L -> "r r r r"))
+  }
+
   test("persisted incremental index: identical pairs, base side scans bucketed with zero exchange") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val keep = graft.operators.Curation.hashKeep(col("doc_id"), "inc", 12)
