@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.functions.TextFunctions
+
+/** Iterated BPE merge training at corpus scale — the loop behind every
+  * subword tokenizer (Sennrich et al. 2016), of which the gated
+  * `text_bpe_pairs` entry is round 1's pair-statistics half.
+  *
+  * Scale design: all per-round work runs over the DISTINCT-vocabulARY
+  * table (word → corpus frequency), never the corpus — after the one
+  * corpus-sized token count, each round is (a) one aggregate over
+  * Σ|word| symbol pairs weighted by word freq, (b) a driver readout of
+  * exactly ONE row (the argmax pair — the same bounded-readout contract
+  * as HeavyHitters), and (c) a map-side fold rewriting each word's
+  * symbol array left-to-right. Vocabulary tables are localCheckpoint'd
+  * per round: k rounds otherwise stack k nested HOF folds into one
+  * expression tree and the plan, not the data, becomes the bottleneck.
+  *
+  * Merge application is the standard greedy left-to-right scan: the
+  * freshly merged symbol participates as the LEFT side of the next
+  * window (so merge (a,a) turns "aaaa" into [aa, aa], and "aaa" into
+  * [aa, a]), which is exactly the fold `acc.last == l && x == r`.
+  * Pair counting counts every adjacent position ("aaa" contributes
+  * (a,a) twice), matching the reference BPE implementations.
+  *
+  * Ties break (count desc, left asc, right asc) — fully deterministic
+  * merge tables across runs and engines.
+  */
+object Bpe {
+
+  /** One trained merge: the pair, its count at selection time, and the
+    * round (1-based). */
+  final case class Merge(left: String, right: String, n: Long, round: Int)
+
+  /** Char-split symbol vocabulary of a corpus: (syms: array<string>,
+    * freq: bigint), one row per DISTINCT word. */
+  def symbolVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(split(col("tok"), "").as("syms"), col("freq"))
+
+  /** The most frequent adjacent symbol pair of a vocab table, with its
+    * weighted count — None when no word has two symbols left. */
+  def topPair(vocab: DataFrame): Option[(String, String, Long)] =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(desc("n"), asc("l"), asc("r"))
+      .limit(1).collect()
+      .headOption.map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+
+  /** Greedy left-to-right application of one merge to a symbol array
+    * column. `get(acc, size-1)` is the null-safe last-element read: on
+    * the empty accumulator it yields null and the when simply doesn't
+    * fire — no reliance on conjunct short-circuiting. */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast(ArrayType(StringType)),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `k` merges over the corpus. Returns the ordered merge table
+    * (possibly shorter than k if the vocabulary runs dry) and the final
+    * symbolized vocabulary. */
+  def train(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    require(k >= 1, s"need at least one merge round, got $k")
+    var vocab = symbolVocab(docs).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
+      topPair(vocab) match {
+        case None => dry = true
+        case Some((l, r, n)) =>
+          merges += Merge(l, r, n, round)
+          vocab = vocab
+            .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+            .localCheckpoint(true)
+          round += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** Iterated BPE training: k driver-coordinated merge rounds over the
+  * distinct-vocab table, replayed against a hand-computed fixture. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("train replays three hand-computed merge rounds (counts, ties, overlap)") {
+    // corpus: "abab" ×2, "ab" ×1, "aaa" ×1
+    val docs = Seq((1L, "abab abab ab aaa")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, k = 3)
+    // round 1: (a,b) = 2·2 + 1 = 5 beats (b,a)=2 and (a,a)=2 ("aaa"
+    //          counts the overlapping pair at both positions)
+    // round 2: (ab,ab)=2 ties (a,a)=2 → left-asc tiebreak picks (a,a)
+    // round 3: (ab,ab)=2 beats (aa,a)=1
+    assert(merges.map(m => (m.left, m.right, m.n, m.round)) === Seq(
+      ("a", "b", 5L, 1), ("a", "a", 2L, 2), ("ab", "ab", 2L, 3)))
+    // final vocabulary state after the three merges
+    val state = vocab.select(concat_ws("|", col("syms")), col("freq"))
+      .as[(String, Long)].collect().toMap
+    assert(state === Map("abab" -> 2L, "ab" -> 1L, "aa|a" -> 1L))
+  }
+
+  test("greedy left-to-right application: aaaa → [aa,aa], aaa → [aa,a]") {
+    val df = Seq("aaaa", "aaa").toDF("tok")
+      .select(split(col("tok"), "").as("syms"))
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSet
+    assert(df === Set(Seq("aa", "aa"), Seq("aa", "a")))
+  }
+
+  test("vocabulary running dry stops early with the merges found so far") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, k = 10)
+    // only two mergeable pairs exist: (a,b) then (c,d); round 3 is dry
+    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "b"), ("c", "d")))
+    assert(vocab.filter(size(col("syms")) >= 2).count() === 0L)
+  }
+
+  test("round 1 pair selection agrees with the gated pair-statistics argmax on real data") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaTrain = Bpe.topPair(Bpe.symbolVocab(docs)).get
+    // independent formulation: substring pairs of the token vocabulary
+    // (the gated text_bpe_pairs shape), argmax with the same tiebreak
+    val viaSubstr = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(1).collect().head
+    assert(viaTrain._1 + viaTrain._2 === viaSubstr.getString(0))
+    assert(viaTrain._3 === viaSubstr.getLong(1))
+  }
+}
