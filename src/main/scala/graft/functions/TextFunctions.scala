@@ -62,13 +62,13 @@ object TextFunctions {
 
   /** Exact integer weight sum of a hashed bag-of-words linear model:
     * Σ (bucket(token) − 128) ∈ BIGINT. The per-bucket weights here are
-    * the centered hash value itself — a deterministic stand-in for
-    * trained parameters (no model ships in this sandbox); the SHAPE is
-    * the deployable artifact: swap the affine bucket→weight map for a
-    * 256-entry literal lookup and this is a fasttext-style classifier
-    * scoring 100 TB map-side, no shuffle, no UDF. Integer accumulation
-    * keeps the sum order-free and bit-identical across engines — the
-    * double division happens once, after the fold. */
+    * the centered hash value itself — a deterministic stand-in kept for
+    * the gated oracle (integer arithmetic, engine-portable);
+    * [[graft.operators.QualityModel]] is the TRAINED swap — NB log-odds
+    * fit as a 256-entry literal lookup scored with this same fold —
+    * a fasttext-style classifier scoring 100 TB map-side, no shuffle,
+    * no UDF. Integer accumulation keeps the stand-in's sum order-free
+    * and bit-identical across engines. */
   def hashedBowSum(text: Column): Column =
     aggregate(
       transform(tokens(text), t => (tokenBucket(t) - lit(128)).cast(LongType)),
