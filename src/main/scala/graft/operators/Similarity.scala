@@ -133,6 +133,38 @@ object Similarity {
       .filter(col("cos") >= radius)
   }
 
+  /** Recall@k audit report — the artifact an ANN deployment publishes
+    * next to its index: for each cutoff k ≤ `maxK`, how much of the
+    * EXACT top-k the approximate index recovered within its own top-k.
+    * `ann` and `exact` are any two top-k outputs of this family
+    * ((query_id, neighbor_id, rank) suffice — e.g. [[knnIvf]] vs
+    * [[knnBrute]], or [[knnIvfMultiProbe]] at each probe setting).
+    *
+    * Shape: both inputs are already rank-truncated (|queries| · k rows),
+    * so the report is a join + aggregate over REDUCED data — the k-sweep
+    * explodes each true pair into its qualifying cutoffs rather than
+    * re-running the search per k. Output: (k, n_true, n_found, recall),
+    * recall = n_found / n_true as one exact-integer double division. */
+  def recallReport(ann: DataFrame, exact: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val e = exact.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("true_rank"))
+    val a = ann.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("ann_rank"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .select(explode(sequence(lit(1L), lit(maxK.toLong))).as("k"),
+        col("true_rank"), col("ann_rank"))
+      .filter(col("true_rank") <= col("k"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_true"),
+        // a null ann_rank (pair missed entirely) fails the <= and counts 0
+        sum(when(col("ann_rank") <= col("k"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_true").cast("double"))
+      .orderBy("k")
+  }
+
   // ------------------------------------------- sign-LSH bucketed pairs
 
   /** Deterministic Rademacher (±1) hyperplanes via splitmix64 — stable

@@ -93,6 +93,54 @@ object SimilarityOps {
       },
       Some(bruteSql)),
 
+    // recall@k audit report: per cutoff k, measured recall of the
+    // one-probe IVF index against the exact brute-force top-k — the
+    // artifact an ANN deployment publishes. The oracle re-derives BOTH
+    // sides from scratch (the brute and IVF CTEs verbatim) and restates
+    // the k-sweep relationally; the multi-probe recall sweep (KMeans
+    // cells, not SQL-expressible) is the SimilaritySpec twin of this
+    // report, asserted monotone in nProbe over the same operator.
+    Entry(
+      "sim_recall_report",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.recallReport(
+          ann   = Similarity.knnIvf(emb, queries(s, dir), 5),
+          exact = Similarity.knnBrute(emb, queries(s, dir), 5),
+          maxK = 5)
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, label AS q_label, e FROM d WHERE vec_id < 10),
+               bscored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id),
+               brute AS (
+                 SELECT query_id, neighbor_id, rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM bscored) WHERE rank <= 5),
+               iscored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q JOIN d ON d.label = q.q_label AND d.vec_id <> q.query_id),
+               ivf AS (
+                 SELECT query_id, neighbor_id, rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM iscored) WHERE rank <= 5),
+               j AS (
+                 SELECT b.rank AS true_rank, i.rank AS ann_rank
+                 FROM brute b LEFT JOIN ivf i
+                   ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id),
+               ks AS (SELECT unnest(generate_series(1, 5)) AS k)
+               SELECT ks.k,
+                      CAST(COUNT(*) AS BIGINT) AS n_true,
+                      CAST(COALESCE(SUM(CASE WHEN j.ann_rank <= ks.k THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+                      CAST(COALESCE(SUM(CASE WHEN j.ann_rank <= ks.k THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) AS recall
+               FROM ks, j WHERE j.true_rank <= ks.k
+               GROUP BY ks.k ORDER BY ks.k""")),
+
     // radius search — the threshold dual of top-k ("all within ε", the
     // dedup/recall-sweep primitive). No rank window at all: broadcast
     // queries, map-side cosine filter, nothing shuffles until the final

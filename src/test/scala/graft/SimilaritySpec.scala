@@ -158,6 +158,32 @@ class SimilaritySpec extends SparkSuite {
     assert(p1.size <= brute.size)
   }
 
+  test("recallReport: the published audit is monotone in nProbe and exact against itself") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.knnBrute(emb, queries, 5)
+    def recallAt5(nProbe: Int): Double = Similarity
+      .recallReport(
+        Similarity.knnIvfMultiProbe(assigned, queries, centroids, 5, nProbe),
+        brute, maxK = 5)
+      .filter(col("k") === 5).select("recall").head().getDouble(0)
+    // the KMeans-cell probe sweep — the non-SQL-expressible twin of the
+    // gated sim_recall_report row — is monotone and hits 1.0 at all cells
+    val sweep = (1 to 4).map(recallAt5)
+    assert(sweep.zip(sweep.tail).forall { case (lo, hi) => lo <= hi }, sweep)
+    assert(sweep.last === 1.0, sweep)
+    // an index audited against itself reports perfect recall at every k
+    val self = Similarity.recallReport(brute, brute, maxK = 5)
+      .select("recall").collect().map(_.getDouble(0)).toSeq
+    assert(self === Seq.fill(5)(1.0))
+    // and each k's truth set is exactly |queries| · k pairs
+    val nTrue = Similarity.recallReport(brute, brute, maxK = 5)
+      .select("k", "n_true").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nq = queries.count()
+    assert((1L to 5L).forall(k => nTrue(k) === nq * k), nTrue)
+  }
+
   test("gated brute-cosine slice ≡ full-table brute restricted to the sample") {
     // the dedup_embed_cosine gate runs over a deterministic 4/16 md5
     // sample (bench-cost bound on the O(n²) baseline); prove the
