@@ -41,4 +41,22 @@ class InventorySuite extends AnyFunSuite {
     assert(!raw"\d+/\d+ DuckDB".r.findFirstIn(text).isDefined,
       "README hardcodes a gate tally again — it WILL drift")
   }
+
+  test("SURVEY carries no case/suite tallies and its live query count matches Inventory") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val text = try survey.mkString finally survey.close()
+    // round 7's '28 suites' drift class: prose counts of test cases or
+    // suites rot with every added spec — they must not appear at all
+    assert(!raw"\d+ ScalaTest cases".r.findFirstIn(text).isDefined,
+      "SURVEY hardcodes a ScalaTest case count — it WILL drift")
+    assert(!raw"across \d+ suites".r.findFirstIn(text).isDefined,
+      "SURVEY hardcodes a suite count — it WILL drift")
+    // the CURRENT round-state paragraph must agree with Inventory (older
+    // rounds' paragraphs are history and keep their frozen numbers)
+    val m = raw"Round-8 state: (\d+) declared queries — (\d+) oracle-checked".r
+      .findFirstMatchIn(text)
+      .getOrElse(fail("SURVEY round-state phrasing changed — update this guard"))
+    assert(m.group(1).toInt === Inventory.all.size)
+    assert(m.group(2).toInt === Inventory.all.count(_.oracle.isDefined))
+  }
 }
