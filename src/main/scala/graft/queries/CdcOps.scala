@@ -43,6 +43,37 @@ object CdcOps {
                 FROM c)
               SELECT user_id, event_id, ts, event_type, value
               FROM r WHERE rk = 1 AND NOT is_delete
-              ORDER BY user_id"""))
+              ORDER BY user_id""")),
+
+    // SCD2 history: every upsert opens a version valid until the key's
+    // next change; a trailing delete closes the range and leaves the key
+    // with no current version. ONE window over (key, order) — history
+    // inherently needs per-key order; the oracle states the identical
+    // LEAD-before-filter semantics.
+    Entry(
+      "cdc_scd2",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        CdcApply.scd2History(
+          upserts    = ev.filter(col("event_id") % 7 =!= 0),
+          tombstones = ev.filter(col("event_id") % 7 === 0),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          tsCol = "ts")
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_id, ts, value,
+                       (event_id % 7 = 0) AS is_delete
+                FROM events),
+              w AS (
+                SELECT *, LEAD(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM c)
+              SELECT user_id, event_id, ts, value,
+                     ts AS valid_from, valid_to,
+                     (valid_to IS NULL) AS is_current
+              FROM w WHERE NOT is_delete
+              ORDER BY user_id, valid_from, event_id"""))
   )
 }

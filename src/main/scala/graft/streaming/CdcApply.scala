@@ -55,4 +55,39 @@ object CdcApply {
       .where(!col("__latest.__graft_deleted"))
       .select(cols.map(c => col(s"__latest.`$c`").as(c)): _*)
   }
+
+  /** SCD-type-2 history materialization — the versioned complement of
+    * [[currentState]]: every upsert opens a version valid from its own
+    * `tsCol` until the key's NEXT change (upsert or tombstone) closes
+    * it; `valid_to` is null on the open (current) version, and a key
+    * whose last change is a delete has no current version (the delete
+    * closes the range but emits no row of its own). This is the
+    * dimension-history table a warehouse keeps next to the current
+    * snapshot.
+    *
+    * Shape: one window over (key, orderCols) — the single inherent
+    * shuffle (history needs per-key order); `lead` runs BEFORE deletes
+    * are filtered so a tombstone's timestamp closes its predecessor.
+    * Output = upsert schema + (valid_from, valid_to, is_current). */
+  def scd2History(upserts: DataFrame, tombstones: DataFrame,
+                  keyCols: Seq[String], orderCols: Seq[String],
+                  tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val cols = upserts.columns.toSeq
+    require(tombstones.columns.toSeq == cols,
+      s"changelog sides must share a schema: $cols vs ${tombstones.columns.toSeq}")
+    require(cols.contains(tsCol), s"$tsCol must be a changelog column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    upserts.withColumn("__graft_deleted", lit(false))
+      .unionByName(tombstones.withColumn("__graft_deleted", lit(true)))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .where(!col("__graft_deleted"))
+      .select(cols.map(col) ++ Seq(
+        col(tsCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
 }

@@ -118,6 +118,36 @@ class CdcIngestSuite extends SparkSuite {
     assert(replayed === cur)
   }
 
+  test("scd2 history: next change closes each version; a trailing delete leaves no current row") {
+    import spark.implicits._
+    import graft.streaming.CdcApply
+    // id 3: upsert(1000) → delete(2000) → re-insert(3000): two versions,
+    //       the first closed BY THE DELETE, the second current
+    // id 2: one upsert → one open version
+    // id 1: delete only → no versions at all
+    val ups = Seq((3, "Vélo", 1000L), (3, "Judo", 3000L), (2, "Marche", 1000L))
+      .toDF("id", "sport_type", "ts_ms")
+    val dels = Seq((3, "Vélo", 2000L), (1, "Yoga", 500L))
+      .toDF("id", "sport_type", "ts_ms")
+    val hist = CdcApply
+      .scd2History(ups, dels, Seq("id"), Seq("ts_ms"), tsCol = "ts_ms")
+      .select("id", "sport_type", "valid_from", "valid_to", "is_current")
+      .as[(Int, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(hist === Seq(
+      (2, "Marche", 1000L, None, true),
+      (3, "Vélo", 1000L, Some(2000L), false),
+      (3, "Judo", 3000L, None, true)))
+    // and the current slice of the history ≡ currentState of the same log
+    val histCurrent = CdcApply
+      .scd2History(ups, dels, Seq("id"), Seq("ts_ms"), tsCol = "ts_ms")
+      .filter(col("is_current")).select("id", "sport_type")
+      .as[(Int, String)].collect().toSet
+    val state = CdcApply.currentState(ups, dels, Seq("id"), Seq("ts_ms"))
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    assert(histCurrent === state)
+  }
+
   test("batch parse of the same plan handles all-null comment rows") {
     import spark.implicits._
     val df = Seq(
