@@ -69,6 +69,41 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** Apply an ordered merge table to a distinct-token table
+    * ((tok: string) → (tok, syms)): the encode side of the tokenizer.
+    * Merges fold in training order; every fourth round the table is
+    * localCheckpoint'd so long merge lists don't nest unboundedly many
+    * HOF folds in one expression tree. */
+  def encodeVocab(toks: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var v = toks.select(col("tok"), split(col("tok"), "").as("syms"))
+    merges.zipWithIndex.foreach { case (m, i) =>
+      v = v.select(col("tok"), applyMerge(col("syms"), m.left, m.right).as("syms"))
+      if ((i + 1) % 4 == 0) v = v.localCheckpoint(true)
+    }
+    v
+  }
+
+  /** Encode the corpus with a trained merge table: (doc_id, syms) where
+    * syms is the doc's token stream expanded to BPE symbols in token
+    * order. The merge fold runs over the DISTINCT vocabulary once; the
+    * corpus then equi-joins its tokens to the encoded vocab (AQE
+    * broadcasts a small vocab; a web-scale one shuffle-joins on the
+    * token — either way the per-token fold work is paid per distinct
+    * word, not per corpus occurrence). */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val vocab = encodeVocab(
+      docs.select(explode(TextFunctions.tokens(col("text"))).as("tok")).distinct(),
+      merges)
+    docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("syms"))
+  }
+
   /** Train `k` merges over the corpus. Returns the ordered merge table
     * (possibly shorter than k if the vocabulary runs dry) and the final
     * symbolized vocabulary. */

@@ -56,6 +56,24 @@ object CdcApply {
       .select(cols.map(c => col(s"__latest.`$c`").as(c)): _*)
   }
 
+  /** Incremental fold of ONE new batch into a previously materialized
+    * state: `state' = currentState(state ∪ batch)` — the daily-apply
+    * shape, costing one shuffle over |state| + |batch| with no changelog
+    * re-read (the accumulated upsert/tombstone tables never re-enter the
+    * plan).
+    *
+    * Contract: batch changes must order AFTER everything already folded
+    * into `state` (monotone ingestion — what a checkpointed streaming
+    * source guarantees). A deleted key is ABSENT from state, so an
+    * out-of-order batch carrying an older upsert for it would wrongly
+    * resurrect the key; conversely an out-of-order older tombstone
+    * loses to the state row's newer order key and is ignored. Both are
+    * the standard incremental-materialization trade — replay from the
+    * full changelog ([[currentState]]) when ingestion order broke. */
+  def applyBatch(state: DataFrame, upserts: DataFrame, tombstones: DataFrame,
+                 keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    currentState(state.unionByName(upserts), tombstones, keyCols, orderCols)
+
   /** SCD-type-2 history materialization — the versioned complement of
     * [[currentState]]: every upsert opens a version valid from its own
     * `tsCol` until the key's NEXT change (upsert or tombstone) closes

@@ -41,6 +41,29 @@ class BpeSpec extends SparkSuite {
     assert(vocab.filter(size(col("syms")) >= 2).count() === 0L)
   }
 
+  test("encode expands the corpus with the trained merges, in token order") {
+    val docs = Seq((1L, "abab abab ab aaa"), (2L, "ab b")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs.filter(col("doc_id") === 1L), k = 3)
+    val enc = Bpe.encode(docs, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // merges [(a,b),(a,a),(ab,ab)]: abab→[abab], ab→[ab], aaa→[aa,a]
+    assert(enc(1L) === Seq("abab", "abab", "ab", "aa", "a"))
+    // doc 2 reuses the vocab ("ab") and passes unknown-pair symbols through
+    assert(enc(2L) === Seq("ab", "b"))
+  }
+
+  test("encode(vocab) state agrees with train's final vocabulary") {
+    val docs = Seq((1L, "abab abab ab aaa")).toDF("doc_id", "text")
+    val (merges, finalVocab) = Bpe.train(docs, k = 3)
+    val viaEncode = Bpe.encodeVocab(
+      docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct(), merges)
+      .select(concat_ws("|", col("syms"))).as[String].collect().toSet
+    val viaTrain = finalVocab
+      .select(concat_ws("|", col("syms"))).as[String].collect().toSet
+    assert(viaEncode === viaTrain)
+  }
+
   test("round 1 pair selection agrees with the gated pair-statistics argmax on real data") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val viaTrain = Bpe.topPair(Bpe.symbolVocab(docs)).get

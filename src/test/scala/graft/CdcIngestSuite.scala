@@ -118,6 +118,28 @@ class CdcIngestSuite extends SparkSuite {
     assert(replayed === cur)
   }
 
+  test("applyBatch: folding a new batch into materialized state ≡ replaying the full changelog") {
+    import spark.implicits._
+    import graft.streaming.CdcApply
+    def df(rows: (Int, String, Long)*) = rows.toDF("id", "sport_type", "ts_ms")
+    // epoch 1: inserts 1,2,3; delete 2
+    val ups1 = df((1, "Yoga", 1000L), (2, "Marche", 1000L), (3, "Vélo", 1000L))
+    val del1 = df((2, "Marche", 2000L))
+    val state1 = CdcApply.currentState(ups1, del1, Seq("id"), Seq("ts_ms"))
+    // epoch 2 (all later than epoch 1): update 1, delete 3, re-insert 2
+    val ups2 = df((1, "Judo", 3000L), (2, "Box", 3500L))
+    val del2 = df((3, "Vélo", 3200L))
+    val folded = CdcApply
+      .applyBatch(state1, ups2, del2, Seq("id"), Seq("ts_ms"))
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    val replayed = CdcApply
+      .currentState(ups1.unionByName(ups2), del1.unionByName(del2),
+        Seq("id"), Seq("ts_ms"))
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    assert(folded === replayed)
+    assert(folded === Set(1 -> "Judo", 2 -> "Box"))
+  }
+
   test("scd2 history: next change closes each version; a trailing delete leaves no current row") {
     import spark.implicits._
     import graft.streaming.CdcApply
