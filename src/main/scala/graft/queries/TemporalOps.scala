@@ -122,6 +122,64 @@ object TemporalOps {
                        AS week_offset,
                      CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
               FROM w JOIN f ON w.user_id = f.user_id
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // funnel conversion report: per stage, users reaching it and the
+    // fraction of entrants — the published artifact on top of t3's
+    // per-user stages. The per-stage sweep explodes each user into the
+    // stages they reached; the entrant denominator broadcasts (1 row).
+    Entry(
+      "t5_funnel_rates",
+      (s, dir) => {
+        val st = graft.operators.Funnel.stages(
+          Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+        val counts = st
+          .select(explode(sequence(lit(1L), lit(3L))).as("stage_n"), col("stage"))
+          .groupBy("stage_n")
+          .agg(sum(when(col("stage") >= col("stage_n"), 1L).otherwise(0L))
+            .cast(LongType).as("n_users"))
+        val entered = counts.filter(col("stage_n") === 1L)
+          .select(col("n_users").as("entered"))
+        counts.crossJoin(broadcast(entered))
+          .select(col("stage_n"), col("n_users"),
+            (col("n_users").cast("double") / col("entered").cast("double"))
+              .as("frac"))
+          .orderBy("stage_n")
+      },
+      Some("""WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+              u AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+              st AS (
+                SELECT u.user_id,
+                       CASE WHEN p.user_id IS NOT NULL THEN 3
+                            WHEN c.user_id IS NOT NULL THEN 2
+                            WHEN v.user_id IS NOT NULL THEN 1
+                            ELSE 0 END AS stage
+                FROM u
+                  LEFT JOIN v ON u.user_id = v.user_id
+                  LEFT JOIN c ON u.user_id = c.user_id
+                  LEFT JOIN p ON u.user_id = p.user_id),
+              ks AS (SELECT unnest(generate_series(1, 3)) AS stage_n),
+              counts AS (
+                SELECT ks.stage_n,
+                       CAST(SUM(CASE WHEN st.stage >= ks.stage_n THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_users
+                FROM ks, st GROUP BY ks.stage_n)
+              SELECT stage_n, n_users,
+                     CAST(n_users AS DOUBLE) /
+                       CAST((SELECT n_users FROM counts WHERE stage_n = 1) AS DOUBLE)
+                       AS frac
+              FROM counts ORDER BY stage_n"""))
   )
 }

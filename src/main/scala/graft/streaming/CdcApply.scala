@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** CDC apply: materialize the CURRENT state of a table from its routed
@@ -73,6 +73,87 @@ object CdcApply {
   def applyBatch(state: DataFrame, upserts: DataFrame, tombstones: DataFrame,
                  keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
     currentState(state.unionByName(upserts), tombstones, keyCols, orderCols)
+
+  /** Continuous apply against a PERSISTED, hash-bucketed state table:
+    * fold one batch of routed changes into the parquet state at
+    * `statePath`, rewriting ONLY the buckets containing batch keys.
+    *
+    * The state is partitioned by `__graft_bucket = pmod(xxhash64(key),
+    * nBuckets)` — a deterministic function of the key, so a batch's
+    * touched-bucket set is computable map-side and every untouched
+    * bucket's files are never read, shuffled, or rewritten (the same
+    * cost-∝-touched-partitions contract as
+    * [[graft.pipeline.IncrementalFinal.mergeChangeset]], with hash
+    * buckets standing in for date partitions because CDC keys have no
+    * natural range). Within the touched buckets the fold is
+    * [[applyBatch]]: argmax per key over (existing state ∪ batch
+    * upserts) minus keys whose latest change is a batch tombstone —
+    * deletes REMOVE rows from the persisted state, which plain
+    * append/overwrite sinks cannot express. Same monotone-ingestion
+    * contract as [[applyBatch]]; same single-writer contract as every
+    * parquet-backed mutable table here (Delta's transaction log is the
+    * upgrade path).
+    *
+    * First call against an absent/empty `statePath` seeds the table from
+    * the batch alone. `nBuckets` is a LAYOUT constant: changing it
+    * re-keys the partitioning, so pick once per table (it must divide
+    * hot batches well — 256–4096 at warehouse scale). */
+  def mergeIntoBucketedState(upserts: DataFrame, tombstones: DataFrame,
+                             keyCols: Seq[String], orderCols: Seq[String],
+                             statePath: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = upserts.sparkSession
+    val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
+    // touched buckets: a bounded collect (≤ nBuckets values)
+    val touched = upserts.select(bucket.as("b"))
+      .unionByName(tombstones.select(bucket.as("b")))
+      .distinct().collect().map(_.getLong(0))
+    val next = if (!exists) {
+      currentState(upserts, tombstones, keyCols, orderCols)
+    } else {
+      val state = spark.read.parquet(statePath)
+        .filter(col("__graft_bucket").isin(touched: _*))
+        .drop("__graft_bucket")
+      applyBatch(state, upserts, tombstones, keyCols, orderCols)
+    }
+    // materialize before overwriting the bucket files we just read
+    val out = next.withColumn("__graft_bucket", bucket).localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__graft_bucket").parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the output:
+    // a bucket whose every key was deleted this batch produces no rows,
+    // so its stale directory must be dropped explicitly or the deleted
+    // rows would survive (spec-pinned)
+    if (exists) {
+      val live = out.select("__graft_bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(live).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"__graft_bucket=$b"), true)
+      }
+    }
+    // schema marker: one empty, schema-bearing file in the reserved
+    // bucket -1 (pmod yields 0..n-1, so no real batch ever touches it).
+    // It keeps the table readable when a batch deletes every live row —
+    // a fully wiped state is still a TABLE, not a schema error.
+    val marker = new org.apache.hadoop.fs.Path(p, "__graft_bucket=-1")
+    if (!fs.exists(marker))
+      out.drop("__graft_bucket").limit(0).repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(marker.toString)
+  }
+
+  /** Read the materialized state back (layout column dropped). */
+  def readState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop("__graft_bucket")
 
   /** SCD-type-2 history materialization — the versioned complement of
     * [[currentState]]: every upsert opens a version valid from its own

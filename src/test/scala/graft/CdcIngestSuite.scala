@@ -140,6 +140,52 @@ class CdcIngestSuite extends SparkSuite {
     assert(folded === Set(1 -> "Judo", 2 -> "Box"))
   }
 
+  test("bucketed state merge: touched buckets only; deletes remove rows; emptied buckets vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+    import graft.streaming.CdcApply
+    def df(rows: (Int, String, Long)*) = rows.toDF("id", "sport_type", "ts_ms")
+    val none = Seq.empty[(Int, String, Long)].toDF("id", "sport_type", "ts_ms")
+    val statePath = tmpDir("cdc-state")
+    val nb = 8
+
+    // batch 1 seeds the table
+    CdcApply.mergeIntoBucketedState(
+      df((1, "Yoga", 1000L), (2, "Marche", 1000L), (3, "Vélo", 1000L), (4, "Box", 1000L)),
+      none, Seq("id"), Seq("ts_ms"), statePath, nb)
+    def state() = CdcApply.readState(spark, statePath)
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    assert(state() === Set(1 -> "Yoga", 2 -> "Marche", 3 -> "Vélo", 4 -> "Box"))
+
+    // which bucket each id lives in (the operator's own layout rule)
+    val bucketOf = Seq(1, 2, 3, 4).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), flit(nb)).as("b"))
+      .as[(Int, Long)].collect().toMap
+    def files(b: Long) = {
+      val d = new java.io.File(statePath, s"__graft_bucket=$b")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val untouchedBuckets = Seq(2, 4).map(bucketOf) // batch 2 touches ids 1 and 3
+      .filterNot(Seq(1, 3).map(bucketOf).contains).distinct
+    val before = untouchedBuckets.map(b => b -> files(b)).toMap
+
+    // batch 2: update id 1, delete id 3
+    CdcApply.mergeIntoBucketedState(
+      df((1, "Judo", 2000L)), df((3, "Vélo", 2000L)),
+      Seq("id"), Seq("ts_ms"), statePath, nb)
+    assert(state() === Set(1 -> "Judo", 2 -> "Marche", 4 -> "Box"))
+    untouchedBuckets.foreach(b =>
+      assert(files(b) === before(b), s"bucket $b rewritten without its keys in the batch"))
+
+    // batch 3: delete EVERYTHING — emptied buckets must not leave stale rows
+    CdcApply.mergeIntoBucketedState(
+      none, df((1, "Judo", 3000L), (2, "Marche", 3000L), (4, "Box", 3000L)),
+      Seq("id"), Seq("ts_ms"), statePath, nb)
+    assert(state() === Set.empty)
+  }
+
   test("scd2 history: next change closes each version; a trailing delete leaves no current row") {
     import spark.implicits._
     import graft.streaming.CdcApply
