@@ -550,6 +550,41 @@ object CurationOps {
         .orderBy("o_orderkey"),
       Some(s"""SELECT o_orderkey, o_custkey,
                       ${Layout.zValueSql("o_custkey", "o_orderkey", 24)} AS zkey
-               FROM orders ORDER BY o_orderkey"""))
+               FROM orders ORDER BY o_orderkey""")),
+
+    // ⊕ compaction planner: assign each source's documents to target-
+    // sized output bins by cumulative size — the small-files plan an
+    // OPTIMIZE/compaction job executes. Deterministic first-fit in
+    // doc_id order via a window prefix sum (bin = bytes-before DIV
+    // target); one shuffle on source, report rows ≈ #bins. At 100 TB
+    // the same plan runs per partition and feeds a file-stitching
+    // rewrite job.
+    Entry(
+      "cur_compaction_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum_prev", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .select(col("source"), expr("cum_prev DIV 20000").as("bin"),
+            col("n_chars"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH c AS (
+                SELECT source, doc_id, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_prev
+                FROM documents)
+              SELECT source, CAST(cum_prev // 20000 AS BIGINT) AS bin,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

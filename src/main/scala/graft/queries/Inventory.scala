@@ -38,7 +38,7 @@ object Inventory {
     Relational.entries ++ Functions.entries ++ Quality.entries ++
       TextOps.entries ++ DedupOps.entries ++ SimilarityOps.entries ++
       MultimodalOps.entries ++ TemporalOps.entries ++ CurationOps.entries ++
-      CdcOps.entries
+      CdcOps.entries ++ GraphOps.entries
 
   lazy val byName: Map[String, Entry] = {
     val m = all.map(e => e.name -> e).toMap

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.Tables
 import graft.quality.Checks
@@ -62,6 +63,51 @@ object Quality {
             .as("dup_rows"))
       },
       Some("""SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_rows
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    // ⊕ statistical outlier flags: events whose `value` sits more than
+    // 3 population standard deviations from their event_type's mean.
+    // The z² > 9 test is algebraically cleared of divisions and square
+    // roots — (n·v − S)² > 9·(n·SS − S²) over fixed-point integers
+    // (value truncated to milli-units) — so both sides decide every
+    // boundary case identically: Spark in DECIMAL(38,0), DuckDB in
+    // HUGEINT. Shape: map-side partial stats (5 rows), broadcast back
+    // over a re-scan — no full-data shuffle at any scale.
+    Entry(
+      "q6_value_outliers",
+      (s, dir) => {
+        val d38 = DecimalType(38, 0)
+        val v = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * lit(1000.0)).cast(LongType).as("vi"))
+        val st = v.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("vi")).as("s"),
+          sum(col("vi") * col("vi")).as("ss"))
+        val n  = col("n").cast(d38)
+        val s0 = col("s").cast(d38)
+        val ss = col("ss").cast(d38)
+        val vi = col("vi").cast(d38)
+        v.join(broadcast(st), "event_type")
+          .filter(col("n") >= 2 &&
+            (n * vi - s0) * (n * vi - s0) > lit(9).cast(d38) * (n * ss - s0 * s0))
+          .select(col("event_id"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(TRUNC(value * 1000.0) AS BIGINT) AS vi
+                FROM events WHERE value IS NOT NULL),
+              st AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(vi) AS s, SUM(vi * vi) AS ss
+                FROM v GROUP BY 1)
+              SELECT v.event_id, v.event_type
+              FROM v JOIN st USING (event_type)
+              WHERE st.n >= 2
+                AND (st.n * v.vi - st.s) * (st.n * v.vi - st.s)
+                      > 9 * (st.n * st.ss - st.s * st.s)
+              ORDER BY v.event_id"""))
   )
 }

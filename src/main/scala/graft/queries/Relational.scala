@@ -25,6 +25,7 @@ import graft.core.Tables
 object Relational {
   private val D18_2 = DecimalType(18, 2)
   private val D18_4 = DecimalType(18, 4)
+  private val D18_6 = DecimalType(18, 6)
 
   val entries: Seq[Entry] = Seq(
 
@@ -263,6 +264,26 @@ object Relational {
       },
       Some("""SELECT c_custkey, c_name FROM customer
               WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ⊕ Bloom-pruned semi-join: the sketch pre-filter for big ⋉ small
+    // when the small side won't broadcast as a hash relation but its key
+    // set fits a bitmap. Exact — survivors are verified with a real
+    // left-semi join, so the oracle is the plain semi join; the win is
+    // the shuffle carrying only the pruned fraction (operators/BloomJoin).
+    Entry(
+      "j8_bloom_semi",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val vip = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        graft.operators.BloomJoin.semiJoin(orders, vip, "o_custkey", "c_custkey")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_acctbal > 9000)
+              ORDER BY o_orderkey""")),
 
     // O3 limit probe with deterministic total order.
     Entry(
@@ -504,6 +525,35 @@ object Relational {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
               ORDER BY user_id, event_id""")),
+
+    // ⊕ time-RANGE window frame: per event, count and sum of `value`
+    // over the user's trailing hour — the rolling-metric shape that a
+    // ROWS frame cannot express under irregular event spacing. The frame
+    // bound is integer µs on both sides (no interval-type coercion) and
+    // the double sum goes through a DECIMAL intermediate, so peers and
+    // sums are exact. One shuffle on user_id; at 100 TB a ts-sorted,
+    // user-bucketed events table serves this without the sort.
+    Entry(
+      "w4_rolling_range",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("value").cast(D18_6).as("v"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("v")).over(w).cast(D18_6).as("sum_1h"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     COUNT(*) OVER w AS n_1h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+                          AS DECIMAL(18,6)) AS sum_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING
+                                     AND CURRENT ROW)""")),
 
     // ⊕ sessionization via Spark's NATIVE session_window aggregate (the
     // same operator drives streaming sessionization with watermarks —

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph family: transition edges, exact fixed-point PageRank (checked
+  * against a single-threaded replay of the same recurrence), and capped
+  * co-occurrence ≡ the naive self-join when the cap is not binding. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, Long, Long)*) = // user, tsUs, eventId, item
+    rows.toDF("user_id", "ts_us", "event_id", "item")
+
+  test("transitionEdges counts consecutive per-user pairs with deterministic tiebreak") {
+    val ev = events(
+      (1L, 10L, 1L, 7L), (1L, 20L, 2L, 8L), (1L, 30L, 3L, 7L),
+      // user 2: two events at the SAME ts — order fixed by event_id
+      (2L, 10L, 4L, 5L), (2L, 10L, 5L, 6L), (2L, 40L, 6L, 5L),
+      (3L, 10L, 7L, 9L)) // single event → no edge
+    val edges = Graph.transitionEdges(ev, "user_id", "ts_us", "event_id", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(edges === Set((7L, 8L, 1L), (8L, 7L, 1L), (5L, 6L, 1L), (6L, 5L, 1L)))
+  }
+
+  /** Single-threaded replay of the documented recurrence. */
+  private def referencePageRank(
+      nodes: Seq[Long], edges: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val teleport = (15L * scale) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .groupBy(_._2).view
+        .mapValues(_.map { case (s, _, c) => (r(s) * c) / out(s) }.sum).toMap
+      r = nodes.map(nd => nd -> (teleport + (85L * sums.getOrElse(nd, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the single-threaded fixed-point replay exactly") {
+    // 4 nodes: 1→2 (×2), 2→3, 3→1, 1→3; node 4 dangling both ways
+    val edgeList = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val got = Graph.pageRank(
+        nodes.toDF("node"),
+        edgeList.toDF("src", "dst", "cnt"),
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val want = referencePageRank(nodes, edgeList, 4, 1000000000000L)
+    assert(got === want)
+    // dangling-in node 4 holds exactly the teleport mass
+    assert(got(4L) === (15L * 1000000000000L) / (100L * 4L))
+  }
+
+  test("pageRank concentrates mass on the sink of a star") {
+    val star = (1L to 5L).map(i => (i, 99L, 1L)) // everything points at 99
+    val nodes = ((1L to 5L) :+ 99L).toDF("node")
+    val r = Graph.pageRank(nodes, star.toDF("src", "dst", "cnt"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => r(99L) > r(i)))
+  }
+
+  test("cooccurrence with a non-binding cap equals the naive distinct self-join") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup event, same item
+      (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 30L),
+      (4L, 40L)).toDF("user_id", "item")
+    val got = Graph.cooccurrence(df, "user_id", "item", maxItemsPerUser = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    val it = df.distinct().as("a")
+    val naive = it.join(it.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.contains((10L, 30L, 2L))) // users 1 and 3
+  }
+
+  test("cooccurrence cap keeps the smallest items deterministically") {
+    val df = Seq((1L, 30L), (1L, 10L), (1L, 20L)).toDF("user_id", "item")
+    val got = Graph.cooccurrence(df, "user_id", "item", maxItemsPerUser = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 1L))) // 30 truncated, not 10/20
+  }
+}

@@ -267,4 +267,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
       && !p.contains("ShuffledHashJoin") && !p.contains("NestedLoopJoin"), p)
   }
+
+  test("bloom semi-join prunes the big side MAP-SIDE before the verify join (j8)") {
+    val p = plan("j8_bloom_semi")
+    // the verify join is a real semi join...
+    assert(p.contains("LeftSemi"), p)
+    // ...and the bloom predicate (seeded xxhash64 probes) sits in a
+    // Filter on the scan side, so pruned rows never reach the join —
+    // that Filter is what shrinks the shuffle at scale
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+  }
+
+  test("co-occurrence folds per-user arrays — pair expansion is map-side, no self-join (g1)") {
+    val p = plan("g1_item_cooccurrence")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("NestedLoopJoin"), p)
+    // top-k with tiebreak compiles to TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pagerank iterates equi-joins only — no product anywhere in 3 rounds (g2)") {
+    val p = plan("g2_pagerank")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
