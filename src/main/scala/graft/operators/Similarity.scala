@@ -83,24 +83,69 @@ object Similarity {
     * corpus on its cell — broadcast on the tiny query side, so the scan
     * reads only probed cells; with the corpus `partitionBy("cell")` on
     * disk this becomes partition pruning at 100 TB. */
-  def knnIvfMultiProbe(assigned: DataFrame, queries: DataFrame,
-                       centroids: Array[Array[Float]], k: Int,
-                       nProbe: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.length,
-      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+  /** The nProbe nearest cells of `q_emb`, as an exploded probe struct:
+    * centroids ranked by the ‖q−c‖² order statistic q·c − ‖c‖²/2
+    * (monotone in true distance), ties broken by cell id via the struct
+    * sort. Shared by every cell-probing variant so they can never
+    * disagree on probe order. */
+  private def probeCells(centroids: Array[Array[Float]], nProbe: Int) = {
     val cellScores = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm2 = c.foldLeft(0.0)((a, x) => a + x.toDouble * x)
       struct(
         (vecDot(col("q_emb"), typedlit(c.toSeq)) - lit(cNorm2 / 2)).as("score"),
         lit(i).as("cell"))
     }
+    explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+  }
+
+  def knnIvfMultiProbe(assigned: DataFrame, queries: DataFrame,
+                       centroids: Array[Array[Float]], k: Int,
+                       nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
     val q = broadcast(withNorm(queries
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
         "q_emb", "q_nrm")
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe)))
+      .withColumn("probe", probeCells(centroids, nProbe))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("probe.cell").as("q_cell")))
+    val d = withNorm(assigned, "embedding", "nrm")
+    val scored = d.join(q, col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** kNN GRAPH: the top-k cosine neighbors of EVERY corpus vector — the
+    * substrate for graph-based curation (SemDeDup neighborhoods,
+    * diversity sampling, label propagation over near-duplicates).
+    *
+    * Unlike the query-side variants, BOTH sides are the corpus, so
+    * nothing broadcasts: each vector's nProbe nearest cells explode
+    * into (cell, vector) probe rows that EQUI-JOIN the cell-assigned
+    * corpus — a shuffle join on `cell`, never a product. At 100 TB the
+    * assigned table is written `partitionBy("cell")` and this join
+    * becomes co-located partition reads. nProbe = #centroids scores
+    * every pair exactly once (each data vector's single cell appears
+    * exactly once in a full probe list) ⇒ provably the brute-force
+    * graph — the gate's setting; small nProbe is the production dial,
+    * with recall measured by the same audit as `sim_recall_report`. */
+  def knnGraph(assigned: DataFrame, centroids: Array[Array[Float]], k: Int,
+               nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+    val q = withNorm(assigned
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "q_emb", "q_nrm")
+      .withColumn("probe", probeCells(centroids, nProbe))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("probe.cell").as("q_cell"))
     val d = withNorm(assigned, "embedding", "nrm")
     val scored = d.join(q, col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("query_id"))

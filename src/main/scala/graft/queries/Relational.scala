@@ -477,6 +477,42 @@ object Relational {
                      QUANTILE_CONT(o_totalprice, 0.5) AS median_price
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ⊕ tail-latency percentiles: exact interpolated p50/p95/p99 per
+    // group (a11's percentile ≡ quantile_cont equivalence, swept across
+    // the quantiles an ops dashboard publishes). Exact percentile sorts
+    // within groups; at 100 TB swap in approx_percentile and take the
+    // rows-only gate — this entry pins the exact semantics.
+    Entry(
+      "a15_percentiles",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                     QUANTILE_CONT(value, 0.5) AS p50,
+                     QUANTILE_CONT(value, 0.95) AS p95,
+                     QUANTILE_CONT(value, 0.99) AS p99
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ⊕ fixed-width histogram of `value` per group: bin id from a single
+    // double division + floor (bit-identical on both engines), then a
+    // partial-agg count — the distribution report at any scale.
+    Entry(
+      "a16_value_histogram",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") / lit(25.0)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin"),
+      Some("""SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                     COUNT(*) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
     Entry(

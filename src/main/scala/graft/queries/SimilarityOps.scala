@@ -93,6 +93,35 @@ object SimilarityOps {
       },
       Some(bruteSql)),
 
+    // kNN GRAPH: top-3 neighbors of EVERY vector — corpus × corpus, so
+    // nothing broadcasts: probe cells explode and EQUI-JOIN the
+    // cell-assigned corpus (shuffle on cell, plan-guarded no-product).
+    // Full probe list ⇒ provably the brute graph; the oracle is the
+    // all-pairs SQL.
+    Entry(
+      "sim_knn_graph",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val (assigned, centroids) =
+          graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+        Similarity.knnGraph(assigned, centroids, k = 3,
+            nProbe = centroids.length)
+          .withColumn("rank", col("rank").cast(LongType))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, e FROM d),
+               scored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id),
+               r AS (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank, cos
+               FROM r WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // recall@k audit report: per cutoff k, measured recall of the
     // one-probe IVF index against the exact brute-force top-k — the
     // artifact an ANN deployment publishes. The oracle re-derives BOTH

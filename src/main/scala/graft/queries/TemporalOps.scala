@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -180,6 +180,50 @@ object TemporalOps {
                      CAST(n_users AS DOUBLE) /
                        CAST((SELECT n_users FROM counts WHERE stage_n = 1) AS DOUBLE)
                        AS frac
-              FROM counts ORDER BY stage_n"""))
+              FROM counts ORDER BY stage_n""")),
+
+    // last-touch attribution: each purchase credits the item of the
+    // user's latest click at-or-before it (AS-OF join), then revenue
+    // rolls up per item. Unattributed purchases land in the -1 bucket so
+    // nothing silently drops and the sort key stays non-nullable.
+    // Composition of t1's operator — one union'd window pass, one
+    // aggregate; the oracle is the correlated-subquery formulation with
+    // t1's explicit (ts DESC, event_id DESC) tiebreak.
+    Entry(
+      "t7_attribution",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            col("value"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks    = ev.filter(col("event_type") === "click")
+        AsOfJoin.latestPrior(purchases, clicks, "user_id", "ts",
+            leftCols = Seq("event_id", "value"), rightCols = Seq("item"),
+            rightTiebreak = "event_id")
+          .select(coalesce(col("asof_item"), lit(-1L)).as("item"), col("value"))
+          .groupBy("item")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6))
+              .as("revenue"))
+          .orderBy("item")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events),
+              attr AS (
+                SELECT COALESCE(
+                         (SELECT c.item FROM ev c
+                          WHERE c.event_type = 'click'
+                            AND c.user_id = p.user_id AND c.ts <= p.ts
+                          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+                         -1) AS item,
+                       p.value
+                FROM ev p WHERE p.event_type = 'purchase')
+              SELECT item, COUNT(*) AS n_purchases,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                       AS revenue
+              FROM attr GROUP BY item ORDER BY item"""))
   )
 }

@@ -291,4 +291,9 @@ class PlanSpec extends SparkSuite {
     val p = plan("g2_pagerank")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("the kNN graph equi-joins probes to cells — corpus never broadcasts as a product (sim_knn_graph)") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

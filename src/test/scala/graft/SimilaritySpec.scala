@@ -158,6 +158,23 @@ class SimilaritySpec extends SparkSuite {
     assert(p1.size <= brute.size)
   }
 
+  test("kNN graph with a full probe list equals brute force with the corpus as queries") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+      .toSet
+    val graph = edges(Similarity.knnGraph(assigned, centroids, k = 3, nProbe = 4))
+    val brute = edges(Similarity.knnBrute(emb, emb, 3))
+    assert(graph === brute)
+    // partial probing prunes but never invents edges outside the corpus
+    val g1 = edges(Similarity.knnGraph(assigned, centroids, k = 3, nProbe = 1))
+    assert(g1.size <= graph.size)
+    assert(g1.map(_._1).subsetOf(graph.map(_._1)))
+  }
+
   test("recallReport: the published audit is monotone in nProbe and exact against itself") {
     val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (assigned, centroids) = graft.operators.Quantizer.trainAndAssign(emb, k = 4)
