@@ -68,23 +68,59 @@ object Graph {
       edges: DataFrame,
       iterations: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val n = nodes.count() // scalar driver action over the tiny node set
     require(n > 0, "pageRank needs a non-empty node set")
+    val seeded = nodes.select(col("node"),
+      lit(scale / n).as("__r0"),
+      lit((15L * scale) / (100L * n)).as("__tele"))
+    prIterate(seeded, edges, iterations)
+  }
+
+  /** Personalized (topic-sensitive) PageRank: teleport mass returns only
+    * to `seeds` (single `node` column) instead of uniformly — the
+    * trust-propagation / recommendation variant. Same exact fixed-point
+    * recurrence with
+    *   r₀(t) = scale DIV |S| for t ∈ S, else 0
+    *   teleport(t) = (15·scale) DIV (100·|S|) for t ∈ S, else 0.
+    */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val seeded = nodes
+      .join(seeds.select(col("node"), lit(true).as("__seed")), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("__r0"),
+        when(col("__seed"), lit((15L * scale) / (100L * nSeeds)))
+          .otherwise(lit(0L)).as("__tele"))
+    prIterate(seeded, edges, iterations)
+  }
+
+  /** The shared rank iteration over `(node, __r0, __tele)`: per round,
+    * ranks ⋈ edges on src, partial-agg sum on dst, left join back. */
+  private def prIterate(
+      seeded: DataFrame,
+      edges: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val out = edges.groupBy("src").agg(sum(col("cnt")).cast(LongType).as("out_cnt"))
     val e = edges.join(out, "src")
-    val teleport = (15L * scale) / (100L * n)
-    var ranks = nodes.select(col("node"), lit(scale / n).as("pr"))
+    var ranks = seeded.select(col("node"), col("__r0").as("pr"))
     for (_ <- 1 to iterations) {
       val sums = e
         .join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("(pr * cnt) DIV out_cnt").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).cast(LongType).as("s"))
-      ranks = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(s, 0L)) DIV 100")).cast(LongType).as("pr"))
+      ranks = seeded
+        .join(sums, seeded("node") === sums("dst"), "left")
+        .select(seeded("node"),
+          (col("__tele") + expr("(85 * coalesce(s, 0L)) DIV 100"))
+            .cast(LongType).as("pr"))
     }
     ranks
   }

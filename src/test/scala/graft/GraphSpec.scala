@@ -56,6 +56,32 @@ class GraphSpec extends SparkSuite {
     assert(got(4L) === (15L * 1000000000000L) / (100L * 4L))
   }
 
+  test("personalized PageRank: seeded replay matches; unreachable non-seeds hold zero") {
+    val edgeList = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val seeds = Set(1L)
+    val scale = 1000000000000L
+    val got = Graph.personalizedPageRank(
+        nodes.toDF("node"), edgeList.toDF("src", "dst", "cnt"),
+        seeds.toSeq.toDF("node"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // single-threaded replay of the seeded recurrence
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tele = (15L * scale) / (100L * seeds.size)
+    var r = nodes.map(n => n -> (if (seeds(n)) scale / seeds.size else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val sums = edgeList.groupBy(_._2).view
+        .mapValues(_.map { case (s, _, c) => (r(s) * c) / out(s) }.sum).toMap
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) tele else 0L) + (85L * sums.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    assert(got === r)
+    // node 4 has no in-edges and is not a seed: exactly zero mass
+    assert(got(4L) === 0L)
+    // the seed keeps the most mass in a directed 3-cycle
+    assert(got(1L) >= got(2L) && got(1L) >= got(3L))
+  }
+
   test("pageRank concentrates mass on the sink of a star") {
     val star = (1L to 5L).map(i => (i, 99L, 1L)) // everything points at 99
     val nodes = ((1L to 5L) :+ 99L).toDF("node")
