@@ -61,4 +61,30 @@ object Layout {
       .select(df.columns.map(col): _*)
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Execute the compaction plan (`cur_compaction_plan`'s bin
+    * assignment): pack rows into target-sized bins per `groupCol` by a
+    * prefix sum of `sizeCol` in `orderCol` order, then write ONE file
+    * per (group, bin) — the small-files rewrite an OPTIMIZE job runs.
+    * The window shuffle IS the plan; `repartition(group, bin)`
+    * co-locates each bin into a single task, so every partition
+    * directory holds exactly one file. First-fit bound: a bin's payload
+    * never exceeds `targetPerBin` + one row's size. */
+  def writeCompacted(df: DataFrame, groupCol: String, orderCol: String,
+                     sizeCol: String, targetPerBin: Long, dir: String): Unit = {
+    require(targetPerBin > 0, s"targetPerBin must be positive, got $targetPerBin")
+    val cum = "__graft_cum"; val bin = "__graft_bin"
+    require(!df.columns.contains(cum) && !df.columns.contains(bin),
+      s"input already has a $cum/$bin column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Long.MinValue, -1)
+    df.withColumn(cum, coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn(bin, expr(s"$cum DIV $targetPerBin"))
+      .drop(cum)
+      .repartition(col(groupCol), col(bin))
+      .write.mode("overwrite")
+      .partitionBy(groupCol, bin)
+      .parquet(dir)
+  }
 }

@@ -71,6 +71,50 @@ object MultimodalOps {
               SELECT doc_id, byte_len, bin,
                      CAST(COUNT(*) AS DOUBLE) / byte_len AS weight
               FROM b GROUP BY doc_id, byte_len, bin
-              ORDER BY doc_id, bin"""))
+              ORDER BY doc_id, bin""")),
+
+    // ⊕ perceptual-hash dedup buckets: threshold the 16-bin feature
+    // histogram into a 16-bit signature (bin weight > 1/16 → bit set,
+    // packed map-side with zip_with/aggregate — no shuffle until the
+    // group-by), then bucket documents by signature with a keeper
+    // (min doc_id) — the pHash near-dup grouping for decoded media,
+    // on the same honest-stub decode as the rest of the mm family.
+    // The signature shuffle carries (8-byte hash, id) only, never
+    // payloads — at 100 TB identical to the exact-dedup shape.
+    Entry(
+      "mm_phash_groups",
+      (s, dir) => Multimodal
+        .decodeFeatures(s, Multimodal.asMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), expr(
+          """aggregate(
+               zip_with(histogram, sequence(0, 15),
+                        (w, i) -> IF(w > 0.0625D, shiftleft(1L, i), 0L)),
+               0L, (a, b) -> a | b)""").as("phash"))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("phash"),
+      Some("""WITH pos AS (
+                SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                       unnest(range(1, length(text)+1)) AS p, text
+                FROM documents),
+              b AS (
+                SELECT doc_id, byte_len,
+                       CAST(FLOOR(ord(substr(text, CAST(p AS INTEGER), 1)) / 16)
+                         AS INTEGER) AS bin
+                FROM pos),
+              wgt AS (
+                SELECT doc_id, bin,
+                       CAST(COUNT(*) AS DOUBLE) / byte_len AS weight
+                FROM b GROUP BY doc_id, byte_len, bin),
+              ph AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN weight > 0.0625
+                                     THEN (CAST(1 AS BIGINT) << bin)
+                                     ELSE 0 END) AS BIGINT) AS phash
+                FROM wgt GROUP BY doc_id)
+              SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     MIN(doc_id) AS keeper
+              FROM ph GROUP BY phash ORDER BY phash"""))
   )
 }

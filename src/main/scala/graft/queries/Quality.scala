@@ -75,26 +75,13 @@ object Quality {
     // over a re-scan — no full-data shuffle at any scale.
     Entry(
       "q6_value_outliers",
-      (s, dir) => {
-        val d38 = DecimalType(38, 0)
-        val v = Tables(s, dir, "events")
-          .filter(col("value").isNotNull)
-          .select(col("event_id"), col("event_type"),
-            (col("value") * lit(1000.0)).cast(LongType).as("vi"))
-        val st = v.groupBy("event_type").agg(
-          count(lit(1)).as("n"),
-          sum(col("vi")).as("s"),
-          sum(col("vi") * col("vi")).as("ss"))
-        val n  = col("n").cast(d38)
-        val s0 = col("s").cast(d38)
-        val ss = col("ss").cast(d38)
-        val vi = col("vi").cast(d38)
-        v.join(broadcast(st), "event_type")
-          .filter(col("n") >= 2 &&
-            (n * vi - s0) * (n * vi - s0) > lit(9).cast(d38) * (n * ss - s0 * s0))
-          .select(col("event_id"), col("event_type"))
-          .orderBy("event_id")
-      },
+      (s, dir) => graft.operators.Outliers
+        .flagged(
+          Tables(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", z = 3)
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id"),
       Some("""WITH v AS (
                 SELECT event_id, event_type,
                        CAST(TRUNC(value * 1000.0) AS BIGINT) AS vi

@@ -513,6 +513,36 @@ object Relational {
               FROM events WHERE value IS NOT NULL
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ⊕ deterministic MODE: most frequent value per group as an argmax
+    // over grouped counts with an explicit (n DESC, value ASC) tiebreak
+    // — built-in mode() leaves ties engine-defined, which a hash gate
+    // (and a reproducible pipeline) cannot accept. Tiny aggregate, then
+    // a window over |groups| rows only.
+    Entry(
+      "a17_mode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("n"), asc("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH c AS (
+                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                FROM orders GROUP BY 1, 2),
+              r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                         ORDER BY n DESC, o_orderpriority ASC) AS rn
+                FROM c)
+              SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+              FROM r WHERE rn = 1 ORDER BY o_orderstatus""")),
+
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
     Entry(

@@ -45,6 +45,34 @@ class StreamingExtSuite extends SparkSuite {
     assert(rows.forall(_.getAs[String]("business_unity") != null)) // all enriched
   }
 
+  test("stream-static outlier alerting: precomputed stats broadcast per micro-batch, state-free") {
+    import spark.implicits._
+    val in = tmpDir("out-in"); val cp = tmpDir("out-cp")
+    // history: group 'a' tightly centered at 10.0 → σ ≈ 0.1
+    val hist = (Seq.fill(50)(("a", 10.0)) ++ Seq(("a", 10.5), ("a", 9.5)))
+      .toDF("event_type", "value")
+    val st = graft.operators.Outliers.stats(hist, "event_type", "value")
+    val src = spark.readStream
+      .schema("event_type STRING, value DOUBLE")
+      .json(in)
+    val q = graft.operators.Outliers
+      .flaggedStream(src, st, "event_type", "value", z = 3)
+      .writeStream.format("memory").queryName("out_flags")
+      .outputMode("append").option("checkpointLocation", cp)
+      .start()
+    // 10.1 is ~1σ (no alert); 50.0 is far out (alert); unknown group drops
+    feed(in, q, Seq(
+      """{"event_type":"a","value":10.1}""",
+      """{"event_type":"a","value":50.0}""",
+      """{"event_type":"zzz","value":50.0}"""))
+    feed(in, q, Seq("""{"event_type":"a","value":9.9}""",
+      """{"event_type":"a","value":-40.0}"""))
+    q.stop()
+    val flagged = spark.table("out_flags")
+      .select("event_type", "value").as[(String, Double)].collect().toSet
+    assert(flagged === Set(("a", 50.0), ("a", -40.0)))
+  }
+
   test("session windows in streaming mode: gap-separated sessions emit after the watermark") {
     val in = tmpDir("sess-in")
     def ev(ts: String, u: Long) = s"""{"ts":"$ts","user_id":$u}"""

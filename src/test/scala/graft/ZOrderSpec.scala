@@ -9,6 +9,33 @@ import graft.core.Layout
 class ZOrderSpec extends SparkSuite {
   import spark.implicits._
 
+  test("writeCompacted: one file per planned bin, nothing lost, first-fit size bound") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    val target = 2000L
+    val out = tmpDir("compact")
+    Layout.writeCompacted(docs, "source", "doc_id", "n_chars", target, out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count(), "compaction must not drop rows")
+
+    // one physical file per (source, bin) partition directory
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    val bins = back.select("source", "__graft_bin").distinct().count()
+    assert(files.length === bins.toInt,
+      s"${files.length} files for $bins planned bins")
+    assert(bins > docs.select("source").distinct().count(),
+      "target must be small enough that sources split into multiple bins")
+
+    // first-fit bound: no bin exceeds target + its largest single row
+    val over = back.groupBy("source", "__graft_bin")
+      .agg(sum("n_chars").as("tot"), max("n_chars").as("mx"))
+      .filter(col("tot") > lit(target) + col("mx"))
+      .count()
+    assert(over === 0L)
+  }
+
   test("zValue interleaves bits (hand-checked corners and a reference fold)") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
       .toDF("x", "y")
