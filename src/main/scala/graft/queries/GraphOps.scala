@@ -195,6 +195,150 @@ object GraphOps {
                   LEFT JOIN seeds s ON n.node = s.node
                   LEFT JOIN c3 c ON n.node = c.dst)
               SELECT node, CAST(pr AS BIGINT) AS pr
-              FROM r3 ORDER BY node"""))
+              FROM r3 ORDER BY node""")),
+
+    // composed item-insights report: one row per item joining its
+    // structural importance (3-round PageRank), attributed revenue
+    // (AS-OF last-touch), and strongest co-occurrence partner (argmax
+    // with an explicit tiebreak) — the dashboard artifact the graph +
+    // temporal families exist to feed, verified against ONE composed
+    // oracle restating all three branches relationally. Every branch
+    // aggregates to item-sized relations before the final broadcast
+    // joins; nothing corpus-sized crosses a join.
+    Entry(
+      "pipeline_item_insights",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+        val evi = ev.filter(col("item").isNotNull)
+        val pr = Graph.pageRank(
+          evi.select(col("item").as("node")).distinct(),
+          Graph.transitionEdges(evi, "user_id", "ts", "event_id", "item"),
+          iterations = 3, scale = SCALE)
+        val attr = graft.operators.AsOfJoin.latestPrior(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            "user_id", "ts", leftCols = Seq("event_id", "value"),
+            rightCols = Seq("item"), rightTiebreak = "event_id")
+          .filter(col("asof_item").isNotNull)
+          .groupBy(col("asof_item").as("node"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(18, 6)))
+              .cast(DecimalType(18, 6)).as("revenue"))
+        val pairs = Graph.cooccurrence(evi, "user_id", "item",
+          maxItemsPerUser = 1000)
+        val sym = pairs
+          .select(col("item_a").as("node"), col("item_b").as("partner"),
+            col("n_users"))
+          .unionByName(pairs.select(col("item_b").as("node"),
+            col("item_a").as("partner"), col("n_users")))
+        val top = sym.groupBy("node")
+          .agg(max(struct(col("n_users"), (-col("partner")).as("neg"),
+            col("partner"))).as("m"))
+          .select(col("node"), col("m.partner").as("top_partner"),
+            col("m.n_users").as("partner_support"))
+        pr.join(attr, Seq("node"), "left")
+          .join(top, Seq("node"), "left")
+          .select(col("node").as("item"), col("pr"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            coalesce(col("revenue"),
+              lit(BigDecimal(0)).cast(DecimalType(18, 6))).as("revenue"),
+            coalesce(col("top_partner"), lit(-1L)).as("top_partner"),
+            coalesce(col("partner_support"), lit(0L)).as("partner_support"))
+          .orderBy("item")
+      },
+      Some(s"""WITH ev AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       CAST(props->>'$$.k' AS BIGINT) AS item
+                FROM events),
+              ev2 AS (SELECT * FROM ev WHERE item IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev2),
+              edges AS (
+                SELECT prev AS src, item AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+              outdeg AS (
+                SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt
+                FROM edges GROUP BY 1),
+              e AS (
+                SELECT edges.src, edges.dst, edges.cnt, outdeg.out_cnt
+                FROM edges JOIN outdeg USING (src)),
+              nodes AS (SELECT DISTINCT item AS node FROM ev2),
+              p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+              r0 AS (
+                SELECT node, ${SCALE} // (SELECT n FROM p) AS pr FROM nodes),
+              c1 AS (
+                SELECT e.dst, SUM((r.pr * e.cnt) // e.out_cnt) AS s
+                FROM e JOIN r0 r ON e.src = r.node GROUP BY 1),
+              r1 AS (
+                SELECT n.node,
+                       (${15L * 1000000000000L} // (100 * (SELECT n FROM p)))
+                         + (85 * COALESCE(c.s, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+              c2 AS (
+                SELECT e.dst, SUM((r.pr * e.cnt) // e.out_cnt) AS s
+                FROM e JOIN r1 r ON e.src = r.node GROUP BY 1),
+              r2 AS (
+                SELECT n.node,
+                       (${15L * 1000000000000L} // (100 * (SELECT n FROM p)))
+                         + (85 * COALESCE(c.s, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+              c3 AS (
+                SELECT e.dst, SUM((r.pr * e.cnt) // e.out_cnt) AS s
+                FROM e JOIN r2 r ON e.src = r.node GROUP BY 1),
+              r3 AS (
+                SELECT n.node,
+                       (${15L * 1000000000000L} // (100 * (SELECT n FROM p)))
+                         + (85 * COALESCE(c.s, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN c3 c ON n.node = c.dst),
+              attr AS (
+                SELECT (SELECT c.item FROM ev c
+                        WHERE c.event_type = 'click'
+                          AND c.user_id = p2.user_id AND c.ts <= p2.ts
+                        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS node,
+                       p2.value
+                FROM ev p2 WHERE p2.event_type = 'purchase'),
+              rev AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         AS DECIMAL(18,6)) AS revenue
+                FROM attr WHERE node IS NOT NULL GROUP BY 1),
+              it AS (
+                SELECT DISTINCT user_id, item FROM ev2
+                WHERE user_id IS NOT NULL),
+              prs AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM it a JOIN it b
+                  ON a.user_id = b.user_id AND a.item < b.item
+                GROUP BY 1, 2),
+              sym AS (
+                SELECT item_a AS node, item_b AS partner, n_users FROM prs
+                UNION ALL
+                SELECT item_b, item_a, n_users FROM prs),
+              top AS (
+                SELECT node, partner AS top_partner,
+                       n_users AS partner_support
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY node
+                        ORDER BY n_users DESC, partner ASC) AS rn
+                      FROM sym)
+                WHERE rn = 1)
+              SELECT r3.node AS item, CAST(r3.pr AS BIGINT) AS pr,
+                     CAST(COALESCE(rev.n_purchases, 0) AS BIGINT) AS n_purchases,
+                     CAST(COALESCE(rev.revenue, 0) AS DECIMAL(18,6)) AS revenue,
+                     CAST(COALESCE(top.top_partner, -1) AS BIGINT) AS top_partner,
+                     CAST(COALESCE(top.partner_support, 0) AS BIGINT)
+                       AS partner_support
+              FROM r3
+                LEFT JOIN rev ON r3.node = rev.node
+                LEFT JOIN top ON r3.node = top.node
+              ORDER BY item"""))
   )
 }

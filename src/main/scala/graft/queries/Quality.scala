@@ -95,6 +95,54 @@ object Quality {
               WHERE st.n >= 2
                 AND (st.n * v.vi - st.s) * (st.n * v.vi - st.s)
                       > 9 * (st.n * st.ss - st.s * st.s)
-              ORDER BY v.event_id"""))
+              ORDER BY v.event_id""")),
+
+    // ⊕ expectations as DATA: the reference declares its
+    // Great-Expectations checks as a list (data_validation_dag.py:306-320);
+    // this entry keeps that shape — (name, violation predicate) pairs
+    // evaluated in ONE conditional-aggregation pass and emitted as ROWS
+    // (the run report a quality gate publishes). Adding a check adds a
+    // row, not a schema change; the scan count stays 1 however many
+    // checks the suite declares.
+    Entry(
+      "q7_expectation_suite",
+      (s, dir) => {
+        val checks = Seq(
+          "event_type_in_domain" ->
+            ("event_type IS NOT NULL AND event_type NOT IN " +
+              "('view','click','purchase','signup','error')"),
+          "ts_not_null" -> "ts IS NULL",
+          "user_id_not_null" -> "user_id IS NULL",
+          "value_non_negative" -> "value IS NOT NULL AND value < 0")
+        val sums = checks.map { case (n, p) =>
+          sum(when(expr(p), 1L).otherwise(0L)).as(n) }
+        Tables(s, dir, "events")
+          .agg(sums.head, sums.tail: _*)
+          .selectExpr(s"stack(${checks.size}, " +
+            checks.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+            ") AS (check_name, n_violations)")
+          .orderBy("check_name")
+      },
+      Some("""SELECT check_name, n_violations FROM (
+                SELECT 'event_type_in_domain' AS check_name,
+                       CAST(COUNT(*) FILTER (WHERE event_type IS NOT NULL
+                         AND event_type NOT IN
+                           ('view','click','purchase','signup','error'))
+                         AS BIGINT) AS n_violations
+                FROM events
+                UNION ALL
+                SELECT 'ts_not_null',
+                       CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT)
+                FROM events
+                UNION ALL
+                SELECT 'user_id_not_null',
+                       CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                FROM events
+                UNION ALL
+                SELECT 'value_non_negative',
+                       CAST(COUNT(*) FILTER (WHERE value IS NOT NULL
+                                               AND value < 0) AS BIGINT)
+                FROM events)
+              ORDER BY check_name"""))
   )
 }

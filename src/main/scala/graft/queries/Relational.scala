@@ -401,6 +401,29 @@ object Relational {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ⊕ skew diagnostics: the report run BEFORE deciding to salt — the
+    // group-size distribution of a join/agg key (exact interpolated
+    // percentiles over per-key counts) whose max/p50 ratio flags hot
+    // keys. Two tiny aggregates; the counts relation is |keys| rows, so
+    // this costs one partial-agg scan at any corpus size.
+    Entry(
+      "skew_key_report",
+      (s, dir) => {
+        val counts = Tables(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.99)").as("p99"))
+      },
+      Some("""WITH c AS (SELECT o_custkey, COUNT(*) AS n
+                         FROM orders GROUP BY 1)
+              SELECT COUNT(*) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_n,
+                     QUANTILE_CONT(n, 0.5) AS p50,
+                     QUANTILE_CONT(n, 0.99) AS p99
+              FROM c""")),
+
     // Full outer join (⊕): both unmatched sides survive with NULLs —
     // completes the join-type matrix (inner/left/semi/anti/cross live in
     // j1/j2/j5/j6/sim_knn_brute).
