@@ -125,6 +125,100 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over the undirected simple graph induced
+    * by `(src, dst)` pairs (direction, weights, and self-loops ignored).
+    * Returns EVERY node of the simple graph with its exact triangle
+    * participation count, zeros included.
+    *
+    * Degree-ordered orientation ("compact-forward"): each undirected
+    * edge points from its lower-(degree, id) endpoint to the higher.
+    * Every triangle then has exactly ONE wedge rooted at its
+    * minimum-(degree, id) vertex, so
+    *
+    *   wedges = oriented ⋈ oriented on the shared source
+    *   closed = wedges ⋈ oriented on the (v, w) closing edge
+    *
+    * counts each triangle exactly once, and per-node counts fall out of
+    * unpivoting the three corners. The orientation is the 100 TB
+    * property: out-neighborhoods are bounded by O(√m) on ANY graph —
+    * a celebrity node's edges all point INTO it, so the wedge join's
+    * fan-out is carried by low-degree sources and never explodes
+    * quadratically on a hub. Three shuffles total (degree agg, wedge
+    * join on src, closing join); all joins are on the edge relation,
+    * never on raw events.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = simple.select(col("a").as("node"))
+      .unionByName(simple.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
+    // orient a↔b from the smaller (deg, id) to the larger, carrying the
+    // destination's order key for the wedge ordering below
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = simple
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    // (v, w) is already in orientation order, so the closing edge — if
+    // present — is exactly the oriented row (src = v, dst = w)
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"))
+    val corners = triangles.select(col("u").as("node"))
+      .unionByName(triangles.select(col("v").as("node")))
+      .unionByName(triangles.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("n"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Exact minimum hop distance from `seeds` (single `node` column) to
+    * every node reachable within `maxHops` DIRECTED hops over
+    * `(src, dst)` edges. Driver-coordinated BFS: round i joins only the
+    * depth-(i−1) frontier against the edge list — a frontier-sized
+    * shuffle, not a graph-sized one — anti-joins nodes already reached
+    * (so each node keeps its first, minimal depth), and unions the new
+    * layer in. Lineage depth is `maxHops`; for deep walks truncate with
+    * `localCheckpoint` as `Dedup.connectedComponents` does — the typical
+    * 2–6 hop neighborhood queries here don't need it.
+    */
+  def kHopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    var reached = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+    // name-based using-column joins throughout: after round 1 the
+    // frontier's lineage contains the edge relation itself, so
+    // dataset-qualified references would be ambiguous self-joins
+    var frontier = reached.select(col("node").as("src"))
+    for (i <- 1 to maxHops) {
+      val next = frontier.join(e, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+      reached = reached.unionByName(next)
+      frontier = next.select(col("node").as("src"))
+    }
+    reached
+  }
+
   /** Unordered item co-occurrence: for each item pair, the number of
     * users who touched both. The naive form — self-joining the distinct
     * `(user, item)` stream on user — shuffles a pair stream that grows

@@ -339,6 +339,124 @@ object GraphOps {
               FROM r3
                 LEFT JOIN rev ON r3.node = rev.node
                 LEFT JOIN top ON r3.node = top.node
-              ORDER BY item"""))
+              ORDER BY item""")),
+
+    // per-item triangle participation over the undirected transition
+    // graph — degree-ordered orientation means each triangle is built
+    // from exactly one wedge at its min-(degree, id) corner; the oracle
+    // restates the same orientation relationally. Exact counts, zeros
+    // included, so the hash gate covers the empty-intersection rows too.
+    Entry(
+      "g4_triangles",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        Graph.triangleCounts(edges).orderBy("node")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT LEAST(prev, item) AS a,
+                       GREATEST(prev, item) AS b
+                FROM tr WHERE prev IS NOT NULL AND prev <> item),
+              deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM ed
+                      UNION ALL SELECT b FROM ed)
+                GROUP BY 1),
+              o AS (
+                SELECT CASE WHEN da.deg < db.deg
+                              OR (da.deg = db.deg AND ed.a < ed.b)
+                            THEN ed.a ELSE ed.b END AS src,
+                       CASE WHEN da.deg < db.deg
+                              OR (da.deg = db.deg AND ed.a < ed.b)
+                            THEN ed.b ELSE ed.a END AS dst,
+                       CASE WHEN da.deg < db.deg
+                              OR (da.deg = db.deg AND ed.a < ed.b)
+                            THEN db.deg ELSE da.deg END AS ddeg
+                FROM ed
+                  JOIN deg da ON ed.a = da.node
+                  JOIN deg db ON ed.b = db.node),
+              wedge AS (
+                SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+                FROM o o1 JOIN o o2 ON o1.src = o2.src
+                WHERE o1.ddeg < o2.ddeg
+                   OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+              tri AS (
+                SELECT u, v, w FROM wedge
+                JOIN o ON wedge.v = o.src AND wedge.w = o.dst),
+              c AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT u AS node FROM tri
+                      UNION ALL SELECT v FROM tri
+                      UNION ALL SELECT w FROM tri)
+                GROUP BY 1)
+              SELECT deg.node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+              FROM deg LEFT JOIN c ON deg.node = c.node
+              ORDER BY deg.node""")),
+
+    // 3-hop BFS reach with exact minimum distances from a deterministic
+    // seed set (items ≡ 0 mod 97) over the directed transition graph;
+    // the oracle unrolls the same frontier recurrence as three
+    // anti-joined CTE layers.
+    Entry(
+      "g5_khop_reach",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        val seeds = ev.select(col("item").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        Graph.kHopReach(edges, seeds, maxHops = 3).orderBy("node")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT prev AS src, item AS dst
+                FROM tr WHERE prev IS NOT NULL),
+              d0 AS (
+                SELECT DISTINCT item AS node FROM ev WHERE item % 97 = 0),
+              d1 AS (
+                SELECT DISTINCT ed.dst AS node
+                FROM ed JOIN d0 ON ed.src = d0.node
+                WHERE ed.dst NOT IN (SELECT node FROM d0)),
+              d2 AS (
+                SELECT DISTINCT ed.dst AS node
+                FROM ed JOIN d1 ON ed.src = d1.node
+                WHERE ed.dst NOT IN (SELECT node FROM d0
+                                     UNION ALL SELECT node FROM d1)),
+              d3 AS (
+                SELECT DISTINCT ed.dst AS node
+                FROM ed JOIN d2 ON ed.src = d2.node
+                WHERE ed.dst NOT IN (SELECT node FROM d0
+                                     UNION ALL SELECT node FROM d1
+                                     UNION ALL SELECT node FROM d2))
+              SELECT node, CAST(dist AS BIGINT) AS dist FROM (
+                SELECT node, 0 AS dist FROM d0
+                UNION ALL SELECT node, 1 FROM d1
+                UNION ALL SELECT node, 2 FROM d2
+                UNION ALL SELECT node, 3 FROM d3)
+              ORDER BY node"""))
   )
 }

@@ -114,4 +114,45 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((10L, 20L, 1L))) // 30 truncated, not 10/20
   }
+
+  test("triangleCounts: exact per-node counts; direction, dups, self-loops ignored") {
+    // two triangles sharing node 3, a pendant edge to 6, a self-loop on 7
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),       // triangle {1,2,3}
+      (3L, 4L), (4L, 5L), (5L, 3L),       // triangle {3,4,5}
+      (2L, 1L),                           // reverse duplicate of 1-2
+      (5L, 6L),                           // pendant: no triangle for 6
+      (7L, 7L))                           // self-loop: dropped entirely
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("triangleCounts matches the brute-force closed-triple count on K5") {
+    // complete graph on 5 nodes: every node is in C(4,2) = 6 triangles
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L; if a < b } yield (a, b)
+    val got = Graph.triangleCounts(k5.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 5L).map(_ -> 6L).toMap)
+  }
+
+  test("kHopReach keeps the MINIMUM distance and stops at maxHops") {
+    // chain 1→2→3→4→5 with a shortcut 1→3 and a back-edge 2→1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (2L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.kHopReach(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // 3 is reached in 1 hop via the shortcut (not 2), 5 in 3 via it;
+    // seed keeps dist 0 despite the 2→1 back-edge
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("kHopReach from multiple seeds unions frontiers with per-node minima") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 3L)).toDF("src", "dst")
+    val got = Graph.kHopReach(edges, Seq(1L, 9L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L)) // 3 via 9, not 1→2→3
+  }
 }
