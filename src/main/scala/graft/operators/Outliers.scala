@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -67,6 +68,49 @@ object Outliers {
   /** Streaming twin: score a stream against PRECOMPUTED per-group
     * stats (from [[stats]] over history). The stats frame re-plans and
     * broadcasts into every micro-batch — map-side, state-free. */
+  /** Best mean-shift split points of an ordered integer series — exact
+    * change-point detection for drift monitoring ("did event volume step
+    * on some day?"). For each candidate split after position i of the
+    * N-point series (prefix sum Sᵢ, total T), the between-means gap
+    *
+    *   |Sᵢ/i − (T−Sᵢ)/(N−i)|  =  |Sᵢ·(N−i) − (T−Sᵢ)·i| / (i·(N−i))
+    *
+    * is scored in exact scaled-integer arithmetic:
+    * `score = (|Sᵢ·(N−i) − (T−Sᵢ)·i| · scale) DIV (i·(N−i))` — every op
+    * a long multiply/floor-divide over non-negatives, so Spark and the
+    * oracle agree bit for bit (same discipline as the z² outlier test
+    * above). Top-`k` splits by (score desc, position asc).
+    *
+    * Shape: the series is |positions| rows (already aggregated from the
+    * corpus — days, hours, versions), so the window prefix sum and the
+    * top-k are sketch-sized; nothing here touches raw events. Overflow
+    * envelope: |gap numerator| ≤ T·N and ·scale must stay < 2⁶³ —
+    * holds for T·N·scale ≲ 9·10¹⁸ (e.g. 10⁹ total events over 10³
+    * buckets at scale 10⁶); shrink `scale` for extreme totals.
+    */
+  def changePoints(series: DataFrame, orderCol: String, valueCol: String,
+                   k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.orderBy(col("split_at"))
+    val n = Window.partitionBy(lit(1))
+    series
+      .select(col(orderCol).as("split_at"),
+        col(valueCol).cast(LongType).as("v"))
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("s", sum(col("v")).over(w).cast(LongType))
+      .withColumn("t", sum(col("v")).over(n).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(n).cast(LongType))
+      .filter(col("i") < col("cnt")) // a split needs both sides non-empty
+      .withColumn("score", expr(
+        s"(abs(s * (cnt - i) - (t - s) * i) * ${scale}L) DIV (i * (cnt - i))"))
+      .select(col("split_at"), col("i").as("n_before"),
+        (col("cnt") - col("i")).as("n_after"),
+        col("s").as("sum_before"), (col("t") - col("s")).as("sum_after"),
+        col("score"))
+      .orderBy(desc("score"), asc("split_at"))
+      .limit(k)
+  }
+
   def flaggedStream(stream: DataFrame, statsDf: DataFrame, groupCol: String,
                     valueCol: String, z: Int = 3): DataFrame =
     stream.filter(col(valueCol).isNotNull)

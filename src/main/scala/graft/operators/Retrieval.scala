@@ -87,4 +87,41 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"),
         (col("sc").cast(DoubleType) / lit(1000000.0)).as("score"))
   }
+
+  /** Top-`k` keywords per document by exact integer tf-idf: the
+    * "what is this document about" extraction feeding topic audits and
+    * per-domain vocabularies.
+    *
+    *   score = (tf · scale) DIV df
+    *
+    * Rationale: within ONE corpus the document count N is a constant,
+    * so ranking by tf·N/df and by tf/df is the same per-document
+    * ordering up to floor interaction — omitting N keeps the product
+    * inside a long at ANY corpus size (tf ≤ doc length, scale = 10⁶;
+    * tf·scale·N would overflow at web scale) and keeps every op in
+    * exact integer arithmetic (no libm log — same discipline as
+    * `bm25TopK`'s rational idf).
+    *
+    * Shape: tf is the one corpus-sized intermediate (one shuffle on
+    * (doc, term)); df aggregates it to vocab size (shuffle on term);
+    * scoring joins tf ⋈ df on term; top-k is a WindowGroupLimit rank
+    * per document — no global sort anywhere.
+    */
+  def keywordsTfIdf(docs: DataFrame, k: Int,
+                    scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(dfT, "term")
+      .withColumn("score", expr(s"(tf * ${scale}L) DIV df"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

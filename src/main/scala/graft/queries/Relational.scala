@@ -680,6 +680,35 @@ object Relational {
                      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                      COUNT(*) AS n_events
               FROM sids GROUP BY user_id, sid
-              ORDER BY user_id, session_start"""))
+              ORDER BY user_id, session_start""")),
+
+    // distribution window functions (⊕ completes the window family):
+    // within-group cumulative distribution, percent rank, and quartile
+    // of event value. The ORDER BY carries event_id as tiebreak so both
+    // ranks and the ntile cut are total orders — cume_dist/percent_rank
+    // reduce to exact integer ratios k/n and (k−1)/(n−1), the same IEEE
+    // division on both engines. One shuffle on event_type.
+    Entry(
+      "w5_distribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"),
+            cume_dist().over(w).as("cd"),
+            percent_rank().over(w).as("pr"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value,
+                     CUME_DIST() OVER w AS cd,
+                     PERCENT_RANK() OVER w AS pr,
+                     CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+              FROM events
+              WHERE value IS NOT NULL
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+              ORDER BY event_id"""))
   )
 }

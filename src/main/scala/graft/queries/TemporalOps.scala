@@ -224,6 +224,40 @@ object TemporalOps {
               SELECT item, COUNT(*) AS n_purchases,
                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
                        AS revenue
-              FROM attr GROUP BY item ORDER BY item"""))
+              FROM attr GROUP BY item ORDER BY item""")),
+
+    // ⊕ change-point detection: top-3 mean-shift split days of the
+    // daily event-count series, scored by the exact scaled-integer
+    // between-means gap (operators/Outliers.changePoints — the same
+    // no-division discipline as the z² outlier test). The series is
+    // days-sized before any window touches it; raw events contribute
+    // one partial-agg scan.
+    Entry(
+      "t6_change_point",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Outliers.changePoints(daily, "day", "n", k = 3)
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              ser AS (
+                SELECT day AS split_at, v,
+                       CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                       CAST(SUM(v) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS s,
+                       CAST(SUM(v) OVER () AS BIGINT) AS t,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+                FROM daily)
+              SELECT split_at, i AS n_before, (cnt - i) AS n_after,
+                     s AS sum_before, (t - s) AS sum_after,
+                     (ABS(s * (cnt - i) - (t - s) * i) * 1000000)
+                       // (i * (cnt - i)) AS score
+              FROM ser WHERE i < cnt
+              ORDER BY score DESC, split_at ASC LIMIT 3"""))
   )
 }

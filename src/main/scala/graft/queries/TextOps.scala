@@ -502,6 +502,40 @@ object TextOps {
                      MAX(CASE WHEN rk = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
                      MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END)
                        AS p90_tokens
-              FROM r GROUP BY source ORDER BY source"""))
+              FROM r GROUP BY source ORDER BY source""")),
+
+    // ⊕ per-document keyword extraction: top-5 terms by exact integer
+    // tf-idf (score = tf·10⁶ DIV df; N omitted — constant per corpus,
+    // and dropping it keeps the product in a long at web scale; no
+    // libm log, same discipline as BM25's rational idf). tf is the one
+    // corpus-sized intermediate; top-k is a per-doc rank, no global
+    // sort. See operators/Retrieval.keywordsTfIdf.
+    Entry(
+      "text_keywords_tfidf",
+      (s, dir) => graft.operators.Retrieval
+        .keywordsTfIdf(Tables(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+                FROM documents),
+              tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM t GROUP BY 1, 2),
+              df AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+              sc AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       (tf.tf * 1000000) // df.df AS score
+                FROM tf JOIN df USING (term)),
+              r AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+                FROM sc)
+              SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+                     rank
+              FROM r WHERE rank <= 5
+              ORDER BY doc_id, rank"""))
   )
 }

@@ -57,4 +57,30 @@ class RetrievalSpec extends SparkSuite {
       assert(rs.map(_._3) === (1L to rs.size).toSet)
     }
   }
+
+  test("keywordsTfIdf ranks rare repeated terms above common ones") {
+    val got = Retrieval.keywordsTfIdf(corpus, k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).map(_._2).toList).toMap
+    // doc 1: "beginners" appears twice and only in doc 1 → tf=2, df=1
+    // → score 2·10⁶ beats every single-occurrence term
+    assert(got(1L).head === "beginners")
+    // doc 0: all terms tf=1; "quantum" has df=2 so any df=1 term of
+    // doc 0 ("capacitor", "flux", ...) outranks it; ties break by term
+    assert(got(0L) === List("capacitor", "flux"))
+    // exact score arithmetic: tf·10⁶ DIV df
+    val rows = Retrieval.keywordsTfIdf(corpus, k = 2)
+      .filter(col("term") === "beginners").as[(Long, String, Long, Long, Long, Long)]
+      .collect()
+    assert(rows.toList === List((1L, "beginners", 2L, 1L, 2000000L, 1L)))
+  }
+
+  test("keywordsTfIdf emits at most k rows per doc with ranks 1..k") {
+    val got = Retrieval.keywordsTfIdf(corpus, k = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._6).sorted.toList === (1L to rs.length).toList)
+    }
+  }
 }
