@@ -45,4 +45,42 @@ object RangeJoin {
     // pair matches on exactly one probe
     pairs
   }
+
+  /** Overlap join of two INTERVAL relations: every (left, right) pair of
+    * half-open µs intervals `[start, end)` that intersect, with the
+    * overlap length. The interval×interval generalization of
+    * [[withinGapPairs]] (sessions × campaign windows, validity ranges ×
+    * audit windows).
+    *
+    * Banding without a dedup shuffle: each side explodes to the width-
+    * `bucketUs` buckets it covers, the join is an equi-join on bucket,
+    * and a pair is KEPT only in its canonical bucket — the one holding
+    * `greatest(start_l, start_r)`, which every overlapping pair shares
+    * exactly once. Each qualifying pair therefore matches exactly one
+    * bucket row: no distinct over the candidate stream, the classic
+    * interval-join trick. Candidate volume scales with intervals per
+    * bucket (pick `bucketUs` near the typical interval length); a theta
+    * join would be |left|×|right| regardless.
+    *
+    * Columns: left needs (`id_l`, `start_l`, `end_l`), right (`id_r`,
+    * `start_r`, `end_r`), all µs longs; empty intervals never match.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) < col(e))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(s) / lit(bucketUs)),
+        floor((col(e) - 1) / lit(bucketUs)))))
+    exploded(left, "start_l", "end_l").as("l")
+      .join(exploded(right, "start_r", "end_r").as("r"), Seq("__bucket"))
+      .filter(col("start_l") < col("end_r") && col("start_r") < col("end_l"))
+      .filter(col("__bucket") ===
+        floor(greatest(col("start_l"), col("start_r")) / lit(bucketUs)))
+      .select(col("id_l"), col("id_r"),
+        greatest(col("start_l"), col("start_r")).as("overlap_start"),
+        (least(col("end_l"), col("end_r")) -
+          greatest(col("start_l"), col("start_r"))).as("overlap_us"))
+  }
 }

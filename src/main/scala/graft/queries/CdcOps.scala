@@ -74,6 +74,39 @@ object CdcOps {
                      ts AS valid_from, valid_to,
                      (valid_to IS NULL) AS is_current
               FROM w WHERE NOT is_delete
-              ORDER BY user_id, valid_from, event_id"""))
+              ORDER BY user_id, valid_from, event_id""")),
+
+    // ⊕ time travel: table state AS OF 2024-01-15 — the row image whose
+    // SCD2 validity interval covers the instant; keys deleted before it
+    // are absent because their tombstone closed the interval. The
+    // lookup Delta's VERSION AS OF serves, over plain parquet.
+    Entry(
+      "cdc_state_asof",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        CdcApply.stateAt(
+          upserts    = ev.filter(col("event_id") % 7 =!= 0),
+          tombstones = ev.filter(col("event_id") % 7 === 0),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          tsCol = "ts",
+          at = to_timestamp(lit("2024-01-15 00:00:00")))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_id, ts, value,
+                       (event_id % 7 = 0) AS is_delete
+                FROM events),
+              w AS (
+                SELECT *, LEAD(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM c)
+              SELECT user_id, event_id, ts, value
+              FROM w
+              WHERE NOT is_delete
+                AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+                AND (valid_to IS NULL
+                     OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+              ORDER BY user_id"""))
   )
 }

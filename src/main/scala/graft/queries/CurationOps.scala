@@ -585,6 +585,47 @@ object CurationOps {
               SELECT source, CAST(cum_prev // 20000 AS BIGINT) AS bin,
                      COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
-              FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ⊕ dataset card: the per-source summary a corpus release publishes
+    // — doc/token volumes, language spread, and the exact-duplicate
+    // rate (corpus-wide md5 fingerprint collisions attributed to each
+    // source). Composes the fingerprint pass with the per-source stats
+    // in two shuffles (fingerprint, then source); every metric exact,
+    // the dup share an IEEE ratio of two exact counts.
+    Entry(
+      "cur_dataset_card",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("text")).as("fp"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("nt"))
+        val fc = d.groupBy("fp").agg(count(lit(1)).as("n"))
+        d.join(fc, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            (sum(when(col("n") > 1, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("dup_share"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source, lang, md5(text) AS fp,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                         AS BIGINT) AS nt
+                FROM documents),
+              fc AS (SELECT fp, COUNT(*) AS n FROM d GROUP BY 1)
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(SUM(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dup_docs,
+                     CAST(SUM(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) AS dup_share
+              FROM d JOIN fc USING (fp)
+              GROUP BY source ORDER BY source"""))
   )
 }

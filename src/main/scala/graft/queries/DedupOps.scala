@@ -449,6 +449,62 @@ object DedupOps {
                 ON a.c_nationkey = b.c_nationkey
                AND a.c_custkey < b.c_custkey
               WHERE levenshtein(a.c_name, b.c_name) <= 1
-              ORDER BY key_a, key_b"""))
+              ORDER BY key_a, key_b""")),
+
+    // ⊕ threshold sensitivity sweep: the report run BEFORE fixing a
+    // dedup threshold — per candidate threshold, how many near-dup
+    // pairs and how many distinct documents they touch. The pair
+    // relation is computed ONCE at the loosest threshold (0.5) and
+    // localCheckpoint-materialized, so the four cutoffs are two tiny
+    // conditional aggregates over it, not four quadratic joins.
+    Entry(
+      "dedup_threshold_sweep",
+      (s, dir) => {
+        val thresholds = Seq(0.5, 0.7, 0.8, 0.9)
+        val pairs = Dedup
+          .ngramJaccardPairs(Tables(s, dir, "documents"), 3, 0.5)
+          .localCheckpoint()
+        def counts(c: String, pfx: String) = thresholds.zipWithIndex.map {
+          case (t, i) =>
+            coalesce(sum(when(col(c) >= t, 1L)), lit(0L)).as(s"$pfx$i")
+        }
+        val pCols = counts("jaccard", "p")
+        val pAgg = pairs.agg(pCols.head, pCols.tail: _*)
+        val docMax = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+            col("jaccard"))
+          .groupBy("doc").agg(max("jaccard").as("mj"))
+        val dCols = counts("mj", "d")
+        val dAgg = docMax.agg(dCols.head, dCols.tail: _*)
+        pAgg.crossJoin(dAgg).selectExpr(
+          "stack(4, 0.5D, p0, d0, 0.7D, p1, d1, 0.8D, p2, d2, 0.9D, p3, d3)" +
+            " AS (threshold, n_pairs, n_dup_docs)")
+          .orderBy("threshold")
+      },
+      Some(s"""WITH ${shingleCtes("documents")},
+              pairs AS (
+                SELECT doc_a, doc_b,
+                       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS j
+                FROM common
+                  JOIN cnt ca ON doc_a = ca.doc_id
+                  JOIN cnt cb ON doc_b = cb.doc_id
+                WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+              dm AS (
+                SELECT doc, MAX(j) AS mj
+                FROM (SELECT doc_a AS doc, j FROM pairs
+                      UNION ALL SELECT doc_b, j FROM pairs)
+                GROUP BY 1),
+              th AS (
+                SELECT CAST(0.5 AS DOUBLE) AS threshold
+                UNION ALL SELECT 0.7 UNION ALL SELECT 0.8
+                UNION ALL SELECT 0.9)
+              SELECT th.threshold,
+                     CAST((SELECT COUNT(*) FROM pairs
+                           WHERE pairs.j >= th.threshold) AS BIGINT)
+                       AS n_pairs,
+                     CAST((SELECT COUNT(*) FROM dm
+                           WHERE dm.mj >= th.threshold) AS BIGINT)
+                       AS n_dup_docs
+              FROM th ORDER BY th.threshold"""))
   )
 }

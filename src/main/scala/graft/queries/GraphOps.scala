@@ -457,6 +457,57 @@ object GraphOps {
                 UNION ALL SELECT node, 1 FROM d1
                 UNION ALL SELECT node, 2 FROM d2
                 UNION ALL SELECT node, 3 FROM d3)
-              ORDER BY node"""))
+              ORDER BY node""")),
+
+    // ⊕ degree distribution in power-of-two buckets: the graph-shape
+    // report read before choosing join strategies (a heavy tail ⇒ salt
+    // or orient). Bucket = ⌊log₂ degree⌋ + 1, computed EXACTLY as the
+    // bit length of the integer (LENGTH(BIN(d)) on both engines — no
+    // libm log whose rounding could flip a power-of-two boundary).
+    // Buckets are ≤ 64 rows however skewed the graph.
+    Entry(
+      "g6_degree_histogram",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        val simple = edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        simple.select(col("a").as("node"))
+          .unionByName(simple.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .groupBy(length(bin(col("deg"))).cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_degree"),
+            max(col("deg")).as("max_degree"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT LEAST(prev, item) AS a,
+                       GREATEST(prev, item) AS b
+                FROM tr WHERE prev IS NOT NULL AND prev <> item),
+              deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM ed
+                      UNION ALL SELECT b FROM ed)
+                GROUP BY 1)
+              SELECT CAST(LENGTH(BIN(deg)) AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                     MIN(deg) AS min_degree, MAX(deg) AS max_degree
+              FROM deg GROUP BY 1 ORDER BY bucket"""))
   )
 }

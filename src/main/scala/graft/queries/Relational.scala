@@ -295,6 +295,68 @@ object Relational {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
               FROM orders ORDER BY o_orderkey LIMIT 10""")),
 
+    // ⊕ interval×interval overlap join: which hour windows does each
+    // user session span — sessions (30-min session_window) joined to
+    // the hour grid on [start, end) intersection via canonical-bucket
+    // banding (operators/RangeJoin.intervalOverlap: equi-join on
+    // bucket, each overlapping pair kept exactly once in the bucket
+    // holding the later start — no theta join, no dedup shuffle). The
+    // oracle states the same sessions (w2's gaps-and-islands form) with
+    // a declarative overlap predicate.
+    Entry(
+      "j9_interval_overlap",
+      (s, dir) => {
+        val hourUs = 3600000000L
+        val sess = Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            struct(col("user_id"),
+              col("sw.start").as("session_start")).as("id_l"),
+            unix_micros(col("sw.start")).as("start_l"),
+            unix_micros(col("sw.end")).as("end_l"))
+        val hours = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .select(date_trunc("hour", col("ts")).as("h")).distinct()
+          .select(col("h").as("id_r"), unix_micros(col("h")).as("start_r"),
+            (unix_micros(col("h")) + hourUs).as("end_r"))
+        graft.operators.RangeJoin.intervalOverlap(sess, hours, hourUs)
+          .select(col("id_l.user_id").as("user_id"),
+            col("id_l.session_start").as("session_start"),
+            col("id_r").as("hour_start"), col("overlap_us"))
+          .orderBy("user_id", "session_start", "hour_start")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              marks AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sids AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marks),
+              sess AS (
+                SELECT user_id, MIN(ts) AS session_start,
+                       MAX(ts) + INTERVAL 30 MINUTE AS session_end
+                FROM sids GROUP BY user_id, sid),
+              hours AS (
+                SELECT DISTINCT date_trunc('hour', ts) AS h
+                FROM events WHERE ts IS NOT NULL)
+              SELECT s.user_id, s.session_start, h.h AS hour_start,
+                     epoch_us(LEAST(s.session_end, h.h + INTERVAL 1 HOUR))
+                       - epoch_us(GREATEST(s.session_start, h.h)) AS overlap_us
+              FROM sess s JOIN hours h
+                ON s.session_start < h.h + INTERVAL 1 HOUR
+               AND h.h < s.session_end
+              ORDER BY user_id, session_start, hour_start""")),
+
     // Set op (beyond reference §2.8): distinct union of key spaces.
     Entry(
       "u1_union_distinct",

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** CDC apply: materialize the CURRENT state of a table from its routed
@@ -168,6 +168,24 @@ object CdcApply {
     * shuffle (history needs per-key order); `lead` runs BEFORE deletes
     * are filtered so a tombstone's timestamp closes its predecessor.
     * Output = upsert schema + (valid_from, valid_to, is_current). */
+  /** Table state AS OF an instant — the time-travel lookup Delta's
+    * `VERSION AS OF` serves, over a plain parquet changelog: the SCD2
+    * version whose validity interval covers `at` (keys whose latest
+    * change before `at` is a delete are absent, because the tombstone
+    * closed their last interval). The filter is a map-side predicate
+    * over the history; for repeated lookups at 100 TB, WRITE the
+    * [[scd2History]] once (partitioned by month of `valid_from`) and
+    * serve every AS-OF query from that table instead of re-windowing
+    * the changelog.
+    */
+  def stateAt(upserts: DataFrame, tombstones: DataFrame,
+              keyCols: Seq[String], orderCols: Seq[String],
+              tsCol: String, at: Column): DataFrame =
+    scd2History(upserts, tombstones, keyCols, orderCols, tsCol)
+      .where(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .drop("valid_from", "valid_to", "is_current")
+
   def scd2History(upserts: DataFrame, tombstones: DataFrame,
                   keyCols: Seq[String], orderCols: Seq[String],
                   tsCol: String): DataFrame = {

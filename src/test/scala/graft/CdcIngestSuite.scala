@@ -216,6 +216,27 @@ class CdcIngestSuite extends SparkSuite {
     assert(histCurrent === state)
   }
 
+  test("stateAt: AS-OF lookups replay upsert → delete → re-insert correctly") {
+    import spark.implicits._
+    import graft.streaming.CdcApply
+    // same changelog as the scd2 case; probe four instants around it
+    val ups = Seq((3, "Vélo", 1000L), (3, "Judo", 3000L), (2, "Marche", 1000L))
+      .toDF("id", "sport_type", "ts_ms")
+    val dels = Seq((3, "Vélo", 2000L), (1, "Yoga", 500L))
+      .toDF("id", "sport_type", "ts_ms")
+    def at(t: Long) = CdcApply
+      .stateAt(ups, dels, Seq("id"), Seq("ts_ms"), "ts_ms", lit(t))
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    assert(at(999L) === Set.empty)                           // before anything
+    assert(at(1500L) === Set(3 -> "Vélo", 2 -> "Marche"))    // both live
+    assert(at(2500L) === Set(2 -> "Marche"))                 // 3 deleted at 2000
+    assert(at(3000L) === Set(3 -> "Judo", 2 -> "Marche"))    // re-inserted
+    // AS-OF "now" ≡ currentState
+    val state = CdcApply.currentState(ups, dels, Seq("id"), Seq("ts_ms"))
+      .select("id", "sport_type").as[(Int, String)].collect().toSet
+    assert(at(Long.MaxValue) === state)
+  }
+
   test("batch parse of the same plan handles all-null comment rows") {
     import spark.implicits._
     val df = Seq(

@@ -271,4 +271,35 @@ class StreamingExtSuite extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((100L, 1L))) // user 7 in-window click only
   }
+
+  test("streaming CDC state: latest image wins, tombstones apply, late data ignored") {
+    import graft.streaming.StreamingCdcState
+    import graft.streaming.StreamingCdcState.Image
+    val in = tmpDir("cdcst-in"); val cp = tmpDir("cdcst-cp")
+    val src = spark.readStream
+      .schema("id LONG, payload STRING, tsMs LONG, deleted BOOLEAN")
+      .json(in).as[StreamingCdcState.Change]
+    val q = StreamingCdcState.run(src, "cdc_state_images", cp)
+    try {
+      feed(in, q, Seq(
+        """{"id":1,"payload":"a","tsMs":10,"deleted":false}""",
+        """{"id":2,"payload":"b","tsMs":10,"deleted":false}"""))
+      // update 1, tombstone 2, new key 3 — all in one batch
+      feed(in, q, Seq(
+        """{"id":1,"payload":"a2","tsMs":20,"deleted":false}""",
+        """{"id":2,"payload":"b","tsMs":30,"deleted":true}""",
+        """{"id":3,"payload":"c","tsMs":5,"deleted":false}"""))
+      // a LATE change for key 1 (ts 15 < held 20) must not regress it
+      feed(in, q, Seq(
+        """{"id":1,"payload":"old","tsMs":15,"deleted":false}"""))
+    } finally q.stop()
+    val images = spark.table("cdc_state_images").as[Image].collect()
+    val current = images.groupBy(_.id).map { case (k, v) =>
+      k -> v.maxBy(_.tsMs) }
+    assert(current(1L) === Image(1L, "a2", 20L, false)) // late row ignored
+    assert(current(2L).deleted)                         // tombstone applied
+    assert(current(3L) === Image(3L, "c", 5L, false))
+    // the live table = latest non-deleted images
+    assert(current.values.filterNot(_.deleted).map(_.id).toSet === Set(1L, 3L))
+  }
 }

@@ -77,6 +77,37 @@ class TemporalJoinSpec extends SparkSuite {
     assert(banded === naive)
   }
 
+  test("interval overlap: canonical-bucket pairs equal the naive theta join, exactly once") {
+    val rnd = new scala.util.Random(11)
+    // random intervals up to 3 buckets long, plus touching / empty edges
+    val left = ((0 until 120).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(300).toLong)
+    } :+ ((900L, 100L, 100L))) // empty: never matches
+      .toDF("id_l", "start_l", "end_l")
+    val right = (0 until 80).map { j =>
+      val s = rnd.nextInt(5000).toLong
+      (j.toLong, s, s + 1 + rnd.nextInt(300).toLong)
+    }.toDF("id_r", "start_r", "end_r")
+
+    val got = RangeJoin.intervalOverlap(left, right, bucketUs = 128L)
+      .select("id_l", "id_r").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per qualifying pair — no dedup shuffle to hide doubles
+    assert(got.length === got.toSet.size)
+    val naive = left.as("a").join(right.as("b"),
+        col("a.start_l") < col("a.end_l") && // empty intervals never match
+          col("a.start_l") < col("b.end_r") && col("b.start_r") < col("a.end_l"))
+      .select(col("a.id_l"), col("b.id_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(got.toSet === naive)
+    // half-open semantics: touching intervals [0,10) and [10,20) don't match
+    val touch = RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("id_l", "start_l", "end_l"),
+      Seq((2L, 10L, 20L)).toDF("id_r", "start_r", "end_r"), 8L)
+    assert(touch.count() === 0L)
+  }
+
   test("funnel: order matters, ties don't advance, stages are greedy-earliest") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val events = Seq(
