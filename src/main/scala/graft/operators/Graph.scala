@@ -219,6 +219,47 @@ object Graph {
     reached
   }
 
+  /** Synchronous min-label propagation: `rounds` LPA rounds with the
+    * deterministic min-label update. Every node starts labeled with its
+    * own id; each round every node relabels to the MINIMUM label in its
+    * closed undirected neighborhood (itself + neighbors). After k
+    * rounds, `label(v)` = min node id within graph distance k of `v` —
+    * the bounded-radius community detector (run to a fixed point it
+    * converges to connected components; the fixed small `rounds` keeps
+    * one community from swallowing a long chain, the usual LPA use).
+    *
+    * The min update makes LPA — normally notorious for nondeterministic
+    * tie-breaks under parallel execution — fully deterministic and
+    * order-insensitive, so results are reproducible across cluster
+    * sizes and the unrolled-CTE oracle matches exactly.
+    *
+    * Shape per round: one equi-join of the (self-looped, symmetrized)
+    * edge list with the label set on the neighbor column + a partial-agg
+    * min — both shuffles are graph-sized, never log-sized. Duplicate
+    * edges are left in place rather than `distinct()`-ed away: MIN is
+    * duplicate-insensitive, and skipping the dedup saves a full shuffle
+    * of the edge list.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct()
+    val sym = e
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
+    // name-based using-column joins: after round 1 the label set's
+    // lineage contains sym itself (same ambiguity note as kHopReach)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("label").as("label"))
+    }
+    labels
+  }
+
   /** Unordered item co-occurrence: for each item pair, the number of
     * users who touched both. The naive form — self-joining the distinct
     * `(user, item)` stream on user — shuffles a pair stream that grows

@@ -107,6 +107,80 @@ object CdcOps {
                 AND ts <= TIMESTAMP '2024-01-15 00:00:00'
                 AND (valid_to IS NULL
                      OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
-              ORDER BY user_id"""))
+              ORDER BY user_id""")),
+
+    // ⊕ snapshot reconciliation report: two deterministic "versions" of
+    // the events table (drop-every-5th vs drop-every-3rd with every-7th
+    // value perturbed) diffed by key — added/removed/changed/unchanged
+    // counts, the anti-entropy check after a backfill or replicated
+    // apply. Value comparison is null-safe column equality (Spark `<=>`
+    // ≡ DuckDB IS NOT DISTINCT FROM), never a stringified row hash, so
+    // doubles compare bit-exactly on both engines.
+    Entry(
+      "cdc_table_diff",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val old = ev.filter(col("event_id") % 5 =!= 0)
+        val nw = ev.filter(col("event_id") % 3 =!= 0)
+          .withColumn("value",
+            when(col("event_id") % 7 === 0, col("value") + lit(1.0))
+              .otherwise(col("value")))
+        CdcApply.snapshotDiff(old, nw, Seq("event_id"))
+          .groupBy("status").agg(count(lit(1)).as("n_rows"))
+          .orderBy("status")
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, user_id, event_type, value FROM events),
+              o AS (SELECT * FROM ev WHERE event_id % 5 <> 0),
+              n AS (
+                SELECT event_id, user_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN value + 1.0
+                            ELSE value END AS value
+                FROM ev WHERE event_id % 3 <> 0)
+              SELECT CASE
+                       WHEN o.event_id IS NULL THEN 'added'
+                       WHEN n.event_id IS NULL THEN 'removed'
+                       WHEN (o.user_id IS DISTINCT FROM n.user_id)
+                         OR (o.event_type IS DISTINCT FROM n.event_type)
+                         OR (o.value IS DISTINCT FROM n.value)
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS status,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+              GROUP BY 1 ORDER BY status""")),
+
+    // ⊕ incremental aggregate maintenance: yesterday's partials (ships
+    // before the cutoff) merged with today's delta (at/after it) must
+    // equal the from-scratch aggregate — the algebraic-merge property
+    // every incremental ETL relies on. Spark computes the two partials
+    // SEPARATELY and re-aggregates their union (the real incremental
+    // topology: base partials would be read from yesterday's state
+    // table); the oracle aggregates the whole table directly. Counts
+    // and integer quantity sums are exact longs, so merge ≡ recompute
+    // bit-for-bit.
+    Entry(
+      "cdc_incr_agg",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1999-01-01 00:00:00"))
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_shipdate"),
+            col("l_quantity").cast("long").as("q"))
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("q").as("sum_qty"))
+        partial(li.filter(col("l_shipdate") < cutoff))
+          .unionByName(partial(li.filter( // null ship dates ride the delta
+            col("l_shipdate") >= cutoff || col("l_shipdate").isNull)))
+          .groupBy("l_returnflag")
+          .agg(sum("n").as("n"), sum("sum_qty").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem
+              GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

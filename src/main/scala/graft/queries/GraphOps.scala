@@ -508,6 +508,54 @@ object GraphOps {
               SELECT CAST(LENGTH(BIN(deg)) AS BIGINT) AS bucket,
                      CAST(COUNT(*) AS BIGINT) AS n_nodes,
                      MIN(deg) AS min_degree, MAX(deg) AS max_degree
-              FROM deg GROUP BY 1 ORDER BY bucket"""))
+              FROM deg GROUP BY 1 ORDER BY bucket""")),
+
+    // ⊕ bounded-radius communities: 3 rounds of synchronous min-label
+    // propagation over the undirected transition graph — label(v) = min
+    // node id within distance 3. The min update is what makes parallel
+    // LPA deterministic (no tie-break luck), so the unrolled 3-round CTE
+    // oracle matches hash-for-hash. Community sizes, not the raw label
+    // table: the shape report that decides whether communities are
+    // balanced enough to partition by.
+    Entry(
+      "g7_label_propagation",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        Graph.labelPropagation(edges, rounds = 3)
+          .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("label")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT prev AS a, item AS b
+                FROM tr WHERE prev IS NOT NULL),
+              nodes AS (
+                SELECT a AS node FROM ed UNION SELECT b FROM ed),
+              sym AS (
+                SELECT a, b FROM ed
+                UNION SELECT b, a FROM ed
+                UNION SELECT node, node FROM nodes),
+              l0 AS (SELECT node, node AS label FROM nodes),
+              l1 AS (SELECT s.a AS node, MIN(l.label) AS label
+                     FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1),
+              l2 AS (SELECT s.a AS node, MIN(l.label) AS label
+                     FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1),
+              l3 AS (SELECT s.a AS node, MIN(l.label) AS label
+                     FROM sym s JOIN l2 l ON l.node = s.b GROUP BY 1)
+              SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+              FROM l3 GROUP BY 1 ORDER BY label"""))
   )
 }

@@ -532,6 +532,41 @@ object Relational {
               EXCEPT
               SELECT o_custkey FROM orders""")),
 
+    // ⊕ multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min / truncated difference of per-value counts) —
+    // the bag semantics reconciliation queries need when the column is
+    // non-unique. Spark's intersectAll/exceptAll compile to a count-
+    // aggregated join, not a row-pairing shuffle, so multiplicity
+    // handling is one hash aggregate per side.
+    Entry(
+      "u4_intersect_all",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+          .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT ALL
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              ORDER BY custkey""")),
+    Entry(
+      "u5_except_all",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+          .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              ORDER BY custkey""")),
+
     // Pivot-style conditional aggregation (⊕): one row per group, one
     // column per category — FILTER aggregates, the dialect-portable form.
     Entry(
@@ -627,6 +662,44 @@ object Relational {
                 FROM c)
               SELECT o_orderstatus, o_orderpriority AS mode_priority, n
               FROM r WHERE rn = 1 ORDER BY o_orderstatus""")),
+
+    // ⊕ exact dispersion: population variance & stddev per group from
+    // INTEGER moments — n, Σq, Σq² accumulate as exact longs (order-
+    // insensitive), then var = (n·Σq² − (Σq)²)/n² is stated explicitly
+    // as ONE IEEE division of two exactly-computed integers, and stddev
+    // as its (correctly-rounded) sqrt. No Welford/streaming-moment
+    // accumulation whose float roundoff differs by partitioning — two
+    // runs on different cluster shapes are bit-identical. Long moments
+    // hold to ~10⁹ rows of q ≤ 50; past that, swap the Σq² accumulator
+    // to DECIMAL(38,0) — the formula is unchanged.
+    Entry(
+      "a18_variance_exact",
+      (s, dir) => {
+        val q = col("l_quantity").cast(LongType)
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("sum_q"),
+            sum(q * q).as("sumsq_q"))
+          .withColumn("var_pop",
+            (col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
+              .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+          .withColumn("stddev_pop", sqrt(col("var_pop")))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sum_q,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sumsq_q
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, n, sum_q, sumsq_q,
+                     CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS var_pop,
+                     SQRT(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
+                       / CAST(n * n AS DOUBLE)) AS stddev_pop
+              FROM m ORDER BY l_returnflag""")),
 
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.

@@ -258,6 +258,46 @@ object TemporalOps {
                      (ABS(s * (cnt - i) - (t - s) * i) * 1000000)
                        // (i * (cnt - i)) AS score
               FROM ser WHERE i < cnt
-              ORDER BY score DESC, split_at ASC LIMIT 3"""))
+              ORDER BY score DESC, split_at ASC LIMIT 3""")),
+
+    // ⊕ first-order Markov transition matrix over per-user event-type
+    // sequences — the sequence-model prior a behavioral pipeline trains
+    // (and the input to next-event prediction baselines). One window
+    // shuffle on user builds the (src, dst) stream; the matrix is
+    // |types|² rows, so the row-probability window runs on a tiny
+    // relation. P(dst|src) is an IEEE ratio of two exact counts —
+    // deterministic on both engines.
+    Entry(
+      "t8_markov_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+          .filter(col("dst_type").isNotNull)
+          .groupBy(col("event_type").as("src_type"), col("dst_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum("n").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("src_type")).cast("double"))
+          .orderBy("src_type", "dst_type")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, event_type
+                FROM events WHERE user_id IS NOT NULL),
+              tr AS (
+                SELECT event_type AS src_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst_type
+                FROM e),
+              c AS (
+                SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tr WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+              SELECT src_type, dst_type, n,
+                     CAST(n AS DOUBLE) /
+                       CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+              FROM c ORDER BY src_type, dst_type"""))
   )
 }

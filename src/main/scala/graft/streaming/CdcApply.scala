@@ -207,4 +207,43 @@ object CdcApply {
         col("valid_to"),
         col("valid_to").isNull.as("is_current")): _*)
   }
+
+  /** Snapshot reconciliation: per-key status of `newDf` against `oldDf`
+    * — `added` / `removed` / `changed` / `unchanged` — the anti-entropy
+    * check run after a migration, backfill, or replicated CDC apply to
+    * prove two table versions agree (and quantify exactly how they
+    * don't). One full-outer shuffle join on the key; all value
+    * comparison is null-safe column equality (`<=>`), never a
+    * row-to-string hash — so float columns compare bit-exactly and
+    * no formatting ambiguity (double rendering, null encoding) can
+    * fake a diff. Compared columns = non-key columns present on BOTH
+    * sides; columns only one side has are ignored (schema migration
+    * tolerant). Rows with a null key never match anything and surface
+    * as `removed` + `added` — keys are expected non-null.
+    *
+    * Output: the key columns (coalesced across sides) + `status`.
+    * Aggregate by `status` for the reconciliation report; filter
+    * `status <> 'unchanged'` and re-join for the repair stream.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(keyCols.forall(oldDf.columns.contains) &&
+      keyCols.forall(newDf.columns.contains),
+      s"key columns $keyCols must exist on both sides")
+    val valCols = oldDf.columns.filterNot(keyCols.contains)
+      .filter(newDf.columns.contains).toSeq
+    val o = oldDf.as("o"); val n = newDf.as("n")
+    val keyEq = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val changed = valCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val present = col(s"o.${keyCols.head}").isNotNull
+    val presentNew = col(s"n.${keyCols.head}").isNotNull
+    o.join(n, keyEq, "full_outer").select(
+      keyCols.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+
+        when(!present, lit("added"))
+          .when(!presentNew, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
 }

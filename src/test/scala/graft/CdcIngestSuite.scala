@@ -237,6 +237,39 @@ class CdcIngestSuite extends SparkSuite {
     assert(at(Long.MaxValue) === state)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe on values") {
+    import spark.implicits._
+    import graft.streaming.CdcApply
+    val old = Seq(
+      (1L, Option("a"), Option(1.0)),  // unchanged
+      (2L, Option("b"), Option.empty[Double]), // unchanged, null value
+      (3L, Option("c"), Option(3.0)),  // changed value
+      (4L, Option.empty[String], Option(4.0))) // removed
+      .toDF("id", "name", "v")
+    val nw = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("b"), Option.empty[Double]),
+      (3L, Option("c"), Option(3.5)),
+      (5L, Option("e"), Option(5.0))) // added
+      .toDF("id", "name", "v")
+    val got = CdcApply.snapshotDiff(old, nw, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+    // null → value flips count as changed (null-safe compare, not =)
+    val flip = CdcApply.snapshotDiff(
+      Seq((2L, Option.empty[Double])).toDF("id", "v"),
+      Seq((2L, Some(9.0))).toDF("id", "v"), Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(flip === Map(2L -> "changed"))
+    // columns present on only one side are ignored (schema migration)
+    val mig = CdcApply.snapshotDiff(
+      Seq((1L, "x", 10L)).toDF("id", "v", "legacy"),
+      Seq((1L, "x", true)).toDF("id", "v", "flag"), Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(mig === Map(1L -> "unchanged"))
+  }
+
   test("batch parse of the same plan handles all-null comment rows") {
     import spark.implicits._
     val df = Seq(

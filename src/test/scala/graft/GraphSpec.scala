@@ -155,4 +155,31 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L)) // 3 via 9, not 1→2→3
   }
+
+  test("labelPropagation: label = min node id within `rounds` hops; components converge") {
+    // two components: a path 1—2—3—4—5 (undirected) and a pair 8—9
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 8L))
+      .toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // one round: min over closed 1-hop neighborhood
+    assert(r1 === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      8L -> 8L, 9L -> 8L))
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      8L -> 8L, 9L -> 8L))
+    // distance-4 radius covers the whole path → connected components
+    val r4 = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
+  test("labelPropagation ignores duplicate and self-loop edges") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
 }
