@@ -626,6 +626,40 @@ object CurationOps {
                      CAST(SUM(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END)
                        AS DOUBLE) / COUNT(*) AS dup_share
               FROM d JOIN fc USING (fp)
-              GROUP BY source ORDER BY source"""))
+              GROUP BY source ORDER BY source""")),
+
+    // ⊕ filter-funnel attrition: every curation drop attributed to its
+    // FIRST failing stage (the order the pipeline applies them), per
+    // source — the report that says where the corpus actually went when
+    // 40% vanishes. First-fail attribution (CASE order = stage order)
+    // makes the counts sum exactly to the corpus size, unlike
+    // per-filter tallies that double-count docs failing two stages.
+    // One conditional-aggregate pass, no joins.
+    Entry(
+      "cur_filter_attrition",
+      (s, dir) => {
+        val toks = graft.functions.TextFunctions
+          .tokenCount(col("text")).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            when(col("n_chars") < 100, "too_short")
+              .when(toks < 20, "too_few_tokens")
+              .when(!col("lang").isin("en", "fr", "de", "es"), "lang_filtered")
+              .otherwise("kept").as("stage"))
+          .groupBy("source", "stage")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "stage")
+      },
+      Some("""SELECT source,
+                     CASE
+                       WHEN n_chars < 100 THEN 'too_short'
+                       WHEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                              AS BIGINT) < 20 THEN 'too_few_tokens'
+                       WHEN lang NOT IN ('en', 'fr', 'de', 'es')
+                         THEN 'lang_filtered'
+                       ELSE 'kept' END AS stage,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents
+              GROUP BY 1, 2 ORDER BY source, stage"""))
   )
 }

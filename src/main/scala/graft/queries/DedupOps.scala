@@ -505,6 +505,48 @@ object DedupOps {
                      CAST((SELECT COUNT(*) FROM dm
                            WHERE dm.mj >= th.threshold) AS BIGINT)
                        AS n_dup_docs
-              FROM th ORDER BY th.threshold"""))
+              FROM th ORDER BY th.threshold""")),
+
+    // ⊕ split-leakage audit: near-duplicate pairs (word-3-gram Jaccard
+    // ≥ 0.8) bucketed by which eval splits their members landed in —
+    // the contamination a random PER-DOC split quietly creates (a train
+    // doc with a test near-twin teaches the model the test set). Uses
+    // the exact split rule `cur_split_assign` ships, so the audit
+    // matches the real assignment; off-diagonal rows are the leaks, and
+    // zero off-diagonal is the release bar (the fix: split by CLUSTER,
+    // not by doc — assign on dedup_clusters' component id instead).
+    Entry(
+      "dedup_split_leakage",
+      (s, dir) => {
+        def split(id: org.apache.spark.sql.Column) = {
+          val h = substring(md5(concat(lit("split:"), id.cast(StringType))), 1, 1)
+          when(h < "e", "train").when(h < "f", "val").otherwise("test")
+        }
+        Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3, 0.8)
+          .select(split(col("doc_a")).as("sa"), split(col("doc_b")).as("sb"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""WITH ${shingleCtes("documents")},
+              pairs AS (
+                SELECT doc_a, doc_b FROM common
+                  JOIN cnt ca ON doc_a = ca.doc_id
+                  JOIN cnt cb ON doc_b = cb.doc_id
+                WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+              sp AS (
+                SELECT CASE WHEN ha < 'e' THEN 'train'
+                            WHEN ha < 'f' THEN 'val' ELSE 'test' END AS sa,
+                       CASE WHEN hb < 'e' THEN 'train'
+                            WHEN hb < 'f' THEN 'val' ELSE 'test' END AS sb
+                FROM (SELECT
+                        substring(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 1) AS ha,
+                        substring(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 1) AS hb
+                      FROM pairs))
+              SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b"""))
   )
 }

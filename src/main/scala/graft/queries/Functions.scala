@@ -178,6 +178,40 @@ object Functions {
                      COUNT(*) AS n
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ⊕ wide→long reshape (the inverse of a10's pivot): the per-priority
+    // status counts unpivoted back to (priority, status, n) rows via
+    // Dataset.unpivot — Spark's native melt, a zero-shuffle projection
+    // over the aggregated (already tiny) wide table. The oracle states
+    // the reshape as the dialect-portable UNION ALL.
+    Entry(
+      "x3_unpivot",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+        .unpivot(
+          ids = Array(col("o_orderpriority")),
+          values = Array(col("n_f"), col("n_o"), col("n_p")),
+          variableColumnName = "status_col",
+          valueColumnName = "n")
+        .orderBy("o_orderpriority", "status_col"),
+      Some("""WITH w AS (
+                SELECT o_orderpriority,
+                       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+                FROM orders GROUP BY 1)
+              SELECT o_orderpriority, status_col, CAST(n AS BIGINT) AS n
+              FROM (
+                SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM w
+                UNION ALL
+                SELECT o_orderpriority, 'n_o', n_o FROM w
+                UNION ALL
+                SELECT o_orderpriority, 'n_p', n_p FROM w)
+              ORDER BY o_orderpriority, status_col""")),
+
     // ⊕ math battery — restricted to BIT-EXACT operations on both
     // engines: abs/ceil/floor/sign are integral on doubles, IEEE sqrt is
     // correctly rounded everywhere, pmod is integer arithmetic. (exp/ln/

@@ -357,6 +357,34 @@ object Relational {
                AND h.h < s.session_end
               ORDER BY user_id, session_start, hour_start""")),
 
+    // ⊕ salted skew join, gate-proven: orders (fact) joined to customer
+    // (dim) through operators/Salting.saltedJoin — hot fact keys scatter
+    // over 8 sub-keys, the dim side replicates 8× — then aggregated per
+    // nation. The oracle IS the plain equi-join: salting is a physical
+    // rebalance, never a semantic change, and this entry pins that
+    // equivalence in the hash gate (the salt column must not leak, the
+    // replication must not double-count).
+    Entry(
+      "j10_salted_join",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey"),
+            col("o_orderkey"), col("o_totalprice"))
+        val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        graft.operators.Salting
+          .saltedJoin(o, c, "c_custkey", salts = 8, saltBy = col("o_orderkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(D18_4)).cast(DoubleType)
+              .as("sum_price"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1 ORDER BY c_nationkey""")),
+
     // Set op (beyond reference §2.8): distinct union of key spaces.
     Entry(
       "u1_union_distinct",

@@ -298,6 +298,50 @@ object TemporalOps {
               SELECT src_type, dst_type, n,
                      CAST(n AS DOUBLE) /
                        CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
-              FROM c ORDER BY src_type, dst_type"""))
+              FROM c ORDER BY src_type, dst_type""")),
+
+    // ⊕ OHLC bars: per user-day open/high/low/close of `value` — the
+    // time-series downsampling every metrics store serves. ONE hash
+    // aggregate, no window: open/close are argmin/argmax over the
+    // lexicographic struct (ts, event_id, value) — first/last with a
+    // total tiebreak — so the whole bar costs a single partial-agg
+    // shuffle however many events a day holds. Values pass through
+    // untouched (bit-exact doubles); the oracle states first/last as
+    // QUALIFY row_number over the same total order.
+    Entry(
+      "t9_ohlc",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("value"),
+            struct(col("ts"), col("event_id"), col("value")).as("k"))
+        e.groupBy("user_id", "day")
+          .agg(
+            min("k").getField("value").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max("k").getField("value").as("close"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              o AS (
+                SELECT user_id, day, value AS open FROM e
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, day
+                  ORDER BY ts, event_id) = 1),
+              c AS (
+                SELECT user_id, day, value AS close FROM e
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, day
+                  ORDER BY ts DESC, event_id DESC) = 1),
+              hl AS (
+                SELECT user_id, day, MAX(value) AS high, MIN(value) AS low,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM e GROUP BY 1, 2)
+              SELECT user_id, day, open, high, low, close, n_events
+              FROM hl JOIN o USING (user_id, day) JOIN c USING (user_id, day)
+              ORDER BY user_id, day"""))
   )
 }

@@ -35,4 +35,34 @@ object StreamJoin {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
+
+  /** Left-outer variant: EVERY purchase emits — joined to its in-window
+    * clicks when they exist, null-padded otherwise. The null-padded row
+    * is only released once the click-side watermark passes the end of
+    * the purchase's match window (before that a matching click could
+    * still arrive), so unmatched results trail live ones by up to
+    * `window` + `lateness` of event time — the correctness/latency trade
+    * outer stream joins inherently make. State sizing and eviction are
+    * identical to the inner form: the time-range predicate bounds both
+    * sides' retained state.
+    */
+  def clicksBeforePurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                                window: String = "10 minutes",
+                                lateness: String = "1 minute"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
 }

@@ -272,6 +272,48 @@ class StreamingExtSuite extends SparkSuite {
     assert(got === Set((100L, 1L))) // user 7 in-window click only
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchases emit null-padded after watermark") {
+    val cin = tmpDir("sjo-c"); val pin = tmpDir("sjo-p")
+    def ev(id: Long, user: Long, ts: String) =
+      s"""{"event_id":$id,"user_id":$user,"ts":"$ts"}"""
+    val clicks = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp").json(cin)
+    val purchases = spark.readStream
+      .schema("event_id long, user_id long, ts timestamp").json(pin)
+    val q = graft.streaming.StreamJoin.clicksBeforePurchaseOuter(clicks, purchases)
+      .writeStream.format("memory").queryName("sjo_out")
+      .outputMode("append").start()
+    try {
+      seq += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(cin, f"c$seq%03d.json"),
+        Seq(ev(1, 7, "2024-01-01 10:00:00")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      seq += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(pin, f"p$seq%03d.json"),
+        Seq(ev(100, 7, "2024-01-01 10:05:00"),   // matched by click 1
+            ev(101, 9, "2024-01-01 10:06:00")).mkString("\n").getBytes)  // no click
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase 101's match window so
+      // the engine can prove no click will ever arrive and release the
+      // null-padded row
+      seq += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(cin, f"c$seq%03d.json"),
+        Seq(ev(2, 50, "2024-01-01 11:00:00")).mkString("\n").getBytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get(pin, f"p$seq%03d.json"),
+        Seq(ev(200, 51, "2024-01-01 11:00:00")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sjo_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // 100 matched; 101 emitted null-padded once the watermark passed
+    assert(got.contains((100L, Some(1L))))
+    assert(got.contains((101L, None)))
+  }
+
   test("streaming CDC state: latest image wins, tombstones apply, late data ignored") {
     import graft.streaming.StreamingCdcState
     import graft.streaming.StreamingCdcState.Image
