@@ -660,6 +660,44 @@ object CurationOps {
                        ELSE 'kept' END AS stage,
                      CAST(COUNT(*) AS BIGINT) AS n_docs
               FROM documents
-              GROUP BY 1, 2 ORDER BY source, stage"""))
+              GROUP BY 1, 2 ORDER BY source, stage""")),
+
+    // ⊕ deterministic oversampling to class balance: each language's
+    // docs replicate ⌈max_class/n⌉ times (integer ceiling division —
+    // never a float ceil whose rounding could differ), indexed by
+    // copy_idx — the upsampling half of mixture balancing (the
+    // downsampling half is cur_mixture_sample). Replication is
+    // explode(sequence(1, rep)) — map-side fan-out AFTER the broadcast
+    // join of the per-class factors, so nothing but the tiny class
+    // table shuffles; a training loader varies per-copy augmentation
+    // off copy_idx.
+    Entry(
+      "cur_oversample_balance",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("maxn",
+            max("n").over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
+          .withColumn("rep", expr("(maxn + n - 1) div n"))
+          .select("lang", "rep")
+        Tables(s, dir, "documents")
+          .join(broadcast(counts), "lang")
+          .withColumn("copy_idx", explode(sequence(lit(1L), col("rep"))))
+          .select(col("doc_id"), col("lang"), col("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some("""WITH c AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1),
+              r AS (
+                SELECT lang, (SELECT MAX(n) FROM c) AS maxn, n FROM c),
+              rep AS (
+                SELECT lang, (maxn + n - 1) // n AS rep FROM r)
+              SELECT doc_id, d.lang,
+                     CAST(unnest(generate_series(1, rep)) AS BIGINT)
+                       AS copy_idx
+              FROM documents d JOIN rep USING (lang)
+              ORDER BY doc_id, copy_idx"""))
   )
 }

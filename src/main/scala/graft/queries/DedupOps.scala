@@ -547,6 +547,76 @@ object DedupOps {
                       FROM pairs))
               SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
                      CAST(COUNT(*) AS BIGINT) AS n_pairs
-              FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b"""))
+              FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b""")),
+
+    // ⊕ leak-proof split assignment — the FIX dedup_split_leakage's
+    // audit demands: hash the near-dup CLUSTER id, not the doc id, so
+    // every member of a duplicate family lands in the same split by
+    // construction (a near-pair crossing train/test becomes impossible,
+    // not merely audited). Same 85/5/10 md5 rule as cur_split_assign,
+    // applied one level up the dedup hierarchy.
+    Entry(
+      "dedup_cluster_split_assign",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val comp = Dedup.connectedComponents(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        val h = substring(md5(concat(lit("split:"),
+          col("cluster_id").cast(StringType))), 1, 1)
+        comp.select(col("doc_id"), col("cluster_id"),
+            when(h < "e", "train").when(h < "f", "val").otherwise("test")
+              .as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${reachCtes("documents")},
+              clusters AS (
+                SELECT id AS doc_id, MIN(comp) AS cluster_id
+                FROM reach GROUP BY id)
+              SELECT doc_id, cluster_id,
+                     CASE WHEN h < 'e' THEN 'train'
+                          WHEN h < 'f' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, cluster_id,
+                           substring(md5('split:' ||
+                             CAST(cluster_id AS VARCHAR)), 1, 1) AS h
+                    FROM clusters)
+              ORDER BY doc_id""")),
+
+    // ⊕ cross-source duplication matrix: near-dup pairs labeled by the
+    // (unordered) source pair of their members — the provenance report
+    // that says WHO copies from WHOM (mirror sites, syndication, scraper
+    // overlap) and which source to drop first when deduplicating. Two
+    // broadcast-sized joins decorate the pair list; counts are exact.
+    Entry(
+      "dedup_source_matrix",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.ngramJaccardPairs(docs, 3, 0.8)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${shingleCtes("documents")},
+              pairs AS (
+                SELECT doc_a, doc_b FROM common
+                  JOIN cnt ca ON doc_a = ca.doc_id
+                  JOIN cnt cb ON doc_b = cb.doc_id
+                WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+              lab AS (
+                SELECT LEAST(da.source, db.source) AS source_a,
+                       GREATEST(da.source, db.source) AS source_b
+                FROM pairs
+                  JOIN documents da ON doc_a = da.doc_id
+                  JOIN documents db ON doc_b = db.doc_id)
+              SELECT source_a, source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b"""))
   )
 }

@@ -556,6 +556,52 @@ object GraphOps {
               l3 AS (SELECT s.a AS node, MIN(l.label) AS label
                      FROM sym s JOIN l2 l ON l.node = s.b GROUP BY 1)
               SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
-              FROM l3 GROUP BY 1 ORDER BY label"""))
+              FROM l3 GROUP BY 1 ORDER BY label""")),
+
+    // ⊕ edge reciprocity: how much of the directed transition graph
+    // flows both ways (A→B and B→A) — the one-number shape probe that
+    // says whether sequences are back-and-forth loops or one-way
+    // funnels. The reciprocated count is a self semi-join of the
+    // distinct edge list on its own swap; ratio = IEEE division of two
+    // exact counts. Self-loops are excluded (trivially reciprocal).
+    Entry(
+      "g8_reciprocity",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val ed = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+          .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+        val rec = ed.join(ed.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        ed.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(rec.agg(count(lit(1)).as("n_reciprocated")))
+          .withColumn("reciprocity", col("n_reciprocated").cast("double") /
+            col("n_edges").cast("double"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT prev AS src, item AS dst
+                FROM tr WHERE prev IS NOT NULL AND prev <> item),
+              rec AS (
+                SELECT * FROM ed
+                WHERE EXISTS (SELECT 1 FROM ed e2
+                              WHERE e2.src = ed.dst AND e2.dst = ed.src))
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM rec)
+                       AS n_reciprocated,
+                     CAST((SELECT COUNT(*) FROM rec) AS DOUBLE) /
+                       CAST((SELECT COUNT(*) FROM ed) AS DOUBLE)
+                       AS reciprocity"""))
   )
 }

@@ -143,6 +143,56 @@ object Quality {
                        CAST(COUNT(*) FILTER (WHERE value IS NOT NULL
                                                AND value < 0) AS BIGINT)
                 FROM events)
-              ORDER BY check_name"""))
+              ORDER BY check_name""")),
+
+    // ⊕ robust outliers via MAD (median absolute deviation): per event
+    // type, points with |value − median| > 3·MAD — the quantile-based
+    // twin of q6's z² test, immune to the outliers themselves inflating
+    // the spread (one fat tail can mask itself under a σ-based flag;
+    // the median can't be dragged). Two tiny percentile aggregates
+    // (each group collapses before the second pass) + broadcast joins
+    // back; both engines interpolate percentiles identically
+    // (percentile ≡ quantile_cont — the a11 equivalence) and every
+    // arithmetic step (subtract, abs, 3·mad, compare) is the same IEEE
+    // op on both sides, so the flag boundary cannot disagree.
+    Entry(
+      "q8_mad_outliers",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            count(lit(1)).as("n_total"),
+            min("med").as("med"), min("mad").as("mad"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type, value FROM events WHERE value IS NOT NULL),
+              md AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM ev GROUP BY 1),
+              dev AS (
+                SELECT ev.event_type, med, ABS(value - med) AS adev
+                FROM ev JOIN md USING (event_type)),
+              md2 AS (
+                SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+              SELECT dev.event_type,
+                     CAST(COUNT(*) FILTER (adev > 3.0 * mad) AS BIGINT)
+                       AS n_outliers,
+                     CAST(COUNT(*) AS BIGINT) AS n_total,
+                     MIN(med) AS med, MIN(mad) AS mad
+              FROM dev JOIN md2 USING (event_type)
+              GROUP BY 1 ORDER BY event_type"""))
   )
 }

@@ -186,6 +186,110 @@ object SimilarityOps {
                  SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
                  FROM q, d WHERE d.vec_id <> q.query_id)
                SELECT query_id, neighbor_id, cos FROM scored
-               WHERE cos >= 0.2 ORDER BY query_id, neighbor_id"""))
+               WHERE cos >= 0.2 ORDER BY query_id, neighbor_id""")),
+
+    // ⊕ hybrid retrieval: BM25 lexical top-10 fused with cosine vector
+    // top-10 by reciprocal-rank fusion (k=60, the standard constant) —
+    // the two-tower search stack every RAG corpus runs, as one query.
+    // RRF needs only RANKS, so the incommensurable scores (BM25 mass
+    // vs cosine) never mix; each doc's fused score is the fixed-order
+    // two-term sum 1/(60+r_text) + 1/(60+r_vec), every term an IEEE
+    // division of exact small ints — deterministic on both engines,
+    // ties broken by doc id. Each leg keeps its own scale shape: BM25's
+    // bounded per-term postings join, brute cosine's broadcast probe
+    // (swap in the IVF leg at 100 TB); fusion itself is a full-outer
+    // join of two k-row-per-query relations — negligible.
+    Entry(
+      "sim_hybrid_search",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        val t = graft.operators.Retrieval.bm25TopK(docs,
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("query_id"), col("text")), k = 10)
+          .select(col("query_id"), col("doc_id"),
+            col("rank").cast(LongType).as("t_rank"))
+        val v = Similarity
+          .knnBrute(emb, emb.filter(col("vec_id") < 3), 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").cast(LongType).as("v_rank"))
+        val fused = t.join(v, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60L) + col("t_rank")).cast(DoubleType),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("v_rank")).cast(DoubleType),
+              lit(0.0)))
+        val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+        fused.withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select("query_id", "doc_id", "rank", "rrf")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              dl AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+                FROM documents),
+              stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM dl),
+              dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              qt AS (
+                SELECT DISTINCT doc_id AS query_id, term FROM toks
+                WHERE doc_id < 3),
+              contrib AS (
+                SELECT qt.query_id, tf.doc_id,
+                       CAST(floor((((s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl)))
+                         * 1000000.0) AS BIGINT) AS c
+                FROM tf
+                  JOIN qt ON tf.term = qt.term
+                  JOIN dfr ON tf.term = dfr.term
+                  JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+              tscores AS (
+                SELECT query_id, doc_id, SUM(c) AS sc
+                FROM contrib GROUP BY 1, 2),
+              trk AS (
+                SELECT query_id, doc_id, rank FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY sc DESC, doc_id ASC) AS rank
+                  FROM tscores)
+                WHERE rank <= 10),
+              de AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              qv AS (SELECT vec_id AS query_id, e FROM de WHERE vec_id < 3),
+              vsc AS (
+                SELECT qv.query_id, de.vec_id AS doc_id,
+                       list_dot_product(qv.e, de.e)
+                         / (sqrt(list_dot_product(qv.e, qv.e))
+                            * sqrt(list_dot_product(de.e, de.e))) AS cos
+                FROM qv, de WHERE de.vec_id <> qv.query_id),
+              vrk AS (
+                SELECT query_id, doc_id, rank FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+                  FROM vsc)
+                WHERE rank <= 10),
+              fused AS (
+                SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+                       COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                       COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.rank),
+                                CAST(0.0 AS DOUBLE))
+                         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank),
+                                    CAST(0.0 AS DOUBLE)) AS rrf
+                FROM trk t FULL OUTER JOIN vrk v
+                  ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+              SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+                FROM fused)
+              WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

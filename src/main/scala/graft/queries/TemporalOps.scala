@@ -342,6 +342,42 @@ object TemporalOps {
                 FROM e GROUP BY 1, 2)
               SELECT user_id, day, open, high, low, close, n_events
               FROM hl JOIN o USING (user_id, day) JOIN c USING (user_id, day)
-              ORDER BY user_id, day"""))
+              ORDER BY user_id, day""")),
+
+    // ⊕ gaps-and-islands on the calendar: each user's distinct active
+    // days compressed to contiguous [start, end] runs — the classic
+    // day − row_number() grouping key (consecutive days share it,
+    // integer date arithmetic on both engines). The streak/coverage
+    // report behind "active N days in a row", and the complement of
+    // w2's timestamp-gap sessionization: islands quantize to DAYS, so
+    // a 11:59 pm → 12:01 am pair stays one island however small the
+    // gap, where a session would split on any 30-minute lull.
+    Entry(
+      "t11_activity_islands",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("start_day"), max("day").as("end_day"),
+            count(lit(1)).as("n_days"))
+          .select("user_id", "start_day", "end_day", "n_days")
+          .orderBy("user_id", "start_day")
+      },
+      Some("""WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              g AS (
+                SELECT user_id, day,
+                       day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY day) AS INTEGER) AS grp
+                FROM d)
+              SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+                     CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM g GROUP BY user_id, grp
+              ORDER BY user_id, start_day"""))
   )
 }

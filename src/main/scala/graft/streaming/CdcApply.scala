@@ -233,16 +233,18 @@ object CdcApply {
       s"key columns $keyCols must exist on both sides")
     val valCols = oldDf.columns.filterNot(keyCols.contains)
       .filter(newDf.columns.contains).toSeq
-    val o = oldDf.as("o"); val n = newDf.as("n")
+    // explicit presence markers, NOT key-nullness: a null-keyed row is
+    // still a row of its side (it surfaces as removed/added, never as
+    // the other side's phantom)
+    val o = oldDf.withColumn("__graft_in_old", lit(true)).as("o")
+    val n = newDf.withColumn("__graft_in_new", lit(true)).as("n")
     val keyEq = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val changed = valCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val present = col(s"o.${keyCols.head}").isNotNull
-    val presentNew = col(s"n.${keyCols.head}").isNotNull
     o.join(n, keyEq, "full_outer").select(
       keyCols.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+
-        when(!present, lit("added"))
-          .when(!presentNew, lit("removed"))
+        when(col("__graft_in_old").isNull, lit("added"))
+          .when(col("__graft_in_new").isNull, lit("removed"))
           .when(changed, lit("changed"))
           .otherwise(lit("unchanged")).as("status"): _*)
   }

@@ -268,6 +268,13 @@ class CdcIngestSuite extends SparkSuite {
       Seq((1L, "x", true)).toDF("id", "v", "flag"), Seq("id"))
       .as[(Long, String)].collect().toMap
     assert(mig === Map(1L -> "unchanged"))
+    // null-keyed rows never match: one per side → removed + added, and
+    // neither masquerades as the other side's row
+    val nk = CdcApply.snapshotDiff(
+      Seq((Option.empty[Long], "o")).toDF("id", "v"),
+      Seq((Option.empty[Long], "n")).toDF("id", "v"), Seq("id"))
+      .select("status").as[String].collect().sorted
+    assert(nk === Array("added", "removed"))
   }
 
   test("batch parse of the same plan handles all-null comment rows") {
