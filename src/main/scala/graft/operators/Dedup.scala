@@ -109,6 +109,37 @@ object Dedup {
     * near-duplicate signal). The default keeps every shingle — exact
     * semantics, and a no-op whenever cap ≥ the corpus's max document
     * frequency (DedupSpec asserts this invariance). */
+  /** Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| — the
+    * subset-copy detector symmetric Jaccard structurally misses. A
+    * paragraph lifted verbatim into a 10× larger document has
+    * J ≈ |A|/|B| (small, under any Jaccard threshold) but containment
+    * ≈ 1 from the copied side. Emits every pair where EITHER direction
+    * reaches `threshold`, with both directions reported (containment ≥
+    * Jaccard always, so this is a superset of the Jaccard pairs at the
+    * same cutoff). Identical inverted-index self-join shape and cost as
+    * the Jaccard path — only the final ratios differ: each is one IEEE
+    * division of two exact counts.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("cont_a",
+        col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("cont_b",
+        col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = docShingles(docs, n)

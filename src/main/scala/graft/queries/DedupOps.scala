@@ -617,6 +617,52 @@ object DedupOps {
                   JOIN documents db ON doc_b = db.doc_id)
               SELECT source_a, source_b,
                      CAST(COUNT(*) AS BIGINT) AS n_pairs
-              FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+              FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
+    // ⊕ asymmetric containment pairs: |A∩B|/|A| per direction — finds
+    // the paragraph-lifted-into-a-bigger-doc copies symmetric Jaccard
+    // structurally misses (J ≈ size ratio, containment ≈ 1). Superset
+    // of the Jaccard pairs at the same cutoff (C ≥ J always); the two
+    // directional ratios say which doc is the fragment.
+    Entry(
+      "dedup_containment",
+      (s, dir) => Dedup
+        .containmentPairs(Tables(s, dir, "documents"), 3, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH ${shingleCtes("documents")}
+              SELECT doc_a, doc_b,
+                     CAST(c AS DOUBLE) / ca.n AS cont_a,
+                     CAST(c AS DOUBLE) / cb.n AS cont_b
+              FROM common
+                JOIN cnt ca ON doc_a = ca.doc_id
+                JOIN cnt cb ON doc_b = cb.doc_id
+              WHERE GREATEST(CAST(c AS DOUBLE) / ca.n,
+                             CAST(c AS DOUBLE) / cb.n) >= 0.8
+              ORDER BY doc_a, doc_b""")),
+
+    // ⊕ cluster-size distribution: for each near-dup family size k, how
+    // many families have exactly k members — the "how duplicated is
+    // this corpus" curve a release report plots (singletons = unique
+    // docs; the tail = template spam). Two tiny group-bys over the
+    // component labels; the oracle runs the same census over the
+    // recursive-closure truth.
+    Entry(
+      "dedup_cluster_sizes",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.connectedComponents(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, 3, 0.8))
+          .groupBy("cluster_id").agg(count(lit(1)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("k")
+      },
+      Some(s"""WITH RECURSIVE ${reachCtes("documents")},
+              clusters AS (
+                SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+              sizes AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS k
+                FROM clusters GROUP BY 1)
+              SELECT k, CAST(COUNT(*) AS BIGINT) AS n_clusters
+              FROM sizes GROUP BY 1 ORDER BY k"""))
   )
 }

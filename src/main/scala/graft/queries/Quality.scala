@@ -193,6 +193,50 @@ object Quality {
                      CAST(COUNT(*) AS BIGINT) AS n_total,
                      MIN(med) AS med, MIN(mad) AS mad
               FROM dev JOIN md2 USING (event_type)
-              GROUP BY 1 ORDER BY event_type"""))
+              GROUP BY 1 ORDER BY event_type""")),
+
+    // ⊕ null/completeness profile: per column, null count and rate as
+    // ROWS — the first profiling pass run on any new table. ONE
+    // conditional-aggregation scan however many columns (stack reshapes
+    // the wide one-row aggregate), null rate an IEEE ratio of exact
+    // counts. Adding a column to the profile adds a row, not a scan.
+    Entry(
+      "q9_null_profile",
+      (s, dir) => {
+        val cols = Seq("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        val sums =
+          sum(lit(1L)).as("__n") +:
+          cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+            .as(s"__null_$c"))
+        Tables(s, dir, "events")
+          .agg(sums.head, sums.tail: _*)
+          .selectExpr(s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', __null_$c, __n").mkString(", ") +
+            ") AS (column_name, n_null, n_total)")
+          .withColumn("null_rate",
+            col("n_null").cast("double") / col("n_total").cast("double"))
+          .orderBy("column_name")
+      },
+      Some("""WITH w AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT) AS z_event_id,
+                       CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT) AS z_ts,
+                       CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) AS z_user_id,
+                       CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT) AS z_event_type,
+                       CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS z_value,
+                       CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT) AS z_props
+                FROM events)
+              SELECT column_name, n_null, n_total,
+                     CAST(n_null AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       AS null_rate
+              FROM (
+                SELECT 'event_id' AS column_name, z_event_id AS n_null, n AS n_total FROM w
+                UNION ALL SELECT 'ts', z_ts, n FROM w
+                UNION ALL SELECT 'user_id', z_user_id, n FROM w
+                UNION ALL SELECT 'event_type', z_event_type, n FROM w
+                UNION ALL SELECT 'value', z_value, n FROM w
+                UNION ALL SELECT 'props', z_props, n FROM w)
+              ORDER BY column_name"""))
   )
 }

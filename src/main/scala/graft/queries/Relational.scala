@@ -729,6 +729,39 @@ object Relational {
                        / CAST(n * n AS DOUBLE)) AS stddev_pop
               FROM m ORDER BY l_returnflag""")),
 
+    // ⊕ exact weighted average (VWAP shape): Σ(price·qty) / Σqty per
+    // group, numerator accumulated as exact DECIMAL×BIGINT products
+    // (order-insensitive — a double Σ(p·q) would drift with partition
+    // count), denominator an exact long; ONE final IEEE division. The
+    // canonical "weighted metric that must not change when the cluster
+    // resizes".
+    Entry(
+      "a20_weighted_avg",
+      (s, dir) => {
+        val q = col("l_quantity").cast(LongType)
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_extendedprice").cast(D18_4) * q).as("wsum"),
+            sum(q).as("sum_qty"))
+          .select(col("l_returnflag"),
+            (col("wsum").cast(DoubleType) / col("sum_qty").cast(DoubleType))
+              .as("vwap"),
+            col("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * CAST(l_quantity AS BIGINT)) AS wsum,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sum_qty
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag,
+                     CAST(wsum AS DOUBLE) / CAST(sum_qty AS DOUBLE) AS vwap,
+                     sum_qty
+              FROM m ORDER BY l_returnflag""")),
+
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.
     Entry(
