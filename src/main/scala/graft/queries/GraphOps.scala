@@ -602,6 +602,77 @@ object GraphOps {
                        AS n_reciprocated,
                      CAST((SELECT COUNT(*) FROM rec) AS DOUBLE) /
                        CAST((SELECT COUNT(*) FROM ed) AS DOUBLE)
-                       AS reciprocity"""))
+                       AS reciprocity""")),
+
+    // ⊕ structural link prediction: neighbor-set Jaccard between item
+    // pairs — J(N(a), N(b)) over the undirected transition graph, the
+    // classic related-items / missing-edge score computed purely from
+    // topology (no embeddings). Candidates come from the WEDGE join
+    // (pairs sharing ≥1 neighbor — never the |V|² cross space), common
+    // counts partial-aggregate, and the score is one IEEE division of
+    // exact counts. Hub nodes make the wedge join quadratic in their
+    // degree — at 100 TB cap or sample hot neighbor lists first, the
+    // same hot-key discipline as the shingle-DF cap.
+    Entry(
+      "g10_neighbor_jaccard",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        val simple = edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val adj = simple.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(simple.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+        val com = adj.as("x")
+          .join(adj.as("y"),
+            col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+          .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+          .agg(count(lit(1)).as("c"))
+        com
+          .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+          .withColumn("jaccard", col("c").cast("double") /
+            (col("da") + col("db") - col("c")).cast("double"))
+          .filter(col("jaccard") >= 0.25)
+          .select("a", "b", "jaccard")
+          .orderBy("a", "b")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT LEAST(prev, item) AS a,
+                       GREATEST(prev, item) AS b
+                FROM tr WHERE prev IS NOT NULL AND prev <> item),
+              adj AS (
+                SELECT a AS node, b AS nbr FROM ed
+                UNION ALL SELECT b, a FROM ed),
+              deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1),
+              com AS (
+                SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS c
+                FROM adj x JOIN adj y
+                  ON x.nbr = y.nbr AND x.node < y.node
+                GROUP BY 1, 2)
+              SELECT a, b,
+                     CAST(c AS DOUBLE) / (da.d + db.d - c) AS jaccard
+              FROM com
+                JOIN deg da ON a = da.node
+                JOIN deg db ON b = db.node
+              WHERE CAST(c AS DOUBLE) / (da.d + db.d - c) >= 0.25
+              ORDER BY a, b"""))
   )
 }

@@ -378,6 +378,35 @@ object TemporalOps {
               SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
                      CAST(COUNT(*) AS BIGINT) AS n_days
               FROM g GROUP BY user_id, grp
-              ORDER BY user_id, start_day"""))
+              ORDER BY user_id, start_day""")),
+
+    // ⊕ tolerance-bounded AS-OF join (pandas merge_asof's `tolerance`):
+    // t1's latest-prior click, nulled when older than 5 minutes — a
+    // stale quote/click must not attribute. Because AS-OF picks the
+    // NEWEST prior match, staleness of that one row decides for all
+    // (every other candidate is older), so the bound is a post-filter
+    // on the matched timestamp — no second join, same one-shuffle plan
+    // as t1. The µs comparison is integer on both engines.
+    Entry(
+      "t12_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks    = ev.filter(col("event_type") === "click")
+        AsOfJoin.latestPrior(purchases, clicks, "user_id", "ts",
+            leftCols = Seq("event_id"), rightCols = Seq("event_id", "ts"),
+            rightTiebreak = "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            when(unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+                   <= 300000000L,
+              col("asof_event_id")).as("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+                     (SELECT c.event_id FROM events c
+                      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                        AND c.ts <= p.ts
+                        AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'"""))
   )
 }
