@@ -292,6 +292,34 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("OHLC bars are ONE hash aggregate — no window sort anywhere (t9)") {
+    val p = plan("t9_ohlc")
+    // open/close come from argmin/argmax struct aggregates, so the plan
+    // must contain no Window operator — struct min/max lowers to
+    // SortAggregate (partial + final, still ONE shuffle on the keys)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+    assert(p.contains("partial_min"), p) // map-side combine is present
+  }
+
+  test("interval overlap join is an equi-join on the bucket, never a product (j9)") {
+    val p = plan("j9_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("neighbor-Jaccard candidates come from the wedge equi-join, not |V|² (g10)") {
+    val p = plan("g10_neighbor_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("oversampling replicates map-side: broadcast join + Generate, no extra shuffle (cur_oversample_balance)") {
+    val p = plan("cur_oversample_balance")
+    assert(p.contains("Generate"), p)          // the explode(sequence) fan-out
+    assert(p.contains("BroadcastHashJoin"), p) // rep factors arrive broadcast
+  }
+
   test("the kNN graph equi-joins probes to cells — corpus never broadcasts as a product (sim_knn_graph)") {
     val p = plan("sim_knn_graph")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
