@@ -181,6 +181,88 @@ object CdcOps {
                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
                        AS sum_qty
               FROM lineitem
-              GROUP BY 1 ORDER BY l_returnflag"""))
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ⊕ at-least-once replay idempotence, IN the gate: the whole routed
+    // changelog delivered TWICE (the retry/redeploy case every
+    // at-least-once transport produces) must materialize the exact
+    // state a single delivery does — so the oracle is cdc_apply's
+    // single-delivery SQL verbatim. Holds because currentState is an
+    // argmax: duplicates tie on the full (ts, event_id) order with
+    // identical payloads, so whichever copy wins, the row is the same.
+    Entry(
+      "cdc_replay_idempotent",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+        val ups = ev.filter(col("event_id") % 7 =!= 0)
+        val dels = ev.filter(col("event_id") % 7 === 0)
+        CdcApply.currentState(
+          upserts    = ups.unionByName(ups),
+          tombstones = dels.unionByName(dels),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, event_id, ts, event_type, value,
+                       (event_id % 7 = 0) AS is_delete
+                FROM events),
+              r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+                FROM c)
+              SELECT user_id, event_id, ts, event_type, value
+              FROM r WHERE rk = 1 AND NOT is_delete
+              ORDER BY user_id""")),
+
+    // ⊕ event-time lateness profile: per event, how far its event time
+    // lags the per-key max already ingested (arrival order = event_id,
+    // the monotone ingest id) — bucketed on the power-of-two second
+    // scale (bit length, no libm). THE report that sizes a watermark:
+    // the tail bucket is the lateness your delay threshold must absorb,
+    // and everything beyond it is what dropDuplicatesWithinWatermark
+    // would lose. Per-key windows (the scalable form — a global arrival
+    // order would funnel one partition); integer µs throughout.
+    Entry(
+      "cdc_lateness_profile",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("late_us", max("ts_us").over(w) - col("ts_us"))
+          .filter(col("late_us").isNotNull) // first arrival per key
+          .withColumn("bucket",
+            when(col("late_us") <= 0, lit(0L))
+              .otherwise(length(bin(expr("late_us div 1000000")))
+                .cast("long")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late_us")).as("max_late_us"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              l AS (
+                SELECT user_id, event_id,
+                       MAX(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         - ts_us AS late_us
+                FROM e),
+              b AS (
+                SELECT CASE WHEN late_us <= 0 THEN 0
+                            ELSE CAST(LENGTH(BIN(late_us // 1000000))
+                                   AS BIGINT) END AS bucket,
+                       late_us
+                FROM l WHERE late_us IS NOT NULL)
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     MAX(late_us) AS max_late_us
+              FROM b GROUP BY 1 ORDER BY bucket"""))
   )
 }
