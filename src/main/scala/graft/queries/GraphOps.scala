@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
 import graft.operators.Graph
@@ -208,7 +208,6 @@ object GraphOps {
     Entry(
       "pipeline_item_insights",
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val ev = Tables(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"), col("value"),
@@ -226,8 +225,8 @@ object GraphOps {
           .filter(col("asof_item").isNotNull)
           .groupBy(col("asof_item").as("node"))
           .agg(count(lit(1)).as("n_purchases"),
-            sum(col("value").cast(DecimalType(18, 6)))
-              .cast(DecimalType(18, 6)).as("revenue"))
+            (sum(floor(col("value") * lit(1e6)).cast(LongType))
+              .cast(DoubleType) / lit(1e6)).as("revenue"))
         val pairs = Graph.cooccurrence(evi, "user_id", "item",
           maxItemsPerUser = 1000)
         val sym = pairs
@@ -244,8 +243,7 @@ object GraphOps {
           .join(top, Seq("node"), "left")
           .select(col("node").as("item"), col("pr"),
             coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
-            coalesce(col("revenue"),
-              lit(BigDecimal(0)).cast(DecimalType(18, 6))).as("revenue"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"),
             coalesce(col("top_partner"), lit(-1L)).as("top_partner"),
             coalesce(col("partner_support"), lit(0L)).as("partner_support"))
           .orderBy("item")
@@ -306,8 +304,8 @@ object GraphOps {
                 FROM ev p2 WHERE p2.event_type = 'purchase'),
               rev AS (
                 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-                       CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                         AS DECIMAL(18,6)) AS revenue
+                       CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                                 AS BIGINT) AS DOUBLE) / 1e6 AS revenue
                 FROM attr WHERE node IS NOT NULL GROUP BY 1),
               it AS (
                 SELECT DISTINCT user_id, item FROM ev2
@@ -332,7 +330,7 @@ object GraphOps {
                 WHERE rn = 1)
               SELECT r3.node AS item, CAST(r3.pr AS BIGINT) AS pr,
                      CAST(COALESCE(rev.n_purchases, 0) AS BIGINT) AS n_purchases,
-                     CAST(COALESCE(rev.revenue, 0) AS DECIMAL(18,6)) AS revenue,
+                     CAST(COALESCE(rev.revenue, 0) AS DOUBLE) AS revenue,
                      CAST(COALESCE(top.top_partner, -1) AS BIGINT) AS top_partner,
                      CAST(COALESCE(top.partner_support, 0) AS BIGINT)
                        AS partner_support

@@ -13,9 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Determinism rules every entry must obey (DuckDB hash-equality):
   *   1. Column names identical on both sides (alias every computed column).
   *   2. No arithmetic on raw doubles whose result is hashed — sum/avg on
-  *      doubles go through DECIMAL intermediates (exact, order-insensitive)
-  *      and are cast to an explicit final type on BOTH sides. Raw double
-  *      column passthrough is safe (bit-identical).
+  *      doubles use floor-scaled BIGINT micro-points (exact,
+  *      order-insensitive): `floor(x * 1e4)` cast to long, summed, divided
+  *      back to DOUBLE at emit with the identical expression on BOTH
+  *      sides. NEVER a DECIMAL intermediate: the per-row double→decimal
+  *      cast rounds differently across DuckDB versions, so the query
+  *      passes the local gate and fails the driver's (VERDICT r8
+  *      §wrong-1: w4_rolling_range / t7_attribution /
+  *      pipeline_item_insights). Raw double column passthrough is safe
+  *      (bit-identical); per-row decimal ROUND pinned to reference
+  *      semantics (j3 prime) is the one sanctioned exception.
   *   3. Any LIMIT/top-k carries a total tie-breaking ORDER BY.
   *   4. Sort keys are non-nullable (Spark: NULLS FIRST, DuckDB: NULLS LAST).
   *   5. Every gated output column is a SCALAR with the same type family on

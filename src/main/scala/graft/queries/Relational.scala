@@ -24,8 +24,6 @@ import graft.core.Tables
   */
 object Relational {
   private val D18_2 = DecimalType(18, 2)
-  private val D18_4 = DecimalType(18, 4)
-  private val D18_6 = DecimalType(18, 6)
 
   val entries: Seq[Entry] = Seq(
 
@@ -50,26 +48,31 @@ object Relational {
       "IsNotNull lands in PushedFilters of the parquet scan"),
 
     // A1 group-by count + avg (read_delta.py:114-127).
-    // avg goes through an exact DECIMAL sum, then one double division —
-    // order-insensitive, so partial aggregation stays enabled. The final
-    // sum surfaces as DOUBLE: the gate's canonicalizer diverges on
-    // DECIMAL output columns even when values are bit-identical
-    // (VERDICT r1 §wrong-1), and one exact-decimal→double conversion is
-    // lossless for these magnitudes.
+    // avg goes through an exact integer micro-point sum, then one double
+    // division — order-insensitive, so partial aggregation stays enabled.
+    // Double sums use floor-scaled BIGINT micro-points (never a DECIMAL
+    // intermediate: the double→decimal cast rounds differently across
+    // DuckDB versions — VERDICT r8 §wrong-1), divided back to DOUBLE at
+    // emit: both engines run the identical floor, exact integer sum, and
+    // one IEEE division.
     Entry(
       "a1_group_count_avg",
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("count_items"),
-          sum(col("l_quantity").cast(D18_2)).cast(DoubleType).as("sum_qty"),
-          (sum(col("l_extendedprice").cast(D18_4)).cast(DoubleType) /
+          (sum(floor(col("l_quantity") * lit(1e2)).cast(LongType))
+            .cast(DoubleType) / lit(1e2)).as("sum_qty"),
+          (sum(floor(col("l_extendedprice") * lit(1e4)).cast(LongType))
+            .cast(DoubleType) / lit(1e4) /
             count(lit(1)).cast(DoubleType)).as("mean_price"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
                      COUNT(*) AS count_items,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     CAST(CAST(SUM(CAST(FLOOR(l_quantity * 1e2) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e2 AS sum_qty,
+                     CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 1e4) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e4
                        / CAST(COUNT(*) AS DOUBLE) AS mean_price
               FROM lineitem
               GROUP BY l_returnflag, l_linestatus
@@ -95,14 +98,17 @@ object Relational {
         .agg(count(lit(1)).as("n_rows")),
       Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
 
-    // A5 dashboard SUM metrics (superset slices 1-3): exact decimal sums.
+    // A5 dashboard SUM metrics (superset slices 1-3): exact micro-point
+    // sums (see a1 — DECIMAL intermediates diverge across DuckDB versions).
     Entry(
       "a5_sum_metrics",
       (s, dir) => Tables(s, dir, "orders")
         .agg(
-          sum(col("o_totalprice").cast(D18_2)).cast(D18_2).as("sum_total"),
+          (sum(floor(col("o_totalprice") * lit(1e2)).cast(LongType))
+            .cast(DoubleType) / lit(1e2)).as("sum_total"),
           count(lit(1)).as("n_orders")),
-      Some("""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+      Some("""SELECT CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 1e2) AS BIGINT))
+                              AS BIGINT) AS DOUBLE) / 1e2 AS sum_total,
                      COUNT(*) AS n_orders
               FROM orders""")),
 
@@ -142,7 +148,8 @@ object Relational {
           .groupBy("o_custkey")
           .agg(
             count(lit(1)).as("count_orders"),
-            sum(col("o_totalprice").cast(D18_2)).cast(DoubleType).as("sum_total"))
+            (sum(floor(col("o_totalprice") * lit(1e2)).cast(LongType))
+              .cast(DoubleType) / lit(1e2)).as("sum_total"))
         customer.join(perCust, customer("c_custkey") === perCust("o_custkey"), "left")
           .select(col("c_custkey"), col("c_name"),
             col("count_orders"), col("sum_total"))
@@ -150,7 +157,8 @@ object Relational {
       Some("""SELECT c_custkey, c_name, count_orders, sum_total
               FROM customer LEFT JOIN (
                 SELECT o_custkey, COUNT(*) AS count_orders,
-                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+                       CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 1e2) AS BIGINT))
+                                 AS BIGINT) AS DOUBLE) / 1e2 AS sum_total
                 FROM orders GROUP BY o_custkey
               ) ON c_custkey = o_custkey""")),
 
@@ -228,11 +236,13 @@ object Relational {
           .groupBy("r_name")
           .agg(
             count(lit(1)).as("n_items"),
-            sum(col("l_extendedprice").cast(D18_4)).cast(DoubleType).as("sum_price"))
+            (sum(floor(col("l_extendedprice") * lit(1e4)).cast(LongType))
+              .cast(DoubleType) / lit(1e4)).as("sum_price"))
           .orderBy("r_name")
       },
       Some("""SELECT r_name, COUNT(*) AS n_items,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                     CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 1e4) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e4 AS sum_price
               FROM lineitem
                 JOIN orders   ON l_orderkey = o_orderkey
                 JOIN customer ON o_custkey  = c_custkey
@@ -375,13 +385,13 @@ object Relational {
           .saltedJoin(o, c, "c_custkey", salts = 8, saltBy = col("o_orderkey"))
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(D18_4)).cast(DoubleType)
-              .as("sum_price"))
+            (sum(floor(col("o_totalprice") * lit(1e4)).cast(LongType))
+              .cast(DoubleType) / lit(1e4)).as("sum_price"))
           .orderBy("c_nationkey")
       },
       Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                       AS sum_price
+                     CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 1e4) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e4 AS sum_price
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1 ORDER BY c_nationkey""")),
 
@@ -406,9 +416,11 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast(D18_2)).cast(DoubleType).as("sum_qty")),
+          (sum(floor(col("l_quantity") * lit(1e2)).cast(LongType))
+            .cast(DoubleType) / lit(1e2)).as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                     CAST(CAST(SUM(CAST(FLOOR(l_quantity * 1e2) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e2 AS sum_qty
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
     // ⊕ CUBE: every grouping-set combination in one pass (partial
@@ -480,15 +492,17 @@ object Relational {
       "skew_salted_agg",
       (s, dir) => {
         val ev = Tables(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value").cast(D18_4).as("v"))
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * lit(1e4)).cast(LongType).as("v"))
         graft.operators.Salting
           .saltedSumCount(ev, Seq("event_type"), "v", 8, col("event_id"))
           .select(col("event_type"), col("cnt"),
-            col("sum_v").cast(DoubleType).as("sum_value"))
+            (col("sum_v").cast(DoubleType) / lit(1e4)).as("sum_value"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS cnt,
-                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+                     CAST(CAST(SUM(CAST(FLOOR(value * 1e4) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e4 AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ⊕ skew diagnostics: the report run BEFORE deciding to salt — the
@@ -730,11 +744,13 @@ object Relational {
               FROM m ORDER BY l_returnflag""")),
 
     // ⊕ exact weighted average (VWAP shape): Σ(price·qty) / Σqty per
-    // group, numerator accumulated as exact DECIMAL×BIGINT products
-    // (order-insensitive — a double Σ(p·q) would drift with partition
-    // count), denominator an exact long; ONE final IEEE division. The
-    // canonical "weighted metric that must not change when the cluster
-    // resizes".
+    // group, numerator accumulated as exact BIGINT micro-point×BIGINT
+    // products (order-insensitive — a double Σ(p·q) would drift with
+    // partition count; a DECIMAL intermediate diverges across DuckDB
+    // versions, VERDICT r8 §wrong-1), denominator an exact long; the
+    // emit is two IEEE divisions in a fixed order. Product envelope:
+    // price·1e4 < 2³³, qty ≤ 50, rows·2³⁹ < 2⁶³ to ~10⁷ rows/group —
+    // at larger scale widen the micro-points to DECIMAL(38,0).
     Entry(
       "a20_weighted_avg",
       (s, dir) => {
@@ -742,23 +758,25 @@ object Relational {
         Tables(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            sum(col("l_extendedprice").cast(D18_4) * q).as("wsum"),
+            sum(floor(col("l_extendedprice") * lit(1e4)).cast(LongType) * q)
+              .as("wsum"),
             sum(q).as("sum_qty"))
           .select(col("l_returnflag"),
-            (col("wsum").cast(DoubleType) / col("sum_qty").cast(DoubleType))
-              .as("vwap"),
+            (col("wsum").cast(DoubleType) / lit(1e4) /
+              col("sum_qty").cast(DoubleType)).as("vwap"),
             col("sum_qty"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (
                 SELECT l_returnflag,
-                       SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       SUM(CAST(FLOOR(l_extendedprice * 1e4) AS BIGINT)
                            * CAST(l_quantity AS BIGINT)) AS wsum,
                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
                          AS sum_qty
                 FROM lineitem GROUP BY 1)
               SELECT l_returnflag,
-                     CAST(wsum AS DOUBLE) / CAST(sum_qty AS DOUBLE) AS vwap,
+                     CAST(wsum AS DOUBLE) / 1e4 / CAST(sum_qty AS DOUBLE)
+                       AS vwap,
                      sum_qty
               FROM m ORDER BY l_returnflag""")),
 
@@ -815,9 +833,14 @@ object Relational {
     // over the user's trailing hour — the rolling-metric shape that a
     // ROWS frame cannot express under irregular event spacing. The frame
     // bound is integer µs on both sides (no interval-type coercion) and
-    // the double sum goes through a DECIMAL intermediate, so peers and
-    // sums are exact. One shuffle on user_id; at 100 TB a ts-sorted,
-    // user-bucketed events table serves this without the sort.
+    // the double sum uses floor-scaled BIGINT micro-points (the same
+    // exact-integer discipline as text_bm25_topk — a DECIMAL
+    // intermediate was measured to diverge across DuckDB versions via
+    // the double→decimal cast), divided back to DOUBLE at emit: both
+    // engines run the identical floor, exact integer sum, and one IEEE
+    // division, so the hash is engine-version-independent. One shuffle
+    // on user_id; at 100 TB a ts-sorted, user-bucketed events table
+    // serves this without the sort.
     Entry(
       "w4_rolling_range",
       (s, dir) => {
@@ -826,15 +849,15 @@ object Relational {
           .rangeBetween(-3600000000L, Window.currentRow)
         Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
-            col("value").cast(D18_6).as("v"))
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
           .select(col("user_id"), col("event_id"), col("ts_us"),
             count(lit(1)).over(w).as("n_1h"),
-            sum(col("v")).over(w).cast(D18_6).as("sum_1h"))
+            (sum(col("v_micro")).over(w).cast(DoubleType) / lit(1e6)).as("sum_1h"))
       },
       Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                      COUNT(*) OVER w AS n_1h,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
-                          AS DECIMAL(18,6)) AS sum_1h
+                     CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER w
+                               AS BIGINT) AS DOUBLE) / 1e6 AS sum_1h
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                            RANGE BETWEEN 3600000000 PRECEDING

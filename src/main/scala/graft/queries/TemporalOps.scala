@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -188,7 +188,10 @@ object TemporalOps {
     // nothing silently drops and the sort key stays non-nullable.
     // Composition of t1's operator — one union'd window pass, one
     // aggregate; the oracle is the correlated-subquery formulation with
-    // t1's explicit (ts DESC, event_id DESC) tiebreak.
+    // t1's explicit (ts DESC, event_id DESC) tiebreak. Revenue sums the
+    // double `value` as floor-scaled BIGINT micro-points divided back to
+    // DOUBLE (DECIMAL intermediates diverge across DuckDB versions via
+    // the double→decimal cast — see text_bm25_topk).
     Entry(
       "t7_attribution",
       (s, dir) => {
@@ -204,8 +207,8 @@ object TemporalOps {
           .select(coalesce(col("asof_item"), lit(-1L)).as("item"), col("value"))
           .groupBy("item")
           .agg(count(lit(1)).as("n_purchases"),
-            sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6))
-              .as("revenue"))
+            (sum(floor(col("value") * lit(1e6)).cast(LongType))
+              .cast(DoubleType) / lit(1e6)).as("revenue"))
           .orderBy("item")
       },
       Some("""WITH ev AS (
@@ -222,8 +225,8 @@ object TemporalOps {
                        p.value
                 FROM ev p WHERE p.event_type = 'purchase')
               SELECT item, COUNT(*) AS n_purchases,
-                     CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
-                       AS revenue
+                     CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e6 AS revenue
               FROM attr GROUP BY item ORDER BY item""")),
 
     // ⊕ change-point detection: top-3 mean-shift split days of the

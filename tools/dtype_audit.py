@@ -21,10 +21,18 @@ INTEGER, DOUBLE, VARCHAR, DATE, TIMESTAMP, or BOOLEAN. CAST anything
 DuckDB widens (SUM, %, //, list len) to an explicit type; string-join
 any array.
 
+Rule 2 (added r9 after VERDICT r8 §wrong-1): any AGGREGATE over a
+DECIMAL cast whose argument references a DOUBLE-typed source column
+(`SUM(CAST(value AS DECIMAL(18,6)))`) is a hazard regardless of output
+type — the per-row double→decimal cast rounds differently across DuckDB
+versions, so a query can pass the local gate and fail the driver's
+(w4_rolling_range / t7_attribution / pipeline_item_insights, r8). Use
+floor-scaled BIGINT micro-points instead (Inventory.scala rule 6).
+
 Usage: python3 tools/dtype_audit.py <sfDir> <verifyOutDir>
 Exit 0 = no hazards. Prints one line per flagged column otherwise.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -80,16 +88,49 @@ def arrow_family(t):
     return str(t)
 
 
+AGG_DECIMAL_CAST = re.compile(
+    r"\b(SUM|AVG|MIN|MAX|STDDEV\w*|VAR\w*|PRODUCT)\s*\(\s*(?:DISTINCT\s+)?"
+    r"CAST\s*\((.*?)\s+AS\s+DECIMAL", re.I | re.S)
+
+
+def decimal_cast_hazards(name, sql, double_cols):
+    """Flag aggregates over DECIMAL casts of DOUBLE source columns.
+
+    The cast argument is matched textually against the known DOUBLE
+    column names (word-boundary), so `CAST(value AS ...)`,
+    `CAST(p.value AS ...)` and `CAST(value * 2 AS ...)` all flag.
+    Aliases that rename a double column evade this — keep gated SQL
+    referring to source columns by their table names (house rule).
+    """
+    out = []
+    for m in AGG_DECIMAL_CAST.finditer(sql):
+        arg = m.group(2)
+        hits = [c for c in double_cols
+                if re.search(rf"\b{re.escape(c)}\b", arg)]
+        if hits:
+            out.append(
+                f"{name}: {m.group(1).upper()}(CAST({arg.strip()[:40]} AS"
+                f" DECIMAL..)) aggregates a decimal cast of DOUBLE column(s)"
+                f" {hits} — double->decimal rounding diverges across DuckDB"
+                f" versions; use floor-scaled BIGINT micro-points")
+    return out
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    double_cols = set()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            for cname, ctype, *_ in con.execute(f"DESCRIBE {t}").fetchall():
+                if ctype.upper() in ("DOUBLE", "FLOAT", "REAL"):
+                    double_cols.add(cname)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     hazards = []
     for name, sql in sorted(oracle.items()):
+        hazards.extend(decimal_cast_hazards(name, sql, double_cols))
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
