@@ -101,7 +101,14 @@ object Graph {
   }
 
   /** The shared rank iteration over `(node, __r0, __tele)`: per round,
-    * ranks ⋈ edges on src, partial-agg sum on dst, left join back. */
+    * ranks ⋈ edges on src, partial-agg sum on dst, left join back.
+    *
+    * The per-edge contribution `pr * cnt` is formed in DECIMAL(38,0)
+    * before the floor-divide: with scale=1e12 rank mass, a Long product
+    * would overflow 2⁶³ for any edge weight cnt ≳ 9·10⁶ (ANSI mode
+    * aborts, non-ANSI silently wraps) — in DECIMAL the product holds to
+    * cnt ≲ 10²⁵ and the DIV result is a node's rank mass, which always
+    * fits back in a Long (≤ scale · |V|). */
   private def prIterate(
       seeded: DataFrame,
       edges: DataFrame,
@@ -113,7 +120,9 @@ object Graph {
     for (_ <- 1 to iterations) {
       val sums = e
         .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("(pr * cnt) DIV out_cnt").as("contrib"))
+        .select(col("dst"),
+          expr("(CAST(pr AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)))" +
+            " DIV out_cnt").cast(LongType).as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).cast(LongType).as("s"))
       ranks = seeded

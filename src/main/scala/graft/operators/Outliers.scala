@@ -65,9 +65,6 @@ object Outliers {
       .drop("vi", "n", "s", "ss")
   }
 
-  /** Streaming twin: score a stream against PRECOMPUTED per-group
-    * stats (from [[stats]] over history). The stats frame re-plans and
-    * broadcasts into every micro-batch — map-side, state-free. */
   /** Best mean-shift split points of an ordered integer series — exact
     * change-point detection for drift monitoring ("did event volume step
     * on some day?"). For each candidate split after position i of the
@@ -111,6 +108,9 @@ object Outliers {
       .limit(k)
   }
 
+  /** Streaming twin: score a stream against PRECOMPUTED per-group
+    * stats (from [[stats]] over history). The stats frame re-plans and
+    * broadcasts into every micro-batch — map-side, state-free. */
   def flaggedStream(stream: DataFrame, statsDf: DataFrame, groupCol: String,
                     valueCol: String, z: Int = 3): DataFrame =
     stream.filter(col(valueCol).isNotNull)

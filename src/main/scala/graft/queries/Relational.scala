@@ -711,20 +711,26 @@ object Relational {
     // as ONE IEEE division of two exactly-computed integers, and stddev
     // as its (correctly-rounded) sqrt. No Welford/streaming-moment
     // accumulation whose float roundoff differs by partitioning — two
-    // runs on different cluster shapes are bit-identical. Long moments
-    // hold to ~10⁹ rows of q ≤ 50; past that, swap the Σq² accumulator
-    // to DECIMAL(38,0) — the formula is unchanged.
+    // runs on different cluster shapes are bit-identical. The Long
+    // ACCUMULATORS hold to ~10⁹ rows of q ≤ 50, but the derived
+    // products n·Σq² and (Σq)² would overflow 2⁶³ near 6·10⁷ rows —
+    // so the variance expression forms them in DECIMAL(38,0) (Spark) /
+    // HUGEINT (DuckDB): exact to ~10¹⁹ rows, and the exact-integer→
+    // double conversion is correctly rounded in both engines.
     Entry(
       "a18_variance_exact",
       (s, dir) => {
         val q = col("l_quantity").cast(LongType)
+        val d38 = DecimalType(38, 0)
         Tables(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), sum(q).as("sum_q"),
             sum(q * q).as("sumsq_q"))
           .withColumn("var_pop",
-            (col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
-              .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+            (col("n").cast(d38) * col("sumsq_q").cast(d38) -
+              col("sum_q").cast(d38) * col("sum_q").cast(d38))
+              .cast(DoubleType) /
+              (col("n").cast(d38) * col("n").cast(d38)).cast(DoubleType))
           .withColumn("stddev_pop", sqrt(col("var_pop")))
           .orderBy("l_returnflag")
       },
@@ -737,10 +743,12 @@ object Relational {
                          AS sumsq_q
                 FROM lineitem GROUP BY 1)
               SELECT l_returnflag, n, sum_q, sumsq_q,
-                     CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
-                       / CAST(n * n AS DOUBLE) AS var_pop,
-                     SQRT(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)
-                       / CAST(n * n AS DOUBLE)) AS stddev_pop
+                     CAST(CAST(n AS HUGEINT) * sumsq_q
+                          - CAST(sum_q AS HUGEINT) * sum_q AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS var_pop,
+                     SQRT(CAST(CAST(n AS HUGEINT) * sumsq_q
+                          - CAST(sum_q AS HUGEINT) * sum_q AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS stddev_pop
               FROM m ORDER BY l_returnflag""")),
 
     // ⊕ exact weighted average (VWAP shape): Σ(price·qty) / Σqty per

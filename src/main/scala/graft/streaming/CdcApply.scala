@@ -155,19 +155,6 @@ object CdcApply {
   def readState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath).drop("__graft_bucket")
 
-  /** SCD-type-2 history materialization — the versioned complement of
-    * [[currentState]]: every upsert opens a version valid from its own
-    * `tsCol` until the key's NEXT change (upsert or tombstone) closes
-    * it; `valid_to` is null on the open (current) version, and a key
-    * whose last change is a delete has no current version (the delete
-    * closes the range but emits no row of its own). This is the
-    * dimension-history table a warehouse keeps next to the current
-    * snapshot.
-    *
-    * Shape: one window over (key, orderCols) — the single inherent
-    * shuffle (history needs per-key order); `lead` runs BEFORE deletes
-    * are filtered so a tombstone's timestamp closes its predecessor.
-    * Output = upsert schema + (valid_from, valid_to, is_current). */
   /** Table state AS OF an instant — the time-travel lookup Delta's
     * `VERSION AS OF` serves, over a plain parquet changelog: the SCD2
     * version whose validity interval covers `at` (keys whose latest
@@ -186,6 +173,19 @@ object CdcApply {
         (col("valid_to").isNull || col("valid_to") > at))
       .drop("valid_from", "valid_to", "is_current")
 
+  /** SCD-type-2 history materialization — the versioned complement of
+    * [[currentState]]: every upsert opens a version valid from its own
+    * `tsCol` until the key's NEXT change (upsert or tombstone) closes
+    * it; `valid_to` is null on the open (current) version, and a key
+    * whose last change is a delete has no current version (the delete
+    * closes the range but emits no row of its own). This is the
+    * dimension-history table a warehouse keeps next to the current
+    * snapshot.
+    *
+    * Shape: one window over (key, orderCols) — the single inherent
+    * shuffle (history needs per-key order); `lead` runs BEFORE deletes
+    * are filtered so a tombstone's timestamp closes its predecessor.
+    * Output = upsert schema + (valid_from, valid_to, is_current). */
   def scd2History(upserts: DataFrame, tombstones: DataFrame,
                   keyCols: Seq[String], orderCols: Seq[String],
                   tsCol: String): DataFrame = {
