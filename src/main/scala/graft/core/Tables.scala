@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated TPC-H-ish parquet tables
   * (`/root/testdata/sf*`; see TESTDATA.md). One parquet file per table.
@@ -18,15 +19,25 @@ object Tables {
   /** Plain parquet scan. Catalyst pushes filters/projections into this scan
     * (verify via `.explain`: `PushedFilters`, `ReadSchema`).
     *
-    * `events.ts` is stored as parquet TIMESTAMP(NANOS): Spark reads it as
-    * a nanosecond LONG (legacy.parquet.nanosAsLong, set in Sessions) and
-    * we rebuild a TimestampType here. `DIV` keeps the division in exact
-    * 64-bit integer math — going through double would corrupt epochs
-    * (~1.7e18 ns exceeds the 2^53 mantissa). */
+    * `events.ts` normalizes to session-TZ TimestampType (UTC-pinned in
+    * Sessions) whatever the driver stored this round — the physical type
+    * has CHANGED across rounds, so the shim dispatches on the schema
+    * actually read:
+    *   - TIMESTAMP(NANOS) → nanosecond LONG (legacy.parquet.nanosAsLong,
+    *     set in Sessions); rebuilt via `DIV 1000` — exact 64-bit integer
+    *     math, never double (~1.7e18 ns exceeds the 2^53 mantissa);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; a
+    *     plain cast reinterprets the wall-clock in the UTC session zone
+    *     (identical µs values to the nanos path);
+    *   - already TimestampType → passthrough. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 }

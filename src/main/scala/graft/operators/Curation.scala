@@ -295,6 +295,51 @@ object Curation {
         (col("bprev") + col("dprev")).as("toks_before"))
   }
 
+  /** Systematic PPS sample: ~`k` documents drawn with probability
+    * proportional to token count — the "sample a training subset whose
+    * token mass mirrors the corpus" primitive (uniform doc sampling
+    * starves long documents; PPS by tokens is what data-mixing recipes
+    * actually weight by). Deterministic by construction: lay the docs on
+    * the token number line in doc_id order and take every doc covering a
+    * multiple of `step = max(1, totalTokens DIV k)` — no RNG, no ln/exp
+    * (engine-version-hazardous libm), every comparison exact integer.
+    * A doc longer than `step` is hit multiple times; `n_hits` carries
+    * its with-replacement multiplicity.
+    *
+    * Scale shape: the global prefix sum NEVER serializes the corpus —
+    * doc_ids are range-blocked (`doc_id DIV blockSize`), giving
+    * (1) per-block token totals (one groupBy), (2) a bounded
+    * single-partition window over block totals, (3) within-block
+    * prefix windows partitioned by block (same three-level plan as
+    * [[selectUnderBudget]]). The one-row total joins by broadcast. */
+  def ppsSample(docs: DataFrame, k: Int,
+                blockSize: Long = 1L << 20): DataFrame = {
+    val s = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      expr(s"doc_id DIV ${blockSize}L").as("blk"))
+      .cache()
+    val blockTotals = s.groupBy("blk").agg(sum("n_tokens").as("btoks"))
+    val wBlocks = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockPrev = blockTotals.withColumn("bprev",
+      coalesce(sum("btoks").over(wBlocks), lit(0L)))
+    val wInBlock = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = s.agg(sum("n_tokens").as("t"))
+    s.withColumn("dprev", coalesce(sum("n_tokens").over(wInBlock), lit(0L)))
+      .join(blockPrev.select("blk", "bprev"), Seq("blk"))
+      .crossJoin(broadcast(total))
+      .withColumn("step", greatest(expr(s"t DIV $k"), lit(1L)))
+      .withColumn("cb", col("bprev") + col("dprev"))
+      // hit count = pointers (multiples of step) inside [cb, cb+n);
+      // the +step shift keeps every numerator non-negative so trunc
+      // division ≡ floor division on both engines
+      .withColumn("n_hits",
+        expr("(cb + n_tokens - 1 + step) DIV step - (cb - 1 + step) DIV step"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"))
+  }
+
   /** The core curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole

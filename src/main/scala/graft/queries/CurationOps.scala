@@ -427,6 +427,39 @@ object CurationOps {
               FROM c WHERE toks_before + n_tokens <= 10000
               ORDER BY doc_id""")),
 
+    // ⊕ systematic PPS sample (~200 docs drawn ∝ token count): the
+    // deterministic, RNG-free form of weighted sampling — docs laid on
+    // the token number line in doc_id order, one pointer every
+    // `totalTokens DIV 200` tokens, `n_hits` = with-replacement
+    // multiplicity. All-integer selection (no ln/exp libm hazard);
+    // the corpus prefix sum is the blocked three-level plan, never a
+    // one-partition window (Curation.ppsSample).
+    Entry(
+      "cur_pps_sample",
+      (s, dir) => Curation.ppsSample(Tables(s, dir, "documents"), 200)
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+              tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s),
+              c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS cb
+                FROM s),
+              p AS (
+                SELECT c.*, GREATEST(t // 200, 1) AS step FROM c, tot)
+              SELECT doc_id, n_tokens,
+                     CAST((cb + n_tokens - 1 + step) // step
+                          - (cb - 1 + step) // step AS BIGINT) AS n_hits
+              FROM p
+              WHERE (cb + n_tokens - 1 + step) // step
+                    - (cb - 1 + step) // step >= 1
+              ORDER BY doc_id""")),
+
     // THE end-to-end curation pipeline: quality-filter the corpus, drop
     // near-duplicates (cluster survivors), chunk what remains — the
     // full documents → training-windows path, each stage the

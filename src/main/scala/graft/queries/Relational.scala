@@ -659,6 +659,27 @@ object Relational {
                      QUANTILE_CONT(value, 0.99) AS p99
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ⊕ approximate percentiles (Greenwald-Khanna sketch): the 100 TB
+    // quantile path a15 points at — fixed-size mergeable sketch per
+    // group, one partial-agg pass, NO within-group sort (exact
+    // percentile must rank-pick, a full sort at corpus scale). Sketch
+    // contents are engine-specific by design → rows-only gate (like
+    // a9); SaltingSpec bounds the rank error against the exact a15
+    // values at the declared 1/accuracy tolerance.
+    Entry(
+      "a21_approx_percentiles",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+            .as("p_approx"))
+        .select(col("event_type"),
+          element_at(col("p_approx"), 1).as("p50"),
+          element_at(col("p_approx"), 2).as("p95"),
+          element_at(col("p_approx"), 3).as("p99"))
+        .orderBy("event_type"),
+      None),
+
     // ⊕ fixed-width histogram of `value` per group: bin id from a single
     // double division + floor (bit-identical on both engines), then a
     // partial-agg count — the distribution report at any scale.
@@ -786,6 +807,74 @@ object Relational {
                      CAST(wsum AS DOUBLE) / 1e4 / CAST(sum_qty AS DOUBLE)
                        AS vwap,
                      sum_qty
+              FROM m ORDER BY l_returnflag""")),
+
+    // ⊕ exact bivariate moments → correlation + covariance (extends
+    // a18's exact-variance discipline to two variables): built-in
+    // corr() is a running double recurrence whose rounding depends on
+    // partitioning/order — ungateable AND irreproducible across
+    // cluster resizes. Here every moment is an exact integer: qty as
+    // BIGINT, price floor-scaled to 1e2 points, and ALL second-order
+    // sums (Σxy, Σx², Σy²) accumulated in DECIMAL(38,0) (Σy² alone
+    // overflows 2⁶³ past ~10⁵ rows/group; DECIMAL(38,0) holds to
+    // ~10²³). The emit is a fixed-order double formula — decimal→
+    // double casts of exact integers are correctly rounded on both
+    // engines (the a18 HUGEINT≡DECIMAL(38,0) equivalence), then one
+    // sqrt and one division, both IEEE-exact. Map-side partial agg,
+    // one shuffle on the group key — corr at 100 TB costs the same
+    // scan as a count.
+    Entry(
+      "a22_corr_exact",
+      (s, dir) => {
+        val d38 = DecimalType(38, 0)
+        val x = col("l_quantity").cast(LongType)
+        val y = floor(col("l_extendedprice") * lit(1e2)).cast(LongType)
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x.cast(d38) * y.cast(d38)).as("sxy"),
+            sum(x.cast(d38) * x.cast(d38)).as("sxx"),
+            sum(y.cast(d38) * y.cast(d38)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38)).cast(DoubleType) /
+              sqrt((col("n").cast(d38) * col("sxx") -
+                    col("sx").cast(d38) * col("sx").cast(d38)).cast(DoubleType) *
+                   (col("n").cast(d38) * col("syy") -
+                    col("sy").cast(d38) * col("sy").cast(d38)).cast(DoubleType)))
+              .as("corr_qty_price"),
+            ((col("n").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38)).cast(DoubleType) /
+              (col("n").cast(d38) * col("n").cast(d38)).cast(DoubleType) /
+              lit(1e2)).as("cov_pop"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT))
+                            AS BIGINT) AS sy,
+                       SUM(CAST(l_quantity AS HUGEINT)
+                           * CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT)) AS sxy,
+                       SUM(CAST(l_quantity AS HUGEINT)
+                           * CAST(l_quantity AS BIGINT)) AS sxx,
+                       SUM(CAST(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT)
+                                AS HUGEINT)
+                           * CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT)) AS syy
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, n,
+                     CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                       SQRT(CAST(CAST(n AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                            * CAST(CAST(n AS HUGEINT) * syy
+                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                       AS corr_qty_price,
+                     CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                       CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 1e2 AS cov_pop
               FROM m ORDER BY l_returnflag""")),
 
     // Window functions (SURVEY §2.6: none needed for parity; first-class
@@ -936,6 +1025,59 @@ object Relational {
               FROM events
               WHERE value IS NOT NULL
               WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // ⊕ exponential moving average with EXACT integer arithmetic: the
+    // classic recursive EWMA is IEEE-order-sensitive (a fold of doubles
+    // whose rounding depends on evaluation order — ungateable), so this
+    // is the truncated-geometric form: weights 2^(K-1-i) over the
+    // trailing K=8 rows, normalizer 2^K−1. All weighting is BIGINT on
+    // micro-points; ONE IEEE division by the exact constant 255e6 at
+    // emit — bit-identical on both engines, and each term is a lag over
+    // the same one user_id shuffle (no per-row subqueries). Rows before
+    // the window fills are dropped (a partial window would change the
+    // normalizer). At 100 TB: one window pass over a ts-sorted,
+    // user-bucketed table, no extra shuffle vs any other window query.
+    Entry(
+      "w6_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v"))
+        val wsum = (0 until k).map { i =>
+          coalesce(lag(col("v"), i).over(w), lit(0L)) * lit(1L << (k - 1 - i))
+        }.reduce(_ + _)
+        ev.select(col("user_id"), col("event_id"),
+            row_number().over(w).as("rn"), wsum.as("wsum"))
+          .filter(col("rn") >= k)
+          .select(col("user_id"), col("event_id"),
+            (col("wsum").cast(DoubleType) / lit(255e6)).as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+              l AS (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER w AS rn,
+                       v * 128
+                       + COALESCE(LAG(v, 1) OVER w, 0) * 64
+                       + COALESCE(LAG(v, 2) OVER w, 0) * 32
+                       + COALESCE(LAG(v, 3) OVER w, 0) * 16
+                       + COALESCE(LAG(v, 4) OVER w, 0) * 8
+                       + COALESCE(LAG(v, 5) OVER w, 0) * 4
+                       + COALESCE(LAG(v, 6) OVER w, 0) * 2
+                       + COALESCE(LAG(v, 7) OVER w, 0)  AS wsum
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+              SELECT user_id, event_id,
+                     CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 255e6 AS ewma
+              FROM l WHERE rn >= 8
+              ORDER BY user_id, event_id"""))
   )
 }

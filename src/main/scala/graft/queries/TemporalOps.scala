@@ -410,6 +410,73 @@ object TemporalOps {
                         AND c.ts <= p.ts
                         AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
                       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
-              FROM events p WHERE p.event_type = 'purchase'"""))
+              FROM events p WHERE p.event_type = 'purchase'""")),
+
+    // ⊕ time-series resample + gap-fill (LOCF): regularize each user's
+    // irregular event stream onto a daily grid and carry the last
+    // observation forward — the feature-engineering step every
+    // training-data timeline needs before windowed models. Last-per-day
+    // is a deterministic row_number argmax (ts, event_id tiebreak); the
+    // grid is sequence()+explode per user (|days| rows, never a
+    // cross-join against a calendar table); LOCF is one
+    // last(ignoreNulls) running window. The filled value rides as exact
+    // micro-points until one emit division. Two narrow shuffles
+    // (user_id×day agg, user_id window) over a grid whose size is
+    // users×days — at 100 TB the grid is still tiny next to the events
+    // it summarizes, and the events table is read ONCE.
+    Entry(
+      "t13_gapfill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v"))
+        val wDay = Window.partitionBy("user_id", "day")
+          .orderBy(desc("ts_us"), desc("event_id"))
+        val daily = ev.withColumn("rn", row_number().over(wDay))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("v"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+              .as("day"))
+        val wLocf = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            col("v").isNotNull.as("observed"),
+            (last(col("v"), ignoreNulls = true).over(wLocf)
+              .cast(DoubleType) / lit(1e6)).as("value_locf"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_us,
+                       event_id, CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+              daily AS (
+                SELECT user_id, day, v FROM (
+                  SELECT user_id, day, v,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                           ORDER BY ts_us DESC, event_id DESC) AS rn
+                  FROM e) WHERE rn = 1),
+              span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                       FROM e GROUP BY 1),
+              grid AS (
+                SELECT user_id,
+                       CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span)
+              SELECT g.user_id, g.day,
+                     d.v IS NOT NULL AS observed,
+                     CAST(LAST_VALUE(d.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / 1e6 AS value_locf
+              FROM grid g
+              LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+              ORDER BY g.user_id, g.day"""))
   )
 }

@@ -68,4 +68,19 @@ object StreamingCdcState {
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Durable-sink wiring: same state plan, images appended to parquet via
+    * `foreachBatch`. Unlike the memory sink this supports RESTART from the
+    * checkpoint — the kill-and-resume path a production CDC maintainer
+    * needs (state store + offsets recover; the new query instance resumes
+    * the latest-image contract exactly where the killed one stopped). */
+  def runToParquet(changes: Dataset[Change], outDir: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    currentState(changes).writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[Image], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

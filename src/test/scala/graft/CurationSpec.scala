@@ -204,6 +204,30 @@ class CurationSpec extends SparkSuite {
       && !plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("ppsSample: hit mass is exact, long docs hit ∝ tokens, result is partition-invariant") {
+    // variable-length docs: doc i has i+1 tokens → total = Σ(i+1)
+    val varDocs = (0L until 50L)
+      .map(i => (i, Seq.fill(i.toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val total = (1L to 50L).sum // 1275
+    val k = 10
+    val step = total / k // 127
+    val sel = Curation.ppsSample(varDocs, k).collect()
+    // every pointer (multiple of step in [0, total)) is covered exactly once:
+    // Σ n_hits = ceil(total / step), independently of how docs split it
+    val expectedHits = (total + step - 1) / step
+    assert(sel.map(_.getAs[Long]("n_hits")).sum === expectedHits)
+    // selection is biased to long docs: every selected doc covers ≥1
+    // pointer, so any doc with n_tokens ≥ step is ALWAYS selected
+    val mustHave = (0L until 50L).filter(_ + 1 >= step)
+    assert(mustHave.forall(i => sel.exists(_.getAs[Long]("doc_id") == i)))
+    // deterministic under repartitioning (the blocked prefix sum must
+    // not depend on physical layout)
+    val re = Curation.ppsSample(varDocs.repartition(7), k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(re === sel.map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("packSequences: offsets stay inside the budget and cover tokens contiguously per group") {
     val packed = Curation.packSequences(docs, budget = 25L, groupSize = 16L)
       .orderBy("doc_id").collect()

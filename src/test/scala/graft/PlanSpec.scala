@@ -324,4 +324,28 @@ class PlanSpec extends SparkSuite {
     val p = plan("sim_knn_graph")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("EWMA is all lags over ONE user_id window — a single shuffle, no join (w6)") {
+    val p = plan("w6_ewma")
+    // the K lag terms must share one Window operator over one exchange;
+    // a per-term self-join would scale as K scans
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) === 1, p)
+    assert(!p.contains("Join"), p)
+    // one hash exchange (the user_id window); the only other exchange is
+    // the rangepartitioning determinism sort
+    assert("hashpartitioning\\(".r.findAllIn(p).size === 1, p)
+  }
+
+  test("gap-fill grid joins per-day lasts — no calendar product, LOCF in one window (t13)") {
+    val p = plan("t13_gapfill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p) // the sequence() grid explode
+  }
+
+  test("approx percentiles aggregate the GK sketch with map-side partials — no sort, no window (a21)") {
+    val p = plan("a21_approx_percentiles")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_approx_percentile"), p) // sketch merges, not row sorts
+  }
 }

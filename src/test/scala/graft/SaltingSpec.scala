@@ -62,4 +62,45 @@ class SaltingSpec extends SparkSuite {
         s"group $k: approx $a vs exact $e drifts > 5%")
     }
   }
+
+  test("exact integer-moment correlation agrees with Spark's corr() to float tolerance (a22)") {
+    // a22's DECIMAL(38,0) moments must reproduce the statistic itself;
+    // the gate proves cross-engine hash equality, this proves the math.
+    val got = graft.queries.Inventory.byName("a22_corr_exact")
+      .run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * lit(1e2)).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-9, s"group $k: exact ${got(k)} vs corr $c")
+    }
+  }
+
+  test("approx_percentile stays within the GK rank-error bound of exact (a21)") {
+    // GK sketch contract: a returned value's RANK is within n/accuracy
+    // of the target rank q·n. Assert in rank space (value-space deltas
+    // depend on the local density and bound nothing).
+    val accuracy = 1000L
+    val ev = Tables(spark, sfDir, "events").filter(col("value").isNotNull)
+    val qs = Seq(0.5, 0.95, 0.99)
+    val approx = ev.groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array(${qs.mkString(",")}), $accuracy)")
+        .as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val n = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, ps) =>
+      qs.zip(ps).foreach { case (q, v) =>
+        val rank = ev.filter(col("event_type") === k && col("value") <= v).count()
+        val target = q * n(k)
+        val tol = n(k).toDouble / accuracy + 1
+        assert(math.abs(rank - target) <= tol,
+          s"group $k q=$q: rank $rank vs target $target exceeds ±$tol")
+      }
+    }
+  }
 }

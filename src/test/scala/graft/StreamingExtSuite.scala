@@ -344,4 +344,51 @@ class StreamingExtSuite extends SparkSuite {
     // the live table = latest non-deleted images
     assert(current.values.filterNot(_.deleted).map(_.id).toSet === Set(1L, 3L))
   }
+
+  test("streaming CDC state survives kill-and-restart from checkpoint") {
+    // The mapGroupsWithState analogue of CdcIngestSuite's exactly-once
+    // re-run: stop the query mid-stream, start a FRESH query instance
+    // against the SAME checkpoint, and prove the restored per-key state
+    // still enforces latest-image-wins — a late change older than the
+    // pre-kill image must be ignored by the resumed query, and a
+    // pre-kill tombstone must still shadow its key.
+    import graft.streaming.StreamingCdcState
+    import graft.streaming.StreamingCdcState.Image
+    val in = tmpDir("cdcrec-in"); val cp = tmpDir("cdcrec-cp")
+    val out = tmpDir("cdcrec-out") + "/images"
+    def source() = spark.readStream
+      .schema("id LONG, payload STRING, tsMs LONG, deleted BOOLEAN")
+      .json(in).as[StreamingCdcState.Change]
+
+    val q1 = StreamingCdcState.runToParquet(source(), out, cp)
+    try {
+      feed(in, q1, Seq(
+        """{"id":1,"payload":"a","tsMs":10,"deleted":false}""",
+        """{"id":2,"payload":"b","tsMs":10,"deleted":false}"""))
+      feed(in, q1, Seq(
+        """{"id":1,"payload":"a2","tsMs":20,"deleted":false}""",
+        """{"id":2,"payload":"b","tsMs":30,"deleted":true}"""))
+    } finally q1.stop() // kill
+
+    // resume: new query object, same sink dir, same checkpoint
+    val q2 = StreamingCdcState.runToParquet(source(), out, cp)
+    try {
+      // late update for key 1 (15 < recovered 20) and a genuine update
+      // for key 3 (new key) — only the recovered state can tell them apart
+      feed(in, q2, Seq(
+        """{"id":1,"payload":"late","tsMs":15,"deleted":false}""",
+        """{"id":3,"payload":"c","tsMs":40,"deleted":false}"""))
+      // a post-tombstone ts tie for key 2: deleted wins ties, so the
+      // recovered tombstone must survive an equal-ts non-delete
+      feed(in, q2, Seq(
+        """{"id":2,"payload":"resurrect","tsMs":30,"deleted":false}"""))
+    } finally q2.stop()
+
+    val images = spark.read.parquet(out).as[Image].collect()
+    val current = images.groupBy(_.id).map { case (k, v) =>
+      k -> v.maxBy(i => (i.tsMs, i.deleted)) }
+    assert(current(1L) === Image(1L, "a2", 20L, false)) // pre-kill image held
+    assert(current(2L) === Image(2L, "b", 30L, true))   // tombstone survived
+    assert(current(3L) === Image(3L, "c", 40L, false))  // new key applied
+  }
 }
