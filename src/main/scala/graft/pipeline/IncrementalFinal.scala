@@ -104,4 +104,45 @@ object IncrementalFinal {
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Incremental VIEW maintenance for self-maintainable aggregates
+    * (count + sum): fold a signed changelog into an existing per-key
+    * aggregate state WITHOUT rescanning the base — the aggregate
+    * analogue of [[mergeChangeset]]'s row-level MERGE. At 100 TB the
+    * base aggregate is a persisted table of |keys| rows; maintenance
+    * cost is |delta| + one join on the touched keys, vs a full
+    * base rescan per refresh.
+    *
+    * `delta` rows carry `signCol` (+1 insert / −1 retraction of a row
+    * the base HAS counted) and `valueCol`; both sums are exact integers
+    * (micro-points upstream), so increments commute with recomputation
+    * bit-for-bit — the gate (`cdc_ivm_agg`) proves maintain(base, Δ) ≡
+    * group-by over the post-change row set. Keys whose count reaches 0
+    * leave the state. The state carries a NON-NULL count (`nnCol`)
+    * alongside the row count: SUM over a group whose non-null mass was
+    * entirely retracted must be NULL on recompute, and count+sum alone
+    * cannot distinguish that from an exact-zero sum — the classic IVM
+    * subtlety that silently corrupts null semantics when skipped. */
+  def maintainAggregate(baseAgg: DataFrame, delta: DataFrame,
+                        keyCols: Seq[String],
+                        cntCol: String = "cnt", sumCol: String = "sum_micro",
+                        nnCol: String = "n_nonnull",
+                        signCol: String = "sign",
+                        valueCol: String = "v_micro"): DataFrame = {
+    val deltaAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(signCol)).as("d_cnt"),
+        sum(when(col(valueCol).isNotNull, col(signCol))).as("d_nn"),
+        sum(col(signCol) * col(valueCol)).as("d_sum"))
+    baseAgg.join(deltaAgg, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(nnCol), lit(0L)) + coalesce(col("d_nn"), lit(0L)))
+          .as(nnCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("sum0")): _*)
+      .filter(col(cntCol) > 0)
+      .withColumn(sumCol, when(col(nnCol) > 0, col("sum0")))
+      .drop("sum0")
+  }
 }

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
+import graft.pipeline.IncrementalFinal
 import graft.streaming.CdcApply
 
 /** CDC-apply inventory: the gate-expressible face of
@@ -263,6 +265,45 @@ object CdcOps {
                 FROM l WHERE late_us IS NOT NULL)
               SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
                      MAX(late_us) AS max_late_us
-              FROM b GROUP BY 1 ORDER BY bucket"""))
+              FROM b GROUP BY 1 ORDER BY bucket""")),
+
+    // ⊕ incremental VIEW maintenance: fold a signed changelog (90% of
+    // events = the persisted base aggregate; the rest = inserts, plus
+    // retractions of the base's event_id%7 rows) into per-type
+    // count/sum state WITHOUT rescanning the base — then prove the
+    // folded state ≡ a from-scratch group-by over the post-change row
+    // set (the oracle recomputes; Spark maintains). Exact integer
+    // micro-point sums make increment and recompute commute
+    // bit-for-bit; a separate non-null count preserves SUM's NULL
+    // semantics under total retraction (IncrementalFinal
+    // .maintainAggregate). At 100 TB: refresh cost |Δ| + a |keys| join,
+    // not a base scan.
+    Entry(
+      "cdc_ivm_agg",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        val base = ev.filter(col("event_id") % 10 =!= 9)
+        val baseAgg = base.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"),
+          count(col("v_micro")).as("n_nonnull"),
+          sum(col("v_micro")).as("sum_micro"))
+        val delta = ev.filter(col("event_id") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(base.filter(col("event_id") % 7 === 0)
+            .withColumn("sign", lit(-1L)))
+        IncrementalFinal.maintainAggregate(baseAgg, delta, Seq("event_type"))
+          .select(col("event_type"), col("cnt"),
+            (col("sum_micro").cast(DoubleType) / lit(1e6)).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                               AS BIGINT) AS DOUBLE) / 1e6 AS sum_value
+              FROM events
+              WHERE (event_id % 10 = 9)
+                 OR (event_id % 10 != 9 AND event_id % 7 != 0)
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -237,6 +237,34 @@ object Quality {
                 UNION ALL SELECT 'event_type', z_event_type, n FROM w
                 UNION ALL SELECT 'value', z_value, n FROM w
                 UNION ALL SELECT 'props', z_props, n FROM w)
-              ORDER BY column_name"""))
+              ORDER BY column_name""")),
+
+    // ⊕ distribution-drift report between a base population and a new
+    // batch (the check a training pipeline runs before accepting a data
+    // refresh): per value-bin counts for both sides, ONE
+    // conditional-agg scan — no join, no second pass. The divergence
+    // statistic itself (PSI/KL needs ln, an engine-version libm
+    // hazard) is left to the consumer; the gated artifact is the exact
+    // binned contingency table it is computed from.
+    Entry(
+      "q10_drift_bins",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(floor(col("value") / lit(25.0)).cast(LongType).as("bin"),
+            (col("event_id") % 10 === 9).as("is_new"))
+        ev.groupBy("bin")
+          .agg(
+            count(when(!col("is_new"), 1)).as("n_base"),
+            count(when(col("is_new"), 1)).as("n_new"))
+          .orderBy("bin")
+      },
+      Some("""SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) FILTER (event_id % 10 != 9) AS BIGINT)
+                       AS n_base,
+                     CAST(COUNT(*) FILTER (event_id % 10 = 9) AS BIGINT)
+                       AS n_new
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

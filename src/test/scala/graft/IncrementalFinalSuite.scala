@@ -100,4 +100,43 @@ class IncrementalFinalSuite extends SparkSuite {
     assert(v.count() === 1)
     assert(v.select("mean_duration").as[Double].head() === 15.0)
   }
+
+  test("maintainAggregate ≡ recompute: inserts, retractions, key death, key birth, NULL-mass retraction") {
+    // base rows per key k: (k, value-or-null)
+    val base = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", None),
+      ("b", Some(5L)),
+      ("c", None), ("c", Some(7L))).map { case (k, v) => (k, v) }
+      .toDF("k", "v_micro")
+    val baseAgg = base.groupBy("k").agg(
+      count(lit(1)).as("cnt"),
+      count(col("v_micro")).as("n_nonnull"),
+      sum(col("v_micro")).as("sum_micro"))
+    // Δ: insert into a; kill b entirely; retract c's ONLY non-null row
+    // (sum must go to NULL, not 0); birth new key d
+    val delta = Seq(
+      ("a", Some(30L), 1L),
+      ("b", Some(5L), -1L),
+      ("c", Some(7L), -1L),
+      ("d", Some(9L), 1L), ("d", None, 1L))
+      .toDF("k", "v_micro", "sign")
+    val got = IncrementalFinal.maintainAggregate(baseAgg, delta, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("a") === (4L, Some(60L)))
+    assert(!got.contains("b"))            // count hit 0 → key leaves state
+    assert(got("c") === (1L, None))       // null row remains, SUM is NULL
+    assert(got("d") === (2L, Some(9L)))   // key born from the delta alone
+    // and the folded state equals a from-scratch recompute of the
+    // post-change multiset
+    val finalRows = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", None), ("a", Some(30L)),
+      ("c", None), ("d", Some(9L)), ("d", None))
+      .toDF("k", "v_micro")
+    val re = finalRows.groupBy("k").agg(
+      count(lit(1)).as("cnt"), sum(col("v_micro")).as("sum_micro"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.view.mapValues(identity).toMap === re)
+  }
 }
