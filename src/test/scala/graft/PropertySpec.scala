@@ -214,4 +214,52 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  /** Rows: (key, value-or-null). A retraction list is drawn FROM the
+    * base (retracting a never-inserted row is undefined IVM input). */
+  private val genIvm: Gen[(List[(Long, Option[Long])], List[Int], List[(Long, Option[Long])])] =
+    for {
+      base <- Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 4L)
+        v <- Gen.option(Gen.choose(-50L, 50L))
+      } yield (k, v))
+      retractIdx <- Gen.someOf(base.indices)
+      inserts <- Gen.listOfN(10, for {
+        k <- Gen.choose(0L, 6L)   // keys 5,6 can be born by the delta
+        v <- Gen.option(Gen.choose(-50L, 50L))
+      } yield (k, v))
+    } yield (base, retractIdx.toList, inserts)
+
+  test("maintainAggregate ≡ from-scratch recompute on random changelogs") {
+    import graft.pipeline.IncrementalFinal
+    check(Prop.forAll(genIvm) { case (base, retractIdx, inserts) =>
+      (base.nonEmpty) ==> {
+        val baseDf = base.toDF("k", "v_micro")
+        val baseAgg = baseDf.groupBy("k").agg(
+          count(lit(1)).as("cnt"),
+          count(col("v_micro")).as("n_nonnull"),
+          sum(col("v_micro")).as("sum_micro"))
+        val retracted = retractIdx.map(base)
+        val delta = (inserts.map { case (k, v) => (k, v, 1L) } ++
+          retracted.map { case (k, v) => (k, v, -1L) })
+          .toDF("k", "v_micro", "sign")
+        val got = IncrementalFinal
+          .maintainAggregate(baseAgg, delta, Seq("k"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+        // recompute over base minus retracted (multiset!) plus inserts
+        val remaining = retractIdx.foldLeft(base.zipWithIndex) {
+          case (acc, i) => acc.filterNot(_._2 == i)
+        }.map(_._1)
+        val re = (remaining ++ inserts).toDF("k", "v_micro")
+          .groupBy("k").agg(
+            count(lit(1)).as("cnt"), sum(col("v_micro")).as("sum_micro"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .toMap
+        got == re
+      }
+    })
+  }
 }

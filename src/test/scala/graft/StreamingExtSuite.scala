@@ -345,6 +345,40 @@ class StreamingExtSuite extends SparkSuite {
     assert(current.values.filterNot(_.deleted).map(_.id).toSet === Set(1L, 3L))
   }
 
+  test("streaming quantiles: histogram state folds across batches within the bin-width bound") {
+    import graft.streaming.StreamingQuantiles
+    import graft.streaming.StreamingQuantiles.QuantileState
+    val in = tmpDir("sq-in"); val cp = tmpDir("sq-cp")
+    val src = spark.readStream.schema("key STRING, vMicro LONG")
+      .json(in).as[StreamingQuantiles.Obs]
+    // p50 over micro-points, bin width 10 → error ≤ 10 micro
+    val q = StreamingQuantiles.run(src, 0.5, 10L, "sq_out", cp)
+    def row(k: String, v: Long) = s"""{"key":"$k","vMicro":$v}"""
+    try {
+      feed(in, q, (1L to 50L).map(v => row("a", v * 7)))   // 7..350
+      feed(in, q, (51L to 100L).map(v => row("a", v * 7))) // + 357..700
+      feed(in, q, Seq(row("b", -25), row("b", 5)))          // negatives bin correctly
+    } finally q.stop()
+    val states = spark.table("sq_out").as[QuantileState].collect()
+    val a = states.filter(s => s.key == "a" && s.n == 100L).head
+    // exact p50 of 7..700 step 7 is 350/353.5 — the histogram answer
+    // must land within one bin width above the true value
+    assert(a.qMicro >= 350L && a.qMicro <= 360L, a.toString)
+    val b = states.filter(s => s.key == "b" && s.n == 2L).head
+    assert(b.qMicro <= -10L, s"negative values must not collapse into bin 0: $b")
+    // batch-slicing invariance: all 100 'a' points in ONE batch give the
+    // same final answer the two-batch feed gave
+    val in2 = tmpDir("sq-in2"); val cp2 = tmpDir("sq-cp2")
+    val src2 = spark.readStream.schema("key STRING, vMicro LONG")
+      .json(in2).as[StreamingQuantiles.Obs]
+    val q2 = StreamingQuantiles.run(src2, 0.5, 10L, "sq_out2", cp2)
+    try feed(in2, q2, (1L to 100L).map(v => row("a", v * 7)))
+    finally q2.stop()
+    val a2 = spark.table("sq_out2").as[QuantileState].collect()
+      .filter(s => s.key == "a" && s.n == 100L).head
+    assert(a2.qMicro === a.qMicro)
+  }
+
   test("streaming CDC state survives kill-and-restart from checkpoint") {
     // The mapGroupsWithState analogue of CdcIngestSuite's exactly-once
     // re-run: stop the query mid-stream, start a FRESH query instance
