@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
 
 import graft.core.Tables
 import graft.quality.Checks
@@ -265,6 +265,51 @@ object Quality {
                      CAST(COUNT(*) FILTER (event_id % 10 = 9) AS BIGINT)
                        AS n_new
               FROM events WHERE value IS NOT NULL
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ order-independent table checksum, per partition key: the
+    // replication-integrity primitive (did the CDC-applied replica
+    // converge to the source?) — compare per-group (n_rows, checksum)
+    // pairs instead of shipping rows. Row digest = md5 over an
+    // explicitly-rendered tuple (sentinel-coalesced, money as exact
+    // cents — raw double→string rendering is engine-specific and must
+    // never enter a digest); 60-bit prefixes SUM in DECIMAL(38,0)
+    // (order-free, overflow-free to ~10²⁰ rows) and emit mod 2⁶¹−1 as
+    // BIGINT. Map-side partials, one shuffle on the group key; at
+    // 100 TB each side computes its own checksums and the diff joins
+    // |groups| rows.
+    Entry(
+      "q11_table_checksum",
+      (s, dir) => {
+        val d38 = DecimalType(38, 0)
+        val rowStr = concat_ws("|",
+          col("o_orderkey").cast(StringType),
+          col("o_custkey").cast(StringType),
+          coalesce(col("o_orderstatus"), lit("∅")),
+          coalesce(col("o_orderpriority"), lit("∅")),
+          floor(col("o_totalprice") * lit(1e2)).cast(LongType).cast(StringType))
+        Tables(s, dir, "orders")
+          .select(col("o_orderstatus"),
+            conv(substring(md5(rowStr), 1, 15), 16, 10)
+              .cast(LongType).cast(d38).as("h"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hsum"))
+          .select(col("o_orderstatus"), col("n_rows"),
+            expr("CAST(hsum % 2305843009213693951 AS BIGINT)").as("checksum"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH h AS (
+                SELECT o_orderstatus,
+                       CAST('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR) || '|' ||
+                         CAST(o_custkey AS VARCHAR) || '|' ||
+                         COALESCE(o_orderstatus, '∅') || '|' ||
+                         COALESCE(o_orderpriority, '∅') || '|' ||
+                         CAST(CAST(FLOOR(o_totalprice * 1e2) AS BIGINT)
+                              AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                FROM orders)
+              SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum
+              FROM h GROUP BY 1 ORDER BY 1"""))
   )
 }

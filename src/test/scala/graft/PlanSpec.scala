@@ -348,4 +348,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_approx_percentile"), p) // sketch merges, not row sorts
   }
+
+  test("per-group top-k pushes a WindowGroupLimit below the exchange (w1)") {
+    // rank-filter top-k must not sort whole partitions: Spark's
+    // WindowGroupLimit forwards only k rows per key from each map task
+    val p = plan("w1_window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("table checksum is one partial-agg pass — digests never shuffle row-wise (q11)") {
+    val p = plan("q11_table_checksum")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
 }
