@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.core.{Layout, Tables}
 import graft.operators.Curation
@@ -459,6 +459,58 @@ object CurationOps {
               WHERE (cb + n_tokens - 1 + step) // step
                     - (cb - 1 + step) // step >= 1
               ORDER BY doc_id""")),
+
+    // ⊕ token-weighted median document length per language: the length
+    // L such that half the corpus TOKENS live in docs of n_chars ≤ L —
+    // the statistic that sizes packing windows (the unweighted median
+    // over-represents short docs that carry almost no mass). All
+    // integer: cumulative token weight over a (n_chars, doc_id) total
+    // order, pick the first row where 2·cum ≥ total (no halving, no
+    // interpolation), one row_number to make the pick unique. Two
+    // windows over the same lang shuffle.
+    Entry(
+      "a23_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wCum = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("lang")
+        val wPick = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast(LongType).as("wt"))
+          .withColumn("cum", sum("wt").over(wCum))
+          .withColumn("total_tokens", sum("wt").over(wAll))
+          .filter(col("cum") * 2 >= col("total_tokens"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("n_chars").as("weighted_median_chars"),
+            col("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+                SELECT lang, doc_id, n_chars,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS wt
+                FROM documents),
+              c AS (
+                SELECT lang, doc_id, n_chars, wt,
+                       SUM(wt) OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       SUM(wt) OVER (PARTITION BY lang) AS total_tokens
+                FROM s),
+              p AS (
+                SELECT lang, n_chars, total_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id) AS rn
+                FROM c WHERE cum * 2 >= total_tokens)
+              SELECT lang, n_chars AS weighted_median_chars,
+                     CAST(total_tokens AS BIGINT) AS total_tokens
+              FROM p WHERE rn = 1
+              ORDER BY lang""")),
 
     // THE end-to-end curation pipeline: quality-filter the corpus, drop
     // near-duplicates (cluster survivors), chunk what remains — the

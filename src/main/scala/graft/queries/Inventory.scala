@@ -33,12 +33,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      aggregate to BIGINT/DOUBLE explicitly and array_join any list.
   *      Mechanical check: tools/dtype_audit.py <sfDir> <verifyOut> must
   *      report zero hazards.
+  *   6. An exact integer that may exceed 2⁵³ (DECIMAL(38,0)/HUGEINT
+  *      moments, Σ of big products) must NOT be cast to DOUBLE directly —
+  *      wide-int→double rounding is engine-implementation-defined (1-ulp
+  *      divergence measured on t14). Emit through [[Exact.bigColToDouble]]
+  *      / [[Exact.bigSqlToDouble]] (2⁵²-split, both halves convert
+  *      exactly, identical IEEE reassembly on both engines).
   */
 final case class Entry(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     doc: String = "")
+
+/** Exact emit of a >2⁵³ integer (DECIMAL(38,0) on the Spark side,
+  * HUGEINT in the oracle) as DOUBLE, identically on both engines
+  * (determinism rule 6): the direct wide-integer→double cast is
+  * engine-implementation-defined rounding (DuckDB's HUGEINT path
+  * measurably diverged from java BigDecimal by 1 ulp on t14's Σv·Δt),
+  * so the value is split at 2⁵² — hi and lo are BOTH < 2⁵³ and convert
+  * exactly — and reassembled with two IEEE ops (one multiply-round, one
+  * add-round) whose order both engines share. The oracle must mirror
+  * the identical CASE/abs/`//`/`%` structure. */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.expr
+
+  val Split: Long = 4503599627370496L // 2^52
+
+  /** `name` must reference an integral column (decimal/long, any sign). */
+  def bigColToDouble(name: String): Column =
+    expr(s"""(CASE WHEN $name < 0 THEN -1.0 ELSE 1.0 END *
+             (CAST(abs($name) DIV ${Split}L AS DOUBLE) * ${Split}.0 +
+              CAST(CAST(abs($name) % ${Split}L AS BIGINT) AS DOUBLE)))""")
+
+  /** The oracle-side mirror of [[bigColToDouble]] (self-parenthesized —
+    * the sign CASE would otherwise rebind under a caller's / or *). */
+  def bigSqlToDouble(sql: String): String =
+    s"""(CASE WHEN $sql < 0 THEN -1.0 ELSE 1.0 END *
+        (CAST(abs($sql) // $Split AS DOUBLE) * $Split.0 +
+         CAST(CAST(abs($sql) % $Split AS BIGINT) AS DOUBLE)))"""
+}
 
 object Inventory {
   val all: Seq[Entry] =

@@ -817,12 +817,12 @@ object Relational {
     // BIGINT, price floor-scaled to 1e2 points, and ALL second-order
     // sums (Σxy, Σx², Σy²) accumulated in DECIMAL(38,0) (Σy² alone
     // overflows 2⁶³ past ~10⁵ rows/group; DECIMAL(38,0) holds to
-    // ~10²³). The emit is a fixed-order double formula — decimal→
-    // double casts of exact integers are correctly rounded on both
-    // engines (the a18 HUGEINT≡DECIMAL(38,0) equivalence), then one
-    // sqrt and one division, both IEEE-exact. Map-side partial agg,
-    // one shuffle on the group key — corr at 100 TB costs the same
-    // scan as a count.
+    // ~10²³). The derived moments (n·Σxy−ΣxΣy etc.) exceed 2⁵³, so
+    // every one is emitted through Exact.bigColToDouble's 2⁵²-split
+    // (rule 6 — the direct wide-int→double cast is engine-defined
+    // rounding), then one sqrt and one division, both IEEE-exact.
+    // Map-side partial agg, one shuffle on the group key — corr at
+    // 100 TB costs the same scan as a count.
     Entry(
       "a22_corr_exact",
       (s, dir) => {
@@ -837,21 +837,22 @@ object Relational {
             sum(x.cast(d38) * y.cast(d38)).as("sxy"),
             sum(x.cast(d38) * x.cast(d38)).as("sxx"),
             sum(y.cast(d38) * y.cast(d38)).as("syy"))
+          .withColumn("numv", col("n").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38))
+          .withColumn("dx", col("n").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx").cast(d38))
+          .withColumn("dy", col("n").cast(d38) * col("syy") -
+            col("sy").cast(d38) * col("sy").cast(d38))
+          .withColumn("n2", col("n").cast(d38) * col("n").cast(d38))
           .select(col("l_returnflag"), col("n"),
-            ((col("n").cast(d38) * col("sxy") -
-              col("sx").cast(d38) * col("sy").cast(d38)).cast(DoubleType) /
-              sqrt((col("n").cast(d38) * col("sxx") -
-                    col("sx").cast(d38) * col("sx").cast(d38)).cast(DoubleType) *
-                   (col("n").cast(d38) * col("syy") -
-                    col("sy").cast(d38) * col("sy").cast(d38)).cast(DoubleType)))
+            (Exact.bigColToDouble("numv") /
+              sqrt(Exact.bigColToDouble("dx") * Exact.bigColToDouble("dy")))
               .as("corr_qty_price"),
-            ((col("n").cast(d38) * col("sxy") -
-              col("sx").cast(d38) * col("sy").cast(d38)).cast(DoubleType) /
-              (col("n").cast(d38) * col("n").cast(d38)).cast(DoubleType) /
+            (Exact.bigColToDouble("numv") / Exact.bigColToDouble("n2") /
               lit(1e2)).as("cov_pop"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
                 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
                        CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT))
@@ -863,19 +864,25 @@ object Relational {
                        SUM(CAST(CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT)
                                 AS HUGEINT)
                            * CAST(FLOOR(l_extendedprice * 1e2) AS BIGINT)) AS syy
-                FROM lineitem GROUP BY 1)
+                FROM lineitem GROUP BY 1),
+              d AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                         AS numv,
+                       CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                         AS dx,
+                       CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                         AS dy,
+                       CAST(n AS HUGEINT) * n AS n2
+                FROM m)
               SELECT l_returnflag, n,
-                     CAST(CAST(n AS HUGEINT) * sxy
-                          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
-                       SQRT(CAST(CAST(n AS HUGEINT) * sxx
-                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                            * CAST(CAST(n AS HUGEINT) * syy
-                                   - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                     ${Exact.bigSqlToDouble("numv")} /
+                       SQRT(${Exact.bigSqlToDouble("dx")}
+                            * ${Exact.bigSqlToDouble("dy")})
                        AS corr_qty_price,
-                     CAST(CAST(n AS HUGEINT) * sxy
-                          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
-                       CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 1e2 AS cov_pop
-              FROM m ORDER BY l_returnflag""")),
+                     ${Exact.bigSqlToDouble("numv")} /
+                       ${Exact.bigSqlToDouble("n2")} / 1e2 AS cov_pop
+              FROM d ORDER BY l_returnflag""")),
 
     // Window functions (SURVEY §2.6: none needed for parity; first-class
     // here for the extension surface). row_number + running sum per user.

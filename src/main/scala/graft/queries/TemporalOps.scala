@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.Tables
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -477,6 +477,60 @@ object TemporalOps {
                        AS DOUBLE) / 1e6 AS value_locf
               FROM grid g
               LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-              ORDER BY g.user_id, g.day"""))
+              ORDER BY g.user_id, g.day""")),
+
+    // ⊕ time-weighted average (TWAP): Σ vᵢ·Δtᵢ / ΣΔtᵢ per user, where
+    // each observation holds until the next one — the right mean for
+    // irregularly-sampled series (the arithmetic mean over-weights
+    // bursts). Every product is exact integer (micro-points × µs,
+    // accumulated in DECIMAL(38,0): one month of µs × 1e6-scaled values
+    // overflows 2⁶³ per ~10 rows), one lead() over the same single
+    // user_id shuffle. The numerator exceeds 2⁵³, so it is emitted via
+    // Exact.bigColToDouble's 2⁵²-split (the direct wide-int→double cast
+    // measurably diverged by 1 ulp between engines). Equal-ts ties get
+    // Δt = 0 via the event_id tiebreak — they weigh nothing, matching
+    // the hold-until-next semantics.
+    Entry(
+      "t14_twap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d38 = DecimalType(38, 0)
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull && col("user_id").isNotNull &&
+            col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v"))
+        ev.withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(col("v").cast(d38) * col("dt").cast(d38)).as("num"),
+            sum(col("dt")).as("den"))
+          .filter(col("den") > 0)
+          .select(col("user_id"),
+            (Exact.bigColToDouble("num") / col("den").cast(DoubleType) /
+              lit(1e6)).as("twap"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL),
+              seg AS (
+                SELECT user_id, v,
+                       LEAD(ts_us, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) - ts_us AS dt
+                FROM e),
+              g AS (
+                SELECT user_id, SUM(CAST(v AS HUGEINT) * dt) AS num,
+                       CAST(SUM(dt) AS BIGINT) AS den
+                FROM seg WHERE dt IS NOT NULL GROUP BY 1)
+              SELECT user_id,
+                     ${Exact.bigSqlToDouble("num")}
+                       / CAST(den AS DOUBLE) / 1e6 AS twap
+              FROM g WHERE den > 0 ORDER BY user_id"""))
   )
 }
