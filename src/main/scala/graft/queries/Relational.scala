@@ -486,6 +486,28 @@ object Relational {
         .orderBy("o_orderstatus"),
       None),
 
+    // ⊕ re-aggregatable distinct-count store (Datasketches HLL): build
+    // one sketch per (group, day) — the granularity you'd PERSIST — and
+    // union-merge up to per-group totals without touching raw data
+    // again. This is the incremental-distinct pattern at 100 TB: daily
+    // sketch builds touch only that day's partition; any rollup
+    // (weekly, all-time, cross-table) is a |sketches| merge. Merging is
+    // lossless at fixed lgK (union of sketches ≡ sketch of the union —
+    // SaltingSpec asserts estimate equality exactly), but the estimate
+    // itself is engine-specific → rows-only gate, like a9.
+    Entry(
+      "a24_hll_reagg",
+      (s, dir) => Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_daily_sketches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
     // Salted two-phase aggregate (SURVEY §7.5 skew path): result must be
     // identical to the plain GROUP BY — the salt only re-partitions.
     Entry(

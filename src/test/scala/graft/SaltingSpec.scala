@@ -63,6 +63,24 @@ class SaltingSpec extends SparkSuite {
     }
   }
 
+  test("HLL union of daily sketches equals the sketch of the union exactly (a24)") {
+    // merge is lossless at fixed lgK: estimating after a union-merge of
+    // per-day sketches must give the IDENTICAL estimate to sketching
+    // the whole column in one pass — this is what licenses persisting
+    // daily sketches and never re-reading raw data for rollups
+    val ev = Tables(spark, sfDir, "events").filter(col("user_id").isNotNull)
+    val merged = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+  }
+
   test("exact integer-moment correlation agrees with Spark's corr() to float tolerance (a22)") {
     // a22's DECIMAL(38,0) moments must reproduce the statistic itself;
     // the gate proves cross-engine hash equality, this proves the math.

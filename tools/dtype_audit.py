@@ -27,7 +27,16 @@ DECIMAL cast whose argument references a DOUBLE-typed source column
 type — the per-row double→decimal cast rounds differently across DuckDB
 versions, so a query can pass the local gate and fail the driver's
 (w4_rolling_range / t7_attribution / pipeline_item_insights, r8). Use
-floor-scaled BIGINT micro-points instead (Inventory.scala rule 6).
+floor-scaled BIGINT micro-points instead (Inventory.scala rule 2).
+
+Rule 6 (r9, found by t14_twap): a >2^53 exact integer (DECIMAL(38,0)
+moment, HUGEINT product-sum) cast straight to DOUBLE rounds
+engine-implementation-defined (1-ulp divergence measured between java
+BigDecimal and DuckDB's HUGEINT path). NOT statically flagged here —
+direct casts of envelope-bounded (<2^53) wide integers are legitimate
+and common (a18/a20) — so the rule is enforced by review + the Exact
+.bigColToDouble/bigSqlToDouble helpers, which split at 2^52 and
+reassemble with identical IEEE ops on both engines.
 
 Usage: python3 tools/dtype_audit.py <sfDir> <verifyOutDir>
 Exit 0 = no hazards. Prints one line per flagged column otherwise.
