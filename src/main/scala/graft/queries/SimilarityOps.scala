@@ -290,6 +290,64 @@ object SimilarityOps {
                 SELECT *, ROW_NUMBER() OVER (
                   PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
                 FROM fused)
-              WHERE rank <= 5 ORDER BY query_id, rank"""))
+              WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ⊕ one Lloyd refinement step for the IVF codebook, exactly: assign
+    // every vector to its nearest current centroid (the dedup_semantic
+    // map-side argmax — no shuffle), then recompute each (cell, dim)
+    // centroid coordinate as an exact micro-point mean. Updating a
+    // coarse quantizer is a recurring index-maintenance job at 100 TB:
+    // one scan, one (cell, dim)-keyed aggregate of ≤ k·d rows out —
+    // never a second pass over raw vectors. The mean's numerator is a
+    // BIGINT micro-sum (|v|≤2 ⇒ 2e6/dim-point, ×10¹² rows still
+    // < 2⁶³); one emit division. Dims explode map-side (k·d bounded
+    // output, corpus-sized intermediate — the same rows the scan
+    // already reads).
+    Entry(
+      "sim_kmeans_step",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        graft.operators.SemanticDedup.assignCells(emb, codebook)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cell"), (col("pos") + 1).cast(LongType).as("dim"),
+            floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)
+              .as("vm"))
+          .groupBy("cell", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            (sum(col("vm")).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType) / lit(1e6)).as("centroid"))
+          .orderBy("cell", "dim")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                         AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce)
+                         / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+              pts AS (
+                SELECT a.cell, CAST(t.i AS BIGINT) AS dim,
+                       CAST(FLOOR(v.e[t.i] * 1e6) AS BIGINT) AS vm
+                FROM asg a JOIN v ON a.vec_id = v.vec_id,
+                     unnest(generate_series(1, len(v.e))) AS t(i))
+              SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+                     CAST(CAST(SUM(vm) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
+              FROM pts GROUP BY 1, 2
+              ORDER BY cell, dim"""))
   )
 }
