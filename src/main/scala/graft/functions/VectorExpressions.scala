@@ -81,6 +81,60 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 norm of one `array<float>` column — the specialized form
+  * of `FloatVecDot(x, x)` that [[graft.plans.VecSelfDotRewrite]]
+  * substitutes in the optimizer: ONE child evaluation, one array
+  * materialization, one null check instead of two (a self-dot written
+  * through the generic binary op evaluates its child expression twice —
+  * for a computed child like `zip_with`/`slice` that doubles real work).
+  * The fold is the identical index-order Σ xᵢ·xᵢ, so the rewrite is
+  * bit-for-bit result-preserving (VectorSpec asserts plan shape AND
+  * value equality). */
+case class FloatVecNorm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"FloatVecNorm2 needs an array<float> input, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { val v = x(i).toDouble; s += v * v; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |int $n = $x.length;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $x[$i];
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level vector math built on [[FloatVecDot]], reached through the
   * `vec_dot` function registered by [[graft.plans.GraftExtensions]]. */
 object VectorFunctions {

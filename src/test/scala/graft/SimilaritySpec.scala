@@ -28,6 +28,30 @@ class SimilaritySpec extends SparkSuite {
     assert(viaSql === 2.0)
   }
 
+  test("optimizer rewrites self-dot to FloatVecNorm2; values bit-identical") {
+    // vec_dot(x, x) must leave the optimizer as the unary norm — one
+    // child evaluation instead of two (VecSelfDotRewrite). A parquet
+    // scan keeps the projection alive (a local Seq relation is folded
+    // into a LocalRelation before the plan can be inspected)
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(
+      VectorFunctions.vecNorm2($"embedding").as("n2"),
+      VectorFunctions.vecDot($"embedding", $"embedding").as("dd"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("floatvecnorm2"), optimized)
+    assert(!optimized.contains("floatvecdot"), optimized)
+    // a GENUINE two-argument dot must NOT be rewritten
+    val mixed = emb.as("a").crossJoin(emb.as("b"))
+      .select(VectorFunctions.vecDot($"a.embedding", $"b.embedding").as("d"))
+    assert(mixed.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("floatvecdot"))
+    // rewrite preserves every value bit for bit
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
     val cos = vectors.as("a").crossJoin(vectors.as("b"))
       .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),
