@@ -73,4 +73,68 @@ object AsOfJoin {
       .select((col(key) +: col(ts) +: leftCols.map(col)) ++
         rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Forward AS-OF: for each left row, the single EARLIEST right row with
+    * `right.ts >= left.ts` on the same key (pandas merge_asof
+    * direction='forward'). Same union + one-window plan as
+    * [[latestPrior]], scanned in descending time; inclusive at equal ts;
+    * among equal right timestamps the greatest `rightTiebreak` wins —
+    * the same tie contract as the backward join. */
+  def earliestNext(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   leftCols: Seq[String], rightCols: Seq[String],
+                   rightTiebreak: String): DataFrame = {
+    val tieType = right.schema(rightTiebreak).dataType
+    require(tieType.isInstanceOf[NumericType] || tieType == TimestampType,
+      s"rightTiebreak '$rightTiebreak' must be numeric or timestamp " +
+        s"(got $tieType): casting it to LONG would yield NULL and make " +
+        "equal-timestamp selection nondeterministic")
+    val rStructType = StructType(rightCols.map(c => right.schema(c)))
+    val lTagged = left.select(
+      col(key) +: col(ts) +: lit(1).as("__side") +:
+        lit(null).cast("long").as("__tie") +:
+        lit(null).cast(rStructType).as("__r") +:
+        leftCols.map(col): _*)
+    val rTagged = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        col(key) +: col(ts) +: lit(0).as("__side") +:
+          col(rightTiebreak).cast("long").as("__tie") +:
+          struct(rightCols.map(col): _*).as("__r") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // descending time; rights still sort before lefts at equal ts, and
+    // ascending tie makes the LAST-carried equal-ts right the greatest
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((col(key) +: col(ts) +: leftCols.map(col)) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /** Nearest AS-OF (pandas direction='nearest'): the prior or next match,
+    * whichever is closer in time; an exact tie prefers the PRIOR row
+    * (documented contract — a tie must not depend on partitioning).
+    * `leftId` must be a unique left row id carried in `leftCols` (the
+    * two directional passes join back on it — two window shuffles plus
+    * one |left| equi-join; still no theta join anywhere). */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+              leftId: String, leftCols: Seq[String], rightCols: Seq[String],
+              rightTiebreak: String): DataFrame = {
+    require(leftCols.contains(leftId), s"leftId '$leftId' must be in leftCols")
+    val rc = if (rightCols.contains(ts)) rightCols else rightCols :+ ts
+    val prior = latestPrior(left, right, key, ts, leftCols, rc, rightTiebreak)
+    val next = earliestNext(left, right, key, ts, leftCols, rc, rightTiebreak)
+      .select(col(leftId).as("__nid") +:
+        rc.map(c => col(s"asof_$c").as(s"next_$c")): _*)
+    val j = prior.join(next, col(leftId) === col("__nid"), "left")
+    val dPrior = unix_micros(col(ts)) - unix_micros(col(s"asof_$ts"))
+    val dNext = unix_micros(col(s"next_$ts")) - unix_micros(col(ts))
+    val usePrior = col(s"next_$ts").isNull ||
+      (col(s"asof_$ts").isNotNull && dPrior <= dNext)
+    j.select((col(key) +: col(ts) +: leftCols.map(col)) ++
+      rc.map(c => when(usePrior, col(s"asof_$c"))
+        .otherwise(col(s"next_$c")).as(s"asof_$c")): _*)
+  }
 }

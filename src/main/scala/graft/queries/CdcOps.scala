@@ -304,6 +304,49 @@ object CdcOps {
               FROM events
               WHERE (event_id % 10 = 9)
                  OR (event_id % 10 != 9 AND event_id % 7 != 0)
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ backfill planner: source partitions (event days) minus the
+    // target's existing partitions (a deterministic hole rule stands in
+    // for the target listing), grouped into CONTIGUOUS date ranges via
+    // gaps-and-islands (day − row_number collapses a run to one group
+    // key) — a backfill scheduler wants "3 ranges of N days", never a
+    // day-per-job list. |distinct days| rows after the first distinct:
+    // every step downstream is partition-metadata-sized at any corpus
+    // scale.
+    Entry(
+      "cdc_backfill_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day")).distinct()
+        val missing = days.filter(
+          dayofmonth(col("day")) >= 7 && dayofmonth(col("day")) % 7 <= 2)
+        missing
+          .withColumn("rn", row_number().over(Window.orderBy("day")))
+          .withColumn("grp", date_sub(col("day"), col("rn")))
+          .groupBy("grp")
+          .agg(min(col("day")).as("backfill_start"),
+            max(col("day")).as("backfill_end"),
+            count(lit(1)).as("n_days"))
+          .select("backfill_start", "backfill_end", "n_days")
+          .orderBy("backfill_start")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day
+                FROM events WHERE ts IS NOT NULL),
+              missing AS (
+                SELECT day FROM days
+                WHERE dayofmonth(day) >= 7 AND dayofmonth(day) % 7 <= 2),
+              g AS (
+                SELECT day,
+                       CAST(day - ROW_NUMBER() OVER (ORDER BY day)
+                            * INTERVAL 1 DAY AS DATE) AS grp
+                FROM missing)
+              SELECT MIN(day) AS backfill_start, MAX(day) AS backfill_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM g GROUP BY grp
+              ORDER BY backfill_start"""))
   )
 }

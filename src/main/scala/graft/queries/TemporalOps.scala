@@ -531,6 +531,79 @@ object TemporalOps {
               SELECT user_id,
                      ${Exact.bigSqlToDouble("num")}
                        / CAST(den AS DOUBLE) / 1e6 AS twap
-              FROM g WHERE den > 0 ORDER BY user_id"""))
+              FROM g WHERE den > 0 ORDER BY user_id""")),
+
+    // ⊕ forward AS-OF (merge_asof direction='forward'): each purchase's
+    // EARLIEST click at-or-after it — t1's mirror, same union + one
+    // descending-window plan, same greatest-tiebreak tie contract.
+    Entry(
+      "t15_asof_forward",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks    = ev.filter(col("event_type") === "click")
+        AsOfJoin.earliestNext(purchases, clicks, "user_id", "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          rightTiebreak = "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("asof_event_id").as("click_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+                     (SELECT c.event_id FROM events c
+                      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                        AND c.ts >= p.ts
+                      ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'""")),
+
+    // ⊕ nearest AS-OF (merge_asof direction='nearest'): prior or next
+    // click, whichever is closer in µs; an exact tie prefers the prior
+    // (a pinned contract — partitioning must not decide ties). Two
+    // directional window passes + one |left| equi-join, never a theta
+    // join; the oracle states the same choice rule over the two
+    // correlated picks.
+    Entry(
+      "t16_asof_nearest",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks    = ev.filter(col("event_type") === "click")
+        AsOfJoin.nearest(purchases, clicks, "user_id", "ts",
+          leftId = "event_id",
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          rightTiebreak = "event_id")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("asof_event_id").as("click_id"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH p AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'),
+              ch AS (
+                SELECT p.user_id, p.event_id,
+                       (SELECT c.event_id FROM events c
+                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                          AND c.ts <= p.ts
+                        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS prior_id,
+                       (SELECT epoch_us(c.ts) FROM events c
+                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                          AND c.ts <= p.ts
+                        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS prior_us,
+                       (SELECT c.event_id FROM events c
+                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                          AND c.ts >= p.ts
+                        ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS next_id,
+                       (SELECT epoch_us(c.ts) FROM events c
+                        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                          AND c.ts >= p.ts
+                        ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS next_us,
+                       p.ts_us
+                FROM p)
+              SELECT user_id, event_id AS purchase_id,
+                     CASE WHEN next_id IS NULL THEN prior_id
+                          WHEN prior_id IS NOT NULL
+                               AND ts_us - prior_us <= next_us - ts_us
+                            THEN prior_id
+                          ELSE next_id END AS click_id
+              FROM ch ORDER BY user_id, purchase_id"""))
   )
 }

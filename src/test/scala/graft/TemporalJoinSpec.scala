@@ -32,6 +32,32 @@ class TemporalJoinSpec extends SparkSuite {
     assert(got(201L) === None)      // no right rows for user 2
   }
 
+  test("asof forward + nearest: direction mirror, tie prefers prior, equal-ts inclusive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L),  // exactly between two clicks
+      (1L, ts("2024-01-01 12:00:00"), 102L),  // only prior exists
+      (1L, ts("2024-01-01 08:00:00"), 103L))  // only next exists
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L),
+      (1L, ts("2024-01-01 11:00:00"), 12L))
+      .toDF("user_id", "ts", "event_id")
+
+    val fwd = AsOfJoin.earliestNext(left, right, "user_id", "ts",
+      Seq("event_id"), Seq("event_id"), "event_id")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(fwd(101L) === Some(12L)) // earliest at-or-after 10:00
+    assert(fwd(102L) === None)      // nothing after 12:00
+    assert(fwd(103L) === Some(11L))
+
+    val near = AsOfJoin.nearest(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), Seq("event_id"), "event_id")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(near(101L) === Some(11L)) // exact tie (1h both ways) → PRIOR wins
+    assert(near(102L) === Some(12L)) // only prior
+    assert(near(103L) === Some(11L)) // only next
+  }
+
   test("asof: all carried right columns come from the same matched row") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
     val right = Seq(
