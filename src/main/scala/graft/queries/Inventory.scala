@@ -52,9 +52,13 @@ final case class Entry(
   * engine-implementation-defined rounding (DuckDB's HUGEINT path
   * measurably diverged from java BigDecimal by 1 ulp on t14's Σv·Δt),
   * so the value is split at 2⁵² — hi and lo are BOTH < 2⁵³ and convert
-  * exactly — and reassembled with two IEEE ops (one multiply-round, one
-  * add-round) whose order both engines share. The oracle must mirror
-  * the identical CASE/abs/`//`/`%` structure. */
+  * exactly — and reassembled with two IEEE ops whose order both engines
+  * share. The reassembly is in fact CORRECTLY rounded, not just
+  * deterministic: hi·2⁵² is a pure exponent shift (exact), so the one
+  * rounding is the final add — equal to BigDecimal.doubleValue
+  * (SaltingSpec pins boundaries and signs). Envelope: |v| < 2¹⁰⁵ so hi
+  * stays below 2⁵³; every gated moment is ≤ ~10²⁶. The oracle must
+  * mirror the identical CASE/abs/`//`/`%` structure. */
 object Exact {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.expr

@@ -63,6 +63,35 @@ class SaltingSpec extends SparkSuite {
     }
   }
 
+  test("Exact.bigColToDouble: round-trips sign, 2^52 boundaries, and agrees with BigDecimal rounding") {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.queries.Exact
+    val cases = Seq(
+      BigDecimal(0), BigDecimal(1), BigDecimal(-1),
+      BigDecimal(Exact.Split), BigDecimal(Exact.Split) - 1,
+      BigDecimal(Exact.Split) + 1, BigDecimal(-Exact.Split),
+      BigDecimal("9007199254740993"),            // 2^53+1: first non-exact int
+      BigDecimal("123456789012345678901234567"), // >2^53, both signs
+      BigDecimal("-123456789012345678901234567"),
+      BigDecimal("34256215043677696123"))        // t14-magnitude value
+    // explicit DECIMAL(38,0) schema: the default product encoder is
+    // DECIMAL(38,18), whose integral range the big cases overflow
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", DecimalType(38, 0))))
+    val rows = cases.map(v =>
+      org.apache.spark.sql.Row(new java.math.BigDecimal(v.bigDecimal.toBigInteger)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+      .withColumn("d", Exact.bigColToDouble("v"))
+    df.collect().foreach { r =>
+      val v = BigDecimal(r.getDecimal(0))
+      val expect = v.bigDecimal.doubleValue // correctly-rounded reference
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(expect),
+        s"$v: got ${r.getDouble(1)}, want $expect")
+    }
+  }
+
   test("HLL union of daily sketches equals the sketch of the union exactly (a24)") {
     // merge is lossless at fixed lgK: estimating after a union-merge of
     // per-day sketches must give the IDENTICAL estimate to sketching

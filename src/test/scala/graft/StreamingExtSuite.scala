@@ -379,6 +379,33 @@ class StreamingExtSuite extends SparkSuite {
     assert(a2.qMicro === a.qMicro)
   }
 
+  test("streaming quantiles: histogram state survives kill-and-restart from checkpoint") {
+    import graft.streaming.StreamingQuantiles
+    import graft.streaming.StreamingQuantiles.QuantileState
+    val in = tmpDir("sqr-in"); val cp = tmpDir("sqr-cp")
+    val out = tmpDir("sqr-out") + "/q"
+    def src() = spark.readStream.schema("key STRING, vMicro LONG")
+      .json(in).as[StreamingQuantiles.Obs]
+    def runIt() = StreamingQuantiles.quantileStream(src(), 0.5, 10L)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[QuantileState], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", cp).start()
+    def row(v: Long) = s"""{"key":"a","vMicro":$v}"""
+    val q1 = runIt()
+    try feed(in, q1, (1L to 50L).map(v => row(v * 7)))
+    finally q1.stop() // kill mid-stream
+    val q2 = runIt()  // resume: the histogram must still hold 50 points
+    try feed(in, q2, (51L to 100L).map(v => row(v * 7)))
+    finally q2.stop()
+    val states = spark.read.parquet(out).as[QuantileState].collect()
+    val fin = states.filter(_.n == 100L)
+    assert(fin.nonEmpty, s"recovered state lost pre-kill points: ${states.toSeq}")
+    // same answer the uninterrupted two-batch feed produces (350..360 band)
+    assert(fin.head.qMicro === 360L, fin.head.toString)
+  }
+
   test("streaming CDC state survives kill-and-restart from checkpoint") {
     // The mapGroupsWithState analogue of CdcIngestSuite's exactly-once
     // re-run: stop the query mid-stream, start a FRESH query instance
