@@ -1107,6 +1107,59 @@ object Relational {
               SELECT user_id, event_id,
                      CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 255e6 AS ewma
               FROM l WHERE rn >= 8
+              ORDER BY user_id, event_id""")),
+
+    // ⊕ rolling least-squares slope over the trailing K=8 rows (the
+    // exact trend detector behind per-entity drift alerts): with x
+    // fixed at the window positions 0..7, the OLS slope reduces to
+    // Σ wᵢ·yᵢ / 42 with integer weights wᵢ = 7−2i ∈ {±1,±3,±5,±7}
+    // (centered-x numerator ×2; denominator 2·Σ(x−x̄)² = 84/2) — so the
+    // whole statistic is a BIGINT dot product over the SAME one
+    // user_id window as w6, two exact-constant divisions at emit.
+    // Partial windows are dropped (the weights assume K points).
+    Entry(
+      "w7_rolling_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v"))
+        // lag i holds the row i steps back: weight 7−2i (newest ⇒ +7)
+        val wsum = (0 until k).map { i =>
+          coalesce(lag(col("v"), i).over(w), lit(0L)) * lit((7 - 2 * i).toLong)
+        }.reduce(_ + _)
+        ev.select(col("user_id"), col("event_id"),
+            row_number().over(w).as("rn"), wsum.as("wsum"))
+          .filter(col("rn") >= k)
+          .select(col("user_id"), col("event_id"),
+            (col("wsum").cast(DoubleType) / lit(42.0) / lit(1e6))
+              .as("slope"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+              l AS (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER w AS rn,
+                       v * 7
+                       + COALESCE(LAG(v, 1) OVER w, 0) * 5
+                       + COALESCE(LAG(v, 2) OVER w, 0) * 3
+                       + COALESCE(LAG(v, 3) OVER w, 0) * 1
+                       + COALESCE(LAG(v, 4) OVER w, 0) * -1
+                       + COALESCE(LAG(v, 5) OVER w, 0) * -3
+                       + COALESCE(LAG(v, 6) OVER w, 0) * -5
+                       + COALESCE(LAG(v, 7) OVER w, 0) * -7 AS wsum
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+              SELECT user_id, event_id,
+                     CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 42.0 / 1e6
+                       AS slope
+              FROM l WHERE rn >= 8
               ORDER BY user_id, event_id"""))
   )
 }
