@@ -758,8 +758,10 @@ object Relational {
     // ACCUMULATORS hold to ~10⁹ rows of q ≤ 50, but the derived
     // products n·Σq² and (Σq)² would overflow 2⁶³ near 6·10⁷ rows —
     // so the variance expression forms them in DECIMAL(38,0) (Spark) /
-    // HUGEINT (DuckDB): exact to ~10¹⁹ rows, and the exact-integer→
-    // double conversion is correctly rounded in both engines.
+    // HUGEINT (DuckDB), and the emit goes through Exact's 2⁵²-split
+    // (rule 6: past ~2·10⁶ rows/group the derived moments exceed 2⁵³
+    // and a direct wide-int→double cast is engine-defined rounding):
+    // exact to ~10¹⁹ rows, correctly rounded at any size.
     Entry(
       "a18_variance_exact",
       (s, dir) => {
@@ -769,30 +771,37 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), sum(q).as("sum_q"),
             sum(q * q).as("sumsq_q"))
-          .withColumn("var_pop",
-            (col("n").cast(d38) * col("sumsq_q").cast(d38) -
+          .withColumn("num",
+            col("n").cast(d38) * col("sumsq_q").cast(d38) -
               col("sum_q").cast(d38) * col("sum_q").cast(d38))
-              .cast(DoubleType) /
-              (col("n").cast(d38) * col("n").cast(d38)).cast(DoubleType))
+          .withColumn("den", col("n").cast(d38) * col("n").cast(d38))
+          .withColumn("var_pop",
+            Exact.bigColToDouble("num") / Exact.bigColToDouble("den"))
           .withColumn("stddev_pop", sqrt(col("var_pop")))
+          .select("l_returnflag", "n", "sum_q", "sumsq_q",
+            "var_pop", "stddev_pop")
           .orderBy("l_returnflag")
       },
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
                 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
                          AS sum_q,
                        CAST(SUM(CAST(l_quantity AS BIGINT)
                               * CAST(l_quantity AS BIGINT)) AS BIGINT)
                          AS sumsq_q
-                FROM lineitem GROUP BY 1)
+                FROM lineitem GROUP BY 1),
+              d AS (
+                SELECT l_returnflag, n, sum_q, sumsq_q,
+                       CAST(n AS HUGEINT) * sumsq_q
+                         - CAST(sum_q AS HUGEINT) * sum_q AS num,
+                       CAST(n AS HUGEINT) * n AS den
+                FROM m)
               SELECT l_returnflag, n, sum_q, sumsq_q,
-                     CAST(CAST(n AS HUGEINT) * sumsq_q
-                          - CAST(sum_q AS HUGEINT) * sum_q AS DOUBLE)
-                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS var_pop,
-                     SQRT(CAST(CAST(n AS HUGEINT) * sumsq_q
-                          - CAST(sum_q AS HUGEINT) * sum_q AS DOUBLE)
-                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS stddev_pop
-              FROM m ORDER BY l_returnflag""")),
+                     ${Exact.bigSqlToDouble("num")}
+                       / ${Exact.bigSqlToDouble("den")} AS var_pop,
+                     SQRT(${Exact.bigSqlToDouble("num")}
+                       / ${Exact.bigSqlToDouble("den")}) AS stddev_pop
+              FROM d ORDER BY l_returnflag""")),
 
     // ⊕ exact weighted average (VWAP shape): Σ(price·qty) / Σqty per
     // group, numerator accumulated as exact BIGINT micro-point×BIGINT
