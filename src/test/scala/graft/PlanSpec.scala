@@ -24,6 +24,12 @@ class PlanSpec extends SparkSuite {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Occurrences of a node type, counted from the detail-section headers
+    * (`(6) Window`) — tree-summary prefixes differ by join position
+    * (`+-` vs `:-`), and each node also appears once in the summary. */
+  private def nodeCount(p: String, node: String): Int =
+    p.linesIterator.count(_.trim.matches(s"""\\(\\d+\\) $node( .*)?"""))
+
   test("column pruning reaches the parquet scan (s3: 3-column ReadSchema)") {
     val p = plan("s3_scan_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
@@ -329,7 +335,7 @@ class PlanSpec extends SparkSuite {
     val p = plan("w6_ewma")
     // the K lag terms must share one Window operator over one exchange;
     // a per-term self-join would scale as K scans
-    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) === 1, p)
+    assert(nodeCount(p, "Window") === 1, p)
     assert(!p.contains("Join"), p)
     // one hash exchange (the user_id window); the only other exchange is
     // the rangepartitioning determinism sort
@@ -360,5 +366,39 @@ class PlanSpec extends SparkSuite {
     val p = plan("q11_table_checksum")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("nearest as-of is two windows + one equi-join — never a theta join (t16)") {
+    val p = plan("t16_asof_nearest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nodeCount(p, "Window") === 2, p)
+  }
+
+  test("PPS sample: the only product is the broadcast one-row total; prefix windows are blocked (cur_pps_sample)") {
+    val p = plan("cur_pps_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single BNLJ is the 1-row total broadcast — a corpus-sized
+    // product would be a second one
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 1, p)
+  }
+
+  test("IVM maintenance joins two aggregates — no window, no rescan topology (cdc_ivm_agg)") {
+    val p = plan("cdc_ivm_agg")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
+    val p = plan("sim_kmeans_step")
+    assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins
+    assert(p.contains("Generate"), p) // the dim explode
+  }
+
+  test("TWAP is one lead() window into one partial aggregate (t14)") {
+    val p = plan("t14_twap")
+    assert(nodeCount(p, "Window") === 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
   }
 }
