@@ -185,4 +185,36 @@ class SourcesSinksSuite extends SparkSuite {
     val jsonBack = spark.read.schema(df.schema).json(jsonOut)
     assert(jsonBack.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
+
+  test("manifest write + verify: clean copy all-ok; a tampered shard is named") {
+    import graft.core.{Sinks, Tables}
+    val dir = tmpDir("manifest-out")
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "n_chars")
+    Sinks.writeWithManifest(docs, dir, shards = 4, sortCol = "doc_id")
+    // manifest totals cover every row
+    val v1 = Sinks.verifyManifest(spark, dir).collect()
+    assert(v1.nonEmpty && v1.forall(_.getAs[Boolean]("ok")), v1.mkString("\n"))
+    // corrupt ONE shard (rewrite it with a row dropped) — only that
+    // shard may flag, and by name
+    val aShard = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
+    val tampered = spark.read.parquet(aShard.getPath).limit(1)
+    val tmp = tmpDir("manifest-tamper")
+    tampered.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newFile = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newFile.toPath, aShard.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local FS's stale .crc sidecar — object stores (the 100 TB
+    // home of a published dataset) have no such sidecar; the manifest is
+    // what catches the corruption there
+    val crc = new java.io.File(aShard.getParent, s".${aShard.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val v2 = Sinks.verifyManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(!v2(aShard.getName)._1 && v2(aShard.getName)._2 == "row count")
+    assert(v2.filterNot(_._1 == aShard.getName).values.forall(_._1),
+      s"untampered shards must stay ok: $v2")
+  }
 }
