@@ -230,6 +230,41 @@ class PropertySpec extends SparkSuite {
       } yield (k, v))
     } yield (base, retractIdx.toList, inserts)
 
+  test("Exact.bigColToDouble ≡ BigDecimal's correctly-rounded conversion on random wide integers") {
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    import graft.queries.Exact
+    // magnitudes across the whole envelope: 0 .. 2^104, both signs —
+    // including values straddling the 2^52/2^53 boundaries where a
+    // double-rounded reassembly would diverge from the single rounding
+    val genWide: Gen[List[BigInt]] = Gen.listOfN(24, for {
+      bits <- Gen.choose(0, 104)
+      body <- Gen.choose(0L, Long.MaxValue)
+      low  <- Gen.choose(0L, 7L) // exercise last-bit rounding positions
+      neg  <- Gen.oneOf(true, false)
+    } yield {
+      val v = (BigInt(body) << (bits max 1)) + BigInt(low)
+      val clipped = v.mod(BigInt(1) << 104)
+      if (neg) -clipped else clipped
+    })
+    check(Prop.forAll(genWide) { vs =>
+      vs.nonEmpty ==> {
+        val schema = StructType(Seq(StructField("v", DecimalType(38, 0))))
+        val inRange = vs.filter(_.abs < BigInt(10).pow(38))
+        val rows = inRange.map(v =>
+          org.apache.spark.sql.Row(new java.math.BigDecimal(v.bigInteger)))
+        val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), schema)
+          .withColumn("d", Exact.bigColToDouble("v"))
+          .collect().map(r => (BigInt(r.getDecimal(0).toBigInteger),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toMap
+        inRange.forall { v =>
+          got(v) == java.lang.Double.doubleToLongBits(
+            new java.math.BigDecimal(v.bigInteger).doubleValue)
+        }
+      }
+    })
+  }
+
   test("maintainAggregate ≡ from-scratch recompute on random changelogs") {
     import graft.pipeline.IncrementalFinal
     check(Prop.forAll(genIvm) { case (base, retractIdx, inserts) =>
