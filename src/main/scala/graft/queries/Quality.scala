@@ -310,6 +310,35 @@ object Quality {
                 FROM orders)
               SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
                      CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum
-              FROM h GROUP BY 1 ORDER BY 1"""))
+              FROM h GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ freshness/staleness report: per stream (event_type) the last
+    // event time and its lag behind the corpus frontier — the first
+    // check an on-call runs when a pipeline "looks stuck" (one source
+    // lagging = its ingest died; all lagging = upstream died). One
+    // aggregate + a broadcast one-row frontier join; exact integer µs.
+    Entry(
+      "q12_freshness",
+      (s, dir) => {
+        val perType = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .groupBy("event_type")
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("n_events"))
+        val frontier = perType.agg(max(col("last_us")).as("frontier_us"))
+        perType.crossJoin(broadcast(frontier))
+          .select(col("event_type"), col("n_events"),
+            col("last_us"),
+            (col("frontier_us") - col("last_us")).as("lag_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (
+                SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              f AS (SELECT MAX(last_us) AS frontier_us FROM t)
+              SELECT event_type, n_events, last_us,
+                     frontier_us - last_us AS lag_us
+              FROM t, f ORDER BY event_type"""))
   )
 }
