@@ -671,6 +671,29 @@ object GraphOps {
                 JOIN deg da ON a = da.node
                 JOIN deg db ON b = db.node
               WHERE CAST(c AS DOUBLE) / (da.d + db.d - c) >= 0.25
-              ORDER BY a, b"""))
+              ORDER BY a, b""")),
+
+    // ⊕ degree-distribution report: power-of-two bucketed out-degree
+    // histogram of the customer→order graph — the pre-flight that sizes
+    // every other graph job (hub count decides salting; bucket spread
+    // decides PR iteration cost). Two tiny aggregates (|nodes| then
+    // |buckets| rows); the log₂ bucket is LENGTH(BIN(d)) — pure integer
+    // string ops, no libm log.
+    Entry(
+      "g11_degree_distribution",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("d"))
+        .withColumn("bucket", length(bin(col("d"))).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+        .orderBy("bucket"),
+      Some("""WITH deg AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS d
+                FROM orders GROUP BY 1)
+              SELECT CAST(LENGTH(BIN(d)) AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                     MAX(d) AS max_degree
+              FROM deg GROUP BY 1 ORDER BY bucket"""))
   )
 }

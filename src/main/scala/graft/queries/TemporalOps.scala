@@ -604,6 +604,72 @@ object TemporalOps {
                                AND ts_us - prior_us <= next_us - ts_us
                             THEN prior_id
                           ELSE next_id END AS click_id
-              FROM ch ORDER BY user_id, purchase_id"""))
+              FROM ch ORDER BY user_id, purchase_id""")),
+
+    // ⊕ merged-interval coverage (active-time accounting): treat each
+    // event as a 5-minute activity interval and report, per user, the
+    // UNION length of all intervals — overlaps must not double-count,
+    // which is the classic sweep: an interval opens a new island iff it
+    // starts after the running max of previous ends; islands then
+    // aggregate to (min start, max end). Two windows + one aggregate
+    // over the same single user_id shuffle; every quantity exact µs.
+    Entry(
+      "t17_interval_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val span = 300000000L // 5 min in µs
+        val wPrev = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val iv = Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            (unix_micros(col("ts")) + lit(span)).as("end_us"))
+        iv.withColumn("prev_max_end", max(col("end_us")).over(wPrev))
+          .withColumn("opens",
+            when(col("prev_max_end").isNull ||
+              col("ts_us") > col("prev_max_end"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("opens")).over(wCum))
+          .groupBy("user_id", "island")
+          .agg(min(col("ts_us")).as("i_start"), max(col("end_us")).as("i_end"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("i_end") - col("i_start")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       epoch_us(ts) + 300000000 AS end_us
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              m AS (
+                SELECT user_id, event_id, ts_us, end_us,
+                       MAX(end_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max_end
+                FROM iv),
+              o AS (
+                SELECT user_id, event_id, ts_us, end_us,
+                       CASE WHEN prev_max_end IS NULL
+                              OR ts_us > prev_max_end THEN 1 ELSE 0 END
+                         AS opens
+                FROM m),
+              isl AS (
+                SELECT user_id, ts_us, end_us,
+                       SUM(opens) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS island
+                FROM o),
+              g AS (
+                SELECT user_id, island, MIN(ts_us) AS i_start,
+                       MAX(end_us) AS i_end
+                FROM isl GROUP BY 1, 2)
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                     CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+              FROM g GROUP BY 1 ORDER BY user_id"""))
   )
 }
