@@ -87,4 +87,33 @@ object Layout {
       .partitionBy(groupCol, bin)
       .parquet(dir)
   }
+
+  /** Detection side of the compaction loop: per partition directory, the
+    * file count, how many fall below `smallBytes`, and total bytes —
+    * the report that decides WHICH partitions [[writeCompacted]] (or an
+    * OPTIMIZE job) should rewrite. Pure filesystem-metadata listing (no
+    * data read); the result is |partitions| rows however large the
+    * table. Non-partitioned layouts report one "" partition. */
+  def smallFilesReport(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       smallBytes: Long): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+        val rel = root.toUri.relativize(st.getPath.getParent.toUri).getPath
+        files += ((rel.stripSuffix("/"), st.getLen))
+      }
+    }
+    files.toSeq.toDF("partition", "bytes")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        count(when(col("bytes") < smallBytes, 1)).as("n_small"),
+        sum(col("bytes")).as("bytes_total"))
+      .orderBy("partition")
+  }
 }

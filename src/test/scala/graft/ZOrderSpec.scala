@@ -36,6 +36,31 @@ class ZOrderSpec extends SparkSuite {
     assert(over === 0L)
   }
 
+  test("smallFilesReport flags a fragmented partition; compaction clears it") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    // fragment: 8 files per source partition
+    val frag = tmpDir("frag")
+    docs.repartition(8).write.mode("overwrite").partitionBy("source").parquet(frag)
+    val before = Layout.smallFilesReport(spark, frag, smallBytes = 1L << 20)
+      .collect()
+    assert(before.nonEmpty)
+    assert(before.forall(r => r.getAs[Long]("n_files") >= 2 &&
+      r.getAs[Long]("n_small") === r.getAs[Long]("n_files")),
+      s"every partition should be fragmented into small files: ${before.toSeq}")
+    // the fix: compact (everything lands in few large-enough-per-bin files)
+    val fixed = tmpDir("frag-fixed")
+    Layout.writeCompacted(docs, "source", "doc_id", "n_chars",
+      targetPerBin = 1L << 20, fixed)
+    val after = Layout.smallFilesReport(spark, fixed, smallBytes = 1L << 20)
+      .collect()
+    // one bin per source at this target → exactly one file per partition
+    assert(after.forall(_.getAs[Long]("n_files") === 1L),
+      s"compaction should leave one file per partition: ${after.toSeq}")
+    // nothing lost along the way
+    assert(spark.read.parquet(fixed).count() === docs.count())
+  }
+
   test("zValue interleaves bits (hand-checked corners and a reference fold)") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
       .toDF("x", "y")
