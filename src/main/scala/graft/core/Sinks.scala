@@ -85,11 +85,21 @@ object Sinks {
     df.repartitionByRange(shards, col(sortCol))
       .write.mode(SaveMode.Overwrite).parquet(dir)
     val spark = df.sparkSession
+    // JSON-escape the file name (quote/backslash/control chars) — the
+    // verifier parses the manifest with a real JSON parser, so raw
+    // interpolation is a format hazard even if Spark part-file names
+    // are safe today (ADVICE r9)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val entries = fileDigests(spark, dir).orderBy("file")
       .collect() // |shards| rows — a control-plane readout
       .map { r =>
         val name = r.getString(0).split('/').last
-        s"""{"file":"$name","n_rows":${r.getLong(1)},"checksum":${r.getLong(2)}}"""
+        s"""{"file":${jstr(name)},"n_rows":${r.getLong(1)},"checksum":${r.getLong(2)}}"""
       }
     val manifest = entries.mkString("[\n  ", ",\n  ", "\n]\n")
     val p = new org.apache.hadoop.fs.Path(dir, "_manifest.json")

@@ -314,10 +314,12 @@ object Curation {
     * [[selectUnderBudget]]). The one-row total joins by broadcast. */
   def ppsSample(docs: DataFrame, k: Int,
                 blockSize: Long = 1L << 20): DataFrame = {
+    // no cache(): a long-lived session would leak it (LEAKCHECK), and
+    // the projection is read exactly twice — the grand total is summed
+    // from the tiny per-block table, not a third corpus scan
     val s = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
       expr(s"doc_id DIV ${blockSize}L").as("blk"))
-      .cache()
     val blockTotals = s.groupBy("blk").agg(sum("n_tokens").as("btoks"))
     val wBlocks = Window.orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -325,7 +327,7 @@ object Curation {
       coalesce(sum("btoks").over(wBlocks), lit(0L)))
     val wInBlock = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val total = s.agg(sum("n_tokens").as("t"))
+    val total = blockTotals.agg(sum("btoks").as("t"))
     s.withColumn("dprev", coalesce(sum("n_tokens").over(wInBlock), lit(0L)))
       .join(blockPrev.select("blk", "bprev"), Seq("blk"))
       .crossJoin(broadcast(total))

@@ -282,12 +282,18 @@ object Quality {
       "q11_table_checksum",
       (s, dir) => {
         val d38 = DecimalType(38, 0)
+        // EVERY digest component is sentinel-coalesced: concat_ws would
+        // silently drop a NULL field (separator and all), letting
+        // distinct rows collide, while the oracle's '||' would
+        // NULL-propagate — a total, identical rendering on both engines
+        // is the only safe form (ADVICE r9).
         val rowStr = concat_ws("|",
-          col("o_orderkey").cast(StringType),
-          col("o_custkey").cast(StringType),
+          coalesce(col("o_orderkey").cast(StringType), lit("∅")),
+          coalesce(col("o_custkey").cast(StringType), lit("∅")),
           coalesce(col("o_orderstatus"), lit("∅")),
           coalesce(col("o_orderpriority"), lit("∅")),
-          floor(col("o_totalprice") * lit(1e2)).cast(LongType).cast(StringType))
+          coalesce(floor(col("o_totalprice") * lit(1e2)).cast(LongType)
+            .cast(StringType), lit("∅")))
         Tables(s, dir, "orders")
           .select(col("o_orderstatus"),
             conv(substring(md5(rowStr), 1, 15), 16, 10)
@@ -301,12 +307,12 @@ object Quality {
       Some("""WITH h AS (
                 SELECT o_orderstatus,
                        CAST('0x' || substr(md5(
-                         CAST(o_orderkey AS VARCHAR) || '|' ||
-                         CAST(o_custkey AS VARCHAR) || '|' ||
+                         COALESCE(CAST(o_orderkey AS VARCHAR), '∅') || '|' ||
+                         COALESCE(CAST(o_custkey AS VARCHAR), '∅') || '|' ||
                          COALESCE(o_orderstatus, '∅') || '|' ||
                          COALESCE(o_orderpriority, '∅') || '|' ||
-                         CAST(CAST(FLOOR(o_totalprice * 1e2) AS BIGINT)
-                              AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+                         COALESCE(CAST(CAST(FLOOR(o_totalprice * 1e2) AS BIGINT)
+                              AS VARCHAR), '∅')), 1, 15) AS BIGINT) AS hv
                 FROM orders)
               SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
                      CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS checksum

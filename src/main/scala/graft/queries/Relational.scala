@@ -1121,10 +1121,12 @@ object Relational {
     // ⊕ rolling least-squares slope over the trailing K=8 rows (the
     // exact trend detector behind per-entity drift alerts): with x
     // fixed at the window positions 0..7, the OLS slope reduces to
-    // Σ wᵢ·yᵢ / 42 with integer weights wᵢ = 7−2i ∈ {±1,±3,±5,±7}
-    // (centered-x numerator ×2; denominator 2·Σ(x−x̄)² = 84/2) — so the
-    // whole statistic is a BIGINT dot product over the SAME one
-    // user_id window as w6, two exact-constant divisions at emit.
+    // Σ wᵢ·yᵢ / 84 with integer weights wᵢ = 7−2i ∈ {±1,±3,±5,±7}.
+    // The weights are 2·(x−x̄), so the dot product is 2·Sxy and the
+    // divisor is 2·Sxx = 2·42 = 84 — pinned against Spark's own
+    // covar_pop/var_pop slope in RelationalSpec. The statistic is a
+    // BIGINT dot product over the SAME one user_id window as w6,
+    // two exact-constant divisions at emit.
     // Partial windows are dropped (the weights assume K points).
     Entry(
       "w7_rolling_slope",
@@ -1144,7 +1146,7 @@ object Relational {
             row_number().over(w).as("rn"), wsum.as("wsum"))
           .filter(col("rn") >= k)
           .select(col("user_id"), col("event_id"),
-            (col("wsum").cast(DoubleType) / lit(42.0) / lit(1e6))
+            (col("wsum").cast(DoubleType) / lit(84.0) / lit(1e6))
               .as("slope"))
           .orderBy("user_id", "event_id")
       },
@@ -1166,7 +1168,7 @@ object Relational {
                        + COALESCE(LAG(v, 7) OVER w, 0) * -7 AS wsum
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
               SELECT user_id, event_id,
-                     CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 42.0 / 1e6
+                     CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 84.0 / 1e6
                        AS slope
               FROM l WHERE rn >= 8
               ORDER BY user_id, event_id"""))

@@ -127,6 +127,40 @@ class SaltingSpec extends SparkSuite {
     }
   }
 
+  test("w7 rolling slope equals the covar_pop/var_pop OLS slope (independent pin)") {
+    // the gate proves both engines emit the same number; this proves the
+    // number IS the OLS slope. Slope is shift-invariant in x, so the
+    // trailing-8 frame's slope is covar_pop(rn, v)/var_pop(rn) with rn
+    // as the x coordinate — Spark's own estimators, none of w7's
+    // integer-weight algebra. Caught-by-construction: the r9 divisor
+    // bug (42 instead of 2·Sxx = 84) made every emitted value exactly
+    // 2× this reference and would fail here.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val frame = w.rowsBetween(-7, 0)
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"))
+    // covar_pop needs the x column materialized before the frame pass
+    val withX = ev.withColumn("rn2", row_number().over(w).cast("double"))
+      .withColumn("s",
+        covar_pop(col("rn2"), col("v").cast("double")).over(frame) /
+          var_pop(col("rn2")).over(frame))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 8)
+      .select(col("user_id"), col("event_id"), (col("s") / lit(1e6)).as("slope"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = graft.queries.Inventory.byName("w7_rolling_slope")
+      .run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === withX.size && got.nonEmpty)
+    withX.foreach { case (k, s) =>
+      assert(math.abs(got(k) - s) < 1e-9 + 1e-9 * math.abs(s),
+        s"key $k: w7 ${got(k)} vs covar_pop slope $s")
+    }
+  }
+
   test("approx_percentile stays within the GK rank-error bound of exact (a21)") {
     // GK sketch contract: a returned value's RANK is within n/accuracy
     // of the target rank q·n. Assert in rank space (value-space deltas
