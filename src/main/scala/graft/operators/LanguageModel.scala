@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -18,8 +19,10 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale design: the model is a char-bigram count table, ≤ |charset|² rows
   * whatever the corpus size — it broadcasts; the scoring join is map-side.
-  * Training is one explode + count over corpus characters; the explode
-  * rides the same scan as scoring at 100 TB (cache the bigram table).
+  * The corpus is scanned and exploded ONCE: training and scoring both
+  * re-aggregate the per-doc bigram-count table, whose shuffle Catalyst
+  * deduplicates (ReuseExchange), so at 100 TB the raw text crosses the
+  * scan exactly once and everything downstream is counts.
   *
   * Overflow bound: the `1_000_000 · n₂` intermediate is 64-bit, so a
   * single bigram may occur at most ~9.2·10¹² times (≈ 18 PB of that one
@@ -54,18 +57,46 @@ object LanguageModel {
   /** Score each document: mean corpus probability of its char bigrams in
     * exact micro-points. Output (doc_id, n_bigrams, lm_micro_sum,
     * lm_score); documents shorter than 2 chars have no bigrams and are
-    * absent (callers wanting them keep a left join on doc ids). */
+    * absent (callers wanting them keep a left join on doc ids).
+    *
+    * ONE corpus scan: the raw explode is aggregated to per-doc bigram
+    * counts `(doc_id, bg, c)` FIRST, and both the model (re-aggregate
+    * over `bg`) and the scores (broadcast-join + re-aggregate over
+    * `doc_id`) derive from that table. The two consumers share the
+    * identical `(doc_id, bg)` exchange subtree, so Catalyst's
+    * ReuseExchange serves the second from shuffle files instead of
+    * re-scanning + re-exploding the corpus (plan-asserted in
+    * LanguageModelSpec) — r9 shipped the train and score passes as two
+    * independent full explodes, the most expensive constant in the
+    * whole bench (VERDICT r9 task 5). */
   def scoreDocs(docs: DataFrame): DataFrame = {
-    val model = broadcast(charBigramModel(docs))
-    docs
+    // the explicit isNotNull matches the filter the broadcast join
+    // infers on the scoring branch — without it the two branches'
+    // exchange subtrees differ by that one Filter node and AQE cannot
+    // deduplicate the shuffle (explode never yields a null bigram, so
+    // the filter is semantically free)
+    val perDoc = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val counts = perDoc.groupBy("bg").agg(sum(col("c")).as("n2"))
+    // n1 rides a window over the ≤ charset² count table instead of a
+    // prefix self-join: a join would push a DIFFERENT null filter
+    // (isnotnull(substring(bg,1,1))) into its branch's scan, breaking
+    // the exchange identity that lets the model branch reuse the
+    // scoring branch's shuffle
+    val wPrefix = Window.partitionBy(substring(col("bg"), 1, 1))
+    val model = broadcast(
+      counts.select(col("bg"), col("n2"),
+        sum(col("n2")).over(wPrefix).as("n1")))
+    perDoc
       .join(model, "bg")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(expr("(1000000 * n2) DIV n1")).cast(LongType).as("lm_micro_sum"))
-      .select(col("doc_id"), col("n_bigrams").cast(LongType).as("n_bigrams"),
-        col("lm_micro_sum"),
+        sum(col("c")).cast(LongType).as("n_bigrams"),
+        sum(col("c") * expr("(1000000 * n2) DIV n1"))
+          .cast(LongType).as("lm_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micro_sum"),
         (col("lm_micro_sum").cast("double") / (lit(1e6) * col("n_bigrams")))
           .as("lm_score"))
   }

@@ -557,10 +557,10 @@ object TemporalOps {
 
     // ⊕ nearest AS-OF (merge_asof direction='nearest'): prior or next
     // click, whichever is closer in µs; an exact tie prefers the prior
-    // (a pinned contract — partitioning must not decide ties). Two
-    // directional window passes + one |left| equi-join, never a theta
-    // join; the oracle states the same choice rule over the two
-    // correlated picks.
+    // (a pinned contract — partitioning must not decide ties). Both
+    // directional picks ride ONE union shuffle as two window columns
+    // (plan-asserted single hash exchange), never a theta join; the
+    // oracle states the same choice rule over the two correlated picks.
     Entry(
       "t16_asof_nearest",
       (s, dir) => {

@@ -56,6 +56,28 @@ class BenchSuite extends SparkSuite {
     assert(json.contains(s""""runs":{"q_ok":[${timings.mkString(",")}]}"""))
   }
 
+  test("summary line stays tail-sized for a 200-query inventory and carries the totals") {
+    // the driver keeps only the last ~2 KB of stdout; the summary line
+    // must fit that window no matter how large the inventory grows,
+    // while still honoring the {"metric","value","unit","queries","sf"}
+    // schema and pointing at the committed full artifact
+    val results: Seq[(String, Seq[Double])] =
+      (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> Seq(i / 7.0, i / 6.5)) :+
+        ("q_broken" -> Seq(-1.0))
+    val s = Bench.toSummaryJson(results, "/root/testdata/sf0.1", "bench_out.json")
+    assert(s.length < 1800, s"summary is ${s.length} bytes — exceeds the tail budget")
+    val total = results.map(r => Bench.best(r._2)).filter(_ >= 0).sum
+    assert(s.contains(s""""value":$total"""))
+    assert(s.contains(""""metric":"total""""))
+    assert(s.contains(""""queries_full":"bench_out.json""""))
+    assert(s.contains(""""errors":["q_broken"]"""))
+    assert(s.contains(""""n_queries":201"""))
+    // the compact map keeps the MOST EXPENSIVE mins (the ones worth
+    // reading first), not an arbitrary prefix
+    assert(s.contains("query_with_a_long_name_200"))
+    assert(!s.contains("query_with_a_long_name_001"))
+  }
+
   test("a failure stops further runs for that query (no wasted re-runs of a broken plan)") {
     var calls = 0
     val broken = (_: SparkSession, _: String) => {

@@ -45,4 +45,17 @@ class LanguageModelSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("train + score share one corpus scan: the per-doc count exchange is reused") {
+    // the corpus text must be scanned/exploded exactly once — the model
+    // branch reads the SAME (doc_id, bg) shuffle the scoring branch
+    // wrote. One scan node in the executed plan, plus a ReusedExchange
+    // (AQE stage reuse) marking the dedup.
+    val docs = (0L until 50L).map(i => (i, "some plain text here")).toDF("doc_id", "text")
+    val scored = LanguageModel.scoreDocs(docs)
+    scored.collect() // finalize THIS QueryExecution's adaptive plan
+    val executed = scored.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      executed)
+  }
 }

@@ -368,11 +368,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
-  test("nearest as-of is two windows + one equi-join — never a theta join (t16)") {
+  test("nearest as-of is ONE union shuffle carrying both window passes — no join at all (t16)") {
     val p = plan("t16_asof_nearest")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p) // r9 shipped a back-join; fused away
     assert(nodeCount(p, "Window") === 2, p)
+    // both windows hang off the SAME hash exchange (the second only
+    // re-sorts in place); the sole other exchange is the determinism
+    // ORDER BY's range partitioning
+    assert(nodeCount(p, "Exchange") === 2, p)
+    assert(p.contains("hashpartitioning") && p.contains("rangepartitioning"), p)
   }
 
   test("PPS sample: the only product is the broadcast one-row total; prefix windows are blocked (cur_pps_sample)") {
