@@ -104,14 +104,26 @@ object HttpDistanceProvider {
   * `perCallDelayMs` is the polite-throttle knob mirroring the
   * reference's `time.sleep(0.2)` (:101) — applied per partition-task,
   * so the effective global rate is `partitions / delay`.
+  *
+  * Failure envelope (HttpConnectorsSuite failure-storm cases): a call
+  * retries at most `maxAttempts` times total, on I/O failure or 5xx
+  * only (4xx is a deterministic client error — retrying re-sends an
+  * identical bad request), with linear backoff `retryBackoffMs ×
+  * attempt`. A row whose attempts are exhausted becomes a NULL
+  * distance and the partition's client carries on with the next row —
+  * one row's failure storm can never fail the task, and the wall-time
+  * per row is bounded by `maxAttempts × (timeout + backoff)`.
   */
 final class HttpDistanceProvider(
     endpoint: String,
     apiKey: String,
     destination: String = HttpDistanceProvider.CompanyAddress,
     timeoutMs: Long = 10000L,
-    perCallDelayMs: Long = 0L) extends CommuteRules.DistanceProvider
+    perCallDelayMs: Long = 0L,
+    maxAttempts: Int = 3,
+    retryBackoffMs: Long = 200L) extends CommuteRules.DistanceProvider
     with Serializable {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
 
   /** Reference transport-mode → API mode mapping (:34-37). */
   private def apiMode(mode: String): String = mode match {
@@ -128,6 +140,7 @@ final class HttpDistanceProvider(
     import spark.implicits._
     val ep = endpoint; val key = apiKey; val dest = destination
     val tmo = timeoutMs; val delay = perCallDelayMs
+    val maxA = maxAttempts; val backoff = retryBackoffMs
     val doMode = (m: String) => apiMode(m)
     val bodies = employees
       .select(col("id_employee").cast(IntegerType),
@@ -136,22 +149,42 @@ final class HttpDistanceProvider(
       .as[(Int, String, String)]
       .mapPartitions { it =>
         // one client per partition-task; connections reused across rows
+        // AND across a row's retries — a failing row must not tear the
+        // client down for the rows behind it
         val client = HttpClient.newBuilder()
           .connectTimeout(Duration.ofMillis(tmo)).build()
         it.map { case (id, addr, mode) =>
-          val body =
-            try {
-              if (delay > 0) Thread.sleep(delay)
-              val uri = java.net.URI.create(
-                s"$ep?origins=${enc(Option(addr).getOrElse(""))}" +
-                  s"&destinations=${enc(dest)}" +
-                  s"&mode=${doMode(Option(mode).getOrElse(""))}" +
-                  s"&key=${enc(key)}")
-              val req = HttpRequest.newBuilder(uri)
-                .timeout(Duration.ofMillis(tmo)).GET().build()
-              val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-              if (resp.statusCode() == 200) resp.body() else null
-            } catch { case _: java.io.IOException | _: InterruptedException => null }
+          val uri = java.net.URI.create(
+            s"$ep?origins=${enc(Option(addr).getOrElse(""))}" +
+              s"&destinations=${enc(dest)}" +
+              s"&mode=${doMode(Option(mode).getOrElse(""))}" +
+              s"&key=${enc(key)}")
+          var body: String = null
+          var attempt = 0
+          var done = false
+          while (!done && attempt < maxA) {
+            attempt += 1
+            val retriable =
+              try {
+                if (delay > 0) Thread.sleep(delay)
+                val req = HttpRequest.newBuilder(uri)
+                  .timeout(Duration.ofMillis(tmo)).GET().build()
+                val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+                val sc = resp.statusCode()
+                if (sc == 200) { body = resp.body(); done = true; false }
+                else sc >= 500 // 4xx: deterministic, never retried
+              } catch {
+                case _: InterruptedException =>
+                  // task cancellation — restore the flag, stop retrying
+                  Thread.currentThread().interrupt(); done = true; false
+                case _: java.io.IOException => true
+              }
+            if (!done && retriable && attempt < maxA)
+              try Thread.sleep(backoff * attempt)
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt(); done = true }
+            else if (!retriable) done = true
+          }
           (id, body)
         }
       }

@@ -24,9 +24,14 @@ class HttpConnectorsSuite extends SparkSuite {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = handler(ex)
     })
+    // pooled executor: the default serializes handlers on one thread,
+    // so a deliberately-slow handler (the slow-endpoint storm) would
+    // starve every other row's request behind it
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
     try f(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
+    finally { server.stop(0); pool.shutdownNow(); () }
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -143,6 +148,86 @@ class HttpConnectorsSuite extends SparkSuite {
       assert(got.forall(_.startsWith("POST application/json ")))
       assert(got.exists(_.contains(
         """{"text":"Auteur: Ada L","attachments":[{"pretext":"great \"run\"","text":"Type d'activité: Course","color":"#36a64f"}]}""")))
+    }
+  }
+
+  test("failure storm: connection refused on every call → all-null rows, task survives") {
+    // 127.0.0.1:9 (discard) refuses connections — every attempt is an
+    // immediate IOException. The task must not fail, every row must
+    // surface as a NULL distance, and the storm must stay bounded
+    // (3 attempts × ~instant refusal + 2 backoffs ≪ the 30 s assert)
+    val t0 = System.nanoTime()
+    val live = new HttpDistanceProvider("http://127.0.0.1:9/x", apiKey = "k",
+      timeoutMs = 1000L, retryBackoffMs = 10L)
+    val got = live.distances(employees).collect()
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    assert(got.length == 4 && got.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("failure storm: 5xx burst retries with backoff and recovers; attempts are bounded") {
+    // addr1: 500 twice then 200 → the third (last) attempt succeeds.
+    // addr2: 500 forever → exactly maxAttempts calls, then NULL.
+    // addr3: 404 → exactly ONE call (4xx is deterministic, no retry).
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    withServer { ex =>
+      val q = ex.getRequestURI.getQuery
+      val origin = q.split("&").collectFirst {
+        case kv if kv.startsWith("origins=") =>
+          java.net.URLDecoder.decode(kv.drop(8), "UTF-8") }.getOrElse("")
+      val n = hits.merge(origin, 1, (a, b) => a + b)
+      origin match {
+        case "addr1" if n <= 2 => respond(ex, 500, "flaky")
+        case "addr1"           => respond(ex, 200, matrixJson(12000, 3000))
+        case "addr2"           => respond(ex, 503, "down hard")
+        case "addr3"           => respond(ex, 404, "no such route")
+        case _                 => respond(ex, 200, matrixJson(1, 1))
+      }
+    } { base =>
+      val live = new HttpDistanceProvider(base, apiKey = "k",
+        maxAttempts = 3, retryBackoffMs = 5L)
+      // NO orderBy before collect: range-partition sampling would
+      // re-execute the HTTP pass and double every attempt count
+      val got = live.distances(employees).collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got(1) === Some(12000)) // recovered on the last attempt
+      assert(got(2) === None)        // exhausted
+      assert(got(3) === None)        // 4xx → null, no retry
+      assert(hits.get("addr1") === 3)
+      assert(hits.get("addr2") === 3) // bounded: never a 4th call
+      assert(hits.get("addr3") === 1) // deterministic failure: one call
+    }
+  }
+
+  test("failure storm: a slow endpoint times out per-attempt and later rows still flow " +
+    "through the same partition client") {
+    // addr1 sleeps past the request timeout on every attempt (slow
+    // endpoint, not dead — the socket ACCEPTS); addr2..4 answer fast.
+    // All 4 rows ride ONE partition (employees is 1-partition), so the
+    // client that just timed out must keep serving the rows behind it.
+    val served = new ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      val q = ex.getRequestURI.getQuery
+      val origin = q.split("&").collectFirst {
+        case kv if kv.startsWith("origins=") =>
+          java.net.URLDecoder.decode(kv.drop(8), "UTF-8") }.getOrElse("")
+      served.add(origin)
+      if (origin == "addr1") { Thread.sleep(2000); respond(ex, 200, matrixJson(1, 1)) }
+      else respond(ex, 200, matrixJson(7000, 1700))
+    } { base =>
+      val live = new HttpDistanceProvider(base, apiKey = "k",
+        timeoutMs = 300L, maxAttempts = 2, retryBackoffMs = 5L)
+      // NO orderBy (see the 5xx-burst case): sampling re-execution
+      // would double the attempt counts
+      val got = live.distances(employees).collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got(1) === None) // timed out on both attempts
+      assert(got(2) === Some(7000))
+      assert(got(3) === Some(7000))
+      assert(got(4) === Some(7000))
+      val tries = served.toArray(Array.empty[String]).toSeq
+      assert(tries.count(_ == "addr1") === 2) // bounded timeout retries
     }
   }
 

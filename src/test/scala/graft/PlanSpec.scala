@@ -30,6 +30,52 @@ class PlanSpec extends SparkSuite {
   private def nodeCount(p: String, node: String): Int =
     p.linesIterator.count(_.trim.matches(s"""\\(\\d+\\) $node( .*)?"""))
 
+  test("sweep: no gated plan windows over an unbounded unpartitioned input") {
+    // an unpartitioned Window moves ALL data to one task — the classic
+    // silent scale-killer. Sweep every declared query's optimized plan;
+    // the only unpartitioned windows allowed are those whose input an
+    // aggregation has already bounded (block/bucket totals, per-day
+    // rollups — cardinality independent of corpus size). The allowlist
+    // is exact-match: a NEW unpartitioned window anywhere fails, and a
+    // fixed one must be removed here.
+    val allow = Map(
+      // prefix sums over per-bucket/per-block token totals: bounded by
+      // bucket grid / |corpus tokens|/2^20 by construction (the
+      // three-level prefix design — Curation.scala)
+      "cur_token_budget" -> "window over per-bucket totals",
+      "cur_pps_sample" -> "window over per-block totals",
+      "pipeline_curate_full" -> "budget stage's per-bucket totals window",
+      "pipeline_curate_cdc" -> "budget stage's per-bucket totals window",
+      // per-class / per-source count tables: |langs| / |sources| rows
+      "cur_oversample_balance" -> "global max over per-lang counts",
+      "cur_mixture_sample" -> "total over per-source counts",
+      // day-grain series: ≤ one row per day whatever the corpus
+      "t6_change_point" -> "change-point scan over the daily series",
+      "cdc_backfill_plan" -> "gaps-and-islands over distinct days")
+    val offenders = Inventory.all.flatMap { e =>
+      val lp = e.run(spark, sfDir).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(e.name) else None
+    }.toSet
+    assert(offenders === allow.keySet,
+      s"unpartitioned-window drift: unexpected=${offenders -- allow.keySet} " +
+        s"stale-allowlist=${allow.keySet -- offenders}")
+    // detector self-check: a deliberately unpartitioned window over raw
+    // rows MUST be caught by the same collect pattern
+    import org.apache.spark.sql.expressions.{Window => W}
+    val regress = Inventory.byName("s3_scan_projection").run(spark, sfDir)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(W.orderBy("c_custkey")))
+    val caught = regress.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(caught.nonEmpty, "sweep detector failed to catch a planted regression")
+  }
+
   test("column pruning reaches the parquet scan (s3: 3-column ReadSchema)") {
     val p = plan("s3_scan_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
