@@ -40,4 +40,33 @@ object Tables {
       }
     else df
   }
+
+  /** Conditional fan-out for operators whose PER-ROW work dwarfs the
+    * row itself (shingle explodes, char-bigram explodes, all-pairs
+    * vector scoring): when the input has fewer partitions than the
+    * session's parallelism, redistribute it before the heavy map phase.
+    *
+    * Why this exists: the driver writes each table as ONE parquet file
+    * with ONE row group, and a row group is parquet's unit of scan
+    * parallelism — so the whole map phase of every query funnels
+    * through a single task whatever `local[32]` promises. Measured on
+    * sim_knn_graph at sf0.1: 4M scored pairs single-threaded, ~4 s of
+    * a 6 s query.
+    *
+    * Why only at explode-heavy seams: a blanket spread in `apply` was
+    * measured a net LOSS (full-bench total 131 → 155 s) — ~150 scan→
+    * agg queries each paid ~0.5 s of exchange + sort-before-repartition
+    * overhead their single-threaded map phase never cost. The operators
+    * that explode each row into many derived rows won 2–4×.
+    *
+    * Why it is scale-safe: the condition is partition count, not size —
+    * a 100 TB table scans as thousands of row groups, the condition is
+    * false, and this is a no-op. The explicit-numPartitions form
+    * survives AQE's small-shuffle coalescing, which would merge the
+    * tiny shuffle right back to one partition. Results are
+    * partition-invariant by the inventory's determinism rules. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

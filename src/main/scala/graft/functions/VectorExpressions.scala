@@ -39,38 +39,41 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"FloatVecDot needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
+  // Elements are read straight off the ArrayData (Unsafe row buffer /
+  // parquet column batch) with getFloat(i) — no toFloatArray() copy.
+  // The per-pair copies were 2 allocations × |dim| floats on EVERY
+  // scored pair (8M allocations for a 2k-vector kNN graph), pure GC
+  // pressure in the hottest loop the engine has. Fold order is the
+  // identical left-to-right Σ, so results are bit-unchanged.
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
     // fail loudly: silently truncating a ragged/corrupt embedding would
     // return a plausible but wrong dot product
-    if (x.length != y.length)
+    if (n != y.numElements())
       throw new IllegalArgumentException(
-        s"vec_dot: length mismatch ${x.length} vs ${y.length}")
+        s"vec_dot: length mismatch $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     java.lang.Double.valueOf(s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
-         |if ($x.length != $y.length) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "vec_dot: length mismatch " + $x.length + " vs " + $y.length);
+         |    "vec_dot: length mismatch " + $n + " vs " + $b.numElements());
          |}
-         |int $n = $x.length;
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x[$i] * (double) $y[$i];
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -104,27 +107,28 @@ case class FloatVecNorm2(child: Expression)
           s"FloatVecNorm2 needs an array<float> input, got $t")
     }
 
+  // Same zero-copy getFloat(i) read as [[FloatVecDot]]; identical
+  // index-order fold, bit-unchanged results.
   override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < x.length) { val v = x(i).toDouble; s += v * v; i += 1 }
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
     java.lang.Double.valueOf(s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val x = ctx.freshName("x")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |int $n = $x.length;
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $x[$i];
+         |  double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
          |}
          |${ev.value} = $s;

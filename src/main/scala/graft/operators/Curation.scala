@@ -226,7 +226,9 @@ object Curation {
     * `top_bigram_frac < cap` would then silently drop the doc, since
     * NaN compares false both ways). */
   def repetitionStats(docs: DataFrame): DataFrame =
-    docs
+    // spread first: the sorted-run fold is map-side by design, so ALL
+    // its work lands on the scan's partitions (Tables.spread scaladoc)
+    graft.core.Tables.spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         TextFunctions.shinglesFromTokens(col("toks"), 2).as("bgs"))

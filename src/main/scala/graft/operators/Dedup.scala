@@ -48,7 +48,10 @@ object Dedup {
     * same counts from the raw strings, so a collision would surface as
     * a hash-mismatch, not silent corruption). */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
-    docs
+    // spread before the explode: each doc fans out into |tokens| shingle
+    // rows, so an under-parallel input (one-row-group scan) would run
+    // the whole tokenize+explode single-threaded (Tables.spread scaladoc)
+    graft.core.Tables.spread(docs)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh_str"))
@@ -626,7 +629,7 @@ object Dedup {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong))
-    docs
+    graft.core.Tables.spread(docs)
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")

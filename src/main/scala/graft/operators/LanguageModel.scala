@@ -75,7 +75,7 @@ object LanguageModel {
     // exchange subtrees differ by that one Filter node and AQE cannot
     // deduplicate the shuffle (explode never yields a null bigram, so
     // the filter is semantically free)
-    val perDoc = docs
+    val perDoc = graft.core.Tables.spread(docs)
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
       .filter(col("bg").isNotNull)
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))

@@ -135,7 +135,13 @@ object Similarity {
     * every pair exactly once (each data vector's single cell appears
     * exactly once in a full probe list) ⇒ provably the brute-force
     * graph — the gate's setting; small nProbe is the production dial,
-    * with recall measured by the same audit as `sim_recall_report`. */
+    * with recall measured by the same audit as `sim_recall_report`.
+    *
+    * The corpus side is fanned out (`Tables.spread`) before the join:
+    * the pair count is |corpus|²/cells but the INPUT is only |corpus|
+    * rows — a single-file corpus scan would otherwise funnel every
+    * pair through one task (measured: 4M pairs scored + rank-sorted
+    * single-threaded, ~4 s of a 6 s query at sf0.1). */
   def knnGraph(assigned: DataFrame, centroids: Array[Array[Float]], k: Int,
                nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.length,
@@ -146,7 +152,7 @@ object Similarity {
       .withColumn("probe", probeCells(centroids, nProbe))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         col("probe.cell").as("q_cell"))
-    val d = withNorm(assigned, "embedding", "nrm")
+    val d = graft.core.Tables.spread(withNorm(assigned, "embedding", "nrm"))
     val scored = d.join(q, col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -281,8 +287,11 @@ object Similarity {
     * Brute force at test scale; [[cosineLshPairs]] is the bucketed scale
     * path for high thresholds, cell blocking for low. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // spread the STREAM side of the O(n²) pair join: its partitions are
+    // the only parallelism the nested-loop scoring gets
     val a = withNorm(
-      emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")),
+      graft.core.Tables.spread(
+        emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))),
       "e_a", "nrm_a")
     val b = withNorm(
       emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")),

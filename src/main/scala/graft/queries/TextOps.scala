@@ -275,7 +275,7 @@ object TextOps {
     // strings + lexicographic min make the selector identical in DuckDB.
     Entry(
       "text_winnow_fp",
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
         .select(col("doc_id"),
@@ -305,7 +305,7 @@ object TextOps {
     // dedup path caps (Dedup.maxShingleDocFreq), surfaced as a report.
     Entry(
       "text_boilerplate_ngrams",
-      (s, dir) => Tables(s, dir, "documents")
+      (s, dir) => Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), 8)).as("s8"))
         .distinct()

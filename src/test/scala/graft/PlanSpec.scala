@@ -262,8 +262,11 @@ class PlanSpec extends SparkSuite {
     // the explode→groupBy→window alternative would shuffle every token
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate")
       && !p.contains("ObjectHashAggregate"), p)
-    // exactly one Exchange: the rangepartitioning of the final ORDER BY
-    assert("Exchange".r.findAllIn(p).size === 1, p)
+    // two Exchanges: the doc-bounded Tables.spread fan-out (round
+    // robin, |docs| rows — NOT a token shuffle) and the
+    // rangepartitioning of the final ORDER BY
+    assert("Exchange".r.findAllIn(p).size === 2, p)
+    assert(p.contains("RoundRobinPartitioning") && p.contains("rangepartitioning"), p)
   }
 
   test("decontamination is equi-joins end to end, never a product (cur_decontaminate)") {
