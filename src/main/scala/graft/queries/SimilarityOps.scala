@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.operators.Similarity
+import graft.operators.{ProductQuantizer => Pq}
 
 /** Similarity-search inventory over `embeddings` (64-dim float vectors).
   * Query set = vec_id < 10 (deterministic), k = 5. The cosine formula is
@@ -348,6 +349,168 @@ object SimilarityOps {
                      CAST(CAST(SUM(vm) AS BIGINT) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
               FROM pts GROUP BY 1, 2
-              ORDER BY cell, dim"""))
+              ORDER BY cell, dim""")),
+
+    // ⊕ product quantization ADC top-k (IVF-PQ's compression half):
+    // encode every vector as m=8 codewords (8 subspaces × 32 codes from
+    // the deterministic vec_id<32 sample codebook), then answer
+    // max-inner-product queries from the CODES alone via a per-query
+    // lookup table — 256-byte vectors become 8-byte codes, so the 100 TB
+    // ADC scan reads 32× less and never touches a float again. The LUT
+    // entries are BIGINT micro-points ⇒ the ADC score is an exact
+    // order-insensitive integer sum; the whole encode→LUT→ADC pipeline
+    // (the REAL lossy path, not an exact-end reduction) is deterministic
+    // on both engines and oracle-checked end-to-end.
+    Entry(
+      "sim_knn_pq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val sub = Pq.subvectors(emb, "vec_id", "embedding", 8, 8)
+        val cb = Pq.sampleCodebook(emb, 32, 8, 8)
+        val enc = Pq.encode(sub, cb)
+        val qsub = sub.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "query_id")
+        Pq.adcTopK(enc, qsub, cb, 5).orderBy("query_id", "rank")
+      },
+      Some(s"""$pqPrefixSql,
+               lut AS (
+                 SELECT q.vec_id AS query_id, cb.s, cb.cid,
+                        CAST(floor(list_dot_product(q.v, cb.c) * 1000000.0)
+                          AS BIGINT) AS lu
+                 FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id < 10),
+               scored AS (
+                 SELECT l.query_id, e.vec_id AS neighbor_id,
+                        CAST(SUM(l.lu) AS BIGINT) AS mu
+                 FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+                 WHERE e.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+               r AS (
+                 SELECT query_id, neighbor_id, mu,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY mu DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank,
+                      CAST(mu AS DOUBLE)/1000000.0 AS adc_dot
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ⊕ the composed IVF-PQ read path: cell-prune (each query probes
+    // only its own `label` cell, as sim_knn_ivf) THEN ADC-score from
+    // codes — at 100 TB the codes table is partitionBy(cell) on disk,
+    // so this plan is partition pruning into a 32×-compressed scan:
+    // the two pruning instruments multiply.
+    Entry(
+      "sim_knn_ivfpq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val sub = Pq.subvectors(emb, "vec_id", "embedding", 8, 8,
+          carry = Seq("label"))
+        val cb = Pq.sampleCodebook(emb, 32, 8, 8)
+        val enc = Pq.encode(sub, cb, carry = Seq("label"))
+        val qsub = sub.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "q_label")
+        Pq.adcTopK(enc, qsub, cb, 5, cell = Some(("label", "q_label")))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+               sub AS (
+                 SELECT vec_id, label, CAST(t.range AS INTEGER) AS s,
+                        list_slice(e, t.range*8+1, t.range*8+8) AS v
+                 FROM d, range(0,8) t),
+               cb AS (
+                 SELECT vec_id AS cid, s, v AS c, list_dot_product(v, v) AS cn2
+                 FROM sub WHERE vec_id < 32),
+               enc0 AS (
+                 SELECT sub.vec_id, sub.label, sub.s, cb.cid,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY sub.vec_id, sub.s
+                          ORDER BY (list_dot_product(sub.v, cb.c) - cb.cn2/2)
+                            DESC, cb.cid ASC) AS rn
+                 FROM sub JOIN cb ON cb.s = sub.s),
+               enc AS (SELECT vec_id, label, s, cid AS code FROM enc0
+                       WHERE rn = 1),
+               lut AS (
+                 SELECT q.vec_id AS query_id, q.label AS q_label, cb.s, cb.cid,
+                        CAST(floor(list_dot_product(q.v, cb.c) * 1000000.0)
+                          AS BIGINT) AS lu
+                 FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id < 10),
+               scored AS (
+                 SELECT l.query_id, e.vec_id AS neighbor_id,
+                        CAST(SUM(l.lu) AS BIGINT) AS mu
+                 FROM enc e JOIN lut l
+                   ON l.s = e.s AND l.cid = e.code AND l.q_label = e.label
+                 WHERE e.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+               r AS (
+                 SELECT query_id, neighbor_id, mu,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY mu DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank,
+                      CAST(mu AS DOUBLE)/1000000.0 AS adc_dot
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ⊕ PQ distortion audit — mean ‖v − c_code‖² per subspace, the
+    // number a PQ deployment publishes next to its codebook (distortion
+    // is the recall budget ADC spends). One corpus scan, m rows out.
+    Entry(
+      "sim_pq_distortion",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val sub = Pq.subvectors(emb, "vec_id", "embedding", 8, 8)
+        val cb = Pq.sampleCodebook(emb, 32, 8, 8)
+        Pq.distortionReport(sub, cb).orderBy("s")
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               sub AS (
+                 SELECT vec_id, CAST(t.range AS INTEGER) AS s,
+                        list_slice(e, t.range*8+1, t.range*8+8) AS v
+                 FROM d, range(0,8) t),
+               cb AS (
+                 SELECT vec_id AS cid, s, v AS c, list_dot_product(v, v) AS cn2
+                 FROM sub WHERE vec_id < 32),
+               enc0 AS (
+                 SELECT sub.vec_id, sub.s,
+                        CAST(floor((list_dot_product(sub.v, sub.v)
+                          - 2*list_dot_product(sub.v, cb.c) + cb.cn2)
+                          * 1000000.0) AS BIGINT) AS md2,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY sub.vec_id, sub.s
+                          ORDER BY (list_dot_product(sub.v, cb.c) - cb.cn2/2)
+                            DESC, cb.cid ASC) AS rn
+                 FROM sub JOIN cb ON cb.s = sub.s),
+               best AS (SELECT vec_id, s, md2 FROM enc0 WHERE rn = 1)
+               SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                      CAST(CAST(SUM(md2) AS BIGINT) AS DOUBLE)/1000000.0
+                        /CAST(COUNT(*) AS DOUBLE) AS mse
+               FROM best GROUP BY s ORDER BY s"""))
   )
+
+  /** Shared oracle prelude for the PQ entries: subvector relation,
+    * vec_id<32 sample codebook, and the argmax-assigned codes —
+    * mirrors [[Pq.subvectors]]/[[Pq.sampleCodebook]]/[[Pq.encode]]
+    * expression for expression. */
+  private def pqPrefixSql: String =
+    """WITH d AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       sub AS (
+         SELECT vec_id, CAST(t.range AS INTEGER) AS s,
+                list_slice(e, t.range*8+1, t.range*8+8) AS v
+         FROM d, range(0,8) t),
+       cb AS (
+         SELECT vec_id AS cid, s, v AS c, list_dot_product(v, v) AS cn2
+         FROM sub WHERE vec_id < 32),
+       enc0 AS (
+         SELECT sub.vec_id, sub.s, cb.cid,
+                ROW_NUMBER() OVER (
+                  PARTITION BY sub.vec_id, sub.s
+                  ORDER BY (list_dot_product(sub.v, cb.c) - cb.cn2/2) DESC,
+                           cb.cid ASC) AS rn
+         FROM sub JOIN cb ON cb.s = sub.s),
+       enc AS (SELECT vec_id, s, cid AS code FROM enc0 WHERE rn = 1)"""
 }

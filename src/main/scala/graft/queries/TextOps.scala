@@ -536,6 +536,60 @@ object TextOps {
               SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
                      rank
               FROM r WHERE rank <= 5
-              ORDER BY doc_id, rank"""))
+              ORDER BY doc_id, rank""")),
+
+    // ⊕ corpus novelty score — the "how much of this doc is new text"
+    // signal curation pipelines weigh alongside quality (RefinedWeb /
+    // Gopher style): per document, the fraction of its DISTINCT word-
+    // 8-gram shingles whose corpus-FIRST sighting (min doc_id over all
+    // docs containing the shingle) is this document. Shape: one
+    // map-side shingle explosion hashed to md5 (thin 32-byte keys, the
+    // document text never shuffles) → distinct (doc, shingle) → a
+    // min-aggregate inverted index keyed on shingle → join back on the
+    // SAME key (co-partitioned, no extra exchange) → per-doc counts.
+    // Hot boilerplate shingles skew the join's probe side; the build
+    // side is one row per shingle, so AQE skew-split handles it — the
+    // same hazard profile as dedup_ngram_jaccard, without the pair
+    // blowup. Novelty = exact integer division at emit.
+    Entry(
+      "text_novelty",
+      (s, dir) => {
+        val pairs = Tables.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(shinglesFromTokens(col("toks"), 8)).as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          .distinct()
+        val first = pairs.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+        pairs.join(first, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast(DoubleType) /
+              col("n_shingles").cast(DoubleType)).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              p AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(generate_series(1, len(w)-7),
+                         i -> md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||
+                           w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||
+                           w[i+6]||' '||w[i+7])))
+                         AS h
+                FROM t WHERE len(w) >= 8),
+              f AS (SELECT h, MIN(doc_id) AS first_doc FROM p GROUP BY 1)
+              SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel,
+                     CAST(CAST(SUM(CASE WHEN f.first_doc = p.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS novelty
+              FROM p JOIN f ON f.h = p.h
+              GROUP BY 1 ORDER BY doc_id"""))
   )
 }
