@@ -155,6 +155,36 @@ object ProductQuantizer {
         (col("mu").cast(DoubleType) / 1000000.0).as("adc_dot"))
   }
 
+  /** Two-stage serving: exact re-rank of an ADC shortlist — the
+    * standard PQ deployment shape (ADC prunes the corpus to R
+    * candidates per query from codes alone; only those R·|q| float
+    * vectors are ever touched for the exact top-k). `cands` is any
+    * (query_id, neighbor_id, …) shortlist; the candidate×query side is
+    * broadcast (R·|q| thin rows), so the corpus streams map-side
+    * through ONE broadcast hash join — at 100 TB this reads only the
+    * row groups holding candidate ids (id-sorted layout ⇒ min/max
+    * pruning). Guarantee: every true top-k member the shortlist stage
+    * caught can only move UP under exact re-ranking, so recall@k here
+    * dominates the shortlist's own top-k recall (PqSpec pins this).
+    * Emits (query_id, neighbor_id, rank, dot) with the exact double
+    * dot. */
+  def rerankExact(cands: DataFrame, emb: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val withQ = broadcast(cands.select("query_id", "neighbor_id")
+      .join(q, "query_id"))
+    val exact = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(withQ, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        vecDot(col("q_emb"), col("n_emb")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(desc("dot"), asc("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
   /** Pack the relational code rows into the stored-index shape: one row
     * per vector, `codes` = the m codeword ids in subspace order (ints
     * in parquet; bytes at nCodes ≤ 256 in a real deployment — either

@@ -454,6 +454,59 @@ object SimilarityOps {
                       CAST(mu AS DOUBLE)/1000000.0 AS adc_dot
                FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ⊕ two-stage PQ serving: ADC top-20 shortlist from codes, exact
+    // re-rank of only those floats to top-5 — the production read
+    // pattern (codes prune the corpus; floats are touched for R·|q|
+    // rows only). Recall@k provably dominates single-stage ADC top-k:
+    // any true neighbor the shortlist catches can only move up under
+    // exact ranking.
+    Entry(
+      "sim_knn_pq_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val sub = Pq.subvectors(emb, "vec_id", "embedding", 8, 8)
+        val cb = Pq.sampleCodebook(emb, 32, 8, 8)
+        val enc = Pq.encode(sub, cb)
+        val qsub = sub.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "query_id")
+        val shortlist = Pq.adcTopK(enc, qsub, cb, 20)
+        Pq.rerankExact(shortlist, emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$pqPrefixSql,
+               lut AS (
+                 SELECT q.vec_id AS query_id, cb.s, cb.cid,
+                        CAST(floor(list_dot_product(q.v, cb.c) * 1000000.0)
+                          AS BIGINT) AS lu
+                 FROM sub q JOIN cb ON cb.s = q.s WHERE q.vec_id < 10),
+               scored AS (
+                 SELECT l.query_id, e.vec_id AS neighbor_id,
+                        CAST(SUM(l.lu) AS BIGINT) AS mu
+                 FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+                 WHERE e.vec_id <> l.query_id
+                 GROUP BY 1, 2),
+               r AS (
+                 SELECT query_id, neighbor_id, mu,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY mu DESC, neighbor_id ASC) AS rank
+                 FROM scored),
+               cand AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 20),
+               ex AS (
+                 SELECT c.query_id, c.neighbor_id,
+                        list_dot_product(qd.e, nd.e) AS dot
+                 FROM cand c
+                   JOIN d qd ON qd.vec_id = c.query_id
+                   JOIN d nd ON nd.vec_id = c.neighbor_id),
+               rr AS (
+                 SELECT query_id, neighbor_id, dot,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY dot DESC, neighbor_id ASC) AS rank
+                 FROM ex)
+               SELECT query_id, neighbor_id, rank, dot
+               FROM rr WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ⊕ PQ distortion audit — mean ‖v − c_code‖² per subspace, the
     // number a PQ deployment publishes next to its codebook (distortion
     // is the recall budget ADC spends). One corpus scan, m rows out.

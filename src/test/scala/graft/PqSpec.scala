@@ -91,6 +91,33 @@ class PqSpec extends SparkSuite {
     assert(fine >= 0.1, s"16-code trained recall@5 = $fine below 10x-chance floor")
   }
 
+  test("exact re-rank recall@5 dominates single-stage ADC recall@5 (two-stage serving)") {
+    val qsub = sub.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        vecDot(col("qe"), col("embedding")).as("dot"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("dot"), asc("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+    val enc = Pq.encode(sub, cb)
+    val n = truth.count().toDouble
+    def recall(got: org.apache.spark.sql.DataFrame): Double =
+      truth.join(got.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count() / n
+    val plain = recall(Pq.adcTopK(enc, qsub, cb, 5))
+    val reranked = recall(Pq.rerankExact(
+      Pq.adcTopK(enc, qsub, cb, 20), emb, emb.filter(col("vec_id") < 10), 5))
+    // a true neighbor caught by the shortlist can only move UP under
+    // exact ranking, so this dominance is a theorem, not a tendency
+    assert(reranked >= plain, s"rerank recall $reranked < plain ADC $plain")
+  }
+
   test("ADC output is partition-invariant (exact integer sums, no FP order sensitivity)") {
     val qsub = sub.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "query_id")
