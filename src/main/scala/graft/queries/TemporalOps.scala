@@ -670,6 +670,92 @@ object TemporalOps {
                 FROM isl GROUP BY 1, 2)
               SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
                      CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
-              FROM g GROUP BY 1 ORDER BY user_id"""))
+              FROM g GROUP BY 1 ORDER BY user_id""")),
+
+    // ⊕ per-group OLS trend at arbitrary time spacing — "is this metric
+    // drifting, and how fast" per event_type, the monitoring question
+    // w7's fixed-window rolling slope cannot answer. Built-in
+    // regr_slope is a partitioning-dependent double recurrence
+    // (irreproducible across cluster resizes — the a22 argument), so
+    // slope comes from exact integer moments: x = whole seconds since
+    // the group's first event (a same-key window min, so the window
+    // and the aggregate share ONE exchange), y = value micro-points;
+    // Σx, Σy, Σxy, Σx² in DECIMAL(38,0); slope and intercept emitted
+    // through the 2⁵²-split (rule 6) and IEEE ops mirrored on both
+    // engines. Map-side partials; corr-at-scale cost = one scan.
+    // Envelope: |x| < 2³² s (≈136 yr), |yµ| < 2⁴⁰, n < 2³³ ⇒ every
+    // moment < 10³², inside DECIMAL(38,0) and the rule-6 split.
+    Entry(
+      "t18_group_trend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d38 = DecimalType(38, 0)
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * lit(1e4)).cast(LongType).as("ymu"))
+          .withColumn("mn",
+            min(col("us")).over(Window.partitionBy("event_type")))
+          .select(col("event_type"),
+            expr("(us - mn) DIV 1000000").as("x"), col("ymu"))
+        val x38 = col("x").cast(d38)
+        val y38 = col("ymu").cast(d38)
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("ymu")).as("sy"),
+            sum(x38 * y38).as("sxy"), sum(x38 * x38).as("sxx"))
+          .withColumn("numv", col("n").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38))
+          .withColumn("denv", col("n").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx").cast(d38))
+          .withColumn("slope",
+            when(col("denv") === 0, lit(null).cast(DoubleType))
+              .otherwise(Exact.bigColToDouble("numv") /
+                Exact.bigColToDouble("denv") / lit(1e4)))
+          .select(col("event_type"), col("n"), col("slope"),
+            when(col("slope").isNull, lit(null).cast(DoubleType))
+              .otherwise((Exact.bigColToDouble("sy") / lit(1e4) -
+                col("slope") * Exact.bigColToDouble("sx")) /
+                col("n").cast(DoubleType)).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+                 SELECT event_type, epoch_us(ts) AS us,
+                        CAST(FLOOR(value * 1e4) AS BIGINT) AS ymu
+                 FROM events WHERE value IS NOT NULL),
+               w AS (
+                 SELECT event_type,
+                        (us - MIN(us) OVER (PARTITION BY event_type))
+                          // 1000000 AS x,
+                        ymu
+                 FROM e),
+               m AS (
+                 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(ymu) AS BIGINT) AS sy,
+                        SUM(CAST(x AS HUGEINT) * ymu) AS sxy,
+                        SUM(CAST(x AS HUGEINT) * x) AS sxx
+                 FROM w GROUP BY 1),
+               d AS (
+                 SELECT event_type, n,
+                        CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS numv,
+                        CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS denv,
+                        sx, sy
+                 FROM m),
+               s AS (
+                 SELECT event_type, n, sx, sy,
+                        CASE WHEN denv = 0 THEN NULL
+                          ELSE ${Exact.bigSqlToDouble("numv")} /
+                               ${Exact.bigSqlToDouble("denv")} / 1e4
+                        END AS slope
+                 FROM d)
+               SELECT event_type, n, slope,
+                      CASE WHEN slope IS NULL THEN NULL
+                        ELSE (${Exact.bigSqlToDouble("sy")} / 1e4 -
+                              slope * ${Exact.bigSqlToDouble("sx")})
+                             / CAST(n AS DOUBLE)
+                      END AS intercept
+               FROM s ORDER BY event_type"""))
   )
 }

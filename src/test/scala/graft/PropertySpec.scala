@@ -297,4 +297,52 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  /** PQ encode ≡ the naive per-subspace argmin on ANY vectors, with the
+    * exact tie rule (equal score → lowest codeword id). Values come
+    * from a half-integer grid so exact score ties actually occur. */
+  test("PQ encode picks the naive nearest codeword on random inputs, ties to lowest cid") {
+    val m = 2; val subDim = 4; val dim = m * subDim
+    val genVecs: Gen[List[List[Float]]] =
+      Gen.listOfN(12, Gen.listOfN(dim, Gen.choose(-2, 2).map(_ / 2.0f)))
+    check(Prop.forAll(genVecs) { vecs =>
+      (vecs.size >= 4) ==> {
+        val emb = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding")
+        val nCodes = 3
+        val sub = graft.operators.ProductQuantizer
+          .subvectors(emb, "vec_id", "embedding", m, subDim)
+        val cb = graft.operators.ProductQuantizer
+          .sampleCodebook(emb, nCodes, m, subDim)
+        val got = graft.operators.ProductQuantizer.encode(sub, cb)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+        // naive argmin with vecDot's exact fold order
+        def dot(a: Seq[Float], b: Seq[Float]): Double =
+          a.indices.foldLeft(0.0)((acc, i) =>
+            acc + a(i).toDouble * b(i).toDouble)
+        val books = (0 until m).map { s =>
+          vecs.take(nCodes).zipWithIndex.map { case (v, cid) =>
+            cid.toLong -> v.slice(s * subDim, (s + 1) * subDim) }
+        }
+        val naive = (for {
+          (v, id) <- vecs.zipWithIndex
+          s <- 0 until m
+        } yield {
+          val vs = v.slice(s * subDim, (s + 1) * subDim)
+          var bestCid = -1L; var bestScore = Double.NegativeInfinity
+          books(s).foreach { case (cid, c) =>
+            val score = dot(vs, c) - dot(c, c) / 2
+            if (score > bestScore ||
+                (score == bestScore && cid < bestCid)) {
+              bestScore = score; bestCid = cid
+            }
+          }
+          (id.toLong, s) -> bestCid
+        }).toMap
+        got == naive
+      }
+    })
+  }
 }

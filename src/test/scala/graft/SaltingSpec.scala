@@ -161,6 +161,38 @@ class SaltingSpec extends SparkSuite {
     }
   }
 
+  test("t18 group trend equals the covar_pop/var_pop OLS fit (independent pin)") {
+    // same discipline as the w7 pin: the gate proves engine agreement,
+    // this proves the agreed number IS the OLS line. x here is seconds
+    // since the group's first event and y the raw value — Spark's own
+    // covariance estimators, none of t18's integer-moment algebra.
+    // The y micro-flooring (1e-4 quantum) perturbs slope and intercept
+    // below 1e-6 relative on this data; tolerance reflects that.
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("mn", min(col("us")).over(Window.partitionBy("event_type")))
+      .select(col("event_type"),
+        expr("CAST((us - mn) DIV 1000000 AS DOUBLE)").as("x"),
+        col("value").cast("double").as("y"))
+    val ref = ev.groupBy("event_type")
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
+        (avg(col("y")) - covar_pop(col("x"), col("y")) / var_pop(col("x")) *
+          avg(col("x"))).as("intercept"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = graft.queries.Inventory.byName("t18_group_trend")
+      .run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size === ref.size && got.nonEmpty)
+    ref.foreach { case (k, (s, i)) =>
+      assert(math.abs(got(k)._1 - s) < 1e-9 + 1e-4 * math.abs(s),
+        s"$k: t18 slope ${got(k)._1} vs covar_pop $s")
+      assert(math.abs(got(k)._2 - i) < 1e-9 + 1e-4 * math.abs(i),
+        s"$k: t18 intercept ${got(k)._2} vs OLS $i")
+    }
+  }
+
   test("approx_percentile stays within the GK rank-error bound of exact (a21)") {
     // GK sketch contract: a returned value's RANK is within n/accuracy
     // of the target rank q·n. Assert in rank space (value-space deltas
