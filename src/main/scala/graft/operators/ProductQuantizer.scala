@@ -87,18 +87,24 @@ object ProductQuantizer {
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = subvectors(emb, "vec_id", "embedding", m, subDim)
+    // persist the exploded relation: each of the m fits — and every
+    // KMeans ITERATION inside each fit — would otherwise re-scan and
+    // re-explode the full corpus (O(m·iterations) passes for one)
     val sampled =
-      if (sampleFraction >= 1.0) sub
-      else sub.sample(withReplacement = false, sampleFraction, seed)
-    val rows = (0 until m).flatMap { s =>
-      val slice = sampled.filter(col("s") === s)
-        .withColumn("features", array_to_vector(col("v")))
-      val model = new KMeans().setK(nCodes).setSeed(seed + s)
-        .setFeaturesCol("features").fit(slice)
-      model.clusterCenters.zipWithIndex.map { case (ctr, cid) =>
-        (cid.toLong, s, ctr.toArray.map(_.toFloat))
+      (if (sampleFraction >= 1.0) sub
+       else sub.sample(withReplacement = false, sampleFraction, seed))
+        .persist()
+    val rows = try {
+      (0 until m).flatMap { s =>
+        val slice = sampled.filter(col("s") === s)
+          .withColumn("features", array_to_vector(col("v")))
+        val model = new KMeans().setK(nCodes).setSeed(seed + s)
+          .setFeaturesCol("features").fit(slice)
+        model.clusterCenters.zipWithIndex.map { case (ctr, cid) =>
+          (cid.toLong, s, ctr.toArray.map(_.toFloat))
+        }
       }
-    }
+    } finally sampled.unpersist()
     rows.toDF("cid", "s", "c")
       .withColumn("c", col("c").cast("array<float>"))
       .withColumn("cn2", vecDot(col("c"), col("c")))
@@ -136,7 +142,8 @@ object ProductQuantizer {
     * column of `querySub` (e.g. the probe cell) is carried through the
     * LUT. */
   def adcTopK(enc: DataFrame, querySub: DataFrame, cb: DataFrame,
-              k: Int, cell: Option[(String, String)] = None): DataFrame = {
+              k: Int, cell: Option[(String, String)] = None,
+              idCol: String = "vec_id"): DataFrame = {
     val carry = querySub.columns.filterNot(Set("s", "v")).map(col).toSeq
     val lut = querySub
       .join(cb, "s")
@@ -145,8 +152,8 @@ object ProductQuantizer {
     val joinCond = enc("s") === lut("s") && enc("code") === lut("cid")
     val scored = enc.join(broadcast(lut),
         cell.fold(joinCond) { case (ec, lc) => joinCond && enc(ec) === lut(lc) })
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
       .agg(sum(col("lu")).as("mu"))
     val w = Window.partitionBy("query_id").orderBy(desc("mu"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -169,13 +176,14 @@ object ProductQuantizer {
     * Emits (query_id, neighbor_id, rank, dot) with the exact double
     * dot. */
   def rerankExact(cands: DataFrame, emb: DataFrame, queries: DataFrame,
-                  k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+                  k: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"))
     val withQ = broadcast(cands.select("query_id", "neighbor_id")
       .join(q, "query_id"))
     val exact = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("n_emb"))
       .join(withQ, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         vecDot(col("q_emb"), col("n_emb")).as("dot"))

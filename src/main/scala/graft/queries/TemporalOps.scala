@@ -683,8 +683,15 @@ object TemporalOps {
     // Σx, Σy, Σxy, Σx² in DECIMAL(38,0); slope and intercept emitted
     // through the 2⁵²-split (rule 6) and IEEE ops mirrored on both
     // engines. Map-side partials; corr-at-scale cost = one scan.
-    // Envelope: |x| < 2³² s (≈136 yr), |yµ| < 2⁴⁰, n < 2³³ ⇒ every
-    // moment < 10³², inside DECIMAL(38,0) and the rule-6 split.
+    // Envelope (every intermediate exact, both engines): n ≤ 10⁵ per
+    // group with |x| < 2²⁵ s (≈1 yr) and |yµ| < 2⁴⁰ keeps the worst
+    // composite (numv ≈ n·Σxy + Σx·Σy < 2⁹⁹) inside both
+    // DECIMAL(38,0) and Exact's 2¹⁰⁵ split bound, and the BIGINT sums
+    // Σx < 2⁴², Σy < 2⁵⁷ far from 2⁶³. BEYOND it the engines fail
+    // differently (DuckDB raises on the HUGEINT→BIGINT cast, non-ANSI
+    // Spark wraps) — so at larger per-group cardinality coarsen x
+    // (minutes/hours) or pre-bucket the series first; exactness, not
+    // scale, is what caps n here.
     Entry(
       "t18_group_trend",
       (s, dir) => {

@@ -164,7 +164,8 @@ class PqSpec extends SparkSuite {
   }
 
   test("gated PQ plans stay product-free and broadcast the codebook side") {
-    Seq("sim_knn_pq", "sim_pq_distortion").foreach { name =>
+    Seq("sim_knn_pq", "sim_knn_ivfpq", "sim_knn_pq_rerank",
+        "sim_pq_distortion").foreach { name =>
       val plan = graft.queries.Inventory.byName(name)
         .run(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: $plan")

@@ -176,20 +176,29 @@ class SaltingSpec extends SparkSuite {
       .select(col("event_type"),
         expr("CAST((us - mn) DIV 1000000 AS DOUBLE)").as("x"),
         col("value").cast("double").as("y"))
+    // null-safe readout: a degenerate group (n=1 or zero x-variance)
+    // yields NULL slope/intercept on BOTH sides — compare as Options
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val ref = ev.groupBy("event_type")
       .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
         (avg(col("y")) - covar_pop(col("x"), col("y")) / var_pop(col("x")) *
           avg(col("x"))).as("intercept"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) -> (opt(r, 1), opt(r, 2))).toMap
     val got = graft.queries.Inventory.byName("t18_group_trend")
       .run(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      .collect().map(r => r.getString(0) -> (opt(r, 2), opt(r, 3))).toMap
     assert(got.size === ref.size && got.nonEmpty)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9 + 1e-4 * math.abs(b)
     ref.foreach { case (k, (s, i)) =>
-      assert(math.abs(got(k)._1 - s) < 1e-9 + 1e-4 * math.abs(s),
-        s"$k: t18 slope ${got(k)._1} vs covar_pop $s")
-      assert(math.abs(got(k)._2 - i) < 1e-9 + 1e-4 * math.abs(i),
-        s"$k: t18 intercept ${got(k)._2} vs OLS $i")
+      (got(k), s, i) match {
+        case ((Some(gs), Some(gi)), Some(rs), Some(ri)) =>
+          assert(close(gs, rs), s"$k: t18 slope $gs vs covar_pop $rs")
+          assert(close(gi, ri), s"$k: t18 intercept $gi vs OLS $ri")
+        case ((gs, gi), rs, ri) =>
+          assert(gs.isEmpty === rs.isEmpty && gi.isEmpty === ri.isEmpty,
+            s"$k: degenerate-group nullness disagrees: t18 ($gs, $gi) vs ref ($rs, $ri)")
+      }
     }
   }
 
