@@ -302,4 +302,46 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact d×d covariance matrix of the embedding corpus — the
+    * statistics object behind whitening, PCA/OPQ rotations, and
+    * snapshot-to-snapshot embedding drift checks. Emits (i, j, n, cov),
+    * d² rows, population covariance.
+    *
+    * Scale shape: the pair pass fans each vector out to d² (i, j,
+    * xµ·yµ) micro-products MAP-SIDE (a lambda over the array — the
+    * heavy object never leaves its scan task) into a hash partial
+    * aggregate whose state is bounded at d² thin rows per task; the
+    * exchange carries ≤ d²·tasks partials, the result is d² rows
+    * however large the corpus. Per-dim mean sums come from a second,
+    * d-wide pass (1/d the work of the pair pass, which dominates) and
+    * broadcast-join onto the moments. Determinism: all moments are
+    * exact integers (micro-points in BIGINT/DECIMAL(38,0)); the one
+    * division is the rule-6 emit. Envelope: |v| < 2 ⇒ |p| < 4·10¹²;
+    * DECIMAL(38,0) holds Σp to n ≈ 10²⁵ vectors. */
+  def embedCovariance(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+    import graft.queries.Exact
+    val d38 = DecimalType(38, 0)
+    val mu = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6)).cast(LongType)
+    val pairs = emb.select(explode(flatten(transform(col("embedding"),
+        (xi, i) => transform(col("embedding"),
+          (xj, j) => struct(i.cast(IntegerType).as("i"),
+            j.cast(IntegerType).as("j"),
+            (mu(xi) * mu(xj)).as("p")))))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+    val pm = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p").cast(d38)).as("sp"))
+    val dm = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(mu(col("x"))).as("sx"))
+    pm
+      .join(broadcast(dm.select(col("pos").as("i"), col("sx").as("sxi"))), "i")
+      .join(broadcast(dm.select(col("pos").as("j"), col("sx").as("sxj"))), "j")
+      .withColumn("numv", col("n").cast(d38) * col("sp") -
+        col("sxi").cast(d38) * col("sxj").cast(d38))
+      .withColumn("n2", col("n").cast(d38) * col("n").cast(d38))
+      .select(col("i"), col("j"), col("n"),
+        (Exact.bigColToDouble("numv") / Exact.bigColToDouble("n2") /
+          lit(1e12)).as("cov"))
+  }
 }

@@ -454,6 +454,45 @@ object SimilarityOps {
                       CAST(mu AS DOUBLE)/1000000.0 AS adc_dot
                FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ⊕ exact embedding covariance matrix (d² = 4096 rows out of one
+    // corpus pass): the statistics object behind whitening, PCA/OPQ
+    // rotations, and embedding-drift checks between corpus snapshots.
+    // Map-side d²-way micro-product fan-out into a bounded hash
+    // partial aggregate; per-dim mean sums broadcast-join on; one
+    // rule-6 emit division. Built-in covar_pop is a partitioning-
+    // dependent double recurrence — the a22 argument, ×4096 cells.
+    Entry(
+      "sim_embed_covariance",
+      (s, dir) => Similarity
+        .embedCovariance(Tables(s, dir, "embeddings"))
+        .orderBy("i", "j"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               pm AS (
+                 SELECT CAST(a.range AS INTEGER) AS i,
+                        CAST(b.range AS INTEGER) AS j,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(CAST(FLOOR(e[a.range+1] * 1e6) AS BIGINT)
+                              AS HUGEINT)
+                            * CAST(FLOOR(e[b.range+1] * 1e6) AS BIGINT)) AS sp
+                 FROM d, range(0,64) a, range(0,64) b
+                 GROUP BY 1, 2),
+               dm AS (
+                 SELECT CAST(a.range AS INTEGER) AS i,
+                        CAST(SUM(CAST(FLOOR(e[a.range+1] * 1e6) AS BIGINT))
+                          AS BIGINT) AS sx
+                 FROM d, range(0,64) a GROUP BY 1),
+               c AS (
+                 SELECT pm.i, pm.j, pm.n,
+                        CAST(pm.n AS HUGEINT) * pm.sp
+                          - CAST(di.sx AS HUGEINT) * dj.sx AS numv,
+                        CAST(pm.n AS HUGEINT) * pm.n AS n2
+                 FROM pm JOIN dm di ON di.i = pm.i JOIN dm dj ON dj.i = pm.j)
+               SELECT i, j, n,
+                      ${Exact.bigSqlToDouble("numv")} /
+                        ${Exact.bigSqlToDouble("n2")} / 1e12 AS cov
+               FROM c ORDER BY i, j""")),
+
     // ⊕ two-stage PQ serving: ADC top-20 shortlist from codes, exact
     // re-rank of only those floats to top-5 — the production read
     // pattern (codes prune the corpus; floats are touched for R·|q|

@@ -202,6 +202,26 @@ class SaltingSpec extends SparkSuite {
     }
   }
 
+  test("embedCovariance equals covar_pop cell-by-cell (independent pin)") {
+    // the micro-point flooring quantizes each value at 1e-6, so cells
+    // (magnitude ~1/64 on unit vectors) agree to ~1e-5 absolute
+    val emb = Tables(spark, sfDir, "embeddings")
+    val flat = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val ref = flat.select(col("vec_id"), col("pos").as("i"),
+        col("x").cast("double").as("xi"))
+      .join(flat.select(col("vec_id"), col("pos").as("j"),
+        col("x").cast("double").as("xj")), "vec_id")
+      .groupBy("i", "j").agg(covar_pop(col("xi"), col("xj")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val got = graft.operators.Similarity.embedCovariance(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.size === ref.size && got.size === 64 * 64)
+    ref.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-5, s"cell $k: exact ${got(k)} vs covar_pop $c")
+    }
+  }
+
   test("approx_percentile stays within the GK rank-error bound of exact (a21)") {
     // GK sketch contract: a returned value's RANK is within n/accuracy
     // of the target rank q·n. Assert in rank space (value-space deltas
