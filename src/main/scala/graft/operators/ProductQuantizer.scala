@@ -87,9 +87,10 @@ object ProductQuantizer {
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = subvectors(emb, "vec_id", "embedding", m, subDim)
-    // persist the exploded relation: each of the m fits — and every
-    // KMeans ITERATION inside each fit — would otherwise re-scan and
-    // re-explode the full corpus (O(m·iterations) passes for one)
+    // persist the exploded relation: each of the m fits would
+    // otherwise re-scan and re-explode the full corpus (ml.KMeans
+    // caches its internal instances RDD per fit, so iterations within
+    // a fit are fine either way — this saves the O(m) outer passes)
     val sampled =
       (if (sampleFraction >= 1.0) sub
        else sub.sample(withReplacement = false, sampleFraction, seed))

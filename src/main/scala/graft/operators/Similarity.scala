@@ -308,30 +308,43 @@ object Similarity {
     * snapshot-to-snapshot embedding drift checks. Emits (i, j, n, cov),
     * d² rows, population covariance.
     *
-    * Scale shape: the pair pass fans each vector out to d² (i, j,
-    * xµ·yµ) micro-products MAP-SIDE (a lambda over the array — the
-    * heavy object never leaves its scan task) into a hash partial
-    * aggregate whose state is bounded at d² thin rows per task; the
-    * exchange carries ≤ d²·tasks partials, the result is d² rows
-    * however large the corpus. Per-dim mean sums come from a second,
-    * d-wide pass (1/d the work of the pair pass, which dominates) and
-    * broadcast-join onto the moments. Determinism: all moments are
-    * exact integers (micro-points in BIGINT/DECIMAL(38,0)); the one
-    * division is the rule-6 emit. Envelope: |v| < 2 ⇒ |p| < 4·10¹²;
-    * DECIMAL(38,0) holds Σp to n ≈ 10²⁵ vectors. */
+    * Scale shape: the pair pass fans each vector out to its UPPER
+    * TRIANGLE of d(d+1)/2 (i, j≥i, xµ·yµ) micro-products MAP-SIDE (a
+    * lambda over the array — the heavy object never leaves its scan
+    * task; µxi·µxj commutes, so the lower triangle is mirrored from
+    * the aggregated 2080 rows, halving the dominant pass) into a hash
+    * partial aggregate whose state is bounded per task; the exchange
+    * carries thin partials, the result is d² rows however large the
+    * corpus. The corpus side is `Tables.spread` first: the fan-out is
+    * the heavy stage, and a single-row-group input would otherwise
+    * funnel it through one task. Per-dim mean sums come from a
+    * second, d-wide pass (1/d the work of the pair pass, which
+    * dominates) and broadcast-join onto the moments. Determinism: all
+    * moments are exact integers (micro-points in BIGINT /
+    * DECIMAL(38,0)); the one division is the rule-6 emit. Envelope:
+    * |v| < 2 ⇒ |p| < 4·10¹²; the moments stay exact in DECIMAL(38,0)
+    * to n ≈ 10¹⁴, but the BINDING bound is the emit composite
+    * numv ≈ n²·4·10¹² against Exact's 2¹⁰⁵ split — exact to
+    * n ≈ 2·10⁹ vectors; beyond that shard the corpus (moments merge
+    * exactly) and emit through a wider split. */
   def embedCovariance(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
     import graft.queries.Exact
     val d38 = DecimalType(38, 0)
     val mu = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6)).cast(LongType)
-    val pairs = emb.select(explode(flatten(transform(col("embedding"),
-        (xi, i) => transform(col("embedding"),
-          (xj, j) => struct(i.cast(IntegerType).as("i"),
-            j.cast(IntegerType).as("j"),
+    val pairs = graft.core.Tables.spread(emb)
+      .select(explode(flatten(transform(col("embedding"),
+        (xi, i) => transform(
+          slice(col("embedding"), i + lit(1), size(col("embedding")) - i),
+          (xj, j0) => struct(i.cast(IntegerType).as("i"),
+            (i + j0).cast(IntegerType).as("j"),
             (mu(xi) * mu(xj)).as("p")))))).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-    val pm = pairs.groupBy("i", "j")
+    val tri = pairs.groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("p").cast(d38)).as("sp"))
+    // mirror the strict upper triangle: n and Σp are symmetric exactly
+    val pm = tri.union(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("n"), col("sp")))
     val dm = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos").agg(sum(mu(col("x"))).as("sx"))
     pm

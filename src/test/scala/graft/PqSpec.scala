@@ -163,6 +163,25 @@ class PqSpec extends SparkSuite {
     assert(probed < all, s"probe touched $probed of $all files — no pruning")
   }
 
+  test("adcTopK/rerankExact honor a non-default id column (matches the default run)") {
+    val docs = emb.withColumnRenamed("vec_id", "doc_id")
+    val sub2 = Pq.subvectors(docs, "doc_id", "embedding", 8, 8)
+    val enc2 = Pq.encode(sub2, cb, idCol = "doc_id")
+    val qsub2 = sub2.filter(col("doc_id") < 10)
+      .withColumnRenamed("doc_id", "query_id")
+    val renamed = Pq.adcTopK(enc2, qsub2, cb, 5, idCol = "doc_id")
+      .orderBy("query_id", "rank").collect().toSeq
+    val default = Pq.adcTopK(Pq.encode(sub, cb),
+        sub.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        cb, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(renamed === default)
+    val rr = Pq.rerankExact(
+      Pq.adcTopK(enc2, qsub2, cb, 10, idCol = "doc_id"),
+      docs, docs.filter(col("doc_id") < 10), 3, idCol = "doc_id")
+    assert(rr.count() > 0)
+  }
+
   test("gated PQ plans stay product-free and broadcast the codebook side") {
     Seq("sim_knn_pq", "sim_knn_ivfpq", "sim_knn_pq_rerank",
         "sim_pq_distortion").foreach { name =>
