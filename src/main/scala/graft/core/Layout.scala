@@ -58,7 +58,7 @@ object Layout {
       // the layout key is an implementation detail — project it away so
       // the output schema matches the input (OPTIMIZE ZORDER BY parity);
       // file skipping needs only the source columns' min/max stats
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode("overwrite").parquet(dir)
   }
 

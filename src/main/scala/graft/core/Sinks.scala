@@ -64,7 +64,7 @@ object Sinks {
     val data = spark.read.parquet(dir)
     data
       .select(input_file_name().as("file"),
-        conv(substring(md5(to_json(struct(data.columns.map(col): _*))), 1, 15),
+        conv(substring(md5(to_json(struct(data.columns.toIndexedSeq.map(col): _*))), 1, 15),
           16, 10).cast(LongType).cast(d38).as("h"))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hsum"))

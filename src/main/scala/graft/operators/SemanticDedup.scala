@@ -48,7 +48,7 @@ object SemanticDedup {
         lit(-i).as("nc"))
     }
     emb.withColumn("cell",
-      (-array_max(array(scored: _*)).getField("nc")).cast(LongType))
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("nc")).cast(LongType))
   }
 
   /** Near-duplicate pairs within a cell: (vec_a < vec_b, cell, cos) with

@@ -95,7 +95,7 @@ object Similarity {
         (vecDot(col("q_emb"), typedlit(c.toSeq)) - lit(cNorm2 / 2)).as("score"),
         lit(i).as("cell"))
     }
-    explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe))
+    explode(slice(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1, nProbe))
   }
 
   def knnIvfMultiProbe(assigned: DataFrame, queries: DataFrame,

@@ -83,13 +83,13 @@ object IncrementalFinal {
       val touched = changeset.select("activity_date").distinct()
         .collect().map(_.get(0))
       val existing = spark.read.parquet(finalPath)
-        .filter(col("activity_date").isin(touched: _*))
+        .filter(col("activity_date").isin(touched.toIndexedSeq: _*))
       val kept = existing.join(
         broadcast(changeset.select("id_employee", "activity_date").distinct()),
         Seq("id_employee", "activity_date"), "left_anti")
       // materialize before overwriting the partitions we just read —
       // lineage must not reach back into the files being replaced
-      kept.unionByName(changeset.select(existing.columns.map(col): _*))
+      kept.unionByName(changeset.select(existing.columns.toIndexedSeq.map(col): _*))
         .localCheckpoint(true)
     }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -115,7 +115,7 @@ object CdcApply {
       currentState(upserts, tombstones, keyCols, orderCols)
     } else {
       val state = spark.read.parquet(statePath)
-        .filter(col("__graft_bucket").isin(touched: _*))
+        .filter(col("__graft_bucket").isin(touched.toIndexedSeq: _*))
         .drop("__graft_bucket")
       applyBatch(state, upserts, tombstones, keyCols, orderCols)
     }

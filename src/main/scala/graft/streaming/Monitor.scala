@@ -15,10 +15,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * reconciliation costs nothing and can't race the sink.
   */
 final class Monitor extends StreamingQueryListener {
-
-  final case class BatchStats(batchId: Long, numInputRows: Long,
-                              inputRowsPerSecond: Double,
-                              processedRowsPerSecond: Double)
+  import Monitor.BatchStats
 
   private val batches = ArrayBuffer.empty[BatchStats]
 
@@ -41,6 +38,12 @@ final class Monitor extends StreamingQueryListener {
 }
 
 object Monitor {
+  /** One micro-batch's progress snapshot (top-level so pattern matches
+    * need no outer-instance check). */
+  final case class BatchStats(batchId: Long, numInputRows: Long,
+                              inputRowsPerSecond: Double,
+                              processedRowsPerSecond: Double)
+
   /** Attach a fresh monitor to the session; caller detaches via
     * `spark.streams.removeListener`. */
   def attach(spark: SparkSession): Monitor = {
