@@ -590,6 +590,55 @@ object TextOps {
                          THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS novelty
               FROM p JOIN f ON f.h = p.h
-              GROUP BY 1 ORDER BY doc_id"""))
+              GROUP BY 1 ORDER BY doc_id""")),
+
+    // ⊕ vocabulary growth curve (Heaps-law report): word-3-gram TYPES
+    // first seen per 1/16th of the corpus, with the running total —
+    // the measurement behind tokenizer sizing and "is more data still
+    // adding new text" curation calls. Same inverted-index shape as
+    // text_novelty (md5-thin keys, min-agg first sighting); the bucket
+    // grid is FIXED at 16 whatever the corpus (width from one
+    // broadcast max(doc_id) row), so the cumulative window runs over
+    // ≤ 16 rows — bounded by construction, PlanSpec-allowlisted.
+    Entry(
+      "text_vocab_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.spread(Tables(s, dir, "documents"))
+        val first = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(shinglesFromTokens(col("toks"), 3)).as("sh"))
+          .select(col("doc_id"), md5(col("sh")).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        val mx = Tables(s, dir, "documents").agg(max(col("doc_id")).as("mx"))
+        val buckets = first.crossJoin(broadcast(mx))
+          .select(expr("first_doc DIV (mx DIV 16 + 1)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets
+          .select(col("bucket"), col("new_types"),
+            sum(col("new_types")).over(w).cast(LongType).as("cum_types"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w)-2),
+                         i -> md5(w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok
+                FROM t WHERE len(w) >= 3),
+              f AS (SELECT tok, MIN(doc_id) AS first_doc FROM s GROUP BY 1),
+              mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+              b AS (
+                SELECT first_doc // (mx // 16 + 1) AS bucket, COUNT(*) AS n
+                FROM f, mx GROUP BY 1)
+              SELECT bucket, CAST(n AS BIGINT) AS new_types,
+                     CAST(SUM(n) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_types
+              FROM b ORDER BY bucket"""))
   )
 }

@@ -51,7 +51,9 @@ class PlanSpec extends SparkSuite {
       "cur_mixture_sample" -> "total over per-source counts",
       // day-grain series: ≤ one row per day whatever the corpus
       "t6_change_point" -> "change-point scan over the daily series",
-      "cdc_backfill_plan" -> "gaps-and-islands over distinct days")
+      "cdc_backfill_plan" -> "gaps-and-islands over distinct days",
+      // fixed 16-bucket grid whatever the corpus (width from max doc_id)
+      "text_vocab_growth" -> "cumulative over the fixed 16-bucket grid")
     val offenders = Inventory.all.flatMap { e =>
       val lp = e.run(spark, sfDir).queryExecution.optimizedPlan
       val bad = lp.collect {
