@@ -23,6 +23,17 @@ object TextOps {
     "fr" -> Seq("le", "les", "et"),
     "zh" -> Seq("的", "是"))
 
+  /** Shared corpus-index substrate of the novelty/growth reports: one
+    * md5-hashed (doc_id, h) row per word-`n`-gram occurrence — thin
+    * 32-byte keys, the document text never shuffles. Callers distinct
+    * or min-aggregate as their semantics need. */
+  private def shingleKeys(docs: org.apache.spark.sql.DataFrame,
+                          n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+
   val entries: Seq[Entry] = Seq(
 
     // token counting: whitespace + BPE-ish regex proxy.
@@ -554,11 +565,7 @@ object TextOps {
     Entry(
       "text_novelty",
       (s, dir) => {
-        val pairs = Tables.spread(Tables(s, dir, "documents"))
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            explode(shinglesFromTokens(col("toks"), 8)).as("sh"))
-          .select(col("doc_id"), md5(col("sh")).as("h"))
+        val pairs = shingleKeys(Tables.spread(Tables(s, dir, "documents")), 8)
           .distinct()
         val first = pairs.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
         pairs.join(first, "h")
@@ -593,28 +600,31 @@ object TextOps {
               GROUP BY 1 ORDER BY doc_id""")),
 
     // ⊕ vocabulary growth curve (Heaps-law report): word-3-gram TYPES
-    // first seen per 1/16th of the corpus, with the running total —
-    // the measurement behind tokenizer sizing and "is more data still
-    // adding new text" curation calls. Same inverted-index shape as
-    // text_novelty (md5-thin keys, min-agg first sighting); the bucket
-    // grid is FIXED at 16 whatever the corpus (width from one
-    // broadcast max(doc_id) row), so the cumulative window runs over
-    // ≤ 16 rows — bounded by construction, PlanSpec-allowlisted.
+    // first seen per 1/16th of the doc_id axis, with the running total
+    // — the measurement behind tokenizer sizing and "is more data
+    // still adding new text" curation calls. Shares [[shingleKeys]]
+    // with text_novelty (min is distinct-insensitive, so no distinct
+    // here). The grid is FIXED at 16 buckets whatever the corpus
+    // (width from one broadcast max(doc_id) row) and ZERO-FILLED, so
+    // every curve has exactly 16 aligned rows and the cumulative
+    // window runs over 16 — bounded by construction, PlanSpec-
+    // allowlisted. Precondition: buckets slice the doc_id VALUE range,
+    // so "1/16th of the corpus" reads correctly when ids are ~dense
+    // from ~0 (as this table's are); for sparse/offset ids assign a
+    // row-number-based position upstream first.
     Entry(
       "text_vocab_growth",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.spread(Tables(s, dir, "documents"))
-        val first = docs
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            explode(shinglesFromTokens(col("toks"), 3)).as("sh"))
-          .select(col("doc_id"), md5(col("sh")).as("tok"))
-          .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        val first = shingleKeys(Tables.spread(Tables(s, dir, "documents")), 3)
+          .groupBy("h").agg(min(col("doc_id")).as("first_doc"))
         val mx = Tables(s, dir, "documents").agg(max(col("doc_id")).as("mx"))
-        val buckets = first.crossJoin(broadcast(mx))
+        val counted = first.crossJoin(broadcast(mx))
           .select(expr("first_doc DIV (mx DIV 16 + 1)").as("bucket"))
-          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val grid = s.range(16).select(col("id").as("bucket"))
+        val buckets = grid.join(counted, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n"), lit(0L)).as("new_types"))
         val w = Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         buckets
@@ -634,11 +644,15 @@ object TextOps {
               mx AS (SELECT MAX(doc_id) AS mx FROM documents),
               b AS (
                 SELECT first_doc // (mx // 16 + 1) AS bucket, COUNT(*) AS n
-                FROM f, mx GROUP BY 1)
-              SELECT bucket, CAST(n AS BIGINT) AS new_types,
-                     CAST(SUM(n) OVER (ORDER BY bucket
+                FROM f, mx GROUP BY 1),
+              g AS (
+                SELECT CAST(t.range AS BIGINT) AS bucket,
+                       COALESCE(b.n, 0) AS new_types
+                FROM range(0,16) t LEFT JOIN b ON b.bucket = t.range)
+              SELECT bucket, CAST(new_types AS BIGINT) AS new_types,
+                     CAST(SUM(new_types) OVER (ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS cum_types
-              FROM b ORDER BY bucket"""))
+              FROM g ORDER BY bucket"""))
   )
 }
