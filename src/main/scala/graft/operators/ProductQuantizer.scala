@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.VectorFunctions.vecDot
 
@@ -204,6 +204,45 @@ object ProductQuantizer {
     enc.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col(idCol), expr("transform(sc, p -> p.code)").as("codes"))
+
+  /** Scalar-quantization (SQ8) distortion audit — the 4× compression
+    * cousin of PQ (FAISS SQ8): each dimension quantizes independently
+    * to one byte on the corpus [min, max] grid; reconstruction is the
+    * cell midpoint. Emits per-dim (dim, n_values, vmin, vmax, mse), d
+    * rows — publish next to the stored codes exactly as
+    * [[distortionReport]] for PQ. A well-behaved dim sits near the
+    * uniform-quantizer bound Δ²/12, Δ = range/256 (PqSpec pins it).
+    *
+    * Shape: one d-row stats aggregate (broadcast back), then one
+    * encode-and-square pass — map-side into a d-group partial
+    * aggregate; the micro-squared errors sum in DECIMAL(38,0) and emit
+    * through the rule-6 split, so the report is bit-identical across
+    * engines and partitionings. */
+  def sq8DistortionReport(emb: DataFrame): DataFrame = {
+    import graft.queries.Exact
+    val d38 = DecimalType(38, 0)
+    val v = graft.core.Tables.spread(emb)
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast(DoubleType).as("x"))
+    val st = v.groupBy("dim").agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    v.join(broadcast(st), "dim")
+      .withColumn("code",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("vmin")) * lit(256.0) /
+              (col("vmax") - col("vmin"))).cast(LongType))))
+      .withColumn("diff", col("x") - (col("vmin") +
+        (col("code").cast(DoubleType) + lit(0.5)) *
+          (col("vmax") - col("vmin")) / lit(256.0)))
+      .withColumn("me2", floor(col("diff") * col("diff") * lit(1e12)).cast(LongType))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_values"),
+        min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"),
+        sum(col("me2").cast(d38)).as("ms"))
+      .select(col("dim"), col("n_values"), col("vmin"), col("vmax"),
+        (Exact.bigColToDouble("ms") / lit(1e12) /
+          col("n_values").cast(DoubleType)).as("mse"))
+  }
 
   /** Per-subspace quantization distortion — the audit a PQ deployment
     * publishes next to its codebook (distortion ⇒ recall budget):

@@ -454,6 +454,43 @@ object SimilarityOps {
                       CAST(mu AS DOUBLE)/1000000.0 AS adc_dot
                FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ⊕ SQ8 scalar-quantization distortion audit (the 4× compression
+    // cousin of PQ): per-dim byte grid on corpus [min,max],
+    // midpoint reconstruction, exact micro-squared-error means.
+    Entry(
+      "sim_sq8_distortion",
+      (s, dir) => Pq
+        .sq8DistortionReport(Tables(s, dir, "embeddings"))
+        .orderBy("dim"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               v AS (
+                 SELECT CAST(t.range AS INTEGER) AS dim, e[t.range+1] AS x
+                 FROM d, range(0,64) t),
+               st AS (
+                 SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM v GROUP BY 1),
+               q AS (
+                 SELECT v.dim, v.x, st.vmin, st.vmax,
+                        CASE WHEN st.vmax = st.vmin THEN 0
+                          ELSE LEAST(255, CAST(FLOOR((v.x - st.vmin) * 256.0
+                            / (st.vmax - st.vmin)) AS BIGINT))
+                        END AS code
+                 FROM v JOIN st ON st.dim = v.dim),
+               r AS (
+                 SELECT dim, vmin, vmax,
+                        x - (vmin + (CAST(code AS DOUBLE) + 0.5)
+                          * (vmax - vmin) / 256.0) AS diff
+                 FROM q),
+               m AS (
+                 SELECT dim, vmin, vmax,
+                        CAST(FLOOR(diff * diff * 1e12) AS BIGINT) AS me2
+                 FROM r)
+               SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_values,
+                      MIN(vmin) AS vmin, MIN(vmax) AS vmax,
+                      ${Exact.bigSqlToDouble("SUM(me2)")} / 1e12
+                        / CAST(COUNT(*) AS DOUBLE) AS mse
+               FROM m GROUP BY dim ORDER BY dim""")),
+
     // ⊕ exact embedding covariance matrix (d² = 4096 rows out of one
     // corpus pass): the statistics object behind whitening, PCA/OPQ
     // rotations, and embedding-drift checks between corpus snapshots.

@@ -182,6 +182,22 @@ class PqSpec extends SparkSuite {
     assert(rr.count() > 0)
   }
 
+  test("SQ8 per-dim distortion sits at the uniform-quantizer bound") {
+    val rows = Pq.sq8DistortionReport(emb).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val range = r.getDouble(3) - r.getDouble(2)
+      val delta = range / 256.0
+      val mse = r.getDouble(4)
+      // midpoint reconstruction on a [min,max] grid: mse ≤ Δ²/4 always
+      // (worst case at a cell edge), and near Δ²/12 for smooth data —
+      // demand the hard bound and at least half the smooth bound so a
+      // broken code/recon formula (wrong grid, off-by-one cell) fails
+      assert(mse <= delta * delta / 4.0 + 1e-12, s"dim ${r.getInt(0)}: $mse")
+      assert(mse >= delta * delta / 24.0, s"dim ${r.getInt(0)}: $mse suspiciously low")
+    }
+  }
+
   test("gated PQ plans stay product-free and broadcast the codebook side") {
     Seq("sim_knn_pq", "sim_knn_ivfpq", "sim_knn_pq_rerank",
         "sim_pq_distortion").foreach { name =>
