@@ -224,6 +224,10 @@ object ProductQuantizer {
     val v = graft.core.Tables.spread(emb)
       .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast(DoubleType).as("x"))
+      // null elements would skew n_values vs the summed errors, and NaN
+      // floors differently across engines — exclude both, mirrored in
+      // the oracle, so the report stays total and bit-identical
+      .filter(col("x").isNotNull && !isnan(col("x")))
     val st = v.groupBy("dim").agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
     v.join(broadcast(st), "dim")
       .withColumn("code",
@@ -234,7 +238,7 @@ object ProductQuantizer {
       .withColumn("diff", col("x") - (col("vmin") +
         (col("code").cast(DoubleType) + lit(0.5)) *
           (col("vmax") - col("vmin")) / lit(256.0)))
-      .withColumn("me2", floor(col("diff") * col("diff") * lit(1e12)).cast(LongType))
+      .withColumn("me2", floor(col("diff") * col("diff") * lit(1e12)))
       .groupBy("dim")
       .agg(count(lit(1)).as("n_values"),
         min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"),

@@ -463,10 +463,12 @@ object SimilarityOps {
         .sq8DistortionReport(Tables(s, dir, "embeddings"))
         .orderBy("dim"),
       Some(s"""WITH d AS (
-                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
                v AS (
                  SELECT CAST(t.range AS INTEGER) AS dim, e[t.range+1] AS x
-                 FROM d, range(0,64) t),
+                 FROM d, range(0,64) t
+                 WHERE e[t.range+1] IS NOT NULL
+                   AND NOT isnan(e[t.range+1])),
                st AS (
                  SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM v GROUP BY 1),
                q AS (

@@ -194,13 +194,16 @@ class PqSpec extends SparkSuite {
       // demand the hard bound and at least half the smooth bound so a
       // broken code/recon formula (wrong grid, off-by-one cell) fails
       assert(mse <= delta * delta / 4.0 + 1e-12, s"dim ${r.getInt(0)}: $mse")
-      assert(mse >= delta * delta / 24.0, s"dim ${r.getInt(0)}: $mse suspiciously low")
+      // the floor quantizes me2 at 1e-12 — only demand the smooth-data
+      // floor where it dominates truncation (Δ² well above the quantum)
+      if (delta > 1e-4)
+        assert(mse >= delta * delta / 24.0, s"dim ${r.getInt(0)}: $mse suspiciously low")
     }
   }
 
   test("gated PQ plans stay product-free and broadcast the codebook side") {
     Seq("sim_knn_pq", "sim_knn_ivfpq", "sim_knn_pq_rerank",
-        "sim_pq_distortion").foreach { name =>
+        "sim_pq_distortion", "sim_sq8_distortion").foreach { name =>
       val plan = graft.queries.Inventory.byName(name)
         .run(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: $plan")
