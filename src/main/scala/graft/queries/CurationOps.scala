@@ -783,6 +783,41 @@ object CurationOps {
                      CAST(unnest(generate_series(1, rep)) AS BIGINT)
                        AS copy_idx
               FROM documents d JOIN rep USING (lang)
-              ORDER BY doc_id, copy_idx"""))
+              ORDER BY doc_id, copy_idx""")),
+
+    // DSIR-style importance scoring (Xie et al. 2023): rank raw-corpus
+    // docs by how target-domain-like their word distribution is. The
+    // gate-deterministic form is the per-token MEAN of the exact-integer
+    // frequency ratio ⌊10⁶·(c_t+1)/(c_r+1)⌋ (see operators/Dsir.scala
+    // for why the log-likelihood product is ungateable). One explode
+    // pass computes both counts; the vocab-sized ratio table broadcasts;
+    // the corpus shuffles only on doc_id.
+    Entry(
+      "cur_dsir_weight",
+      (s, dir) => graft.operators.Dsir
+        .importanceScores(Tables(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src1", "src2"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+                SELECT doc_id, source IN ('src1', 'src2') AS is_t, tok
+                FROM (SELECT doc_id, source,
+                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                               AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+              counts AS (
+                SELECT tok, COUNT(*) AS c_r,
+                       SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+                FROM toks GROUP BY tok),
+              ratio AS (
+                SELECT tok, (c_t + 1) * 1000000 // (c_r + 1) AS r
+                FROM counts)
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS score
+              FROM toks t JOIN ratio USING (tok)
+              GROUP BY t.doc_id
+              ORDER BY t.doc_id"""))
   )
 }

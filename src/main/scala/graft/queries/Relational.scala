@@ -527,6 +527,39 @@ object Relational {
                                AS BIGINT) AS DOUBLE) / 1e4 AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ⊕ join-size pre-flight: estimate the output cardinality of a
+    // planned join from per-key counts BEFORE running it — here the
+    // quadratic-risk case, a self-join of lineitem on l_partkey
+    // ("bought-together" analyses): est = Σ n_k², plus the top
+    // contributing keys with their share. This is the instrument that
+    // decides salting / AQE skew-join / broadcast before a 100 TB join:
+    // the counts relation is |keys| rows from ONE partial-agg scan on
+    // exactly the partitioning the real join would shuffle on, the
+    // total is a one-row broadcast, and top-k compiles to
+    // TakeOrderedAndProject. Complements skew_key_report (one-side
+    // distribution) with the cross-side product estimate.
+    Entry(
+      "j11_join_size_estimate",
+      (s, dir) => {
+        val c = Tables(s, dir, "lineitem").groupBy("l_partkey")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val tot = c.agg(sum(expr("n * n")).cast(LongType).as("est_total"))
+        c.withColumn("n_sq", expr("n * n").cast(LongType))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("n"), col("n_sq"), col("est_total"),
+            (col("n_sq").cast(DoubleType) / col("est_total").cast(DoubleType))
+              .as("pct"))
+          .orderBy(desc("n"), asc("l_partkey")).limit(10)
+      },
+      Some("""WITH c AS (
+                SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(SUM(n * n) AS BIGINT) AS est_total FROM c)
+              SELECT l_partkey, n, CAST(n * n AS BIGINT) AS n_sq, est_total,
+                     CAST(n * n AS DOUBLE) / CAST(est_total AS DOUBLE) AS pct
+              FROM c, t
+              ORDER BY n DESC, l_partkey ASC LIMIT 10""")),
+
     // ⊕ skew diagnostics: the report run BEFORE deciding to salt — the
     // group-size distribution of a join/agg key (exact interpolated
     // percentiles over per-key counts) whose max/p50 ratio flags hot
@@ -1171,6 +1204,68 @@ object Relational {
                      CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 84.0 / 1e6
                        AS slope
               FROM l WHERE rn >= 8
-              ORDER BY user_id, event_id"""))
+              ORDER BY user_id, event_id""")),
+
+    // distinct-audience overlap matrix between event types: for every
+    // type pair (a < b), how many users did BOTH, plus each side's
+    // distinct count and the Jaccard. The scale shape is deliberately
+    // NOT the self-join the oracle uses: ONE user_id-keyed aggregate
+    // collects each user's (bounded, ≤ #types) sorted type set, ordered
+    // pairs explode map-side from that set, and the pair aggregate is
+    // tiny (≤ types² rows) — the corpus is never joined against itself.
+    // At 100 TB the per-type counts come from the same distinct pass and
+    // broadcast onto the pair rows. (The sketch path for this — HLL
+    // union via inclusion-exclusion — is audited against this exact
+    // output in DistinctOverlapSpec.)
+    Entry(
+      "a25_distinct_overlap",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select("user_id", "event_type")
+        val perUser = e.groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        val pairs = perUser
+          .select(explode(expr(
+            """flatten(transform(ts, (a, i) ->
+                 transform(slice(ts, i + 2, size(ts)),
+                           b -> named_struct('ta', a, 'tb', b))))"""))
+            .as("p"))
+          .select(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+        val overlap = pairs.groupBy("type_a", "type_b")
+          .agg(count(lit(1)).cast(LongType).as("n_both"))
+        val perType = e.distinct().groupBy("event_type")
+          .agg(count(lit(1)).cast(LongType).as("nd"))
+        overlap
+          .join(broadcast(perType.select(
+            col("event_type").as("type_a"), col("nd").as("n_a"))), "type_a")
+          .join(broadcast(perType.select(
+            col("event_type").as("type_b"), col("nd").as("n_b"))), "type_b")
+          .select(col("type_a"), col("type_b"),
+            col("n_a"), col("n_b"), col("n_both"),
+            (col("n_both").cast(DoubleType) /
+              (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType))
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              p AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM d a JOIN d b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2),
+              c AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
+                FROM d GROUP BY 1)
+              SELECT type_a, type_b, ca.nd AS n_a, cb.nd AS n_b, n_both,
+                     CAST(n_both AS DOUBLE) /
+                       CAST(ca.nd + cb.nd - n_both AS DOUBLE) AS jaccard
+              FROM p
+              JOIN c ca ON ca.event_type = p.type_a
+              JOIN c cb ON cb.event_type = p.type_b
+              ORDER BY type_a, type_b"""))
   )
 }

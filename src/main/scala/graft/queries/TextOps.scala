@@ -653,6 +653,65 @@ object TextOps {
                      CAST(SUM(new_types) OVER (ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS cum_types
-              FROM g ORDER BY bucket"""))
+              FROM g ORDER BY bucket""")),
+
+    // Count-Min point-frequency with exact verify (the HeavyHitters
+    // sketch-then-verify shape, but for PROBE-driven lookups): which
+    // words of the src0 slice are corpus-frequent (freq ≥ N/100)?
+    // Pass 1 reduces the corpus to a ≤ d·w cell grid (bounded state,
+    // map-side combine); the probe's estimates are a broadcast join
+    // against that grid; est ≥ true makes the candidate set a superset
+    // of the truth, so pass 2's exact count over candidates-only gives
+    // the exact answer — over-counts cost pass-2 work, never a wrong
+    // row. At 100 TB the corpus is scanned twice but shuffled only on
+    // ≤ d·w cells + the candidate vocabulary.
+    Entry(
+      "text_freq_cm",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val corpus = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val probe = Tables(s, dir, "documents")
+          .filter(col("source") === "src0")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val (d, w) = (4, 2048)
+        val sk = CountMin.sketch(corpus, "tok", d, w)
+        val est = CountMin.estimate(probe, "tok", sk, d, w)
+        // the sketch carries N for free: every depth row's cells sum to
+        // the stream length — no separate corpus-count scan (AQE reuses
+        // the sketch exchange between this and the estimate)
+        val total = sk.filter(col("j") === 0)
+          .agg(sum(col("c")).cast(LongType).as("n_total"))
+        val candidates = est.crossJoin(broadcast(total))
+          .filter(col("est") >= expr("n_total DIV 100L"))
+          .select("tok")
+        corpus
+          .join(broadcast(candidates), Seq("tok"), "left_semi")
+          .groupBy("tok").agg(count(lit(1)).cast(LongType).as("n"))
+          .crossJoin(broadcast(total))
+          .filter(col("n") >= expr("n_total DIV 100L"))
+          .select(col("tok"), col("n"))
+          .orderBy("tok")
+      },
+      Some("""WITH corpus AS (
+                SELECT tok
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                        AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+              probe AS (
+                SELECT DISTINCT tok
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                        AS tok
+                      FROM documents WHERE source = 'src0')
+                WHERE tok <> ''),
+              tot AS (SELECT COUNT(*) AS n_total FROM corpus)
+              SELECT c.tok, CAST(COUNT(*) AS BIGINT) AS n
+              FROM corpus c JOIN probe USING (tok), tot
+              GROUP BY c.tok, tot.n_total
+              HAVING COUNT(*) >= tot.n_total // 100
+              ORDER BY tok"""))
   )
 }

@@ -75,32 +75,56 @@ class StreamingExtSuite extends SparkSuite {
 
   test("session windows in streaming mode: gap-separated sessions emit after the watermark") {
     val in = tmpDir("sess-in")
-    def ev(ts: String, u: Long) = s"""{"ts":"$ts","user_id":$u}"""
-    val src = spark.readStream.schema("ts timestamp, user_id bigint").json(in)
-    // the SAME session_window operator the batch w2_sessionize query
-    // uses, driven with a watermark so closed sessions finalize
-    val sessions = src
-      .withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
-    val q = sessions.writeStream.format("memory").queryName("sess_out")
+    def ev(ts: String, u: Long, v: Double) =
+      s"""{"ts":"$ts","user_id":$u,"value":$v}"""
+    val src = spark.readStream
+      .schema("ts timestamp, user_id bigint, value double").json(in)
+    // the named streaming twin of the batch w2_sessionize gap-split —
+    // closed sessions finalize as the watermark passes their end
+    val q = graft.streaming.Sessionize.sessions(src)
+      .writeStream.format("memory").queryName("sess_out")
       .outputMode(OutputMode.Append).start()
     try {
       // user 1: two events 5 min apart (one session), then a 2-hour jump
       // that advances the watermark far past the session's end → emit
       feed(in, q, Seq(
-        ev("2024-04-18 10:00:00", 1),
-        ev("2024-04-18 10:05:00", 1)))
-      feed(in, q, Seq(ev("2024-04-18 12:30:00", 1)))
-      feed(in, q, Seq(ev("2024-04-18 15:00:00", 1))) // close the 12:30 session too
+        ev("2024-04-18 10:00:00", 1, 2.0),
+        ev("2024-04-18 10:05:00", 1, 3.0)))
+      feed(in, q, Seq(ev("2024-04-18 12:30:00", 1, 1.0)))
+      feed(in, q, Seq(ev("2024-04-18 15:00:00", 1, 1.0))) // close the 12:30 session too
       val got = spark.table("sess_out")
         .orderBy("session_start")
-        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+        .collect().map(r => (r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
       assert(got.length >= 2)
-      assert(got(0) === ("2024-04-18 10:00:00.0", 2L)) // merged 2-event session
-      assert(got(1) === ("2024-04-18 12:30:00.0", 1L))
+      // merged 2-event session; end = last event + 30 min gap
+      assert(got(0) === ("2024-04-18 10:00:00.0", "2024-04-18 10:35:00.0", 2L, 5.0))
+      assert(got(1) === ("2024-04-18 12:30:00.0", "2024-04-18 13:00:00.0", 1L, 1.0))
     } finally q.stop()
+  }
+
+  test("Sessionize: batch run of the same plan emits every session and " +
+       "agrees with the streaming emissions") {
+    import spark.implicits._
+    val batch = Seq(
+      ("2024-04-18 10:00:00", 1L, 2.0),
+      ("2024-04-18 10:05:00", 1L, 3.0),
+      ("2024-04-18 12:30:00", 1L, 1.0),
+      ("2024-04-18 15:00:00", 1L, 1.0),
+      ("2024-04-18 10:10:00", 2L, 7.0))
+      .toDF("ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.streaming.Sessionize.sessions(batch)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4)))
+    // batch emits ALL sessions (nothing stays open): the two the stream
+    // closed, plus the stream's still-open 15:00 tail and user 2
+    assert(got.toSeq === Seq(
+      (1L, "2024-04-18 10:00:00.0", 2L, 5.0),
+      (1L, "2024-04-18 12:30:00.0", 1L, 1.0),
+      (1L, "2024-04-18 15:00:00.0", 1L, 1.0),
+      (2L, "2024-04-18 10:10:00.0", 1L, 7.0)))
   }
 
   test("tumbling windows aggregate per type; batch and stream plans agree") {
