@@ -311,6 +311,48 @@ object Functions {
                        '.example.com/p/' || CAST(c_nationkey AS VARCHAR) ||
                        '?q=' || c_mktsegment AS url
                 FROM customer)
-              ORDER BY c_custkey"""))
+              ORDER BY c_custkey""")),
+
+    // ⊕ higher-order array functions as a first-class gated surface:
+    // transform / filter / exists / aggregate-fold / slice over a
+    // per-order quantity array. The array is CANONICALIZED by
+    // sort_array before any lambda touches it (collect_list order is
+    // partition-dependent; the sorted multiset is engine-identical),
+    // the fold accumulates exact BIGINT micro-points (rule 2), and the
+    // array-typed intermediate is rendered with array_join (rule 5: no
+    // list column reaches the gate hash). Lambdas run inside codegen'd
+    // expressions map-side — the one shuffle is the orderkey aggregate.
+    Entry(
+      "f16_array_hof",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("arr"))
+        .select(
+          col("l_orderkey"),
+          size(col("arr")).as("n_items"),
+          expr("size(filter(arr, x -> x > 25.0))").as("n_big"),
+          expr("""aggregate(arr, 0L,
+                    (acc, x) -> acc + CAST(floor(x * 1e4) AS BIGINT))""")
+            .as("total_micro"),
+          expr("exists(arr, x -> x < 2.0)").as("has_small"),
+          expr("""array_join(transform(slice(arr, 1, 3),
+                    x -> CAST(CAST(floor(x) AS BIGINT) AS STRING)), ':')""")
+            .as("first3"))
+        .orderBy("l_orderkey"),
+      Some("""WITH a AS (
+                SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+                FROM lineitem GROUP BY 1)
+              SELECT l_orderkey,
+                     CAST(len(arr) AS INT) AS n_items,
+                     CAST(len(list_filter(arr, x -> x > 25.0)) AS INT)
+                       AS n_big,
+                     CAST(list_sum(list_transform(arr,
+                            x -> CAST(floor(x * 1e4) AS BIGINT)))
+                          AS BIGINT) AS total_micro,
+                     len(list_filter(arr, x -> x < 2.0)) > 0 AS has_small,
+                     array_to_string(list_transform(arr[1:3],
+                       x -> CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)), ':')
+                       AS first3
+              FROM a ORDER BY l_orderkey"""))
   )
 }

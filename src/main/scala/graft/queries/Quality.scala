@@ -345,6 +345,58 @@ object Quality {
               f AS (SELECT MAX(last_us) AS frontier_us FROM t)
               SELECT event_type, n_events, last_us,
                      frontier_us - last_us AS lag_us
-              FROM t, f ORDER BY event_type"""))
+              FROM t, f ORDER BY event_type""")),
+
+    // ⊕ cross-table reconciliation audit: does the fact table roll up to
+    // the header it claims? Per order, Σ over its lineitems of
+    // extendedprice·(1−discount)·(1+tax) is compared against
+    // o_totalprice, and the per-status mismatch profile is reported —
+    // the classic "detail must reconcile to summary" invariant every
+    // warehouse audits after a load. Arithmetic contract: the per-row
+    // product is ONE fixed IEEE expression floored to BIGINT
+    // micro-points (rule 2's sanctioned per-row form), so the order
+    // sums, the diff, and the max are exact integers; the single emit
+    // division produces the double. Scale shape: the detail aggregate
+    // partial-combines on l_orderkey — the same key the header join
+    // shuffles on — then the status rollup is |statuses| rows. (On this
+    // synthetic corpus the columns are independent draws, so ~every
+    // order mismatches — the profile is the point, not a pass/fail.)
+    Entry(
+      "q13_reconciliation",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(expr(
+            "CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1e4) AS BIGINT)"))
+            .cast(LongType).as("s_micro"))
+        Tables(s, dir, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderstatus"),
+            abs(col("s_micro") -
+              expr("CAST(floor(o_totalprice*1e4) AS BIGINT)")).as("d"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).cast(LongType).as("n_orders"),
+            sum(when(col("d") > 0L, 1L).otherwise(0L)).cast(LongType)
+              .as("n_mismatch"),
+            (max(col("d")).cast("double") / lit(1e4)).as("max_abs_diff"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH l AS (
+                SELECT l_orderkey,
+                       SUM(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*1e4)
+                                AS BIGINT)) AS s_micro
+                FROM lineitem GROUP BY 1),
+              j AS (
+                SELECT o_orderstatus,
+                       abs(s_micro - CAST(floor(o_totalprice*1e4) AS BIGINT))
+                         AS d
+                FROM orders JOIN l ON l_orderkey = o_orderkey)
+              SELECT o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
+                     CAST(MAX(d) AS DOUBLE) / 1e4 AS max_abs_diff
+              FROM j GROUP BY 1 ORDER BY 1"""))
   )
 }

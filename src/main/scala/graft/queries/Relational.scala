@@ -1266,6 +1266,60 @@ object Relational {
               FROM p
               JOIN c ca ON ca.event_type = p.type_a
               JOIN c cb ON cb.event_type = p.type_b
-              ORDER BY type_a, type_b"""))
+              ORDER BY type_a, type_b""")),
+
+    // ⊕ AMS second-moment sketch: F₂ = Σ n_k² (the self-join size
+    // j11 computes exactly) from 125 signed BIGINT counters in ONE
+    // pass — no per-key aggregate at all. The md5-bit sign family makes
+    // the whole sketch ORACLE-CHECKABLE: every S_j, group sum, picked
+    // median, and the exact F₂ are integers both engines compute
+    // bit-identically; the emitted ratio documents the estimator's
+    // accuracy on this corpus (AmsSketchSpec asserts its envelope and
+    // mergeability). 100 TB story: j11's exact path shuffles |keys|
+    // rows; this state is 125 longs, merged by addition — the pre-flight
+    // you can afford on every candidate join key.
+    Entry(
+      "a26_ams_f2",
+      (s, dir) => {
+        import graft.operators.AmsSketch
+        val e = Tables(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id").cast(StringType).as("it"))
+        val (groups, per) = (5, 25)
+        val est = AmsSketch.estimateF2(
+          AmsSketch.signedSums(e, "it", groups * per), groups, per)
+        val exact = e.groupBy("it").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * n")).cast(LongType).as("exact_f2"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est_f2"), col("exact_f2"),
+            (col("est_f2") / col("exact_f2").cast(DoubleType)).as("ratio"))
+      },
+      Some("""WITH e AS (
+                SELECT md5(CAST(user_id AS VARCHAR)) AS h,
+                       CAST(user_id AS VARCHAR) AS it
+                FROM events WHERE user_id IS NOT NULL),
+              reps AS (SELECT CAST(unnest(range(0, 125)) AS BIGINT) AS j),
+              sg AS (
+                SELECT j,
+                       2 * ((strpos('0123456789abcdef',
+                                    substring(h, CAST(1 + j // 4 AS INT), 1))
+                             - 1)
+                            // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                           WHEN 2 THEN 4 ELSE 8 END) % 2)
+                       - 1 AS sgn
+                FROM e, reps),
+              s AS (SELECT j, CAST(SUM(sgn) AS BIGINT) AS s
+                    FROM sg GROUP BY j),
+              g AS (SELECT j // 25 AS g, CAST(SUM(s * s) AS BIGINT) AS gs
+                    FROM s GROUP BY 1),
+              med AS (SELECT gs AS med_group_sum FROM g
+                      ORDER BY gs LIMIT 1 OFFSET 2),
+              ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2
+                     FROM (SELECT it, CAST(COUNT(*) AS BIGINT) AS n
+                           FROM e GROUP BY 1))
+              SELECT CAST(med_group_sum AS DOUBLE) / 25.0 AS est_f2,
+                     exact_f2,
+                     CAST(med_group_sum AS DOUBLE) / 25.0
+                       / CAST(exact_f2 AS DOUBLE) AS ratio
+              FROM med, ex"""))
   )
 }

@@ -345,4 +345,80 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  private val genCorpus: Gen[List[String]] =
+    Gen.listOfN(60, Gen.choose(0, 15).map(i => s"w$i")) // few keys → collisions
+
+  test("count-min: est ≥ true for every key and merge ≡ direct, on random corpora") {
+    import graft.operators.CountMin
+    val (d, w) = (3, 8) // collision-heavy on purpose
+    check(Prop.forAll(genCorpus, genCorpus) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val adf = a.toDF("it"); val bdf = b.toDF("it")
+        val est = CountMin.estimate(adf, "it", CountMin.sketch(adf, "it", d, w), d, w)
+          .as[(String, Long)].collect().toMap
+        val exact = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val oneSided = exact.forall { case (k, n) => est(k) >= n }
+        val merged = CountMin.merge(
+          CountMin.sketch(adf, "it", d, w), CountMin.sketch(bdf, "it", d, w))
+          .as[(Int, Long, Long)].collect().toSet
+        val direct = CountMin.sketch(adf.unionByName(bdf), "it", d, w)
+          .as[(Int, Long, Long)].collect().toSet
+        oneSided && merged == direct
+      }
+    })
+  }
+
+  test("ams: merge ≡ direct, every replicate present, and S_j has the stream's parity") {
+    import graft.operators.AmsSketch
+    val r = 16
+    check(Prop.forAll(genCorpus, genCorpus) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val sa = AmsSketch.signedSums(a.toDF("it"), "it", r)
+          .as[(Int, Long)].collect().toMap
+        val sb = AmsSketch.signedSums(b.toDF("it"), "it", r)
+          .as[(Int, Long)].collect().toMap
+        val direct = AmsSketch.signedSums((a ++ b).toDF("it"), "it", r)
+          .as[(Int, Long)].collect().toMap
+        val mergeOk = (0 until r).forall(j => sa(j) + sb(j) == direct(j))
+        // a sum of n ±1 terms always has n's parity, and |S_j| ≤ n —
+        // catches any sign family that drops or double-counts a row
+        val shapeOk = sa.size == r && sa.values.forall(s =>
+          math.abs(s) <= a.size && ((s - a.size) % 2 == 0))
+        mergeOk && shapeOk
+      }
+    })
+  }
+
+  test("dsir: scores ≡ reference fold on random corpora with random target slices") {
+    import graft.operators.Dsir
+    val genDocs: Gen[List[(Long, String, Boolean)]] =
+      Gen.listOfN(12, for {
+        n <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(n, Gen.choose(0, 9).map(i => s"w$i"))
+        t <- Gen.oneOf(true, false)
+      } yield (ws.mkString(" "), t)).map(_.zipWithIndex.map {
+        case ((txt, t), i) => (i.toLong, txt, t)
+      })
+    check(Prop.forAll(genDocs) { docs =>
+      docs.exists(_._3) ==> {
+        val df = docs.toDF("doc_id", "text", "is_t")
+        val got = Dsir.importanceScores(df, "doc_id", "text", col("is_t"))
+          .as[(Long, Long, Double)].collect()
+          .map { case (id, n, s) => id -> (n, s) }.toMap
+        val toks = docs.flatMap { case (id, t, d) =>
+          t.split(" ").filter(_.nonEmpty).map(w => (id, w, d)) }
+        val cR = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val cT = toks.filter(_._3).groupBy(_._2)
+          .view.mapValues(_.size.toLong).toMap
+        def ratio(wd: String): Long =
+          (cT.getOrElse(wd, 0L) + 1L) * 1000000L / (cR(wd) + 1L)
+        val expect = toks.groupBy(_._1).map { case (id, ts) =>
+          id -> (ts.size.toLong,
+            ts.map(x => ratio(x._2)).sum.toDouble / ts.size.toDouble)
+        }
+        got == expect
+      }
+    })
+  }
 }
