@@ -127,6 +127,46 @@ class StreamingExtSuite extends SparkSuite {
       (2L, "2024-04-18 10:10:00.0", 1L, 7.0)))
   }
 
+  test("Sessionize: an in-flight session survives a kill-and-restart " +
+       "through the checkpoint") {
+    val in = tmpDir("sesscp-in"); val cp = tmpDir("sesscp-cp")
+    val out = tmpDir("sesscp-out")
+    def ev(ts: String, u: Long, v: Double) =
+      s"""{"ts":"$ts","user_id":$u,"value":$v}"""
+    def src = spark.readStream
+      .schema("ts timestamp, user_id bigint, value double").json(in)
+    // a FILE sink: the memory sink refuses checkpoint recovery (it is
+    // not fault-tolerant) — recovery semantics need a real sink, the
+    // same pairing a production run would use
+    def start() = graft.streaming.Sessionize.sessions(src)
+      .writeStream.format("parquet").option("path", out)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", cp).start()
+    // phase 1: open a session (nothing closes — watermark stays behind),
+    // then KILL the query with the session still in state
+    val q1 = start()
+    try feed(in, q1, Seq(
+      ev("2024-04-18 10:00:00", 1, 2.0),
+      ev("2024-04-18 10:05:00", 1, 3.0)))
+    finally q1.stop()
+    // phase 2: a FRESH query instance on the same checkpoint must
+    // extend that session (10:10 is within the 30-min gap of its end)
+    // and close it when 13:00 advances the watermark past it. If state
+    // were lost, the emitted session would start at 10:10 with n=1.
+    val q2 = start()
+    try {
+      feed(in, q2, Seq(ev("2024-04-18 10:10:00", 1, 5.0)))
+      feed(in, q2, Seq(ev("2024-04-18 13:00:00", 1, 1.0)))
+      val got = spark.read.parquet(out)
+        .orderBy("session_start")
+        .collect().map(r => (r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(got.nonEmpty)
+      assert(got(0) ===
+        ("2024-04-18 10:00:00.0", "2024-04-18 10:40:00.0", 3L, 10.0))
+    } finally q2.stop()
+  }
+
   test("tumbling windows aggregate per type; batch and stream plans agree") {
     val events = Seq(
       ("2024-04-18 10:05:00", "click", 1.0),
