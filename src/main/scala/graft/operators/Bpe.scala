@@ -126,4 +126,64 @@ object Bpe {
     }
     (merges.result(), vocab)
   }
+
+  /** Fixed merge table for the oracle-checked tokenizer-APPLY gate
+    * (`text_bpe_encode`): in a production pipeline the merge list is
+    * tokenizer config shipped WITH the model, not something re-learned
+    * per query — so the gate treats it as input, exactly as a user
+    * would, and [[train]]-produced tables remain spec-covered
+    * (BpeSpec). Every pair has left ≠ right, which is what licenses
+    * the oracle's string-replace formulation (see
+    * [[replaceFoldEquivalence]]). Order matters: merges apply in rank
+    * order, and later pairs reference earlier merged symbols. */
+  val FixedMerges: Seq[Merge] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("r", "o"), ("ro", "w"),
+    ("i", "n"), ("o", "w"), ("e", "r"))
+    .zipWithIndex.map { case ((l, r), i) => Merge(l, r, 0L, i + 1) }
+
+  /** Why a plain-SQL oracle can check the greedy array fold
+    * ([[applyMerge]]) at all — the equivalence the `text_bpe_encode`
+    * gate rests on, pinned by a randomized law in PropertySpec:
+    *
+    * Represent a symbol sequence as ' s1 s2 … sk ' (space-joined,
+    * space-bracketed; symbols never contain spaces). For a merge
+    * (l, r) with l ≠ r:
+    *
+    *  1. (l, r) adjacencies are pairwise DISJOINT — two overlapping
+    *     occurrences would need the shared symbol to be both r and l —
+    *     so the left-to-right fold merges every one of them, and a
+    *     freshly merged 'lr' can never seed a new (l, r) adjacency
+    *     (r is a strict suffix of 'lr', l isn't 'lr').
+    *  2. `replace(seq, ' l r ', ' lr ')` (leftmost, non-overlapping)
+    *     merges an adjacency unless its LEADING space was consumed as
+    *     the trailing space of the previous replacement — which
+    *     happens exactly for …l r l r… chains, where alternate
+    *     occurrences are skipped.
+    *  3. Every skipped occurrence is therefore flanked by freshly
+    *     merged 'lr' symbols, so no two skipped occurrences share a
+    *     boundary space — a SECOND identical replace merges all of
+    *     them, and nothing else (by 1., no new adjacencies exist).
+    *
+    * Hence replace∘replace ≡ fold for l ≠ r, per merge, and by
+    * induction over the rank-ordered merge list the whole encode
+    * agrees. (For l = r the fold re-merges runs the string form cannot
+    * — '…aa a aa…' after pass 1 of (a,a) on a 6-run — which is why
+    * [[FixedMerges]] excludes self-pairs and the builder enforces it.)
+    *
+    * Returns the SQL expression applying `merges` to `base` (an
+    * expression producing the bracketed char-split form), with two
+    * replace passes per merge. Shared verbatim by the Spark plan
+    * (`expr`) and the DuckDB oracle — replace() semantics are
+    * identical in both engines.
+    */
+  def replaceFoldSql(base: String, merges: Seq[Merge]): String =
+    merges.foldLeft(base) { (acc, m) =>
+      require(m.left != m.right,
+        s"replace-fold oracle requires left != right, got ${m.left}")
+      val once = s"replace($acc, ' ${m.left} ${m.right} ', ' ${m.left}${m.right} ')"
+      s"replace($once, ' ${m.left} ${m.right} ', ' ${m.left}${m.right} ')"
+    }
 }

@@ -344,6 +344,41 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("n_hits"))
   }
 
+  /** Deterministic per-epoch corpus shuffle: the reproducible training
+    * order every run of a data loader must agree on (elastic restarts,
+    * resumed jobs, and audits all need "position 31 417 of epoch 3" to
+    * be a FUNCTION of (corpus, epoch), not of cluster timing).
+    *
+    * Order key is md5(doc_id ':' epoch) — changing the epoch re-deals
+    * the whole order with no RNG state to checkpoint. Positions are
+    * assigned BLOCKED, never via a global row_number (which would move
+    * the corpus to one task): the first two hex chars shard the corpus
+    * into 256 hash-buckets, each bucket ranks internally (partitioned
+    * window), and bucket offsets come from a 256-row prefix-summed
+    * count table broadcast back — the same hierarchical prefix-sum
+    * shape as [[ppsSample]]. Because the bucket is a prefix of the
+    * sort key, bucket-major + rank-within-bucket IS the global
+    * md5 order; `global_pos` is a permutation of 1..N (law-checked in
+    * CurationSpec). */
+  def epochShuffle(docs: DataFrame, keyCol: String, epoch: Int): DataFrame = {
+    val hex = "0123456789abcdef"
+    val h = docs.select(col(keyCol),
+      md5(concat(col(keyCol).cast(StringType), lit(":" + epoch))).as("h"))
+      .withColumn("bucket",
+        ((instr(lit(hex), substring(col("h"), 1, 1)) - 1) * 16 +
+          instr(lit(hex), substring(col("h"), 2, 1)) - 1).cast(IntegerType))
+    val wInBucket = Window.partitionBy("bucket").orderBy("h", keyCol)
+    val counts = h.groupBy("bucket").count()
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum("count").over(wBuckets), lit(0L)))
+    h.withColumn("pos", row_number().over(wInBucket))
+      .join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .select(col(keyCol), col("bucket"),
+        (col("off") + col("pos")).cast(LongType).as("global_pos"))
+  }
+
   /** The core curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole

@@ -818,6 +818,46 @@ object CurationOps {
                        AS score
               FROM toks t JOIN ratio USING (tok)
               GROUP BY t.doc_id
-              ORDER BY t.doc_id"""))
+              ORDER BY t.doc_id""")),
+
+    // reproducible per-epoch training order: global_pos is a pure
+    // function of (corpus, epoch) — elastic restarts and audits agree
+    // on "what was example #k of epoch 7" with no RNG checkpoint.
+    // Blocked position assignment (256 md5-prefix buckets: partitioned
+    // rank + tiny prefix-summed offset table, broadcast back) — never
+    // a global row_number over one task; the bucket is a PREFIX of the
+    // order key, so blocked positions ARE the global md5 order.
+    Entry(
+      "cur_epoch_shuffle",
+      (s, dir) => Curation
+        .epochShuffle(Tables(s, dir, "documents"), "doc_id", epoch = 7)
+        .orderBy("global_pos"),
+      Some("""WITH h AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':7') AS h
+                FROM documents),
+              b AS (
+                SELECT doc_id, h,
+                       CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                              * 16
+                            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+                         AS INTEGER) AS bucket
+                FROM h),
+              p AS (
+                SELECT doc_id, bucket,
+                       ROW_NUMBER() OVER (PARTITION BY bucket
+                                          ORDER BY h, doc_id) AS pos
+                FROM b),
+              c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+              o AS (
+                SELECT bucket,
+                       COALESCE(SUM(n) OVER (ORDER BY bucket
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS off
+                FROM c)
+              SELECT p.doc_id, p.bucket,
+                     CAST(p.pos + o.off AS BIGINT) AS global_pos
+              FROM p JOIN o USING (bucket)
+              ORDER BY global_pos"""))
   )
 }

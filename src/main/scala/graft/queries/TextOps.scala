@@ -712,6 +712,54 @@ object TextOps {
               FROM corpus c JOIN probe USING (tok), tot
               GROUP BY c.tok, tot.n_total
               HAVING COUNT(*) >= tot.n_total // 100
-              ORDER BY tok"""))
+              ORDER BY tok""")),
+
+    // tokenizer APPLICATION: per-doc token counts under a real BPE
+    // merge table ([[graft.operators.Bpe.FixedMerges]] — tokenizer
+    // config as input, the way a serving pipeline counts tokens).
+    // Scale shape: the greedy merge fold (Bpe.applyMerge, an array
+    // HOF — no UDF) runs once per DISTINCT word, never per corpus
+    // occurrence; the corpus then equi-joins its exploded tokens to
+    // the ≤|vocab| symbol-count table (AQE broadcasts it) and
+    // aggregates per doc — one corpus-sized shuffle on doc_id, same
+    // as any per-doc count. The oracle re-expresses the fold as two
+    // string-replace passes per merge, exact for left≠right pairs
+    // (proof: Bpe.replaceFoldEquivalence scaladoc; randomized law in
+    // PropertySpec).
+    Entry(
+      "text_bpe_encode",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .filter(trim(col("text")) =!= "")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        val vocab = graft.operators.Bpe
+          .encodeVocab(toks.select("tok").distinct(), graft.operators.Bpe.FixedMerges)
+          .select(col("tok"), size(col("syms")).as("n_syms"))
+        toks.join(vocab, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(LongType).as("n_words"),
+            sum(col("n_syms")).cast(LongType).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''),
+              vocab AS (
+                SELECT tok,
+                       ${graft.operators.Bpe.replaceFoldSql(
+                         raw"(' ' || regexp_replace(tok, '(.)', '\1 ', 'g'))",
+                         graft.operators.Bpe.FixedMerges)} AS seq
+                FROM (SELECT DISTINCT tok FROM tok)),
+              enc AS (
+                SELECT tok,
+                       length(seq) - length(replace(seq, ' ', '')) - 1 AS n_syms
+                FROM vocab)
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe_tokens
+              FROM tok t JOIN enc e USING (tok)
+              GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 }

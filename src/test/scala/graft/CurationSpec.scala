@@ -244,4 +244,35 @@ class CurationSpec extends SparkSuite {
       }
     }
   }
+
+  test("epochShuffle: global_pos is exactly the global md5 order, epochs re-deal it") {
+    val ids = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      Curation.epochShuffle(ids, "doc_id", epoch)
+        .orderBy("global_pos").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val got = order(3)
+    // permutation: every id exactly once, positions 1..N
+    assert(got.sorted == (0L until 500L))
+    val pos = Curation.epochShuffle(ids, "doc_id", 3)
+      .select("global_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (1L to 500L))
+    // the blocked assignment IS the global md5 order (bucket chars are
+    // a prefix of the sort key) — pin against a driver-side reference
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long, e: Int): String =
+      md.digest(s"$i:$e".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val expect = (0L until 500L).sortBy(i => (h(i, 3), i))
+    assert(got == expect)
+    // a different epoch re-deals: same population, different order
+    val next = order(4)
+    assert(next.sorted == (0L until 500L))
+    assert(next != got)
+    // partition-invariance: positions don't depend on input layout
+    val re = Curation.epochShuffle(ids.repartition(13), "doc_id", 3)
+      .orderBy("global_pos").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(re == got)
+  }
 }

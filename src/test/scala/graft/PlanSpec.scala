@@ -44,6 +44,7 @@ class PlanSpec extends SparkSuite {
       // three-level prefix design — Curation.scala)
       "cur_token_budget" -> "window over per-bucket totals",
       "cur_pps_sample" -> "window over per-block totals",
+      "cur_epoch_shuffle" -> "prefix sum over the 256-row bucket-count table",
       "pipeline_curate_full" -> "budget stage's per-bucket totals window",
       "pipeline_curate_cdc" -> "budget stage's per-bucket totals window",
       // per-class / per-source count tables: |langs| / |sources| rows

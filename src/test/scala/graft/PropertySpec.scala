@@ -421,4 +421,34 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("bpe: two replace passes ≡ greedy merge fold for l≠r merges on random strings") {
+    // the equivalence that licenses text_bpe_encode's SQL oracle
+    // (Bpe.replaceFoldSql scaladoc): checked on an adversarial merge
+    // chain — multi-char symbols, a merged symbol reused as the left
+    // side, and alternating-run bait like "ababab"/"aaaa" — over a
+    // 3-letter alphabet where overlaps are as dense as they get.
+    import graft.operators.Bpe
+    val merges = Seq(("a", "b"), ("ab", "a"), ("b", "a"), ("c", "a"),
+      ("ca", "ab")).zipWithIndex.map { case ((l, r), i) =>
+      Bpe.Merge(l, r, 0L, i + 1) }
+    val genTok: Gen[String] =
+      Gen.choose(1, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(30, genTok)) { toks =>
+      toks.nonEmpty ==> {
+        val df = toks.distinct.toDF("tok")
+        val fold = merges.foldLeft(split(col("tok"), "").as("syms")) {
+          (acc, m) => Bpe.applyMerge(acc, m.left, m.right).as("syms")
+        }
+        val got = df.select(col("tok"),
+          concat(lit(" "), array_join(fold, " "), lit(" ")).as("via_fold"),
+          expr(Bpe.replaceFoldSql(
+            "(' ' || regexp_replace(tok, '(.)', '$1 '))", merges))
+            .as("via_replace"))
+          .collect()
+        got.forall(r => r.getString(1) == r.getString(2))
+      }
+    })
+  }
 }
