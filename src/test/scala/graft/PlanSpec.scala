@@ -79,6 +79,43 @@ class PlanSpec extends SparkSuite {
     assert(caught.nonEmpty, "sweep detector failed to catch a planted regression")
   }
 
+  test("sweep: no gated physical plan has a CartesianProduct; BNLJ only with bounded broadcast sides") {
+    // the two physical shapes that kill a 100 TB run outright. VERDICT
+    // r9 audited all recorded plans by hand (zero CartesianProduct; every
+    // BroadcastNestedLoopJoin had a constant-size side) — this sweep is
+    // that audit as a permanent gate. Exact-match allowlist: each entry
+    // names WHY its broadcast side is bounded; a new BNLJ anywhere else
+    // fails, and a fixed one must be removed here.
+    val bnljAllow = Map(
+      // one-row corpus/scalar aggregates crossJoin(broadcast(...))
+      "a26_ams_f2" -> "one-row median-of-means correction",
+      "cur_pps_sample" -> "one-row grand-total row",
+      "dedup_threshold_sweep" -> "one-row pair-total row",
+      "g8_reciprocity" -> "one-row edge-total row",
+      "j11_join_size_estimate" -> "one-row sum-of-squares row",
+      "q12_freshness" -> "one-row now() anchor",
+      "t5_funnel_rates" -> "one-row step-total row",
+      "text_bm25_topk" -> "one-row corpus stats (N, avgdl)",
+      "text_freq_cm" -> "one-row sketch-total row",
+      "text_vocab_growth" -> "one-row max-doc-id width row",
+      "dedup_embed_cosine" -> "declared brute baseline: broadcast-tiny query set",
+      "sim_knn_brute" -> "declared brute baseline: broadcast-tiny query set",
+      "sim_range_search" -> "declared brute baseline: broadcast-tiny query set",
+      "sim_recall_report" -> "brute arm of the recall audit: tiny query set",
+      "sim_hybrid_search" -> "brute re-rank arm over the tiny query set")
+    val cart = scala.collection.mutable.ArrayBuffer[String]()
+    val bnlj = scala.collection.mutable.ArrayBuffer[String]()
+    Inventory.all.foreach { e =>
+      val p = e.run(spark, sfDir).queryExecution.sparkPlan.toString
+      if (p.contains("CartesianProduct")) cart += e.name
+      if (p.contains("BroadcastNestedLoopJoin")) bnlj += e.name
+    }
+    assert(cart.isEmpty, s"CartesianProduct in gated plans: $cart")
+    assert(bnlj.toSet === bnljAllow.keySet,
+      s"BNLJ drift: unexpected=${bnlj.toSet -- bnljAllow.keySet} " +
+        s"stale-allowlist=${bnljAllow.keySet -- bnlj.toSet}")
+  }
+
   test("column pruning reaches the parquet scan (s3: 3-column ReadSchema)") {
     val p = plan("s3_scan_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
