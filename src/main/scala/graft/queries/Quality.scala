@@ -397,6 +397,66 @@ object Quality {
                      CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_mismatch,
                      CAST(MAX(d) AS DOUBLE) / 1e4 AS max_abs_diff
-              FROM j GROUP BY 1 ORDER BY 1"""))
+              FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // functional-dependency audit (Deequ-style consistency profiling):
+    // for each candidate FD X → Y, how many X keys map to more than one
+    // Y, and how bad the worst key is. Scale shape: ONE aggregate per
+    // FD — groupBy(X) with countDistinct(Y) partial-aggregates
+    // map-side; nothing joins, nothing is quadratic in keys. The four
+    // candidates mix a held FD (c_custkey → c_nationkey: a real key
+    // dependency, 0 violations expected — the audit must be able to
+    // CONFIRM, not just flag) with violated ones whose counts size any
+    // repair/normalization work.
+    Entry(
+      "q14_fd_audit",
+      (s, dir) => {
+        def fd(table: String, x: String, y: String) =
+          Tables(s, dir, table)
+            .groupBy(col(x)).agg(countDistinct(col(y)).as("ny"))
+            .agg(
+              lit(s"$table: $x -> $y").as("fd"),
+              count(lit(1)).cast(LongType).as("n_keys"),
+              sum(when(col("ny") > 1L, 1L).otherwise(0L)).cast(LongType)
+                .as("n_violating_keys"),
+              max(col("ny")).cast(LongType).as("max_distinct_rhs"))
+        fd("customer", "c_custkey", "c_nationkey")
+          .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
+          .unionAll(fd("lineitem", "l_orderkey", "l_suppkey"))
+          .unionAll(fd("lineitem", "l_partkey", "l_returnflag"))
+          .orderBy("fd")
+      },
+      Some("""WITH fd1 AS (
+                SELECT 'customer: c_custkey -> c_nationkey' AS fd,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_violating_keys,
+                       CAST(MAX(ny) AS BIGINT) AS max_distinct_rhs
+                FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS ny
+                      FROM customer GROUP BY 1)),
+              fd2 AS (
+                SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(MAX(ny) AS BIGINT)
+                FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS ny
+                      FROM orders GROUP BY 1)),
+              fd3 AS (
+                SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(MAX(ny) AS BIGINT)
+                FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ny
+                      FROM lineitem GROUP BY 1)),
+              fd4 AS (
+                SELECT 'lineitem: l_partkey -> l_returnflag' AS fd,
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(MAX(ny) AS BIGINT)
+                FROM (SELECT l_partkey, COUNT(DISTINCT l_returnflag) AS ny
+                      FROM lineitem GROUP BY 1))
+              SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+              UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+              ORDER BY fd"""))
   )
 }

@@ -1320,6 +1320,49 @@ object Relational {
                      exact_f2,
                      CAST(med_group_sum AS DOUBLE) / 25.0
                        / CAST(exact_f2 AS DOUBLE) AS ratio
-              FROM med, ex"""))
+              FROM med, ex""")),
+
+    // running DISTINCT count per group over time ("unique users seen to
+    // date, per event type, per day") — the growth curve every
+    // dashboard asks for. The naive form, COUNT(DISTINCT) over a
+    // running window, Spark refuses outright and any engine pays
+    // O(days·users) for; the scale shape is the FIRST-OCCURRENCE
+    // decomposition: one (type, user) aggregate finds each user's
+    // first-seen day, a tiny (type, day) count of debuts, and the
+    // running sum is a window over ≤ |types|·|days| rows — corpus
+    // touched once, cumulative work independent of corpus size.
+    Entry(
+      "w8_cumulative_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val first = Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id"),
+            to_date(col("ts")).as("day"))
+          .groupBy("event_type", "user_id")
+          .agg(min(col("day")).as("debut"))
+        val daily = first.groupBy(col("event_type"), col("debut").as("day"))
+          .agg(count(lit(1)).as("n_new_users"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select(col("event_type"), col("day"),
+            col("n_new_users").cast(LongType).as("n_new_users"),
+            sum(col("n_new_users")).over(w).cast(LongType).as("cum_users"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH first AS (
+                SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS debut
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id),
+              daily AS (
+                SELECT event_type, debut AS day, COUNT(*) AS n_new_users
+                FROM first GROUP BY event_type, debut)
+              SELECT event_type, day,
+                     CAST(n_new_users AS BIGINT) AS n_new_users,
+                     CAST(SUM(n_new_users) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_users
+              FROM daily ORDER BY event_type, day"""))
   )
 }
