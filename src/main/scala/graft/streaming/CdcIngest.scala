@@ -84,6 +84,39 @@ object CdcIngest {
       .select(col("e.payload.op").as("op"), col("e.payload.after").as("img")))
       .drop("op")
 
+  /** Envelope schema-drift audit: which incoming change records carry
+    * image fields the declared schema does NOT know about, and how
+    * many. `from_json` against a declared schema silently DROPS
+    * unknown fields — correct for parsing, fatal for operations: an
+    * upstream `ALTER TABLE ADD COLUMN` turns into silent data loss the
+    * moment Debezium starts shipping the new field. This audit is the
+    * detection half of schema evolution: run it next to the ingest
+    * (same raw stream, `foreachBatch` or a parallel batch sweep), page
+    * on first sight, then widen the declared schema — old rows read
+    * null for the new column (parquet mergeSchema semantics,
+    * SourcesSinksSuite).
+    *
+    * Expression-only and aggregate-small: keys come from
+    * `json_object_keys` on the op-selected image (deletes carry
+    * `before`), the set difference against the declared field list is
+    * computed map-side, and only records WITH unknown fields reach the
+    * ≤|distinct key-sets| aggregate. */
+  def schemaDriftAudit(raw: DataFrame): DataFrame = {
+    val declared = Schemas.debeziumAfter.fieldNames.toSeq
+    val img = when(
+      get_json_object(col("value"), "$.payload.op") === "d",
+      get_json_object(col("value"), "$.payload.before"))
+      .otherwise(get_json_object(col("value"), "$.payload.after"))
+    raw
+      .select(json_object_keys(img).as("keys"))
+      .filter(col("keys").isNotNull)
+      .select(array_sort(array_except(col("keys"),
+        array(declared.map(lit): _*))).as("unknown"))
+      .filter(size(col("unknown")) > 0)
+      .groupBy(array_join(col("unknown"), ",").as("unknown_keys"))
+      .agg(count(lit(1)).as("n_records"))
+  }
+
   /** Streaming source of Debezium JSON lines from a directory (stands in
     * for the Kafka topic; same `value: string` contract — S1/S7). */
   def readJsonLines(spark: SparkSession, dir: String): DataFrame =

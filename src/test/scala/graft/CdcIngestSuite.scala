@@ -286,4 +286,43 @@ class CdcIngestSuite extends SparkSuite {
     assert(parsed.getAs[Any]("distance") === null)
     assert(parsed.getAs[Any]("comment") === null)
   }
+
+  test("schemaDriftAudit flags unknown image fields; widening the schema adopts them") {
+    import spark.implicits._
+    val known =
+      """{"payload": {"after": {"id": 1, "id_employee": 1, "sport_type": "Yoga"}, "op": "c"}}"""
+    val driftedUpsert =
+      """{"payload": {"after": {"id": 2, "id_employee": 2, "sport_type": "Vélo", "device_id": "w-17"}, "op": "u"}}"""
+    val driftedDelete =
+      """{"payload": {"before": {"id": 3, "id_employee": 3, "heart_rate": 140, "device_id": "w-9"}, "op": "d"}}"""
+    val garbage = """not-json-at-all"""
+    val raw = Seq(known, driftedUpsert, driftedDelete, garbage).toDF("value")
+
+    val audit = CdcIngest.schemaDriftAudit(raw)
+      .orderBy("unknown_keys")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // deletes audit their before-image; unknown keys are sorted;
+    // conforming and unparseable records never reach the aggregate
+    assert(audit === Array(("device_id", 1L), ("device_id,heart_rate", 1L)))
+
+    // the adoption half: widen the declared image schema and reparse —
+    // the new column materializes, old records read null (the parquet
+    // mergeSchema semantics, end to end through the envelope)
+    val widened = new org.apache.spark.sql.types.StructType(
+      (graft.core.Schemas.debeziumAfter.fields :+
+        org.apache.spark.sql.types.StructField("device_id",
+          org.apache.spark.sql.types.StringType)))
+    val env = new org.apache.spark.sql.types.StructType()
+      .add("payload", new org.apache.spark.sql.types.StructType()
+        .add("after", widened).add("op",
+          org.apache.spark.sql.types.StringType))
+    val re = raw
+      .select(from_json(col("value"), env).as("e"))
+      .select(col("e.payload.after.id").as("id"),
+        col("e.payload.after.device_id").as("device_id"))
+      .filter(col("id").isNotNull)
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(re === Array((1, null), (2, "w-17")))
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
-import graft.streaming.{Monitor, StreamingDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, Monitor, StreamingDedup, WindowedStats}
 
 /** Beyond-parity streaming surface: watermarked event-time windows,
   * streaming dedup (built-in + custom state), listener-based monitoring.
@@ -515,5 +515,77 @@ class StreamingExtSuite extends SparkSuite {
     assert(current(1L) === Image(1L, "a2", 20L, false)) // pre-kill image held
     assert(current(2L) === Image(2L, "b", 30L, true))   // tombstone survived
     assert(current(3L) === Image(3L, "c", 40L, false))  // new key applied
+  }
+
+  private val uniformRef = Seq(("click", Seq(0.25, 0.25, 0.25, 0.25)))
+    .toDF("event_type", "p_ref")
+
+  test("DriftMonitor: TVD is exact per window; matched windows pass, shifted windows flag") {
+    val ev = Seq(
+      // 10:00 window — one value per bin of the [0,100)/4 grid: TVD 0
+      ("2024-04-18 10:05:00", "click", 10.0),
+      ("2024-04-18 10:15:00", "click", 35.0),
+      ("2024-04-18 10:25:00", "click", 60.0),
+      ("2024-04-18 10:35:00", "click", 85.0),
+      // 11:00 window — all mass in bin 0 (and one below-lo clamp):
+      // TVD = ½(|1−.25| + 3·.25) = 0.75
+      ("2024-04-18 11:05:00", "click", 5.0),
+      ("2024-04-18 11:15:00", "click", -3.0),
+      ("2024-04-18 11:25:00", "click", 12.0),
+      ("2024-04-18 11:35:00", "click", 24.9))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val got = DriftMonitor
+      .drift(ev, uniformRef, 4, 0.0, 100.0, "1 hour", threshold = 0.2)
+      .orderBy("window_start")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got === Array(
+      ("2024-04-18 10:00:00.0", 4L, 0.0, false),
+      ("2024-04-18 11:00:00.0", 4L, 0.75, true)))
+    // ONE aggregation in the plan — the append-mode-safe histogram fold
+    val aggs = DriftMonitor
+      .drift(ev, uniformRef, 4, 0.0, 100.0, "1 hour", 0.2)
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+    assert(aggs.size == 1, s"expected 1 aggregate, got ${aggs.size}")
+  }
+
+  test("DriftMonitor streaming: closed windows emit their drift verdict in append mode") {
+    val in = tmpDir("drift-in")
+    def ev(ts: String, v: Double) =
+      s"""{"ts":"$ts","event_type":"click","value":$v}"""
+    val src = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .json(in)
+      .withWatermark("ts", "10 minutes")
+    val q = DriftMonitor
+      .drift(src, uniformRef, 4, 0.0, 100.0, "1 hour", threshold = 0.2)
+      .writeStream.format("memory").queryName("drift_windows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: an in-distribution 10:00 window
+      feed(in, q, Seq(ev("2024-04-18 10:05:00", 10.0),
+        ev("2024-04-18 10:15:00", 35.0),
+        ev("2024-04-18 10:25:00", 60.0),
+        ev("2024-04-18 10:35:00", 85.0)))
+      // batch 2: a drifted 11:00 window; its tail event pushes the
+      // watermark past the 10:00 window, closing it
+      feed(in, q, Seq(ev("2024-04-18 11:05:00", 1.0),
+        ev("2024-04-18 11:15:00", 2.0),
+        ev("2024-04-18 11:45:00", 3.0)))
+      // batch 3: watermark pusher closing the 11:00 window
+      feed(in, q, Seq(ev("2024-04-18 13:00:00", 50.0)))
+    } finally q.stop()
+    val rows = spark.table("drift_windows")
+      .select("window_start", "n_events", "tvd", "drifted")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(rows.contains(("2024-04-18 10:00:00.0", 4L, 0.0, false)))
+    assert(rows.contains(("2024-04-18 11:00:00.0", 3L, 0.75, true)))
   }
 }
