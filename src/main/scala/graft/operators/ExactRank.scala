@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** EXACT global order statistics without a global sort or a
+  * one-partition window — the primitive behind exact medians,
+  * equi-depth boundaries, and ntile at corpus scale.
+  *
+  * The engine's two standard answers both fail somewhere: `percentile()`
+  * buffers every group value in one aggregation state (exact, but
+  * memory ∝ group size), and `approx_percentile` (GK) is bounded but
+  * approximate — fine for monitoring (`a21`), not for a published
+  * boundary that must reproduce bit-for-bit. The missing shape is the
+  * RANK-PICK: the value at global rank k of n, computed blocked:
+  *
+  *   1. one pass computes (min, max, n) — a one-row broadcast;
+  *   2. each row maps to a fixed grid cell over [min, max] (monotone in
+  *      the value, so cell-major order IS value order — the same
+  *      prefix-of-the-sort-key argument as [[Curation.epochShuffle]]);
+  *   3. per-cell counts (≤ nCells rows) prefix-sum into cell offsets —
+  *      the only unpartitioned window, over a BOUNDED table;
+  *   4. a rank within each cell (partitioned window) plus the cell
+  *      offset is the exact global rank;
+  *   5. filter to the requested ranks — at most |picks| rows survive.
+  *
+  * Work: two corpus passes (stats + rank), shuffles on the cell id
+  * only, no global sort anywhere. Skewed grids degrade gracefully: a
+  * hot cell means a bigger partitioned-window partition, never a
+  * broken result — and the cell histogram (step 3) is exactly the
+  * evidence needed to re-grid.
+  *
+  * `valueCol` must be an exact integer column (micro-points for money —
+  * determinism rule 2); ranks are 1-based over ORDER BY value. The
+  * value at a given rank is well-defined under ties (the sorted
+  * multiset), so no tiebreak column is needed for the emitted rows. */
+object ExactRank {
+
+  /** Rows of `df` annotated with their exact 1-based global rank by
+    * `valueCol` — cell-blocked as described above. Null values are
+    * excluded (they have no rank in either engine's ORDER BY... the
+    * gate forbids nullable sort keys outright, rule 4). */
+  def withGlobalRank(df: DataFrame, valueCol: String,
+                     nCells: Int = 256): DataFrame = {
+    val v = col(valueCol)
+    val in = df.filter(v.isNotNull)
+    val stats = in.agg(min(v).as("_lo"), max(v).as("_hi"),
+      count(lit(1)).as("_n"))
+    // integer cell id: (v - lo) * nCells / (hi - lo + 1) — monotone,
+    // exact in BIGINT for |v| ranges up to 2^63 / nCells
+    val cell = ((v - col("_lo")) * lit(nCells.toLong) /
+      (col("_hi") - col("_lo") + lit(1L))).cast(LongType).as("_cell")
+    val celled = in.crossJoin(broadcast(stats))
+      .withColumn("_cell", cell)
+    val counts = celled.groupBy("_cell").agg(count(lit(1)).as("_cn"))
+    val wCells = Window.orderBy("_cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("_off",
+      coalesce(sum("_cn").over(wCells), lit(0L)))
+    val wInCell = Window.partitionBy("_cell").orderBy(valueCol)
+    celled
+      .join(broadcast(offsets.select("_cell", "_off")), Seq("_cell"))
+      .withColumn("rank", (col("_off") + row_number().over(wInCell))
+        .cast(LongType))
+      .drop("_cell", "_lo", "_hi", "_off")
+  }
+
+  /** The values at the given quantile fractions, as exact rank-picks
+    * (rank = ⌈q·n⌉, the lower-discrete convention — no interpolation,
+    * so the emitted value is a value FROM the data, bit-stable across
+    * engines). Output: (q, rank, value-under-the-original-name). */
+  def quantilePicks(df: DataFrame, valueCol: String, qs: Seq[Double],
+                    nCells: Int = 256): DataFrame = {
+    val ranked = withGlobalRank(df, valueCol, nCells)
+      .select(col(valueCol), col("rank"), col("_n"))
+    val picks = qs.map(q =>
+      when(ceil(lit(q) * col("_n")) === col("rank"), lit(q)))
+    ranked
+      .withColumn("q", coalesce(picks: _*))
+      .filter(col("q").isNotNull)
+      .select(col("q"), col("rank"), col(valueCol))
+  }
+}

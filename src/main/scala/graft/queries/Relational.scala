@@ -1322,6 +1322,42 @@ object Relational {
                        / CAST(exact_f2 AS DOUBLE) AS ratio
               FROM med, ex""")),
 
+    // ⊕ EXACT global quantiles via blocked rank-picks
+    // (operators/ExactRank): the third point of the quantile triangle —
+    // a15's percentile() is exact but buffers a whole group per agg
+    // state, a21's GK sketch is bounded but approximate; this is exact
+    // AND bounded. Grid-cell the value (monotone ⇒ cell-major order IS
+    // value order), prefix-sum the ≤256-row cell counts, rank within
+    // cells (partitioned window), pick ⌈q·n⌉ — no global sort, no
+    // one-partition window, shuffles on the cell id only. Lower-discrete
+    // convention: the emitted value is FROM the data, bit-stable across
+    // engines (no interpolation arithmetic to disagree on).
+    Entry(
+      "a27_exact_quartiles",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(expr("CAST(floor(l_extendedprice * 1e4) AS BIGINT)")
+            .as("price_micro"))
+        graft.operators.ExactRank
+          .quantilePicks(li, "price_micro", Seq(0.25, 0.5, 0.75))
+          .select(col("q"), col("rank"),
+            (col("price_micro").cast(DoubleType) / lit(1e4)).as("price"))
+          .orderBy("q")
+      },
+      Some("""WITH v AS (
+                SELECT CAST(floor(l_extendedprice * 1e4) AS BIGINT) AS pm
+                FROM lineitem),
+              r AS (
+                SELECT pm, ROW_NUMBER() OVER (ORDER BY pm) AS rank FROM v),
+              n AS (SELECT COUNT(*) AS n FROM v)
+              SELECT CAST(q AS DOUBLE) AS q, rank,
+                     CAST(pm AS DOUBLE) / 1e4 AS price
+              FROM r, n,
+                   (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                           (CAST(0.75 AS DOUBLE))) AS qs(q)
+              WHERE rank = CAST(CEIL(q * n) AS BIGINT)
+              ORDER BY q""")),
+
     // running DISTINCT count per group over time ("unique users seen to
     // date, per event type, per day") — the growth curve every
     // dashboard asks for. The naive form, COUNT(DISTINCT) over a

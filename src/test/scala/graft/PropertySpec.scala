@@ -451,4 +451,24 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("blocked global rank ≡ naive sort on random multisets, under any partitioning") {
+    import graft.operators.ExactRank
+    val genVals: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 60)
+      // tiny domain → duplicate values guaranteed; negatives included
+      vs <- Gen.listOfN(n, Gen.choose(-8L, 8L))
+    } yield vs
+    check(Prop.forAll(genVals, Gen.choose(1, 7)) { (vs, parts) =>
+      val df = vs.toDF("v").repartition(parts)
+      val got = ExactRank.withGlobalRank(df, "v", nCells = 16)
+        .select("rank", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val expect = vs.sorted.zipWithIndex
+        .map { case (v, i) => ((i + 1).toLong, v) }
+      // ranks are exactly 1..n and the value at every rank matches the
+      // sorted multiset (ties make row identity ambiguous, value not)
+      got.toSeq == expect
+    })
+  }
 }
