@@ -145,4 +145,54 @@ object IncrementalFinal {
       .withColumn(sumCol, when(col(nnCol) > 0, col("sum0")))
       .drop("sum0")
   }
+
+  /** Incremental VIEW maintenance for an inner equi-JOIN — the join
+    * half of the IVM pair ([[maintainAggregate]] is the aggregate
+    * half): keep V = A ⋈ B current under signed changelogs of BOTH
+    * sides without re-joining the bases. The classic delta rule,
+    * with both deltas applied in one step:
+    *
+    *   ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB     (signs multiply)
+    *   V' = reduce(V ∪ ΔV)                      (net sign per tuple)
+    *
+    * The third term is the one hand-rolled "refresh the changed rows"
+    * jobs forget: a row inserted into A this batch must also see the
+    * rows inserted into B this batch.
+    *
+    * Cost at 100 TB: the delta joins touch |Δ|·matching keys — ΔA
+    * joins the (persisted, bucketed) base B on the key, never
+    * base ⋈ base — and the final reduction groups V ∪ ΔV. An update
+    * is retract-old + insert-new (the changelog form CdcApply's op
+    * routing emits), so payload changes net the old tuple to 0 and
+    * keep the new one; signed multiset algebra needs no special
+    * update case.
+    *
+    * Contract: `aOld`/`bOld` are the PRE-batch bases; deltas carry
+    * `signCol` (+1/−1); apart from `key`, A-columns and B-columns are
+    * disjoint; inputs are PK-keyed changelogs (CdcApply's contract) so
+    * net multiplicities are 0 or 1 — tuples with net sign ≤ 0 leave
+    * the view. The gate (`cdc_ivm_join`) proves maintain ≡ re-join of
+    * the post-change bases; the PropertySpec law does the same on
+    * random changelogs. */
+  def maintainJoin(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+                   dA: DataFrame, dB: DataFrame, key: Seq[String],
+                   signCol: String = "sign"): DataFrame = {
+    val outCols = view.columns.toSeq
+    def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
+      l.join(r, key).withColumn("_m", s)
+        .select(outCols.map(col) :+ col("_m"): _*)
+    val sA = col(signCol)
+    val sB = col(s"${signCol}_b")
+    val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
+    val delta =
+      term(dA, bOld, sA)
+        .unionByName(term(aOld, dBr, sB))
+        .unionByName(term(dA, dBr, sA * sB))
+    view.withColumn("_m", lit(1))
+      .unionByName(delta)
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+      .filter(col("_net") > 0)
+      .drop("_net")
+  }
 }

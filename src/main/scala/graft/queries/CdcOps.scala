@@ -306,6 +306,53 @@ object CdcOps {
                  OR (event_id % 10 != 9 AND event_id % 7 != 0)
               GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ incremental view maintenance for a JOIN (the pair to
+    // cdc_ivm_agg): keep V = orders ⋈ customer current while BOTH
+    // sides change in one batch — late orders arrive, stale orders
+    // retract, and a slice of customers is re-segmented
+    // (retract-old + insert-new, the changelog form). The delta rule
+    // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with multiplying signs, then a net-sign
+    // reduction (IncrementalFinal.maintainJoin); the oracle RE-JOINS
+    // the post-change bases from scratch — maintain ≡ recompute is the
+    // whole point. At 100 TB the delta joins touch |Δ| keys against
+    // bucketed bases; base never joins base again.
+    Entry(
+      "cdc_ivm_join",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val aOld = orders.filter(col("o_orderkey") % 10 =!= 9)
+        val dA = orders.filter(col("o_orderkey") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(aOld.filter(col("o_orderkey") % 100 === 7)
+            .withColumn("sign", lit(-1L)))
+        val changed = cust.filter(col("custkey") % 50 === 3)
+        val dB = changed.withColumn("sign", lit(-1L))
+          .unionByName(changed
+            .withColumn("c_mktsegment", lit("REASSIGNED"))
+            .withColumn("sign", lit(1L)))
+        val view = aOld.join(cust, Seq("custkey"))
+        IncrementalFinal
+          .maintainJoin(view, aOld, cust, dA, dB, Seq("custkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (
+                SELECT o_custkey AS custkey, o_orderkey, o_totalprice
+                FROM orders
+                WHERE (o_orderkey % 10 = 9)
+                   OR (o_orderkey % 10 != 9 AND o_orderkey % 100 != 7)),
+              b AS (
+                SELECT c_custkey AS custkey,
+                       CASE WHEN c_custkey % 50 = 3 THEN 'REASSIGNED'
+                            ELSE c_mktsegment END AS c_mktsegment
+                FROM customer)
+              SELECT custkey, o_orderkey, o_totalprice, c_mktsegment
+              FROM a JOIN b USING (custkey)
+              ORDER BY o_orderkey""")),
+
     // ⊕ backfill planner: source partitions (event days) minus the
     // target's existing partitions (a deterministic hole rule stands in
     // for the target listing), grouped into CONTIGUOUS date ranges via

@@ -471,4 +471,52 @@ class PropertySpec extends SparkSuite {
       got.toSeq == expect
     })
   }
+
+  test("maintainJoin ≡ from-scratch re-join on random two-sided changelogs") {
+    import graft.pipeline.IncrementalFinal
+    // A rows: (k, aid); B rows: (k, bid). Random bases + random
+    // deletions and insertions on BOTH sides in the same batch.
+    val genSide: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      nb <- Gen.choose(0, 12)
+      base <- Gen.listOfN(nb, Gen.choose(0L, 4L))  // keys; few → matches
+      nd <- Gen.choose(0, 4)                        // deletions (indices)
+      del <- Gen.listOfN(nd, Gen.choose(0, math.max(0, nb - 1)))
+      ni <- Gen.choose(0, 4)
+      ins <- Gen.listOfN(ni, Gen.choose(0L, 4L))
+    } yield {
+      val b = base.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val dels = del.distinct.filter(_ < b.size).map(b)
+      val adds = ins.zipWithIndex.map { case (k, i) => (k, 1000L + i) }
+      (b, dels.map(r => (r._1, r._2)) ++ adds.map(r => (r._1, -r._2 - 1)))
+      // encode: delta rows with bid/aid < 0 are the INSERTED ids
+      // (kept disjoint from base ids); deletions reuse base ids
+    }
+    check(Prop.forAll(genSide, genSide) { case ((aBase, aDelta), (bBase, bDelta)) =>
+      def split(base: List[(Long, Long)], delta: List[(Long, Long)]) = {
+        val dels = delta.filter(_._2 >= 0)
+        val adds = delta.filter(_._2 < 0).map { case (k, id) => (k, -id + 5000L) }
+        (base, dels, adds)
+      }
+      val (ab, adel, aadd) = split(aBase, aDelta)
+      val (bb, bdel, badd) = split(bBase, bDelta)
+      val aOld = ab.toDF("k", "aid")
+      val bOld = bb.toDF("k", "bid")
+      val dA = aadd.map { case (k, id) => (k, id, 1L) }
+        .++(adel.map { case (k, id) => (k, id, -1L) }).toDF("k", "aid", "sign")
+      val dB = badd.map { case (k, id) => (k, id, 1L) }
+        .++(bdel.map { case (k, id) => (k, id, -1L) }).toDF("k", "bid", "sign")
+      val view = aOld.join(bOld, Seq("k"))
+      val got = IncrementalFinal
+        .maintainJoin(view, aOld, bOld, dA, dB, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toList
+      // from scratch over the post-change bases
+      val aNew = (ab.diff(adel)) ++ aadd
+      val bNew = (bb.diff(bdel)) ++ badd
+      val expect = (for {
+        (ka, aid) <- aNew; (kb, bid) <- bNew if ka == kb
+      } yield (ka, aid, bid)).sorted
+      got == expect
+    })
+  }
 }
