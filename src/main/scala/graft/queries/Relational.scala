@@ -1358,6 +1358,43 @@ object Relational {
               WHERE rank = CAST(CEIL(q * n) AS BIGINT)
               ORDER BY q""")),
 
+    // ⊕ equi-DEPTH histogram (the pair to a16's equi-width): 8 buckets
+    // of equal row mass with their value boundaries — what CBO column
+    // statistics and z-order range-splits actually consume (equi-width
+    // starves on skew: one hot cell, many empties). Built on the same
+    // blocked exact-rank substrate as a27: bucket = ⌈rank·k/n⌉ in pure
+    // integer arithmetic (identical on both engines), then a bounded
+    // k-row aggregate. No global sort, no one-partition window.
+    Entry(
+      "a28_equidepth_bins",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(expr("CAST(floor(value * 1e6) AS BIGINT)").as("v_micro"))
+        graft.operators.ExactRank.withGlobalRank(ev, "v_micro")
+          .withColumn("bin",
+            expr("CAST((rank * 8 + _n - 1) DIV _n AS BIGINT)"))
+          .groupBy("bin")
+          .agg(
+            (min(col("v_micro")).cast(DoubleType) / lit(1e6)).as("lo"),
+            (max(col("v_micro")).cast(DoubleType) / lit(1e6)).as("hi"),
+            count(lit(1)).cast(LongType).as("n_rows"))
+          .orderBy("bin")
+      },
+      Some("""WITH v AS (
+                SELECT CAST(floor(value * 1e6) AS BIGINT) AS vm
+                FROM events WHERE value IS NOT NULL),
+              r AS (
+                SELECT vm, ROW_NUMBER() OVER (ORDER BY vm) AS rank,
+                       COUNT(*) OVER () AS n
+                FROM v),
+              b AS (SELECT vm, (rank * 8 + n - 1) // n AS bin FROM r)
+              SELECT CAST(bin AS BIGINT) AS bin,
+                     CAST(MIN(vm) AS DOUBLE) / 1e6 AS lo,
+                     CAST(MAX(vm) AS DOUBLE) / 1e6 AS hi,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM b GROUP BY bin ORDER BY bin""")),
+
     // running DISTINCT count per group over time ("unique users seen to
     // date, per event type, per day") — the growth curve every
     // dashboard asks for. The naive form, COUNT(DISTINCT) over a

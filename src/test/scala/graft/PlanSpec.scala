@@ -46,6 +46,7 @@ class PlanSpec extends SparkSuite {
       "cur_pps_sample" -> "window over per-block totals",
       "cur_epoch_shuffle" -> "prefix sum over the 256-row bucket-count table",
       "a27_exact_quartiles" -> "prefix sum over the 256-row cell-count table",
+      "a28_equidepth_bins" -> "prefix sum over the 256-row cell-count table",
       "pipeline_curate_full" -> "budget stage's per-bucket totals window",
       "pipeline_curate_cdc" -> "budget stage's per-bucket totals window",
       // per-class / per-source count tables: |langs| / |sources| rows
@@ -100,6 +101,7 @@ class PlanSpec extends SparkSuite {
       "text_freq_cm" -> "one-row sketch-total row",
       "text_vocab_growth" -> "one-row max-doc-id width row",
       "a27_exact_quartiles" -> "one-row min/max/count stats row",
+      "a28_equidepth_bins" -> "one-row min/max/count stats row",
       "dedup_embed_cosine" -> "declared brute baseline: broadcast-tiny query set",
       "sim_knn_brute" -> "declared brute baseline: broadcast-tiny query set",
       "sim_range_search" -> "declared brute baseline: broadcast-tiny query set",
