@@ -44,5 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecDot(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => VecSelfDotRewrite)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
   }
 }
