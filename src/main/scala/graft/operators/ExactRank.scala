@@ -48,10 +48,19 @@ object ExactRank {
     val in = df.filter(v.isNotNull)
     val stats = in.agg(min(v).as("_lo"), max(v).as("_hi"),
       count(lit(1)).as("_n"))
-    // integer cell id: (v - lo) * nCells / (hi - lo + 1) — monotone,
-    // exact in BIGINT for |v| ranges up to 2^63 / nCells
-    val cell = ((v - col("_lo")) * lit(nCells.toLong) /
-      (col("_hi") - col("_lo") + lit(1L))).cast(LongType).as("_cell")
+    // cell id in DOUBLE space, clamped: correctness needs only that
+    // the cell is MONOTONE in the value (ranks are exact whatever the
+    // cell boundaries are), and long→double conversion, positive
+    // scaling, and floor are each monotone — so the double path is
+    // safe for the FULL long range, where (v−lo)·nCells in BIGINT
+    // would overflow for ranges past 2⁶³/nCells (PropertySpec pins
+    // Long.MinValue/MaxValue endpoints). Skew from double rounding
+    // only moves cell boundaries — a bigger partitioned-window
+    // partition, never a wrong rank.
+    val cell = least(greatest(
+      floor((v.cast("double") - col("_lo").cast("double")) * lit(nCells.toDouble) /
+        (col("_hi").cast("double") - col("_lo").cast("double") + lit(1.0))),
+      lit(0L)), lit(nCells.toLong - 1)).cast(LongType).as("_cell")
     val celled = in.crossJoin(broadcast(stats))
       .withColumn("_cell", cell)
     val counts = celled.groupBy("_cell").agg(count(lit(1)).as("_cn"))

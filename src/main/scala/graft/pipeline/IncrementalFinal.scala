@@ -195,4 +195,84 @@ object IncrementalFinal {
       .filter(col("_net") > 0)
       .drop("_net")
   }
+
+  /** LEFT-OUTER join IVM — the genuinely hard case [[maintainJoin]]'s
+    * inner algebra cannot express: when a key gains its FIRST match the
+    * null-extended tuple must retract, and when it loses its LAST the
+    * tuple must reappear. The matched part follows the inner delta rule
+    * unchanged; the null-extended part is maintained by the
+    * AFFECTED-KEYS argument:
+    *
+    *   N(A, B) = { a ⋈ NULLs : cnt_B(a.key) = 0 } changes only for
+    *   keys touched by ΔA or ΔB — so ΔN = N(A', B')|T − N(A, B)|T
+    *   computed over T = keys(ΔA) ∪ keys(ΔB) only.
+    *
+    * Everything is Δ-proportional: T is delta-sized, `aOld`/`bOld` are
+    * probed with semi-joins on T (bucketed bases at scale), and match
+    * counts are computed on T alone — the bases never re-join.
+    *
+    * Contracts on top of [[maintainJoin]]'s: B's payload must include a
+    * column that is non-null on real rows (its PK — so a null-extended
+    * tuple can never collide with a matched tuple in the reduction),
+    * and `view` is the PRE-batch LEFT join. PropertySpec pins
+    * maintain ≡ from-scratch left re-join on random two-sided
+    * changelogs, including 0→match and match→0 transitions. */
+  def maintainLeftJoin(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+                       dA: DataFrame, dB: DataFrame, key: Seq[String],
+                       signCol: String = "sign"): DataFrame = {
+    val outCols = view.columns.toSeq
+    val aCols = aOld.columns.toSeq
+    val bPayload = outCols.filterNot(aCols.contains) // b-cols minus key
+    val bTypes = view.schema.fields.map(f => f.name -> f.dataType).toMap
+    def nullExtend(a: DataFrame) = a.select(
+      outCols.map(c => if (aCols.contains(c)) col(c)
+      else lit(null).cast(bTypes(c)).as(c)) :+ col("_m"): _*)
+
+    // matched part: the inner delta rule verbatim
+    def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
+      l.join(r, key).withColumn("_m", s)
+        .select(outCols.map(col) :+ col("_m"): _*)
+    val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
+    val dInner =
+      term(dA, bOld, col(signCol))
+        .unionByName(term(aOld, dBr, col(s"${signCol}_b")))
+        .unionByName(term(dA, dBr, col(signCol) * col(s"${signCol}_b")))
+
+    // null-extended part, over the affected keys T only
+    val touched = dA.select(key.map(col): _*)
+      .unionByName(dB.select(key.map(col): _*)).distinct()
+    val aOldT = aOld.join(touched, key, "left_semi")
+    val cntOld = bOld.join(touched, key, "left_semi")
+      .groupBy(key.map(col): _*).agg(count(lit(1)).as("_cold"))
+    val cntNew = cntOld
+      .join(dB.groupBy(key.map(col): _*).agg(sum(col(signCol)).as("_d")),
+        key, "full_outer")
+      .select(key.map(col) :+
+        (coalesce(col("_cold"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+          .as("_cnew"): _*)
+    val unmatchedOld = touched.join(cntOld, key, "left_anti")
+      .select(key.map(col): _*) // keys with zero old matches
+    val unmatchedNew = cntNew.filter(col("_cnew") <= 0)
+      .select(key.map(col): _*)
+      .unionByName(touched.join(cntNew, key, "left_anti")
+        .select(key.map(col): _*)) // keys dB never mentions, cntOld absent
+    // −N_old|T : every OLD a row on a key that HAD no match
+    val nOld = nullExtend(
+      aOldT.join(unmatchedOld, key, "left_semi").withColumn("_m", lit(-1L)))
+    // +N_new|T : every NEW a row (old rows + signed deltas) on a key
+    // that HAS no match now — a-row signs carry through
+    val aNewT = aOldT.withColumn("_m", lit(1L))
+      .unionByName(dA.withColumnRenamed(signCol, "_m"))
+    val nNew = aNewT.join(unmatchedNew, key, "left_semi")
+      .select(aCols.map(col) :+ col("_m"): _*)
+    val dNull = nOld.unionByName(nullExtend(nNew))
+
+    view.withColumn("_m", lit(1))
+      .unionByName(dInner)
+      .unionByName(dNull)
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+      .filter(col("_net") > 0)
+      .drop("_net")
+  }
 }

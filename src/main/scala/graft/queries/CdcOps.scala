@@ -353,6 +353,53 @@ object CdcOps {
               FROM a JOIN b USING (custkey)
               ORDER BY o_orderkey""")),
 
+    // ⊕ LEFT-join IVM — the transition case the inner rule can't
+    // express: customers for a slice of orders are MISSING from the
+    // base (null-extended rows), the batch inserts some of them (first
+    // match appears → the null-extended tuple must retract) and
+    // deletes others (last match gone → it must reappear), while
+    // orders also arrive and retract. Maintained via the
+    // affected-keys algebra (IncrementalFinal.maintainLeftJoin: ΔN
+    // computed over keys(ΔA) ∪ keys(ΔB) only — semi-join probes into
+    // the bases, nothing re-joins base against base); oracle re-LEFT-
+    // joins the post-change bases from scratch.
+    Entry(
+      "cdc_ivm_left_join",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_totalprice"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val aOld = orders.filter(col("o_orderkey") % 10 =!= 9)
+        val dA = orders.filter(col("o_orderkey") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(aOld.filter(col("o_orderkey") % 100 === 7)
+            .withColumn("sign", lit(-1L)))
+        val bOld = cust.filter(col("custkey") % 40 =!= 1)
+        val dB = cust.filter(col("custkey") % 40 === 1)
+          .withColumn("sign", lit(1L))             // first match appears
+          .unionByName(bOld.filter(col("custkey") % 50 === 3)
+            .withColumn("sign", lit(-1L)))         // last match vanishes
+        val view = aOld.join(bOld, Seq("custkey"), "left")
+        IncrementalFinal
+          .maintainLeftJoin(view, aOld, bOld, dA, dB, Seq("custkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (
+                SELECT o_custkey AS custkey, o_orderkey, o_totalprice
+                FROM orders
+                WHERE (o_orderkey % 10 = 9)
+                   OR (o_orderkey % 10 != 9 AND o_orderkey % 100 != 7)),
+              b AS (
+                SELECT c_custkey AS custkey, c_mktsegment
+                FROM customer
+                WHERE (c_custkey % 40 = 1)
+                   OR (c_custkey % 40 != 1 AND c_custkey % 50 != 3))
+              SELECT custkey, o_orderkey, o_totalprice, c_mktsegment
+              FROM a LEFT JOIN b USING (custkey)
+              ORDER BY o_orderkey""")),
+
     // ⊕ backfill planner: source partitions (event days) minus the
     // target's existing partitions (a deterministic hole rule stands in
     // for the target listing), grouped into CONTIGUOUS date ranges via

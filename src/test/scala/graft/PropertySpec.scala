@@ -470,6 +470,15 @@ class PropertySpec extends SparkSuite {
       // sorted multiset (ties make row identity ambiguous, value not)
       got.toSeq == expect
     })
+    // full-range endpoints: (v−lo)·nCells would overflow BIGINT here —
+    // the double cell path must stay monotone and the ranks exact
+    val extreme = List(Long.MinValue, -1L, 0L, 1L, Long.MaxValue,
+      Long.MaxValue - 1, Long.MinValue + 1, 42L)
+    val got = ExactRank.withGlobalRank(extreme.toDF("v"), "v", nCells = 16)
+      .select("rank", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toList
+    assert(got == extreme.sorted.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) })
   }
 
   test("maintainJoin ≡ from-scratch re-join on random two-sided changelogs") {
@@ -516,6 +525,53 @@ class PropertySpec extends SparkSuite {
       val expect = (for {
         (ka, aid) <- aNew; (kb, bid) <- bNew if ka == kb
       } yield (ka, aid, bid)).sorted
+      got == expect
+    })
+  }
+
+  test("maintainLeftJoin ≡ from-scratch left re-join, including 0→match and match→0 keys") {
+    import graft.pipeline.IncrementalFinal
+    val genSide: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      nb <- Gen.choose(0, 10)
+      base <- Gen.listOfN(nb, Gen.choose(0L, 4L))
+      nd <- Gen.choose(0, 5) // aggressive deletions → match→0 transitions
+      del <- Gen.listOfN(nd, Gen.choose(0, math.max(0, nb - 1)))
+      ni <- Gen.choose(0, 4) // inserts on sparse keys → 0→match
+      ins <- Gen.listOfN(ni, Gen.choose(0L, 4L))
+    } yield {
+      val b = base.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val dels = del.distinct.filter(_ < b.size).map(b)
+      val adds = ins.zipWithIndex.map { case (k, i) => (k, 1000L + i) }
+      (b, dels ++ adds.map(r => (r._1, -r._2 - 1)))
+    }
+    check(Prop.forAll(genSide, genSide) { case ((aBase, aDelta), (bBase, bDelta)) =>
+      def split(base: List[(Long, Long)], delta: List[(Long, Long)]) = {
+        val dels = delta.filter(_._2 >= 0)
+        val adds = delta.filter(_._2 < 0).map { case (k, id) => (k, -id + 5000L) }
+        (base, dels, adds)
+      }
+      val (ab, adel, aadd) = split(aBase, aDelta)
+      val (bb, bdel, badd) = split(bBase, bDelta)
+      val aOld = ab.toDF("k", "aid")
+      val bOld = bb.toDF("k", "bid")
+      val dA = aadd.map { case (k, id) => (k, id, 1L) }
+        .++(adel.map { case (k, id) => (k, id, -1L) }).toDF("k", "aid", "sign")
+      val dB = badd.map { case (k, id) => (k, id, 1L) }
+        .++(bdel.map { case (k, id) => (k, id, -1L) }).toDF("k", "bid", "sign")
+      val view = aOld.join(bOld, Seq("k"), "left")
+      val got = IncrementalFinal
+        .maintainLeftJoin(view, aOld, bOld, dA, dB, Seq("k"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -999L else r.getLong(2)))
+        .sorted.toList
+      val aNew = (ab.diff(adel)) ++ aadd
+      val bNew = (bb.diff(bdel)) ++ badd
+      val expect = aNew.flatMap { case (ka, aid) =>
+        val ms = bNew.filter(_._1 == ka)
+        if (ms.isEmpty) Seq((ka, aid, -999L))
+        else ms.map { case (_, bid) => (ka, aid, bid) }
+      }.sorted
       got == expect
     })
   }
