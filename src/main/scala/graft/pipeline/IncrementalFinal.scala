@@ -146,6 +146,50 @@ object IncrementalFinal {
       .drop("sum0")
   }
 
+  /** MIN/MAX IVM with the honest dirty-key protocol. Extremes are NOT
+    * self-maintainable under retraction: deleting the current minimum
+    * cannot be repaired from (key, min, max) state alone — the new
+    * minimum lives in the base. Pretending otherwise is how IVM
+    * implementations silently corrupt; the industrial answer is the
+    * RESCAN SET: maintain what is maintainable, and return exactly the
+    * keys that need a (targeted, delta-proportional) base rescan.
+    *
+    *   inserts  : new_min = least(old_min, min inserted) — always exact
+    *   deletes  : if any retracted value ≤ old_min (or ≥ old_max) the
+    *              key is DIRTY — conservative on duplicates (deleting
+    *              one copy of a duplicated minimum still flags, and the
+    *              rescan simply confirms the value)
+    *   new keys : extremes of their inserts, never dirty
+    *
+    * Output: (keys…, min_v, max_v, dirty) — dirty rows carry NULL
+    * extremes; the caller rescans base rows on those keys only (the
+    * gated `cdc_ivm_minmax` composes maintenance + targeted rescan and
+    * proves the result ≡ full recompute). Keys whose rows are all
+    * retracted must be dropped by the caller's count state
+    * ([[maintainAggregate]] owns liveness). */
+  def maintainMinMax(baseMm: DataFrame, delta: DataFrame,
+                     keyCols: Seq[String],
+                     minCol: String = "min_v", maxCol: String = "max_v",
+                     signCol: String = "sign",
+                     valueCol: String = "v"): DataFrame = {
+    val dAgg = delta.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(when(col(signCol) > 0, col(valueCol))).as("_ins_min"),
+        max(when(col(signCol) > 0, col(valueCol))).as("_ins_max"),
+        min(when(col(signCol) < 0, col(valueCol))).as("_del_min"),
+        max(when(col(signCol) < 0, col(valueCol))).as("_del_max"))
+    baseMm.join(dAgg, keyCols, "full_outer")
+      .withColumn("dirty", coalesce(
+        col(minCol).isNotNull &&
+          ((col("_del_min") <= col(minCol)) ||
+            (col("_del_max") >= col(maxCol))),
+        lit(false))) // no deletes → null comparisons → clean
+      .select(keyCols.map(col) ++ Seq(
+        when(!col("dirty"), least(col(minCol), col("_ins_min"))).as(minCol),
+        when(!col("dirty"), greatest(col(maxCol), col("_ins_max"))).as(maxCol),
+        col("dirty")): _*)
+  }
+
   /** Incremental VIEW maintenance for an inner equi-JOIN — the join
     * half of the IVM pair ([[maintainAggregate]] is the aggregate
     * half): keep V = A ⋈ B current under signed changelogs of BOTH

@@ -21,9 +21,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object MvRegistry {
 
   /** `groupCol`: the summary's grain; `cntCol`: its row count;
-    * `sums`: base column name → summary column holding its SUM. */
+    * `sums`/`nns`/`mins`/`maxs`: base column name → summary column
+    * holding its SUM / non-null COUNT / MIN / MAX. A base column
+    * present in BOTH `sums` and `nns` additionally licenses the AVG
+    * rewrite (avg = Σsum / Σnn — avg ignores nulls, so the row count
+    * is the WRONG denominator; the nn column is maintainAggregate's
+    * nnCol). */
   final case class Summary(mv: () => DataFrame, groupCol: String,
-                           cntCol: String, sums: Map[String, String])
+                           cntCol: String, sums: Map[String, String],
+                           nns: Map[String, String] = Map.empty,
+                           mins: Map[String, String] = Map.empty,
+                           maxs: Map[String, String] = Map.empty)
 
   private val reg = new ConcurrentHashMap[String, Summary]()
 
@@ -119,6 +127,52 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         if s.sums.contains(a.name) && mvAttr(s.sums(a.name)).isDefined &&
           mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
         Some(Alias(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
+          name)(exprId = al.exprId))
+      // COUNT(col): non-null count ≡ Σ summary.nn (coalesced: COUNT is
+      // non-nullable)
+      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
+        if s.nns.contains(a.name) && mvAttr(s.nns(a.name)).isDefined =>
+        Some(Alias(Coalesce(Seq(
+          Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
+          Literal(0L))), name)(exprId = al.exprId))
+      // AVG(col) = Σ sum_col / Σ nn_col — nulls ignored by avg, so the
+      // non-null count is the denominator; an all-null group has a
+      // null summary sum and the division stays null, matching avg
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Average(a: AttributeReference, _),
+          _, false, None, _), name)
+        if s.sums.contains(a.name) && s.nns.contains(a.name) &&
+          mvAttr(s.sums(a.name)).isDefined && mvAttr(s.nns(a.name)).isDefined &&
+          al.dataType == org.apache.spark.sql.types.DoubleType =>
+        Some(Alias(
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType)),
+          name)(exprId = al.exprId))
+      // MIN/MAX: the summary grain equals the query grain, so the
+      // per-group extreme IS the summary value (kept as an aggregate
+      // over the single summary row per group)
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
+          _, false, None, _), name)
+        if s.mins.contains(a.name) && mvAttr(s.mins(a.name)).isDefined &&
+          mvAttr(s.mins(a.name)).get.dataType == al.dataType =>
+        Some(Alias(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+            mvAttr(s.mins(a.name)).get).toAggregateExpression(),
+          name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference),
+          _, false, None, _), name)
+        if s.maxs.contains(a.name) && mvAttr(s.maxs(a.name)).isDefined &&
+          mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
+        Some(Alias(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+            mvAttr(s.maxs(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
       case _ => None // anything else: not provably answerable — bail
     }

@@ -353,6 +353,76 @@ object CdcOps {
               FROM a JOIN b USING (custkey)
               ORDER BY o_orderkey""")),
 
+    // ⊕ MIN/MAX IVM — the aggregate that is NOT self-maintainable
+    // under retraction, gated as its full protocol: maintain what the
+    // algebra can (inserts only improve extremes), flag keys whose
+    // retracted values touched an extreme as DIRTY, then rescan base
+    // rows for the dirty keys ONLY (semi-join probe, Δ-proportional)
+    // and prove the composed result ≡ a full recompute over the
+    // post-change rows. `was_dirty` is emitted so the oracle also
+    // pins WHICH keys took the rescan path — the protocol, not just
+    // the answer.
+    Entry(
+      "cdc_ivm_minmax",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        val base = ev.filter(col("event_id") % 10 =!= 9)
+        val baseMm = base.groupBy("event_type")
+          .agg(min(col("v_micro")).as("min_v"), max(col("v_micro")).as("max_v"))
+        val delta = ev.filter(col("event_id") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(base.filter(col("event_id") % 7 === 0)
+            .withColumn("sign", lit(-1L)))
+        val m = IncrementalFinal.maintainMinMax(baseMm, delta,
+          Seq("event_type"), valueCol = "v_micro")
+        val post = ev.filter((col("event_id") % 10 === 9) ||
+          (col("event_id") % 10 =!= 9 && col("event_id") % 7 =!= 0))
+        val clean = m.filter(!col("dirty"))
+          .select(col("event_type"), col("min_v"), col("max_v"),
+            col("dirty").as("was_dirty"))
+        val rescan = post
+          .join(m.filter(col("dirty")).select("event_type"),
+            Seq("event_type"), "left_semi")
+          .groupBy("event_type")
+          .agg(min(col("v_micro")).as("min_v"), max(col("v_micro")).as("max_v"))
+          .withColumn("was_dirty", lit(true))
+        clean.unionByName(rescan)
+          .select(col("event_type"),
+            (col("min_v").cast(DoubleType) / lit(1e6)).as("min_value"),
+            (col("max_v").cast(DoubleType) / lit(1e6)).as("max_value"),
+            col("was_dirty"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type, event_id,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+                FROM events),
+              base AS (SELECT * FROM ev WHERE event_id % 10 != 9),
+              post AS (
+                SELECT * FROM ev
+                WHERE (event_id % 10 = 9)
+                   OR (event_id % 10 != 9 AND event_id % 7 != 0)),
+              bmm AS (
+                SELECT event_type, MIN(v) AS bmin, MAX(v) AS bmax
+                FROM base GROUP BY 1),
+              dels AS (
+                SELECT event_type, MIN(v) AS dmin, MAX(v) AS dmax
+                FROM base WHERE event_id % 7 = 0 GROUP BY 1),
+              dirty AS (
+                SELECT b.event_type,
+                       COALESCE(d.dmin <= b.bmin OR d.dmax >= b.bmax,
+                                FALSE) AS was_dirty
+                FROM bmm b LEFT JOIN dels d USING (event_type))
+              SELECT p.event_type,
+                     CAST(MIN(p.v) AS DOUBLE) / 1e6 AS min_value,
+                     CAST(MAX(p.v) AS DOUBLE) / 1e6 AS max_value,
+                     dirty.was_dirty
+              FROM post p JOIN dirty USING (event_type)
+              GROUP BY p.event_type, dirty.was_dirty
+              ORDER BY p.event_type""")),
+
     // ⊕ LEFT-join IVM — the transition case the inner rule can't
     // express: customers for a slice of orders are MISSING from the
     // base (null-extended rows), the batch inserts some of them (first

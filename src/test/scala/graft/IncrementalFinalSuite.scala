@@ -139,4 +139,47 @@ class IncrementalFinalSuite extends SparkSuite {
         (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(got.view.mapValues(identity).toMap === re)
   }
+
+  test("maintainMinMax: inserts improve in place; only extreme-touching retractions go dirty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Seq(
+      ("a", 1L), ("a", 5L), ("a", 9L),   // delete interior → clean
+      ("b", 2L), ("b", 8L),              // delete the min → dirty
+      ("c", 3L), ("c", 7L),              // duplicate-min bait below
+      ("c", 3L),
+      ("d", 4L))                         // untouched key
+      .toDF("k", "v")
+    val baseMm = base.groupBy("k")
+      .agg(org.apache.spark.sql.functions.min("v").as("min_v"),
+        org.apache.spark.sql.functions.max("v").as("max_v"))
+    val delta = Seq(
+      ("a", 5L, -1L),   // interior retraction: exact in place
+      ("a", 0L, 1L),    // insert improving the min: exact in place
+      ("b", 2L, -1L),   // retracts b's minimum → dirty
+      ("c", 3L, -1L),   // retracts ONE copy of a duplicated min →
+                        // conservatively dirty (rescan confirms 3)
+      ("e", 6L, 1L), ("e", 2L, 1L)) // new key: extremes of inserts
+      .toDF("k", "v", "sign")
+    val got = IncrementalFinal
+      .maintainMinMax(baseMm, delta, Seq("k"), valueCol = "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3))).toMap
+    assert(got("a") === ((Some(0L), Some(9L), false)))
+    assert(got("b") === ((None, None, true)))
+    assert(got("c") === ((None, None, true)))
+    assert(got("d") === ((Some(4L), Some(4L), false)))
+    assert(got("e") === ((Some(2L), Some(6L), false)))
+    // the composed protocol: targeted rescan of dirty keys ≡ recompute
+    val post = Seq(("b", 8L), ("c", 3L), ("c", 7L)).toDF("k", "v")
+    val rescanned = post.join(
+        Seq("b", "c").toDF("k"), Seq("k"), "left_semi")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.min("v").as("min_v"),
+        org.apache.spark.sql.functions.max("v").as("max_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rescanned === Map("b" -> ((8L, 8L)), "c" -> ((3L, 7L))))
+  }
 }

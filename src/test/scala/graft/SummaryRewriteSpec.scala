@@ -32,7 +32,9 @@ class SummaryRewriteSpec extends SparkSuite {
       .write.mode("overwrite").parquet(base)
     spark.read.parquet(base)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"))
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"), min("v_micro").as("min_v"),
+        max("v_micro").as("max_v"))
       .write.mode("overwrite").parquet(mv)
     (base, mv)
   }
@@ -40,13 +42,16 @@ class SummaryRewriteSpec extends SparkSuite {
   private def register(base: String, mv: String): Unit =
     MvRegistry.register("file:" + base, MvRegistry.Summary(
       () => spark.read.parquet(mv), "event_type", "cnt",
-      Map("v_micro" -> "sum_v")))
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+      mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
 
   test("count+sum at the summary grain re-plans onto the summary, same answer") {
     val (base, mv) = fixture()
     val q = () => spark.read.parquet(base)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        count(col("v_micro")).as("nn"), avg("v_micro").as("a"),
+        min("v_micro").as("lo"), max("v_micro").as("hi"))
       .orderBy("event_type")
     val expect = q().collect() // registry empty: computed from base
     register(base, mv)
@@ -72,9 +77,9 @@ class SummaryRewriteSpec extends SparkSuite {
         // filtered: the summary has no row-level data
         spark.read.parquet(base).filter(col("junk") === 3)
           .groupBy("event_type").agg(count(lit(1)).as("n")),
-        // avg: not in the registered mapping
+        // aggregate over an UNregistered column
         spark.read.parquet(base)
-          .groupBy("event_type").agg(avg("v_micro").as("a")),
+          .groupBy("event_type").agg(avg("junk").as("a")),
         // distinct count: never answerable from cnt/sum
         spark.read.parquet(base)
           .groupBy("event_type").agg(countDistinct(col("junk")).as("d")),
