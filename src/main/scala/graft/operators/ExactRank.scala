@@ -41,7 +41,13 @@ object ExactRank {
   /** Rows of `df` annotated with their exact 1-based global rank by
     * `valueCol` — cell-blocked as described above. Null values are
     * excluded (they have no rank in either engine's ORDER BY... the
-    * gate forbids nullable sort keys outright, rule 4). */
+    * gate forbids nullable sort keys outright, rule 4).
+    *
+    * The output DELIBERATELY carries the total row count as `_n`
+    * alongside `rank`: rank-relative consumers (quantile picks,
+    * equi-depth binning — both in-repo callers) need n in the same
+    * row, and recomputing it downstream would cost another corpus
+    * pass. Drop it if you only want ranks. */
   def withGlobalRank(df: DataFrame, valueCol: String,
                      nCells: Int = 256): DataFrame = {
     val v = col(valueCol)
@@ -79,16 +85,21 @@ object ExactRank {
   /** The values at the given quantile fractions, as exact rank-picks
     * (rank = ⌈q·n⌉, the lower-discrete convention — no interpolation,
     * so the emitted value is a value FROM the data, bit-stable across
-    * engines). Output: (q, rank, value-under-the-original-name). */
+    * engines). Output: (q, rank, value-under-the-original-name), ONE
+    * row per requested q — when several qs resolve to the same rank
+    * (small n, close or duplicate fractions) the row is emitted once
+    * per q, exactly like the oracle's qs-table cross join. */
   def quantilePicks(df: DataFrame, valueCol: String, qs: Seq[Double],
                     nCells: Int = 256): DataFrame = {
     val ranked = withGlobalRank(df, valueCol, nCells)
       .select(col(valueCol), col("rank"), col("_n"))
-    val picks = qs.map(q =>
-      when(ceil(lit(q) * col("_n")) === col("rank"), lit(q)))
+    val qHits = array(qs.map(q =>
+      struct(lit(q).as("q"),
+        ceil(lit(q) * col("_n")).cast(LongType).as("r"))): _*)
     ranked
-      .withColumn("q", coalesce(picks: _*))
-      .filter(col("q").isNotNull)
-      .select(col("q"), col("rank"), col(valueCol))
+      .select(col(valueCol), col("rank"),
+        explode(filter(qHits, s => s.getField("r") === col("rank")))
+          .as("_pick"))
+      .select(col("_pick.q").as("q"), col("rank"), col(valueCol))
   }
 }

@@ -266,7 +266,6 @@ object IncrementalFinal {
                        signCol: String = "sign"): DataFrame = {
     val outCols = view.columns.toSeq
     val aCols = aOld.columns.toSeq
-    val bPayload = outCols.filterNot(aCols.contains) // b-cols minus key
     val bTypes = view.schema.fields.map(f => f.name -> f.dataType).toMap
     def nullExtend(a: DataFrame) = a.select(
       outCols.map(c => if (aCols.contains(c)) col(c)

@@ -418,8 +418,12 @@ object CdcOps {
               SELECT p.event_type,
                      CAST(MIN(p.v) AS DOUBLE) / 1e6 AS min_value,
                      CAST(MAX(p.v) AS DOUBLE) / 1e6 AS max_value,
-                     dirty.was_dirty
-              FROM post p JOIN dirty USING (event_type)
+                     -- LEFT join: a type living only in delta inserts
+                     -- has no base row, and the maintenance side emits
+                     -- it CLEAN (extremes of its inserts) — the oracle
+                     -- must model the new-key path too
+                     COALESCE(dirty.was_dirty, FALSE) AS was_dirty
+              FROM post p LEFT JOIN dirty USING (event_type)
               GROUP BY p.event_type, dirty.was_dirty
               ORDER BY p.event_type""")),
 

@@ -50,14 +50,14 @@ object DriftMonitor {
     * safe in streaming append mode with a watermark upstream. */
   def windowedHistogram(events: DataFrame, nBins: Int, lo: Double,
                         hi: Double, windowDur: String): DataFrame = {
+    require(nBins >= 1, s"need at least one bin, got $nBins")
     val bin = binOf(col("value"), nBins, lo, hi)
     val cells = (0 until nBins).map(i =>
       sum(when(bin === i, 1L).otherwise(0L)).as(s"b$i"))
     events
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        (cells.head +: cells.tail): _*)
+      .agg(count(lit(1)).as("n_events"), cells: _*)
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"),
         col("event_type"), col("n_events"),

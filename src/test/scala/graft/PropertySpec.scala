@@ -479,6 +479,14 @@ class PropertySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toList
     assert(got == extreme.sorted.zipWithIndex
       .map { case (v, i) => ((i + 1).toLong, v) })
+    // rank COLLISION: on n=2, ⌈0.25n⌉ = ⌈0.5n⌉ = 1 — each requested q
+    // must still emit its own row (the oracle's qs-table cross join
+    // semantics), not be swallowed by the first match
+    val picks = ExactRank
+      .quantilePicks(List(10L, 20L).toDF("v"), "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(picks == List((0.25, 1L, 10L), (0.5, 1L, 10L), (0.75, 2L, 20L)))
   }
 
   test("maintainJoin ≡ from-scratch re-join on random two-sided changelogs") {
