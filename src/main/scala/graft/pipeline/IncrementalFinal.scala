@@ -205,7 +205,13 @@ object IncrementalFinal {
     *
     * Cost at 100 TB: the delta joins touch |Δ|·matching keys — ΔA
     * joins the (persisted, bucketed) base B on the key, never
-    * base ⋈ base — and the final reduction groups V ∪ ΔV. An update
+    * base ⋈ base — and the final reduction groups V ∪ ΔV. (This
+    * DataFrame-pure formulation re-reduces the whole view; a persisted
+    * deployment applies the SAME ΔV via a keyed merge into bucketed
+    * view state — [[graft.streaming.CdcApply]]'s
+    * touched-buckets-only shape — so the reduction, too, becomes
+    * Δ-proportional. The algebra is identical; only the
+    * materialization differs.) An update
     * is retract-old + insert-new (the changelog form CdcApply's op
     * routing emits), so payload changes net the old tuple to 0 and
     * keep the new one; signed multiset algebra needs no special
