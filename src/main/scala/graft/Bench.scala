@@ -4,6 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
 
+  /** One query's measurements: per-run wall seconds and the 1-minute
+    * system load average read IMMEDIATELY BEFORE each run. The load
+    * column is what makes the artifact self-defending: BENCH_r11's
+    * driver capture implied 10–25× regressions that an idle
+    * re-measurement refuted — with the load recorded alongside each
+    * timing, a contaminated run carries its own explanation and the
+    * reader never has to re-measure to adjudicate. */
+  final case class QueryRuns(name: String, secs: Seq[Double],
+                             loads: Seq[Double])
+
+  /** 1-minute load average from /proc/loadavg; -1 when unreadable
+    * (non-Linux dev box) — a sentinel, never a fake-zero "idle". */
+  def readLoadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** Time one full materialization per query (noop sink forces every
     * output column; count() would let Catalyst prune expensive
     * projections away). Cache is cleared between runs: operators
@@ -11,74 +30,113 @@ object Bench {
     * subsidize later queries or accumulate storage memory across the
     * full inventory in one JVM.
     *
-    * Each query runs `runs` times and reports the per-query MIN — this
-    * box's wall clock swings ±50% (same binary measured 458 s / 162 s /
-    * 70 s across three round-6 runs), so a single-shot number cannot
-    * distinguish a regression from ambient load; the min of repeated
-    * runs is the standard noise-resistant estimator of query cost. The
-    * raw per-run timings are kept alongside (`"runs"` in the JSON) so
-    * the artifact itself shows the spread.
+    * Noise discipline (this box's wall clock swings ±50%: the same
+    * binary measured 458 s / 162 s / 70 s across three round-6 runs,
+    * and the r11 driver capture inflated a block of queries 3–25×):
+    *
+    *   - each query runs `runs` times; the reported number is the MIN
+    *     (the standard noise-resistant estimator of query cost), with
+    *     the raw per-run timings kept alongside;
+    *   - the inventory is INTERLEAVED, not inner-looped: pass p runs
+    *     the whole list rotated by p·n/runs positions, so a load spike
+    *     spanning a time window lands on DIFFERENT queries in each
+    *     pass — back-to-back inner runs would both sit inside the same
+    *     spike and min-of-k could not absorb it;
+    *   - the load average before every run is recorded per timing.
     *
     * A failed query must be VISIBLE in the result (-1 timing), never a
     * normal-looking fast number — a silently-swallowed failure is
-    * indistinguishable from a fast run. A failure on ANY run marks the
-    * query failed (-1, remaining runs skipped). (BenchSuite feeds a
+    * indistinguishable from a fast run. A failure on ANY pass marks the
+    * query failed (-1, skipped in later passes). (BenchSuite feeds a
     * deliberately-broken query and asserts the -1 + errors contract.) */
   def timeQueries(spark: SparkSession, sfDir: String,
                   queries: Seq[(String, (SparkSession, String) => DataFrame)],
-                  runs: Int = 2): Seq[(String, Seq[Double])] =
-    queries.map { case (name, fn) =>
-      val timings = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var i = 0
-      while (i < runs && !failed) {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          timings += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"bench: query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            failed = true
-            timings += -1.0
+                  runs: Int = 3): Seq[QueryRuns] = {
+    val n = queries.size
+    val secs = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (name, _) =>
+        name -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val loads = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (name, _) =>
+        name -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (p <- 0 until runs) {
+      val rot = if (n == 0) 0 else (p.toLong * n / runs).toInt % n
+      val pass = queries.drop(rot) ++ queries.take(rot)
+      pass.foreach { case (name, fn) =>
+        if (!failed(name)) {
+          spark.catalog.clearCache()
+          loads(name) += readLoadAvg()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            secs(name) += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"bench: query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              failed += name
+              secs(name) += -1.0
+          }
         }
-        i += 1
       }
-      name -> timings.toSeq
     }
+    queries.map { case (name, _) =>
+      QueryRuns(name, secs(name).toSeq, loads(name).toSeq) }
+  }
 
   /** Min over a query's runs; -1 (failure) if any run failed. */
   def best(timings: Seq[Double]): Double =
     if (timings.exists(_ < 0)) -1.0 else timings.min
 
+  /** Queries whose run spread says "ambient load, go read the loads
+    * column": max/min > `ratio` across successful runs. The min is
+    * still the reported number — this list just marks where a single
+    * pass would have lied. */
+  def suspects(results: Seq[QueryRuns], ratio: Double = 3.0): Seq[String] =
+    results.collect {
+      case QueryRuns(name, ts, _)
+        if ts.forall(_ >= 0) && ts.nonEmpty && ts.min > 0 &&
+          ts.max / ts.min > ratio => name
+    }
+
   /** The driver's one-line JSON contract: `queries` carries the
     * per-query MIN across runs, `runs` the raw timings behind it,
+    * `loads` the 1-min load average before each run (same order),
+    * `load_suspect` the queries whose spread exceeds 3× (min still
+    * reported — the list says WHERE to look, the loads say WHY);
     * `value` the total of the mins; failed queries are -1 in `queries`
     * and listed by name in `errors` (excluded from the total). */
-  def toJson(results: Seq[(String, Seq[Double])], sfDir: String): String = {
-    val mins = results.map { case (k, v) => k -> best(v) }
+  def toJson(results: Seq[QueryRuns], sfDir: String): String = {
+    val mins = results.map(r => r.name -> best(r.secs))
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    val raw = results.map(r =>
+      "\"" + r.name + "\":" + r.secs.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val ld = results.map(r =>
+      "\"" + r.name + "\":" + r.loads.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$raw,"loads":$ld,"load_suspect":$sus,""" +
+      s""""errors":$failed,"sf":"$sfDir"}"""
   }
 
   /** Tail-survivable summary line: the round driver keeps only the last
-    * ~2 KB of stdout, and the full JSON for 181 queries is ~6× that —
+    * ~2 KB of stdout, and the full JSON for 206 queries is far larger —
     * BENCH_r08/r09 both came back `"parsed": null` with ~75% of
     * per-query numbers lost. This line honors the driver's
     * `{"metric","value","unit","queries","sf"}` schema but carries only
     * the `topN` most expensive mins (bounded size regardless of
-    * inventory growth), plus a pointer to the committed full artifact. */
-  def toSummaryJson(results: Seq[(String, Seq[Double])], sfDir: String,
+    * inventory growth), plus a pointer to the committed full artifact
+    * and the suspect COUNT (names live in the full file). */
+  def toSummaryJson(results: Seq[QueryRuns], sfDir: String,
                     fullFile: String, topN: Int = 20): String = {
-    val mins = results.map { case (k, v) => k -> best(v) }
+    val mins = results.map(r => r.name -> best(r.secs))
     val top = mins.filter(_._2 >= 0).sortBy(-_._2).take(topN)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -86,12 +144,13 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
       s""""queries_truncated":true,"n_queries":${results.size},""" +
+      s""""n_load_suspect":${suspects(results).size},""" +
       s""""queries_full":"$fullFile","errors":$failed,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2")
+    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
     val runs = runsRaw.toIntOption.getOrElse(
       sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$runsRaw'"))
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The bench gate's integrity contract: a failing query can never
-  * impersonate a fast run, and the reported number is the min over
-  * repeated runs (noise resistance) with the raw runs preserved. */
+  * impersonate a fast run, the reported number is the min over
+  * repeated INTERLEAVED runs (noise resistance), and the artifact is
+  * self-defending against ambient load — every timing carries the
+  * load average measured before it, and spread-contaminated queries
+  * are flagged by name. */
 class BenchSuite extends SparkSuite {
   import spark.implicits._
 
@@ -17,7 +20,7 @@ class BenchSuite extends SparkSuite {
       throw new RuntimeException("boom")
     val results = Bench.timeQueries(spark, "/tmp/unused",
       Seq("q_ok" -> good, "q_broken" -> broken))
-    val byName = results.toMap
+    val byName = results.map(r => r.name -> r.secs).toMap
     assert(Bench.best(byName("q_ok")) >= 0.0)
     assert(Bench.best(byName("q_broken")) === -1.0)
 
@@ -35,25 +38,70 @@ class BenchSuite extends SparkSuite {
         .filter($"n" > 0) // ANSI cast throws at EXECUTION, not planning
     }
     val results = Bench.timeQueries(spark, "/tmp/unused", Seq("q_lazy" -> lazyBoom))
-    assert(Bench.best(results.head._2) === -1.0)
+    assert(Bench.best(results.head.secs) === -1.0)
   }
 
-  test("each query runs `runs` times; the reported number is the min; raw runs are kept") {
+  test("each query runs `runs` times; the min is reported; raw runs AND loads are kept") {
     val good = (s: SparkSession, _: String) => {
       import s.implicits._
       Seq(1, 2, 3).toDF("x")
     }
     val results = Bench.timeQueries(spark, "/tmp/unused",
       Seq("q_ok" -> good), runs = 3)
-    val timings = results.head._2
-    assert(timings.length === 3)
-    assert(timings.forall(_ >= 0.0))
-    assert(Bench.best(timings) === timings.min)
+    val r = results.head
+    assert(r.secs.length === 3)
+    assert(r.secs.forall(_ >= 0.0))
+    assert(Bench.best(r.secs) === r.secs.min)
+    // one load reading per run, taken on this Linux box → real values
+    assert(r.loads.length === 3)
+    assert(r.loads.forall(_ >= 0.0))
 
     val json = Bench.toJson(results, "/tmp/unused")
-    // the min lands in `queries`, the raw spread in `runs`
-    assert(json.contains(s""""queries":{"q_ok":${timings.min}}"""))
-    assert(json.contains(s""""runs":{"q_ok":[${timings.mkString(",")}]}"""))
+    // the min lands in `queries`, the raw spread in `runs`, the
+    // per-run load context in `loads`
+    assert(json.contains(s""""queries":{"q_ok":${r.secs.min}}"""))
+    assert(json.contains(s""""runs":{"q_ok":[${r.secs.mkString(",")}]}"""))
+    assert(json.contains(s""""loads":{"q_ok":[${r.loads.mkString(",")}]}"""))
+  }
+
+  test("passes are interleaved across the inventory, not inner-looped per query") {
+    // a load spike spans a TIME window; if a query's runs are
+    // back-to-back, both sit inside the spike and min-of-k cannot
+    // absorb it. Contract: in every pass the full inventory runs
+    // before any query's next run starts, and pass p is rotated so
+    // the same time window lands on different queries.
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    def q(name: String) = (s: SparkSession, _: String) => {
+      order += name
+      import s.implicits._
+      Seq(1).toDF("x")
+    }
+    val names = Seq("qa", "qb", "qc")
+    Bench.timeQueries(spark, "/tmp/unused",
+      names.map(n => n -> q(n)), runs = 3)
+    assert(order.length === 9)
+    val passes = order.grouped(3).toSeq
+    // every pass covers the whole inventory once …
+    passes.foreach(p => assert(p.toSet === names.toSet))
+    // … and consecutive passes start at a different rotation
+    assert(passes.map(_.head).distinct.length > 1,
+      s"all passes ran in the same order: $passes")
+  }
+
+  test("load-suspect flagging: a >3x spread is named in the artifact, min still reported") {
+    val quiet = Bench.QueryRuns("q_quiet", Seq(1.0, 1.1, 0.9), Seq(0.1, 0.2, 0.1))
+    val loaded = Bench.QueryRuns("q_loaded", Seq(0.5, 12.3, 0.6), Seq(0.1, 31.0, 0.2))
+    val dead = Bench.QueryRuns("q_dead", Seq(-1.0), Seq(0.1))
+    assert(Bench.suspects(Seq(quiet, loaded, dead)) === Seq("q_loaded"))
+    val json = Bench.toJson(Seq(quiet, loaded, dead), "/tmp/unused")
+    assert(json.contains(""""load_suspect":["q_loaded"]"""))
+    // the suspect's reported number is still the noise-resistant min
+    assert(json.contains(""""q_loaded":0.5"""))
+    // the contaminated run's load is right there in the artifact —
+    // the reader adjudicates without re-measuring
+    assert(json.contains(""""q_loaded":[0.1,31.0,0.2]"""))
+    // a failed query is an error, never a "suspect"
+    assert(json.contains(""""errors":["q_dead"]"""))
   }
 
   test("summary line stays tail-sized for a 200-query inventory and carries the totals") {
@@ -61,17 +109,19 @@ class BenchSuite extends SparkSuite {
     // must fit that window no matter how large the inventory grows,
     // while still honoring the {"metric","value","unit","queries","sf"}
     // schema and pointing at the committed full artifact
-    val results: Seq[(String, Seq[Double])] =
-      (1 to 200).map(i => f"query_with_a_long_name_$i%03d" -> Seq(i / 7.0, i / 6.5)) :+
-        ("q_broken" -> Seq(-1.0))
+    val results: Seq[Bench.QueryRuns] =
+      (1 to 200).map(i => Bench.QueryRuns(f"query_with_a_long_name_$i%03d",
+        Seq(i / 7.0, i / 6.5), Seq(0.1, 0.1))) :+
+        Bench.QueryRuns("q_broken", Seq(-1.0), Seq(0.1))
     val s = Bench.toSummaryJson(results, "/root/testdata/sf0.1", "bench_out.json")
     assert(s.length < 1800, s"summary is ${s.length} bytes — exceeds the tail budget")
-    val total = results.map(r => Bench.best(r._2)).filter(_ >= 0).sum
+    val total = results.map(r => Bench.best(r.secs)).filter(_ >= 0).sum
     assert(s.contains(s""""value":$total"""))
     assert(s.contains(""""metric":"total""""))
     assert(s.contains(""""queries_full":"bench_out.json""""))
     assert(s.contains(""""errors":["q_broken"]"""))
     assert(s.contains(""""n_queries":201"""))
+    assert(s.contains(""""n_load_suspect":0"""))
     // the compact map keeps the MOST EXPENSIVE mins (the ones worth
     // reading first), not an arbitrary prefix
     assert(s.contains("query_with_a_long_name_200"))
