@@ -3,11 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** Materialized-summary registry: base table path → its maintained
   * per-key aggregate (the table [[graft.pipeline.IncrementalFinal
@@ -20,18 +21,30 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * would collide exprIds if a query hits the rule twice). */
 object MvRegistry {
 
-  /** `groupCol`: the summary's grain; `cntCol`: its row count;
-    * `sums`/`nns`/`mins`/`maxs`: base column name → summary column
-    * holding its SUM / non-null COUNT / MIN / MAX. A base column
-    * present in BOTH `sums` and `nns` additionally licenses the AVG
-    * rewrite (avg = Σsum / Σnn — avg ignores nulls, so the row count
-    * is the WRONG denominator; the nn column is maintainAggregate's
-    * nnCol). */
-  final case class Summary(mv: () => DataFrame, groupCol: String,
+  /** `groupCols`: the summary's grain (composite grains supported —
+    * order is not significant, grouping columns match by NAME);
+    * `cntCol`: its row count; `sums`/`nns`/`mins`/`maxs`: base column
+    * name → summary column holding its SUM / non-null COUNT / MIN /
+    * MAX. A base column present in BOTH `sums` and `nns` additionally
+    * licenses the AVG rewrite (avg = Σsum / Σnn — avg ignores nulls,
+    * so the row count is the WRONG denominator; the nn column is
+    * maintainAggregate's nnCol). */
+  final case class Summary(mv: () => DataFrame, groupCols: Seq[String],
                            cntCol: String, sums: Map[String, String],
                            nns: Map[String, String] = Map.empty,
                            mins: Map[String, String] = Map.empty,
-                           maxs: Map[String, String] = Map.empty)
+                           maxs: Map[String, String] = Map.empty) {
+    require(groupCols.nonEmpty && groupCols.distinct.size == groupCols.size,
+      s"summary grain must be non-empty distinct columns, got $groupCols")
+  }
+
+  object Summary {
+    /** Single-column-grain convenience (the common case). */
+    def apply(mv: () => DataFrame, groupCol: String, cntCol: String,
+              sums: Map[String, String], nns: Map[String, String],
+              mins: Map[String, String], maxs: Map[String, String]): Summary =
+      Summary(mv, Seq(groupCol), cntCol, sums, nns, mins, maxs)
+  }
 
   private val reg = new ConcurrentHashMap[String, Summary]()
 
@@ -50,16 +63,32 @@ object MvRegistry {
   *   COUNT(1)  over base  →  SUM(cnt)   over summary (coalesced to
   *                                        keep COUNT's non-null type)
   *   SUM(x)    over base  →  SUM(sum_x) over summary
-  *   grain     = exactly the summary's group column
+  *   grain     ⊆ the summary's group columns (any order; a STRICT
+  *               subset re-aggregates the summary — every served
+  *               function is already written as a re-aggregation, so
+  *               coarser grains including the global ⟨⟩ grain are
+  *               exactly answerable)
   *
   * At 100 TB this is the difference between scanning the corpus and
   * scanning |keys| rows — the rewrite every lakehouse engine ships
   * (Materialize/Snowflake MV routing, Databricks MV). The rule is
   * deliberately CONSERVATIVE: any filter, distinct, other aggregate
-  * function, expression-valued grouping, or extra column bails to the
-  * original plan — a wrong rewrite is a silent wrong answer, so only
-  * the exactly-provable shape rewrites. Output attribute ids (and
-  * types) are preserved, so parent operators never see the switch.
+  * function, expression-valued grouping, extra column, or multi-root
+  * relation bails to the original plan — a wrong rewrite is a silent
+  * wrong answer, so only the exactly-provable shape rewrites. Output
+  * attribute ids (and types) are preserved, so parent operators never
+  * see the switch.
+  *
+  * Known numeric note (AVG): Spark's native `Average` over integral
+  * input accumulates the running sum in DOUBLE, rounding per add; the
+  * routed plan folds the summary's EXACT long sums and casts each to
+  * double before its own double fold. Both are double-rounded
+  * accumulations (neither is deterministic past 2⁵³ — partial-agg
+  * order varies run to run), but below |Σ| < 2⁵³ every intermediate is
+  * exactly representable and routed ≡ unrouted bit-for-bit. The
+  * routed form is the MORE exact of the two beyond that (fewer
+  * roundings); the divergence domain is documented here rather than
+  * hidden.
   *
   * Registered via [[GraftExtensions]] (`injectOptimizerRule`); with an
   * empty [[MvRegistry]] the rule is a no-op, so the gated inventory's
@@ -69,11 +98,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   /** The parquet root path under Aggregate's child, looking through
     * column-pruning Projects only (a Filter means the summary cannot
-    * answer — bail by returning None). */
+    * answer — bail by returning None). A relation reading MULTIPLE
+    * roots (spark.read.parquet(base, other)) is NOT the registered
+    * base even when one root matches — routing it would answer for
+    * the union out of one path's summary, so multi-root bails. */
   private def basePath(plan: LogicalPlan): Option[String] = plan match {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(_.toString)
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        Some(fs.location.rootPaths.head.toString)
       case _ => None
     }
     case Project(projList, child)
@@ -88,16 +120,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, None) =>
+    case agg @ Aggregate(groupExprs, aggExprs, child, None)
+      if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      val gs = groupExprs.map(_.asInstanceOf[AttributeReference])
       (for {
         path <- basePath(child)
         s <- MvRegistry.lookup(path)
-        if g.name == s.groupCol
-        rewritten <- rewriteAll(agg, g, aggExprs, s)
+        // query grain = a duplicate-free subset of the summary grain
+        // (any order); grouping by anything finer/other bails
+        if gs.map(_.name).distinct.size == gs.size &&
+          gs.forall(g => s.groupCols.contains(g.name))
+        rewritten <- rewriteAll(agg, gs, aggExprs, s)
       } yield rewritten).getOrElse(agg)
   }
 
-  private def rewriteAll(agg: Aggregate, g: AttributeReference,
+  private def rewriteAll(agg: Aggregate, gs: Seq[AttributeReference],
                          aggExprs: Seq[NamedExpression],
                          s: MvRegistry.Summary): Option[LogicalPlan] = {
     val mvPlan = s.mv().queryExecution.analyzed
@@ -105,15 +142,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       mvPlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }
-    val mvGroup = mvAttr(s.groupCol)
     val mvCnt = mvAttr(s.cntCol)
-    if (mvGroup.isEmpty || mvCnt.isEmpty) return None
+    // grouping attr exprId → its summary twin
+    val mvGroups: Map[ExprId, AttributeReference] = gs.flatMap(g =>
+      mvAttr(g.name).map(g.exprId -> _)).toMap
+    if (mvGroups.size != gs.size || mvCnt.isEmpty) return None
 
     val out = aggExprs.map {
-      // the grouping column itself: re-point at the summary's, keeping
+      // a grouping column itself: re-point at the summary's, keeping
       // the original exprId so parents still resolve
-      case a: AttributeReference if a.exprId == g.exprId =>
-        Some(Alias(mvGroup.get, a.name)(exprId = a.exprId))
+      case a: AttributeReference if mvGroups.contains(a.exprId) =>
+        Some(Alias(mvGroups(a.exprId), a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(c)), _, false, None, _), name)
         if isConst(c) =>
         // COUNT(const) ≡ row count ≡ Σ summary.cnt; coalesce keeps
@@ -137,46 +176,40 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           Literal(0L))), name)(exprId = al.exprId))
       // AVG(col) = Σ sum_col / Σ nn_col — nulls ignored by avg, so the
       // non-null count is the denominator; an all-null group has a
-      // null summary sum and the division stays null, matching avg
-      case al @ Alias(AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Average(a: AttributeReference, _),
-          _, false, None, _), name)
+      // null summary sum and the division stays null, matching avg.
+      // The numerator folds DOUBLE-cast summary sums (replicating
+      // native Average's double accumulation — see the scaladoc's
+      // numeric note); the denominator is an exact long fold cast once.
+      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), name)
         if s.sums.contains(a.name) && s.nns.contains(a.name) &&
           mvAttr(s.sums(a.name)).isDefined && mvAttr(s.nns(a.name)).isDefined &&
-          al.dataType == org.apache.spark.sql.types.DoubleType =>
+          al.dataType == DoubleType =>
         Some(Alias(
-          org.apache.spark.sql.catalyst.expressions.Divide(
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType)),
+          Divide(
+            Sum(Cast(mvAttr(s.sums(a.name)).get, DoubleType))
+              .toAggregateExpression(),
+            Cast(Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
+              DoubleType)),
           name)(exprId = al.exprId))
-      // MIN/MAX: the summary grain equals the query grain, so the
-      // per-group extreme IS the summary value (kept as an aggregate
-      // over the single summary row per group)
-      case al @ Alias(AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
-          _, false, None, _), name)
+      // MIN/MAX: re-aggregate the summary extremes — exact at the
+      // summary grain (one row per group) and at any coarser grain
+      // (min of mins IS the min)
+      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), name)
         if s.mins.contains(a.name) && mvAttr(s.mins(a.name)).isDefined &&
           mvAttr(s.mins(a.name)).get.dataType == al.dataType =>
         Some(Alias(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Min(
-            mvAttr(s.mins(a.name)).get).toAggregateExpression(),
+          Min(mvAttr(s.mins(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
-      case al @ Alias(AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference),
-          _, false, None, _), name)
+      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), name)
         if s.maxs.contains(a.name) && mvAttr(s.maxs(a.name)).isDefined &&
           mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
         Some(Alias(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Max(
-            mvAttr(s.maxs(a.name)).get).toAggregateExpression(),
+          Max(mvAttr(s.maxs(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
       case _ => None // anything else: not provably answerable — bail
     }
     if (out.exists(_.isEmpty)) None
-    else Some(Aggregate(Seq(mvGroup.get), out.map(_.get), mvPlan))
+    else Some(Aggregate(gs.map(g => mvGroups(g.exprId)),
+      out.map(_.get), mvPlan))
   }
 }

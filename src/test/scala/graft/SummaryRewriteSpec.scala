@@ -69,6 +69,72 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("composite grain: exact, reordered, SUBSET, and global groupings all route") {
+    // summary at the (event_type, junk) grain — every served function
+    // is a re-aggregation, so any subset of the grain (any order, down
+    // to the global ⟨⟩ grain) is exactly answerable from the summary
+    val base = tmpDir("mv2-base"); val mv = tmpDir("mv2-sum")
+    (0L until 1000L)
+      .map(i => (s"t${i % 5}", i % 7, if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("event_type", "junk")
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"), min("v_micro").as("min_v"),
+        max("v_micro").as("max_v"))
+      .write.mode("overwrite").parquet(mv)
+    def agg(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        count(col("v_micro")).as("nn"), avg("v_micro").as("a"),
+        min("v_micro").as("lo"), max("v_micro").as("hi"))
+    val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => agg(spark.read.parquet(base).groupBy("event_type", "junk"))
+        .orderBy("event_type", "junk"),                    // exact grain
+      () => agg(spark.read.parquet(base).groupBy("junk", "event_type"))
+        .orderBy("junk", "event_type"),                    // reordered
+      () => agg(spark.read.parquet(base).groupBy("junk")).orderBy("junk"),
+      () => agg(spark.read.parquet(base).groupBy("event_type"))
+        .orderBy("event_type"),                            // strict subsets
+      () => agg(spark.read.parquet(base).groupBy()))       // global ⟨⟩
+    val expect = shapes.map(q => q().collect()) // registry empty
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+      mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+    try shapes.zip(expect).foreach { case (q, exp) =>
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === exp)
+    } finally MvRegistry.clear()
+  }
+
+  test("multi-root relations never route, even when the FIRST root is registered") {
+    // spark.read.parquet(registeredBase, other) reads the UNION of two
+    // roots; answering it from one root's summary would silently drop
+    // the other root's rows — the exact wrong-answer mode the rule's
+    // conservative contract forbids
+    val (base, mv) = fixture()
+    val other = tmpDir("mv-other")
+    Seq(("t0", 0, 5L), ("t9", 1, 7L))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(other)
+    register(base, mv)
+    try {
+      val q = spark.read.parquet(base, other)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val paths = scannedPaths(q)
+      assert(!paths.exists(_.contains(mv)), s"summary wrongly used: $paths")
+      // and the answer includes BOTH roots' rows
+      val n = q.filter(col("event_type") === "t0")
+        .collect().head.getLong(1)
+      assert(n === 201) // 200 from base + 1 from other
+    } finally MvRegistry.clear()
+  }
+
   test("unanswerable shapes bail to the base: filter, avg, distinct, other grain") {
     val (base, mv) = fixture()
     register(base, mv)
