@@ -91,6 +91,11 @@ object ExactRank {
     * per q, exactly like the oracle's qs-table cross join. */
   def quantilePicks(df: DataFrame, valueCol: String, qs: Seq[Double],
                     nCells: Int = 256): DataFrame = {
+    // out-of-range fractions (q=0 → rank 0, q>1 → rank past n) match
+    // NO row, so a caller typo (25 for 0.25) would return an
+    // empty/short result instead of an error — reject at entry
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
     val ranked = withGlobalRank(df, valueCol, nCells)
       .select(col(valueCol), col("rank"), col("_n"))
     val qHits = array(qs.map(q =>

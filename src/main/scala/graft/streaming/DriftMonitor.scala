@@ -40,6 +40,8 @@ object DriftMonitor {
     * [lo, hi), clamped at the edges (everything below lo → bin 0,
     * ≥ hi → bin nBins−1) so the histogram is total. */
   def binOf(value: Column, nBins: Int, lo: Double, hi: Double): Column = {
+    require(hi > lo, s"histogram grid needs hi > lo, got [$lo, $hi) — " +
+      "a zero-width grid divides by zero and silently nulls every bin")
     val w = (hi - lo) / nBins
     least(greatest(floor((value - lit(lo)) / lit(w)), lit(0)),
       lit(nBins - 1)).cast("int")
@@ -74,9 +76,19 @@ object DriftMonitor {
     val hist = windowedHistogram(events, nBins, lo, hi, windowDur)
     hist
       .join(broadcast(reference), Seq("event_type"))
+      // grid-shape guard: `p_ref` is DATA, so a reference row whose
+      // array is not on this nBins grid can't be caught by require() —
+      // and zip_with would silently TRUNCATE to the shorter array,
+      // yielding a wrong TVD. The guard lives INSIDE the tvd
+      // expression (an unused assert column would be pruned away), so
+      // a malformed reference row fails the query instead of lying.
       .withColumn("tvd",
         aggregate(
-          zip_with(col("hist"), col("p_ref"),
+          zip_with(col("hist"),
+            when(size(col("p_ref")) === lit(nBins), col("p_ref"))
+              .otherwise(raise_error(concat(
+                lit(s"p_ref must have $nBins entries, got "),
+                size(col("p_ref")).cast("string")))),
             (n, p) => abs(n.cast("double") / col("n_events").cast("double") - p)),
           lit(0.0), (acc, x) => acc + x) / lit(2.0))
       .select(col("window_start"), col("window_end"), col("event_type"),

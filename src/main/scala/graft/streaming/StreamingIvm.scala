@@ -32,15 +32,19 @@ import graft.pipeline.IncrementalFinal
   * continuation on the surviving state. */
 object StreamingIvm {
 
-  /** Committed state versions (batch ids), ascending. */
+  /** Committed state versions (batch ids), ascending. Only directories
+    * carrying parquet's `_SUCCESS` marker count: a fold that died
+    * mid-write leaves a marker-less directory, and an external
+    * `readState(None)` must never observe that half-written latest
+    * version as state. */
   def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
+      .filter(st => st.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .sorted
   }
 
@@ -55,9 +59,23 @@ object StreamingIvm {
 
   /** The foreachBatch body: fold `batch` (rows with `keyCols`, `sign`,
     * `v_micro`) into `stateDir` under the versioned protocol. Public
-    * so tests can drive re-delivery explicitly. */
+    * so tests can drive re-delivery explicitly.
+    *
+    * Retention: after a successful write of `v=b`, versions older than
+    * the newest `keepVersions` are deleted — without this, every batch
+    * writes a FULL state copy and storage grows without bound at
+    * streaming cadence (and `versions()` pays O(#batches) listStatus
+    * per fold). `keepVersions` ≥ 2 is enforced: the just-written
+    * version's PREDECESSOR must survive pruning, because an
+    * at-least-once re-delivery of batch b re-folds from the latest
+    * version strictly below b — pruning it would break the
+    * idempotence the whole protocol exists for. */
   def applyBatch(spark: SparkSession, stateDir: String,
-                 keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+                 keyCols: Seq[String], keepVersions: Int = 3)
+                (batch: DataFrame, batchId: Long): Unit = {
+    require(keepVersions >= 2,
+      s"keepVersions must be >= 2 (re-delivery folds from the " +
+        s"predecessor version), got $keepVersions")
     import org.apache.spark.sql.functions._
     val base = readState(spark, stateDir, Some(batchId)).getOrElse {
       // empty state with the maintenance schema
@@ -78,14 +96,30 @@ object StreamingIvm {
       // but localCheckpoint also decouples from the streaming batch
       .localCheckpoint(true)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$batchId")
+    // prune AFTER the successful write: keep the newest keepVersions
+    // committed versions (the just-written v=batchId and at least its
+    // predecessor); also sweep marker-less half-written leftovers
+    // older than the survivors
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val keep = versions(spark, stateDir).takeRight(keepVersions).toSet
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filter { st =>
+        val v = st.getPath.getName.stripPrefix("v=").toLong
+        !keep(v) && v < batchId
+      }
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Wire a changelog stream into the versioned fold. Caller starts
     * the returned writer with a checkpoint dir. */
-  def attach(changelog: DataFrame, stateDir: String, keyCols: Seq[String])
+  def attach(changelog: DataFrame, stateDir: String, keyCols: Seq[String],
+             keepVersions: Int = 3)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changelog.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyBatch(batch.sparkSession, stateDir, keyCols)(batch.toDF(), id)
+        applyBatch(batch.sparkSession, stateDir, keyCols,
+          keepVersions)(batch.toDF(), id)
     }
 }

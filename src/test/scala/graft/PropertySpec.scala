@@ -489,6 +489,44 @@ class PropertySpec extends SparkSuite {
     assert(picks == List((0.25, 1L, 10L), (0.5, 1L, 10L), (0.75, 2L, 20L)))
   }
 
+  test("ExactRank under adversarial skew: a 99%-duplicated value plus " +
+    "near-boundary neighbors keeps ranks exact; bad fractions are rejected") {
+    import graft.operators.ExactRank
+    // one value owns 99% of the rows — the double-space cell mapping
+    // funnels the whole plateau into ONE cell, which must degrade to a
+    // bigger partitioned-window partition, never a wrong rank; the
+    // remaining 1% sit within ±5 of the hot value, straddling the hot
+    // cell's boundaries with duplicates on both sides
+    val hot = List.fill(990)(1000L)
+    val rest = (1L to 5L).flatMap(d => List(1000L - d, 1000L + d)).toList
+    val vs = hot ++ rest // 1000 rows, domain width 10
+    val got = ExactRank
+      .withGlobalRank(vs.toDF("v").repartition(7), "v", nCells = 16)
+      .select("rank", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = vs.sorted.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }
+    assert(got.toSeq == expect)
+    // rank-picks across the hot plateau and into both tails stay exact
+    val picks = ExactRank
+      .quantilePicks(vs.toDF("v"), "v", Seq(0.004, 0.5, 0.999))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(picks == List((0.004, 4L, 998L), (0.5, 500L, 1000L),
+      (0.999, 999L, 1004L)))
+    // a caller typo (25 for 0.25, or q=0) is an ERROR, not an
+    // empty/short result
+    intercept[IllegalArgumentException] {
+      ExactRank.quantilePicks(vs.toDF("v"), "v", Seq(25.0))
+    }
+    intercept[IllegalArgumentException] {
+      ExactRank.quantilePicks(vs.toDF("v"), "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      ExactRank.quantilePicks(vs.toDF("v"), "v", Seq.empty)
+    }
+  }
+
   test("maintainJoin ≡ from-scratch re-join on random two-sided changelogs") {
     import graft.pipeline.IncrementalFinal
     // A rows: (k, aid); B rows: (k, bid). Random bases + random

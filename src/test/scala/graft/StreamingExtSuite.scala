@@ -554,6 +554,33 @@ class StreamingExtSuite extends SparkSuite {
     assert(aggs.size == 1, s"expected 1 aggregate, got ${aggs.size}")
   }
 
+  test("DriftMonitor guards: zero-width grids are rejected; an off-grid reference row fails loudly") {
+    // hi == lo would make the bin width 0 and silently null every
+    // histogram cell — rejected at entry
+    intercept[IllegalArgumentException] {
+      DriftMonitor.binOf(col("value"), 4, 50.0, 50.0)
+    }
+    intercept[IllegalArgumentException] {
+      DriftMonitor.binOf(col("value"), 4, 60.0, 50.0)
+    }
+    // a reference whose p_ref is NOT on the nBins grid would silently
+    // truncate in zip_with and produce a wrong TVD — the embedded
+    // guard fails the query instead
+    val ev = Seq(("2024-04-18 10:05:00", "click", 10.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val badRef = Seq(("click", Seq(0.5, 0.5)))
+      .toDF("event_type", "p_ref") // 2 entries on a 4-bin grid
+    val e = intercept[Exception] {
+      DriftMonitor.drift(ev, badRef, 4, 0.0, 100.0, "1 hour", 0.2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("p_ref must have 4 entries")),
+      s"wrong failure: ${msgs(e)}")
+  }
+
   test("DriftMonitor streaming: closed windows emit their drift verdict in append mode") {
     val in = tmpDir("drift-in")
     def ev(ts: String, v: Double) =
@@ -644,5 +671,57 @@ class StreamingExtSuite extends SparkSuite {
       "post-restart fold diverged from recompute")
     // three committed versions, ascending batch ids
     assert(StreamingIvm.versions(spark, state) === Seq(0L, 1L, 2L))
+  }
+
+  test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
+    "re-delivery still folds after pruning; half-written versions are invisible") {
+    import graft.streaming.StreamingIvm
+    import spark.implicits._
+    val state = tmpDir("ivm-ret")
+    def batchDf(i: Long) =
+      Seq(("k", Some(i), 1L)).toDF("k", "v_micro", "sign")
+    def fold(b: Long) =
+      StreamingIvm.applyBatch(spark, state, Seq("k"),
+        keepVersions = 2)(batchDf(b), b)
+    (0L until 6L).foreach(fold)
+
+    // disk holds exactly the newest 2 version dirs — a long-running
+    // stream's state storage is bounded, not one-full-copy-per-batch
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def versionDirs() = fs.listStatus(p).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted
+    assert(versionDirs() === Seq("v=4", "v=5"))
+    assert(StreamingIvm.versions(spark, state) === Seq(4L, 5L))
+    // the surviving state is the fold of ALL six batches
+    def stateRow() = StreamingIvm.readState(spark, state).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(stateRow() === Seq(("k", 6L, 15L)))
+
+    // re-delivery of the LAST batch after pruning: its predecessor
+    // (v=4) survived by the keepVersions >= 2 contract, so the retry
+    // recomputes v=5 bit-identically
+    fold(5L)
+    assert(stateRow() === Seq(("k", 6L, 15L)),
+      "re-delivered batch corrupted state after pruning")
+    assert(versionDirs() === Seq("v=4", "v=5"))
+
+    // a keepVersions that could prune the in-flight batch's
+    // predecessor is rejected at entry
+    intercept[IllegalArgumentException] {
+      StreamingIvm.applyBatch(spark, state, Seq("k"),
+        keepVersions = 1)(batchDf(9L), 9L)
+    }
+
+    // a half-written version (no _SUCCESS marker — a fold that died
+    // mid-write) is not observable as state
+    val half = new org.apache.hadoop.fs.Path(p, "v=7")
+    fs.mkdirs(half)
+    val out = fs.create(new org.apache.hadoop.fs.Path(half, "part-0.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(StreamingIvm.versions(spark, state) === Seq(4L, 5L),
+      "marker-less directory leaked into the version list")
+    assert(stateRow() === Seq(("k", 6L, 15L)),
+      "readState observed a half-written version")
   }
 }
