@@ -206,12 +206,12 @@ object IncrementalFinal {
     * Cost at 100 TB: the delta joins touch |Δ|·matching keys — ΔA
     * joins the (persisted, bucketed) base B on the key, never
     * base ⋈ base — and the final reduction groups V ∪ ΔV. (This
-    * DataFrame-pure formulation re-reduces the whole view; a persisted
-    * deployment applies the SAME ΔV via a keyed merge into bucketed
-    * view state — [[graft.streaming.CdcApply]]'s
-    * touched-buckets-only shape — so the reduction, too, becomes
-    * Δ-proportional. The algebra is identical; only the
-    * materialization differs.) An update
+    * DataFrame-pure formulation re-reduces the whole view; the
+    * persisted deployment is [[maintainJoinBucketed]], which applies
+    * the SAME ΔV via a keyed merge into bucketed view state —
+    * [[graft.streaming.CdcApply]]'s touched-buckets-only shape — so
+    * the reduction, too, becomes Δ-proportional. The algebra is
+    * identical; only the materialization differs.) An update
     * is retract-old + insert-new (the changelog form CdcApply's op
     * routing emits), so payload changes net the old tuple to 0 and
     * keep the new one; signed multiset algebra needs no special
@@ -245,6 +245,76 @@ object IncrementalFinal {
       .filter(col("_net") > 0)
       .drop("_net")
   }
+
+  /** Seed the PERSISTED view state [[maintainJoinBucketed]] maintains:
+    * write the initial view into [[graft.streaming.CdcApply]]'s
+    * hash-bucketed layout with the version column the incremental
+    * merges order by. `batchId` must precede every later merge's. */
+  def seedJoinView(view: DataFrame, key: Seq[String], statePath: String,
+                   batchId: Long = 0L, nBuckets: Int = 16): Unit = {
+    val seeded = view.withColumn("__graft_v", lit(batchId))
+    graft.streaming.CdcApply.mergeIntoBucketedState(
+      seeded, seeded.limit(0), key, Seq("__graft_v"), statePath, nBuckets)
+  }
+
+  /** Δ-proportional MATERIALIZATION of [[maintainJoin]]: the same
+    * three delta terms, applied to a persisted, hash-bucketed view
+    * table through [[graft.streaming.CdcApply.mergeIntoBucketedState]]
+    * instead of re-reducing the whole view. This is the composition
+    * [[maintainJoin]]'s scaladoc promises: at 100 TB the pure-DataFrame
+    * form's final `groupBy(V ∪ ΔV)` touches |V| every batch; here the
+    * net ΔV (delta-sized) becomes keyed upserts + tombstones and ONLY
+    * the buckets containing changed keys are read or rewritten —
+    * untouched bucket files are not even opened (suite pins this with
+    * an mtime snapshot, and pins merge-materialized ≡ maintainJoin on
+    * random two-sided changelogs).
+    *
+    * ΔV tuples with net sign > 0 upsert their key's row; keys whose ΔV
+    * is pure retraction (net < 0 with no replacement tuple) tombstone.
+    * Under [[maintainJoin]]'s PK-keyed contract (≤ 1 view row per key)
+    * this keyed form carries exactly the multiset algebra's content.
+    * `batchId` must increase across merges (the bucketed state's
+    * monotone-ingestion contract); seed first with [[seedJoinView]]. */
+  def maintainJoinBucketed(statePath: String, aOld: DataFrame,
+                           bOld: DataFrame, dA: DataFrame, dB: DataFrame,
+                           key: Seq[String], batchId: Long,
+                           nBuckets: Int = 16,
+                           signCol: String = "sign"): Unit = {
+    val aCols = aOld.columns.toSeq
+    val outCols = aCols ++ bOld.columns.toSeq.filterNot(key.contains)
+    def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
+      l.join(r, key).withColumn("_m", s)
+        .select(outCols.map(col) :+ col("_m"): _*)
+    val sA = col(signCol)
+    val sB = col(s"${signCol}_b")
+    val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
+    val net = term(dA, bOld, sA)
+      .unionByName(term(aOld, dBr, sB))
+      .unionByName(term(dA, dBr, sA * sB))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+    val upserts = net.filter(col("_net") > 0).drop("_net")
+      .withColumn("__graft_v", lit(batchId))
+    // pure retractions: the key's old row leaves and nothing replaces
+    // it this batch — a negative tuple alongside an upsert is the
+    // retract-old half of an update, which the upsert's argmax already
+    // supersedes
+    val dead = net.filter(col("_net") < 0).select(key.map(col): _*)
+      .join(net.filter(col("_net") > 0).select(key.map(col): _*),
+        key, "left_anti")
+    val schema = upserts.schema
+    val tombstones = dead.select(upserts.columns.toIndexedSeq.map(c =>
+      if (key.contains(c)) col(c)
+      else if (c == "__graft_v") lit(batchId).as(c)
+      else lit(null).cast(schema(c).dataType).as(c)): _*)
+    graft.streaming.CdcApply.mergeIntoBucketedState(
+      upserts, tombstones, key, Seq("__graft_v"), statePath, nBuckets)
+  }
+
+  /** The materialized view kept by [[seedJoinView]] +
+    * [[maintainJoinBucketed]] (layout columns dropped). */
+  def readJoinView(spark: SparkSession, statePath: String): DataFrame =
+    graft.streaming.CdcApply.readState(spark, statePath).drop("__graft_v")
 
   /** LEFT-OUTER join IVM — the genuinely hard case [[maintainJoin]]'s
     * inner algebra cannot express: when a key gains its FIRST match the

@@ -101,6 +101,114 @@ class IncrementalFinalSuite extends SparkSuite {
     assert(v.select("mean_duration").as[Double].head() === 15.0)
   }
 
+  test("maintainJoinBucketed ≡ maintainJoin ≡ re-join on random two-sided " +
+    "changelogs; untouched bucket files are never rewritten") {
+    import scala.util.Random
+    val rnd = new Random(20260814L)
+    val state = tmpDir("ivm-join-state")
+    val keys = 0L until 10L
+    // PK-keyed sides: ≤ 1 row per key per side (maintainJoin's contract)
+    var aCur: Map[Long, Long] = keys.filter(_ => rnd.nextBoolean())
+      .map(k => k -> rnd.nextLong(1000)).toMap
+    var bCur: Map[Long, String] = keys.filter(_ => rnd.nextBoolean())
+      .map(k => k -> s"b${rnd.nextInt(100)}").toMap
+    def aDf(m: Map[Long, Long]) = m.toSeq.toDF("k", "aid")
+    def bDf(m: Map[Long, String]) = m.toSeq.toDF("k", "bname")
+    def join(a: Map[Long, Long], b: Map[Long, String]) =
+      a.keySet.intersect(b.keySet).map(k => (k, a(k), b(k)))
+
+    var view = aDf(aCur).join(bDf(bCur), Seq("k"))
+    IncrementalFinal.seedJoinView(view, Seq("k"), state, nBuckets = 8)
+    assert(IncrementalFinal.readJoinView(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+      join(aCur, bCur))
+
+    for (batch <- 1L to 4L) {
+      // random two-sided changes: deletes, updates (retract+insert),
+      // births — on BOTH sides in the same batch
+      val dA = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val dB = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var aNext = aCur; var bNext = bCur
+      keys.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
+        aCur.get(k) match {
+          case Some(old) =>
+            dA += ((k, old, -1L)); aNext -= k
+            if (rnd.nextBoolean()) {
+              val v = rnd.nextLong(1000)
+              dA += ((k, v, 1L)); aNext += (k -> v)
+            }
+          case None =>
+            val v = rnd.nextLong(1000)
+            dA += ((k, v, 1L)); aNext += (k -> v)
+        }
+      }
+      keys.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
+        bCur.get(k) match {
+          case Some(old) =>
+            dB += ((k, old, -1L)); bNext -= k
+            if (rnd.nextBoolean()) {
+              val v = s"b${rnd.nextInt(100)}"
+              dB += ((k, v, 1L)); bNext += (k -> v)
+            }
+          case None =>
+            val v = s"b${rnd.nextInt(100)}"
+            dB += ((k, v, 1L)); bNext += (k -> v)
+        }
+      }
+      val dAdf = dA.toSeq.toDF("k", "aid", "sign")
+      val dBdf = dB.toSeq.toDF("k", "bname", "sign")
+      val expect = join(aNext, bNext)
+      // pure-DataFrame maintenance agrees with recompute …
+      val pure = IncrementalFinal
+        .maintainJoin(view, aDf(aCur), bDf(bCur), dAdf, dBdf, Seq("k"))
+      assert(pure.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+        expect, s"maintainJoin diverged at batch $batch")
+      // … and the bucketed merge materializes the SAME view
+      IncrementalFinal.maintainJoinBucketed(state, aDf(aCur), bDf(bCur),
+        dAdf, dBdf, Seq("k"), batchId = batch, nBuckets = 8)
+      assert(IncrementalFinal.readJoinView(spark, state).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+        expect, s"maintainJoinBucketed diverged at batch $batch")
+      view = pure.localCheckpoint(true)
+      aCur = aNext; bCur = bNext
+    }
+
+    // Δ-proportionality on disk: a single-key update touches ONLY that
+    // key's bucket — every other bucket's files are bit-unrewritten
+    val k0 = join(aCur, bCur).headOption.map(_._1).getOrElse {
+      // ensure at least one joined key exists for the probe
+      aCur += (0L -> 1L); bCur += (0L -> "b0")
+      IncrementalFinal.maintainJoinBucketed(state, aDf(aCur - 0L),
+        bDf(bCur - 0L), Seq((0L, 1L, 1L)).toDF("k", "aid", "sign"),
+        Seq((0L, "b0", 1L)).toDF("k", "bname", "sign"),
+        Seq("k"), batchId = 5L, nBuckets = 8)
+      0L
+    }
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit(k0)), lit(8)).as("b")).head().getLong(0)
+    def fileTimes(): Map[String, Long] = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("__graft_bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}" -> f.lastModified))
+      .toMap
+    val before = fileTimes()
+    val dAup = Seq((k0, aCur(k0), -1L), (k0, 4242L, 1L))
+      .toDF("k", "aid", "sign")
+    IncrementalFinal.maintainJoinBucketed(state, aDf(aCur), bDf(bCur),
+      dAup, Seq.empty[(Long, String, Long)].toDF("k", "bname", "sign"),
+      Seq("k"), batchId = 6L, nBuckets = 8)
+    val after = fileTimes()
+    val changed = after.keySet.union(before.keySet)
+      .filter(f => before.get(f) != after.get(f))
+    assert(changed.forall(_.startsWith(s"__graft_bucket=$touchedBucket/")),
+      s"untouched buckets rewritten: $changed (touched=$touchedBucket)")
+    // and the update landed
+    assert(IncrementalFinal.readJoinView(spark, state)
+      .filter(col("k") === k0).select("aid").as[Long].collect().toSeq ===
+      Seq(4242L))
+  }
+
   test("maintainAggregate ≡ recompute: inserts, retractions, key death, key birth, NULL-mass retraction") {
     // base rows per key k: (k, value-or-null)
     val base = Seq(
