@@ -515,6 +515,70 @@ object CdcOps {
               SELECT MIN(day) AS backfill_start, MAX(day) AS backfill_end,
                      CAST(COUNT(*) AS BIGINT) AS n_days
               FROM g GROUP BY grp
-              ORDER BY backfill_start"""))
+              ORDER BY backfill_start""")),
+
+    // ⊕ the MV loop closed end-to-end: IVM maintains the summary
+    // (IncrementalFinal.maintainAggregate — the cdc_ivm_agg machinery),
+    // MvRegistry registers it for the persisted base corpus, and the
+    // returned query is a PLAIN aggregate over the BASE that
+    // SummaryRewrite transparently re-plans onto the |keys|-row summary
+    // (PlanSpec asserts the summary scan replaced the base scan). The
+    // oracle recomputes from the raw rows — so this single gate proves
+    // maintain ≡ recompute AND routed ≡ recompute in one answer. At
+    // 100 TB: the query author writes groupBy over the corpus and pays
+    // |keys| rows, with maintenance cost |Δ| per refresh.
+    Entry(
+      "cdc_mv_routed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mv_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        val baseRows = ev.filter(col("event_id") % 10 =!= 9)
+        val baseAgg = baseRows.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"),
+          count(col("v_micro")).as("n_nonnull"),
+          sum(col("v_micro")).as("sum_micro"))
+        val delta = ev.filter(col("event_id") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(baseRows.filter(col("event_id") % 7 === 0)
+            .withColumn("sign", lit(-1L)))
+        // the post-change corpus = the registered BASE the query scans
+        ev.filter((col("event_id") % 10 === 9) ||
+            (col("event_id") % 10 =!= 9 && col("event_id") % 7 =!= 0))
+          .select("event_type", "v_micro")
+          .write.mode("overwrite").parquet(basePath)
+        // its summary, MAINTAINED from the pre-change aggregate + the
+        // changelog — never recomputed from the corpus
+        IncrementalFinal.maintainAggregate(baseAgg, delta, Seq("event_type"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.register(
+          "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events
+                WHERE (event_id % 10 = 9)
+                   OR (event_id % 10 != 9 AND event_id % 7 != 0))
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro
+              FROM base GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -487,6 +487,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("the registered summary scan replaces the base corpus scan (cdc_mv_routed)") {
+    // the gated MV query registers its IVM-maintained summary and
+    // returns a plain aggregate over the BASE corpus — the optimizer
+    // must have re-planned it onto the summary: |keys| rows scanned,
+    // the corpus not even opened
+    val df = Inventory.byName("cdc_mv_routed").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft_mv")), paths)
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after routing: $paths")
+  }
+
   test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
     val p = plan("sim_kmeans_step")
     assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins
