@@ -68,14 +68,19 @@ object MvRegistry {
   *               function is already written as a re-aggregation, so
   *               coarser grains including the global ⟨⟩ grain are
   *               exactly answerable)
+  *   filters   allowed when they reference grain columns ONLY (a
+  *               grain predicate is constant within each group, so it
+  *               transfers to the summary verbatim — the
+  *               partition-filter shape); any other filter bails
   *
   * At 100 TB this is the difference between scanning the corpus and
   * scanning |keys| rows — the rewrite every lakehouse engine ships
   * (Materialize/Snowflake MV routing, Databricks MV). The rule is
-  * deliberately CONSERVATIVE: any filter, distinct, other aggregate
-  * function, expression-valued grouping, extra column, or multi-root
-  * relation bails to the original plan — a wrong rewrite is a silent
-  * wrong answer, so only the exactly-provable shape rewrites. Output
+  * deliberately CONSERVATIVE: a non-grain or non-deterministic
+  * filter, distinct, other aggregate function, expression-valued
+  * grouping, extra column, or multi-root relation bails to the
+  * original plan — a wrong rewrite is a silent wrong answer, so only
+  * the exactly-provable shape rewrites. Output
   * attribute ids (and types) are preserved, so parent operators never
   * see the switch.
   *
@@ -96,21 +101,32 @@ object MvRegistry {
   * (SummaryRewriteSpec proves both directions). */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
-  /** The parquet root path under Aggregate's child, looking through
-    * column-pruning Projects only (a Filter means the summary cannot
-    * answer — bail by returning None). A relation reading MULTIPLE
-    * roots (spark.read.parquet(base, other)) is NOT the registered
-    * base even when one root matches — routing it would answer for
-    * the union out of one path's summary, so multi-root bails. */
-  private def basePath(plan: LogicalPlan): Option[String] = plan match {
+  /** The parquet root path under Aggregate's child plus any Filter
+    * conditions sitting between them, looking through column-pruning
+    * Projects. Collected filters are only USABLE when every column
+    * they reference is a grain column (checked at the call site): a
+    * grain predicate is constant within each group, so applying it to
+    * the summary selects exactly the qualifying groups — the
+    * partition-filter case every MV router must serve. Non-
+    * deterministic conditions bail here (re-evaluating them over
+    * |keys| rows instead of the corpus changes semantics). A relation
+    * reading MULTIPLE roots (spark.read.parquet(base, other)) is NOT
+    * the registered base even when one root matches — routing it
+    * would answer for the union out of one path's summary, so
+    * multi-root bails. */
+  private def collectBase(plan: LogicalPlan)
+  : Option[(String, Seq[Expression])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        Some(fs.location.rootPaths.head.toString)
+        Some((fs.location.rootPaths.head.toString, Nil))
       case _ => None
     }
     case Project(projList, child)
       if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      basePath(child)
+      collectBase(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+      if cond.deterministic =>
+      collectBase(child).map { case (p, fs) => (p, cond +: fs) }
     case _ => None
   }
 
@@ -124,19 +140,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
       val gs = groupExprs.map(_.asInstanceOf[AttributeReference])
       (for {
-        path <- basePath(child)
+        (path, filters) <- collectBase(child)
         s <- MvRegistry.lookup(path)
         // query grain = a duplicate-free subset of the summary grain
         // (any order); grouping by anything finer/other bails
         if gs.map(_.name).distinct.size == gs.size &&
           gs.forall(g => s.groupCols.contains(g.name))
-        rewritten <- rewriteAll(agg, gs, aggExprs, s)
+        // every filter must touch grain columns ONLY — a predicate on
+        // any other column needs row-level data the summary lost
+        if filters.forall(_.references.forall(a =>
+          s.groupCols.contains(a.name)))
+        rewritten <- rewriteAll(agg, gs, aggExprs, s, filters)
       } yield rewritten).getOrElse(agg)
   }
 
   private def rewriteAll(agg: Aggregate, gs: Seq[AttributeReference],
                          aggExprs: Seq[NamedExpression],
-                         s: MvRegistry.Summary): Option[LogicalPlan] = {
+                         s: MvRegistry.Summary,
+                         filters: Seq[Expression]): Option[LogicalPlan] = {
     val mvPlan = s.mv().queryExecution.analyzed
     def mvAttr(name: String): Option[AttributeReference] =
       mvPlan.output.collectFirst {
@@ -208,8 +229,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           name)(exprId = al.exprId))
       case _ => None // anything else: not provably answerable — bail
     }
-    if (out.exists(_.isEmpty)) None
-    else Some(Aggregate(gs.map(g => mvGroups(g.exprId)),
-      out.map(_.get), mvPlan))
+    if (out.exists(_.isEmpty)) return None
+    // re-point each grain filter's attributes at the summary's; a
+    // referenced grain column missing from the summary output bails
+    val remapped = filters.map { f =>
+      var ok = true
+      val rf = f.transform {
+        case a: AttributeReference =>
+          mvAttr(a.name) match {
+            case Some(m) if m.dataType == a.dataType => m
+            case _ => ok = false; a
+          }
+      }
+      if (ok) Some(rf) else None
+    }
+    if (remapped.exists(_.isEmpty)) return None
+    val child = remapped.flatten.foldRight(mvPlan) { (f, acc) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+    }
+    Some(Aggregate(gs.map(g => mvGroups(g.exprId)), out.map(_.get), child))
   }
 }

@@ -112,6 +112,67 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("grain-column filters transfer to the summary; non-grain filters still bail") {
+    // summary at the (event_type, junk) grain again — a predicate over
+    // grain columns is constant within each group, so WHERE + GROUP BY
+    // at/below the grain routes with the filter applied to the summary
+    val base = tmpDir("mvf-base"); val mv = tmpDir("mvf-sum")
+    (0L until 1000L)
+      .map(i => (s"t${i % 5}", i % 7, if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("event_type", "junk")
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"))
+      .write.mode("overwrite").parquet(mv)
+    def q(shape: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame) = () =>
+      shape(spark.read.parquet(base))
+    val routable = Seq(
+      // filter on the grouping grain itself
+      q(_.filter(col("event_type") =!= "t3").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+        .orderBy("event_type")),
+      // filter on the OTHER grain column while grouping by a subset
+      q(_.filter(col("junk") >= 2 && col("junk") < 5).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).orderBy("event_type")),
+      // filtered GLOBAL aggregate, including the empty-selection case
+      q(_.filter(col("event_type") === "t1" && col("junk") === 6)
+        .groupBy().agg(count(lit(1)).as("n"), sum("v_micro").as("s"))),
+      q(_.filter(col("event_type") === "no_such_type")
+        .groupBy().agg(count(lit(1)).as("n"))))
+    val expect = routable.map(f => f().collect()) // registry empty
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+    try {
+      routable.zip(expect).foreach { case (f, exp) =>
+        val routed = f()
+        val paths = scannedPaths(routed)
+        assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+        assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+        assert(routed.collect() === exp)
+      }
+      // a filter touching a NON-grain column needs row-level data the
+      // summary lost — stays on the base
+      val bail = spark.read.parquet(base)
+        .filter(col("v_micro") > 500L)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(bail).exists(_.contains(base)))
+      assert(!scannedPaths(bail).exists(_.contains(mv)))
+      // a non-deterministic filter must not be re-evaluated over |keys|
+      // rows — stays on the base (a vacuously-true rand() < 2.0 probe
+      // would be ELIMINATED by the optimizer before this rule runs,
+      // which routes correctly — so probe with a real coin flip)
+      val nd = spark.read.parquet(base)
+        .filter(rand(7) < 0.5)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(nd).exists(_.contains(mv)))
+    } finally MvRegistry.clear()
+  }
+
   test("multi-root relations never route, even when the FIRST root is registered") {
     // spark.read.parquet(registeredBase, other) reads the UNION of two
     // roots; answering it from one root's summary would silently drop
