@@ -293,6 +293,16 @@ object IncrementalFinal {
       .unionByName(term(dA, dBr, sA * sB))
       .groupBy(outCols.map(col): _*)
       .agg(sum(col("_m")).as("_net"))
+    mergeNetDelta(net, key, statePath, batchId, nBuckets)
+  }
+
+  /** Apply a net-signed view delta (`_net` per output tuple) through
+    * the bucketed keyed merge: net > 0 tuples upsert their key's row;
+    * keys whose delta is pure retraction tombstone. Correct under the
+    * PK-keyed contract (≤ 1 view row per key). */
+  private def mergeNetDelta(net: DataFrame, key: Seq[String],
+                            statePath: String, batchId: Long,
+                            nBuckets: Int): Unit = {
     val upserts = net.filter(col("_net") > 0).drop("_net")
       .withColumn("__graft_v", lit(batchId))
     // pure retractions: the key's old row leaves and nothing replaces
@@ -309,6 +319,30 @@ object IncrementalFinal {
       else lit(null).cast(schema(c).dataType).as(c)): _*)
     graft.streaming.CdcApply.mergeIntoBucketedState(
       upserts, tombstones, key, Seq("__graft_v"), statePath, nBuckets)
+  }
+
+  /** The LEFT-outer twin of [[maintainJoinBucketed]]: the SAME signed
+    * delta [[maintainLeftJoin]] reduces against the whole view —
+    * matched delta-rule terms plus the affected-keys null-extension
+    * delta — applied as a keyed merge instead. A key's transition
+    * null-extended ↔ matched is retract-old + insert-new in the delta,
+    * which the merge expresses as one upsert; only a key leaving A
+    * entirely tombstones. Cost ∝ |Δ| + touched buckets, identical
+    * algebra (suite pins merge-materialized ≡ maintainLeftJoin ≡
+    * re-left-join on random two-sided changelogs). */
+  def maintainLeftJoinBucketed(statePath: String, aOld: DataFrame,
+                               bOld: DataFrame, dA: DataFrame,
+                               dB: DataFrame, key: Seq[String],
+                               batchId: Long, nBuckets: Int = 16,
+                               signCol: String = "sign"): Unit = {
+    val aCols = aOld.columns.toSeq
+    val outCols = aCols ++ bOld.columns.toSeq.filterNot(key.contains)
+    val bTypes = bOld.schema.fields.map(f => f.name -> f.dataType).toMap
+    val net = leftJoinDelta(aOld, bOld, dA, dB, key, signCol, outCols,
+        aCols, bTypes)
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+    mergeNetDelta(net, key, statePath, batchId, nBuckets)
   }
 
   /** The materialized view kept by [[seedJoinView]] +
@@ -343,6 +377,25 @@ object IncrementalFinal {
     val outCols = view.columns.toSeq
     val aCols = aOld.columns.toSeq
     val bTypes = view.schema.fields.map(f => f.name -> f.dataType).toMap
+    view.withColumn("_m", lit(1))
+      .unionByName(leftJoinDelta(aOld, bOld, dA, dB, key, signCol,
+        outCols, aCols, bTypes))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+      .filter(col("_net") > 0)
+      .drop("_net")
+  }
+
+  /** The signed LEFT-join view delta (`outCols` :+ `_m`): matched
+    * delta-rule terms plus the affected-keys null-extension delta —
+    * shared by [[maintainLeftJoin]] (whole-view reduction) and
+    * [[maintainLeftJoinBucketed]] (keyed merge). */
+  private def leftJoinDelta(aOld: DataFrame, bOld: DataFrame,
+                            dA: DataFrame, dB: DataFrame,
+                            key: Seq[String], signCol: String,
+                            outCols: Seq[String], aCols: Seq[String],
+                            bTypes: Map[String, org.apache.spark.sql.types.DataType])
+  : DataFrame = {
     def nullExtend(a: DataFrame) = a.select(
       outCols.map(c => if (aCols.contains(c)) col(c)
       else lit(null).cast(bTypes(c)).as(c)) :+ col("_m"): _*)
@@ -384,14 +437,6 @@ object IncrementalFinal {
       .unionByName(dA.withColumnRenamed(signCol, "_m"))
     val nNew = aNewT.join(unmatchedNew, key, "left_semi")
       .select(aCols.map(col) :+ col("_m"): _*)
-    val dNull = nOld.unionByName(nullExtend(nNew))
-
-    view.withColumn("_m", lit(1))
-      .unionByName(dInner)
-      .unionByName(dNull)
-      .groupBy(outCols.map(col): _*)
-      .agg(sum(col("_m")).as("_net"))
-      .filter(col("_net") > 0)
-      .drop("_net")
+    dInner.unionByName(nOld.unionByName(nullExtend(nNew)))
   }
 }

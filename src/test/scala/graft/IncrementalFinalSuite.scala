@@ -209,6 +209,78 @@ class IncrementalFinalSuite extends SparkSuite {
       Seq(4242L))
   }
 
+  test("maintainLeftJoinBucketed ≡ maintainLeftJoin ≡ re-left-join on random " +
+    "two-sided changelogs, including null-extension transitions") {
+    import scala.util.Random
+    val rnd = new Random(8141226L)
+    val state = tmpDir("ivm-ljoin-state")
+    val keys = 0L until 10L
+    var aCur: Map[Long, Long] = keys.filter(_ => rnd.nextBoolean())
+      .map(k => k -> rnd.nextLong(1000)).toMap
+    var bCur: Map[Long, String] = keys.filter(_ => rnd.nextBoolean())
+      .map(k => k -> s"b${rnd.nextInt(100)}").toMap
+    def aDf(m: Map[Long, Long]) = m.toSeq.toDF("k", "aid")
+    def bDf(m: Map[Long, String]) = m.toSeq.toDF("k", "bname")
+    def leftJoin(a: Map[Long, Long], b: Map[Long, String]) =
+      a.map { case (k, aid) => (k, aid, b.get(k)) }.toSet
+    def viewSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+
+    var view = aDf(aCur).join(bDf(bCur), Seq("k"), "left")
+    IncrementalFinal.seedJoinView(view, Seq("k"), state, nBuckets = 8)
+    assert(viewSet(IncrementalFinal.readJoinView(spark, state)) ===
+      leftJoin(aCur, bCur))
+
+    for (batch <- 1L to 4L) {
+      val dA = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val dB = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var aNext = aCur; var bNext = bCur
+      keys.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
+        aCur.get(k) match {
+          case Some(old) =>
+            dA += ((k, old, -1L)); aNext -= k
+            if (rnd.nextBoolean()) {
+              val v = rnd.nextLong(1000)
+              dA += ((k, v, 1L)); aNext += (k -> v)
+            }
+          case None =>
+            val v = rnd.nextLong(1000)
+            dA += ((k, v, 1L)); aNext += (k -> v)
+        }
+      }
+      // B-side churn drives BOTH null-extension transitions: a key
+      // gaining its first match (retract null-extended) and losing its
+      // last (reinstate it)
+      keys.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
+        bCur.get(k) match {
+          case Some(old) =>
+            dB += ((k, old, -1L)); bNext -= k
+            if (rnd.nextBoolean()) {
+              val v = s"b${rnd.nextInt(100)}"
+              dB += ((k, v, 1L)); bNext += (k -> v)
+            }
+          case None =>
+            val v = s"b${rnd.nextInt(100)}"
+            dB += ((k, v, 1L)); bNext += (k -> v)
+        }
+      }
+      val dAdf = dA.toSeq.toDF("k", "aid", "sign")
+      val dBdf = dB.toSeq.toDF("k", "bname", "sign")
+      val expect = leftJoin(aNext, bNext)
+      val pure = IncrementalFinal
+        .maintainLeftJoin(view, aDf(aCur), bDf(bCur), dAdf, dBdf, Seq("k"))
+      assert(viewSet(pure) === expect,
+        s"maintainLeftJoin diverged at batch $batch")
+      IncrementalFinal.maintainLeftJoinBucketed(state, aDf(aCur),
+        bDf(bCur), dAdf, dBdf, Seq("k"), batchId = batch, nBuckets = 8)
+      assert(viewSet(IncrementalFinal.readJoinView(spark, state)) ===
+        expect, s"maintainLeftJoinBucketed diverged at batch $batch")
+      view = pure.localCheckpoint(true)
+      aCur = aNext; bCur = bNext
+    }
+  }
+
   test("maintainAggregate ≡ recompute: inserts, retractions, key death, key birth, NULL-mass retraction") {
     // base rows per key k: (k, value-or-null)
     val base = Seq(
