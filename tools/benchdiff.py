@@ -15,6 +15,7 @@ Adjudication: pass --spot SPOT.json (a Bench artifact produced by
 tools/spotbench.sh re-running just the movers on an idle box). Each
 mover present in SPOT is classified:
 
+  improvement          the min got FASTER >ratio: listed, never gates
   load-artifact        spot min <= 1.5 x the OLD min (the idle re-run
                        returned to the old cost: the NEW number was
                        contamination)
@@ -73,6 +74,10 @@ def main():
                  "new_runs": new.get("runs", {}).get(q),
                  "new_loads": new.get("loads", {}).get(q),
                  "flagged_load_suspect": q in new.get("load_suspect", [])}
+            if r < 1:
+                # got FASTER: good news, listed for the record but
+                # never gates — only slowdowns need adjudication
+                m["verdict"] = "improvement"
             if spot and q in spot.get("queries", {}):
                 sv = spot["queries"][q]
                 m["spot_min"] = sv
@@ -82,11 +87,6 @@ def main():
                     m["verdict"] = "load-artifact"
                 elif r > 1:
                     m["verdict"] = "confirmed-regression"
-                else:
-                    # got FASTER >2x: usually a real improvement; spot
-                    # confirms it reproduces
-                    m["verdict"] = ("confirmed-improvement"
-                                    if sv <= 1.5 * nv else "load-artifact")
             movers.append(m)
 
     if old.get("sf") != new.get("sf"):
@@ -101,8 +101,7 @@ def main():
            "new_load_suspect": new.get("load_suspect", [])}
     print(json.dumps(out, indent=1))
     bad = [m for m in movers
-           if m.get("verdict") not in ("load-artifact",
-                                       "confirmed-improvement")]
+           if m.get("verdict") not in ("load-artifact", "improvement")]
     sys.exit(1 if bad or out["new_errors"] else 0)
 
 
