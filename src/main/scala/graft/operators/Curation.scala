@@ -344,6 +344,59 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("n_hits"))
   }
 
+  /** The 48-bit integer value of the first 12 hex chars of `hexCol`,
+    * written in engine-neutral SQL (instr + positional powers of 16 —
+    * both Spark and DuckDB lack a shared hex→int builtin, so the
+    * polynomial IS the portable form). Shared by
+    * [[weightedPrioritySample]] and its oracle so the two sides can
+    * never disagree on the hash integer. */
+  def hexIntSql(hexCol: String): String =
+    (1 to 12).map { p =>
+      val pow = math.pow(16, 12 - p).toLong
+      // CAST keeps every product BIGINT: DuckDB would otherwise form
+      // INT32 × INT32 products that overflow-error at the high positions
+      s"(instr('0123456789abcdef', substring($hexCol, $p, 1)) - 1)" +
+        s" * CAST($pow AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Weighted sampling WITHOUT replacement — sequential Poisson
+    * (Ohlsson) priority sampling with exact integer keys: each row gets
+    * priority = H DIV w, where H is the 48-bit hash integer of
+    * md5(salt ':' id) and w = `weightCol` ≥ 1; the sample is the k
+    * SMALLEST priorities (ties broken by id). Heavier rows draw
+    * proportionally smaller priorities, so inclusion probability is
+    * ≈ w/Σw without ever selecting the same row twice — the
+    * without-replacement complement of [[ppsSample]]'s systematic
+    * with-replacement pass (use THIS when multiplicity must be 1, e.g.
+    * quality-weighted corpus subsetting; PPS when token-share matters).
+    *
+    * The textbook scheme orders by u^(1/w) — a libm pow on both engines
+    * whose final-ulp rounding is implementation-defined, i.e. a gate
+    * hazard at the selection boundary. The integer floor H DIV w
+    * preserves the monotone weight bias with EXACT arithmetic: Spark's
+    * `DIV` and DuckDB's `//` agree on every row, so the selected set is
+    * engine-identical by construction, retry-stable, and re-drawable by
+    * changing `salt`. Shape: one map-side projection + a global top-k
+    * (TakeOrderedAndProject — per-partition k then a k-row driver merge,
+    * never a global sort). Rows with w < 1 are rejected loudly, not
+    * silently dropped: a zero/negative weight has no place in a
+    * w-proportional design. */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+                             salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bad = s"weightedPrioritySample: $weightCol must be >= 1, got "
+    val w = when(col(weightCol) >= 1, col(weightCol).cast(LongType))
+      .otherwise(raise_error(concat(lit(bad),
+        coalesce(col(weightCol).cast(StringType), lit("null")))))
+    df.withColumn("__h",
+        md5(concat(lit(salt + ":"), col(idCol).cast(StringType))))
+      .withColumn("__w", w)
+      .withColumn("priority", expr(s"${hexIntSql("__h")} DIV __w"))
+      .drop("__h", "__w")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic per-epoch corpus shuffle: the reproducible training
     * order every run of a data loader must agree on (elastic restarts,
     * resumed jobs, and audits all need "position 31 417 of epoch 3" to

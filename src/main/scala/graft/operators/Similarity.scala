@@ -357,4 +357,167 @@ object Similarity {
         (Exact.bigColToDouble("numv") / Exact.bigColToDouble("n2") /
           lit(1e12)).as("cov"))
   }
+
+  // ------------------------------------------- JL random projection
+
+  /** Deterministic Rademacher sign s(i, j) ∈ {+1, −1} from the first hex
+    * character of md5("<seed>:<i>:<j>"): '0'–'7' → +1, '8'–'f' → −1. The
+    * SQL mirror is `CASE WHEN substring(md5(...), 1, 1) <= '7'` — both
+    * engines hash the identical string, so sign matrices agree exactly. */
+  private def jlSign(seed: String, i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b0 = md.digest(
+      s"$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+    if (((b0 >> 4) & 0xf) <= 7) 1 else -1
+  }
+
+  /** outDim × inDim sign matrix; row j is the j-th projection direction. */
+  def jlSignMatrix(seed: String, inDim: Int, outDim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim, inDim)((j, i) => jlSign(seed, i, j))
+
+  /** Johnson–Lindenstrauss random projection of the embedding column to
+    * `outDim` integer coordinates: proj_j = Σ_i µ(x_i)·s(i, j) with
+    * µ(x) = ⌊x·10⁴⌋ micro-points and the deterministic [[jlSign]]
+    * Rademacher matrix. Exact BIGINT arithmetic end-to-end (the sum is
+    * order-insensitive), so two runs — and the DuckDB oracle — agree
+    * bit-for-bit, unlike a float Gaussian projection.
+    *
+    * Scale shape: a pure MAP-SIDE projection (zero shuffle, zero UDF —
+    * zip_with/aggregate HOFs inside codegen). The sign matrix is computed
+    * ONCE on the driver and inlined as literals: at 100 TB the per-row
+    * cost is inDim·outDim multiply-adds, not inDim·outDim md5 calls.
+    * Rademacher JL preserves pairwise distances within (1 ± ε) for
+    * outDim = O(log n / ε²) — the cheap 8× dimension cut that turns a
+    * 64-float distance into an 8-long one before any pair-heavy stage
+    * ([[knnJlRerank]] is the consumer). A ragged embedding fails loudly
+    * (raise_error), never silently truncates. */
+  /** The JL sketch as a single array Column over `embedding` — shared by
+    * [[randomProject]] and [[jlDistortionReport]] so the two can never
+    * disagree on a sign or a micro-point. */
+  private def jlProjCol(inDim: Int, outDim: Int, seed: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    require(inDim >= 1, s"inDim must be >= 1, got $inDim")
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val signs = jlSignMatrix(seed, inDim, outDim)
+    val guarded = when(size(col("embedding")) === lit(inDim), col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected dim $inDim, got "),
+        size(col("embedding")).cast(StringType))))
+    val projs = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(guarded, typedlit(signs(j).toSeq),
+          (x, s) =>
+            floor(x.cast(DoubleType) * lit(10000.0)).cast(LongType) *
+              s.cast(LongType)),
+        lit(0L), (acc, t) => acc + t).as(s"p$j")
+    }
+    array(projs: _*)
+  }
+
+  def randomProject(emb: DataFrame, inDim: Int, outDim: Int,
+                    seed: String): DataFrame =
+    emb.select(col("vec_id"), jlProjCol(inDim, outDim, seed).as("proj"))
+
+  /** Two-stage ANN through the JL sketch: candidates = the `m` nearest
+    * corpus vectors per query by EXACT integer L2 in the projected space
+    * ([[randomProject]]), then exact cosine re-rank of those candidates in
+    * the original space → top-k. The recall dial is `m`: at m ≥ corpus
+    * the candidate set is provably everything and the output equals
+    * [[knnBrute]] (the gated end); the interior trades the full-width
+    * scan for an outDim-long integer distance per pair — at 64→8 dims the
+    * candidate pass reads 8 longs instead of 64 floats per comparison,
+    * and only m·|queries| full-width vectors are ever touched again.
+    *
+    * Shapes: queries broadcast twice (projected for the candidate pass,
+    * full-width for the re-rank); the corpus streams map-side through
+    * both — no corpus shuffle, no all-pairs product beyond the bounded
+    * broadcast nested loop (|queries| rows on the build side). Projected
+    * distance stays exact in BIGINT: |proj| ≤ inDim·max|µ(x)|, squared
+    * differences sum well inside 2⁶³ for any real embedding scale. */
+  def knnJlRerank(emb: DataFrame, queries: DataFrame, inDim: Int,
+                  outDim: Int, seed: String, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"candidate width m=$m must be >= k=$k")
+    // cosine kNN ≡ L2 kNN on the unit sphere, and JL preserves L2 — so
+    // the sketch is built over NORMALIZED vectors (a map-side transform;
+    // exactness of the gated m = corpus end is unaffected: the candidate
+    // pass keeps everything there regardless of its metric)
+    def unit(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      zip_with(col("embedding"),
+        array_repeat(sqrt(vecNorm2(col("embedding"))), inDim),
+        (x, n) => (x.cast("double") / n).cast("float")).as("embedding"))
+    val p = randomProject(unit(emb), inDim, outDim, seed)
+    val pq = randomProject(
+      unit(queries.select(col("vec_id"), col("embedding"))), inDim, outDim, seed)
+      .select(col("vec_id").as("query_id"), col("proj").as("q_proj"))
+    val cand = p
+      .join(broadcast(pq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(
+          zip_with(col("proj"), col("q_proj"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, t) => acc + t).as("d2"))
+    val wc = Window.partitionBy("query_id").orderBy(asc("d2"), asc("vec_id"))
+    val top = cand.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= m)
+      .select("query_id", "vec_id")
+    val d = withNorm(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "nrm")
+    val q = broadcast(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_nrm"))
+    val scored = top.join(d, "vec_id").join(q, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** JL sketch distortion audit — the calibration report a deployment
+    * publishes next to its projection (the [[ProductQuantizer]] family
+    * ships the same audit for PQ and SQ8): per query, the total TRUE
+    * micro squared L2 mass to every other vector vs the sketch's
+    * estimate Σ_j Δproj_j² / outDim, and their ratio (E[ratio] = 1
+    * under the Rademacher JL identity E‖Sx‖² = outDim·‖x‖²).
+    *
+    * Determinism: both masses are EXACT integer moments (micro-point
+    * BIGINTs summed in DECIMAL(38,0)); the only doubles are the rule-6
+    * emits and one final division, structured identically in the
+    * oracle. Shape: queries broadcast with their micro vectors and
+    * sketches inline; the corpus streams through one map-side pair pass
+    * into a |queries|-row aggregate — no corpus shuffle. */
+  def jlDistortionReport(emb: DataFrame, queries: DataFrame, inDim: Int,
+                         outDim: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.queries.Exact
+    val d38 = DecimalType(38, 0)
+    val muVec = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * lit(10000.0)).cast(LongType))
+    // micro vector + sketch in ONE map-side projection (no self-join)
+    def side(df: DataFrame, id: String, mu: String, pj: String) =
+      df.select(col("vec_id").as(id), muVec.as(mu),
+        jlProjCol(inDim, outDim, seed).as(pj))
+    val corpus = side(emb, "vec_id", "mx", "px")
+    val q = broadcast(side(queries.select(col("vec_id"), col("embedding")),
+      "query_id", "mq", "pq"))
+    def sq(a: org.apache.spark.sql.Column) = a * a
+    corpus.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        aggregate(zip_with(col("mx"), col("mq"), (a, b) => sq(a - b)),
+          lit(0L), (acc, t) => acc + t).as("true_d2"),
+        aggregate(zip_with(col("px"), col("pq"), (a, b) => sq(a - b)),
+          lit(0L), (acc, t) => acc + t).as("sk_d2"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("true_d2").cast(d38)).as("st"),
+        sum(col("sk_d2").cast(d38)).as("ss"))
+      .select(col("query_id"), col("n_pairs"),
+        Exact.bigColToDouble("st").as("sum_true_d2"),
+        Exact.bigColToDouble("ss").as("sum_sketch_d2"),
+        (Exact.bigColToDouble("ss") /
+          (lit(outDim.toDouble) * Exact.bigColToDouble("st"))).as("ratio"))
+  }
 }

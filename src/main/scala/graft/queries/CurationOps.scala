@@ -119,6 +119,32 @@ object CurationOps {
                       IN ('0', '1', '2', '3')
               ORDER BY doc_id""")),
 
+    // weighted sampling WITHOUT replacement (sequential Poisson priority
+    // sampling, integer keys): the 100 smallest md5-hash-DIV-weight
+    // priorities — inclusion ∝ n_chars, multiplicity exactly 1, fully
+    // engine-exact (no u^(1/w) libm hazard). The hash-integer polynomial
+    // is shared text (Curation.hexIntSql) so both sides compute the
+    // identical 48-bit H; only the floor-division spelling differs
+    // (Spark DIV, DuckDB //).
+    Entry(
+      "cur_weighted_sample",
+      (s, dir) => Curation
+        .weightedPrioritySample(Tables(s, dir, "documents"),
+          "doc_id", "n_chars", "graft", k = 100)
+        .select("doc_id", "lang", "source", "n_chars", "priority")
+        .orderBy("priority", "doc_id"),
+      Some(s"""WITH h AS (
+                 SELECT doc_id, lang, source, n_chars,
+                        md5('graft:' || CAST(doc_id AS VARCHAR)) AS hh
+                 FROM documents),
+               p AS (
+                 SELECT doc_id, lang, source, n_chars,
+                        CAST(${Curation.hexIntSql("hh")} // n_chars
+                             AS BIGINT) AS priority
+                 FROM h)
+               SELECT doc_id, lang, source, n_chars, priority
+               FROM p ORDER BY priority, doc_id LIMIT 100""")),
+
     // per-domain proportion cap: keep the 50 longest docs per source
     // (n_chars as the quality proxy; doc_id breaks ties so the kept set
     // is total-ordered and the gate hash is deterministic).

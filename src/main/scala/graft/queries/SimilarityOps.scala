@@ -94,6 +94,93 @@ object SimilarityOps {
       },
       Some(bruteSql)),
 
+    // Johnson–Lindenstrauss random projection 64 → 8 dims: exact BIGINT
+    // micro-point arithmetic against a deterministic md5-derived
+    // Rademacher sign matrix — pure map-side, zero shuffle; the oracle
+    // recomputes the identical signs from the identical md5 strings.
+    Entry(
+      "sim_random_projection",
+      (s, dir) => Similarity
+        .randomProject(Tables(s, dir, "embeddings"), 64, 8, "graft")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+        .withColumn("j", col("j").cast(LongType))
+        .orderBy("vec_id", "j"),
+      Some("""WITH e AS (
+                SELECT vec_id, t.i AS i,
+                       CAST(embedding[t.i + 1] AS DOUBLE) AS x
+                FROM embeddings, range(0, 64) t(i)),
+              s AS (
+                SELECT e.vec_id, j.j,
+                       CAST(FLOOR(e.x * 10000.0) AS BIGINT) *
+                       (CASE WHEN substring(
+                                md5('graft:' || CAST(e.i AS VARCHAR) || ':' ||
+                                    CAST(j.j AS VARCHAR)), 1, 1) <= '7'
+                             THEN 1 ELSE -1 END) AS term
+                FROM e, range(0, 8) j(j))
+              SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS proj
+              FROM s GROUP BY vec_id, j ORDER BY vec_id, j""")),
+
+    // two-stage ANN through the JL sketch, gated at the provable end of
+    // its recall dial: candidate width m = corpus ⇒ the integer-L2
+    // candidate pass keeps everything and the exact re-rank provably
+    // equals brute force (oracle verbatim). SimilaritySpec covers the
+    // interior (recall@5 at m ≪ corpus), where no exact oracle exists.
+    Entry(
+      "sim_knn_jl_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val n = emb.count().toInt // scalar action, sizes the provable end
+        Similarity.knnJlRerank(emb, queries(s, dir), 64, 16, "graft",
+            m = n, k = 5)
+          .withColumn("rank", col("rank").cast(LongType))
+          .orderBy("query_id", "rank")
+      },
+      Some(bruteSql)),
+
+    // ⊕ JL sketch distortion audit (the calibration report of the
+    // projection family, next to PQ's and SQ8's): per query, total true
+    // micro-L2 mass vs the sketch estimate and their ratio — exact
+    // integer moments, rule-6 emits, E[ratio] = 1.
+    Entry(
+      "sim_jl_distortion",
+      (s, dir) => Similarity
+        .jlDistortionReport(Tables(s, dir, "embeddings"),
+          queries(s, dir), 64, 8, "graft")
+        .orderBy("query_id"),
+      Some(s"""WITH m AS (
+                 SELECT vec_id, t.i AS i,
+                        CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE)
+                             * 10000.0) AS BIGINT) AS mx
+                 FROM embeddings, range(0, 64) t(i)),
+               qm AS (SELECT vec_id AS query_id, i, mx FROM m WHERE vec_id < 10),
+               td AS (
+                 SELECT qm.query_id, m.vec_id,
+                        SUM((m.mx - qm.mx) * (m.mx - qm.mx)) AS true_d2
+                 FROM m JOIN qm ON m.i = qm.i AND m.vec_id <> qm.query_id
+                 GROUP BY 1, 2),
+               p AS (
+                 SELECT vec_id, j.j AS j,
+                        SUM(mx * (CASE WHEN substring(
+                              md5('graft:' || CAST(i AS VARCHAR) || ':' ||
+                                  CAST(j.j AS VARCHAR)), 1, 1) <= '7'
+                            THEN 1 ELSE -1 END)) AS proj
+                 FROM m, range(0, 8) j(j) GROUP BY 1, 2),
+               pq AS (SELECT vec_id AS query_id, j, proj FROM p WHERE vec_id < 10),
+               sd AS (
+                 SELECT pq.query_id, p.vec_id,
+                        SUM((p.proj - pq.proj) * (p.proj - pq.proj)) AS sk_d2
+                 FROM p JOIN pq ON p.j = pq.j AND p.vec_id <> pq.query_id
+                 GROUP BY 1, 2)
+               SELECT td.query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      ${Exact.bigSqlToDouble("SUM(true_d2)")} AS sum_true_d2,
+                      ${Exact.bigSqlToDouble("SUM(sk_d2)")} AS sum_sketch_d2,
+                      ${Exact.bigSqlToDouble("SUM(sk_d2)")}
+                        / (8.0 * ${Exact.bigSqlToDouble("SUM(true_d2)")})
+                        AS ratio
+               FROM td JOIN sd ON td.query_id = sd.query_id
+                              AND td.vec_id = sd.vec_id
+               GROUP BY td.query_id ORDER BY td.query_id""")),
+
     // kNN GRAPH: top-3 neighbors of EVERY vector — corpus × corpus, so
     // nothing broadcasts: probe cells explode and EQUI-JOIN the
     // cell-assigned corpus (shuffle on cell, plan-guarded no-product).

@@ -275,4 +275,53 @@ class CurationSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(re == got)
   }
+
+  test("weightedPrioritySample: exact H DIV w selection, no replacement, weight-biased") {
+    // weights: doc i has weight (i % 8) * 100 + 1 — a wide skew
+    val t = (0L until 400L).map(i => (i, (i % 8) * 100L + 1L))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedPrioritySample(t, "doc_id", "w", "s", 50)
+      .select("doc_id", "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // independent recompute of the exact scheme: H = first 12 hex chars
+    // of md5("s:<id>") as a 48-bit int, priority = H / w (floor), take
+    // the 50 smallest (priority, id)
+    def h48(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = (0L until 400L)
+      .map(i => (i, h48(i) / ((i % 8) * 100L + 1L)))
+      .sortBy { case (id, p) => (p, id) }.take(50)
+      .map { case (id, p) => (id, p) }
+    assert(got === expect)
+
+    // without replacement: ids unique; exactly k rows
+    assert(got.map(_._1).distinct.size === 50)
+    // weight bias: the sampled mean weight clearly exceeds the corpus mean
+    val meanW = (w: Seq[Long]) => w.sum.toDouble / w.size
+    val sampleW = got.map { case (id, _) => (id % 8) * 100L + 1L }
+    val corpusW = (0L until 400L).map(i => (i % 8) * 100L + 1L)
+    assert(meanW(sampleW) > meanW(corpusW), s"${meanW(sampleW)} vs ${meanW(corpusW)}")
+    // deterministic: same call, same set; different salt re-deals
+    val again = Curation.weightedPrioritySample(t, "doc_id", "w", "s", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again === got.map(_._1))
+    val other = Curation.weightedPrioritySample(t, "doc_id", "w", "u", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(other !== got.map(_._1))
+  }
+
+  test("weightedPrioritySample fails loudly on weights < 1") {
+    val bad = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception](
+      Curation.weightedPrioritySample(bad, "doc_id", "w", "s", 2).collect())
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).getMessage.contains("must be >= 1"),
+      root(e).getMessage)
+  }
 }
