@@ -363,6 +363,147 @@ object Dedup {
           c => c.getField("chunk_text"))).as("text"))
   }
 
+  /** Shared first half of the ExactSubstr family (feeds
+    * [[maximalDuplicateSpans]] and [[removeDuplicateSubstrings]]):
+    * (doc_id, pos, fp) of every `l`-token sliding window whose
+    * fingerprint occurs more than once in the corpus (across documents
+    * or within one). Tokenize + fingerprint are pure map-side (one
+    * `explode` over positions, md5 over a bounded `slice`); the only
+    * data-sized shuffles carry (16-byte fp, doc_id, pos) — never window
+    * text — and the duplicate filter is one partial-aggregated count. */
+  private def duplicatedWindows(docs: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"window must span at least 2 tokens, got $l")
+    val wins = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - l + 1)).as("pos"), col("w"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(l)))).as("fp"))
+    val dupFp = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select("fp")
+    wins.join(dupFp, "fp").select("doc_id", "pos", "fp")
+  }
+
+  /** Maximal duplicated-substring spans — the arbitrary-offset exact
+    * substring dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ExactSubstr), re-expressed as relational
+    * passes instead of a suffix array: every `l`-token sliding window
+    * is fingerprinted; a window is DUPLICATED when its fingerprint
+    * occurs more than once in the corpus; per document,
+    * overlapping-or-adjacent duplicated windows merge into maximal
+    * covered spans (a token is covered when some duplicated window
+    * contains it, so windows at positions p and q merge iff q ≤ p + l).
+    *
+    * Unlike [[duplicateSpans]]' fixed 64-token grid (aligned repeats
+    * only), this catches a shared substring at ANY offset in both
+    * documents — the shape license blocks, quoted passages, and
+    * templated boilerplate actually take.
+    *
+    * Scale shape: [[duplicatedWindows]]' map-side fingerprints + one
+    * partial-agg count; the merge is a per-document window function
+    * (partitioned by doc_id, bounded by document length — no global
+    * sort). Total cost is O(corpus tokens), the same asymptotics as
+    * the suffix array, in three shuffles.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens), positions
+    * 1-based inclusive on the `\s+`-token grid. Documents shorter than
+    * `l` tokens have no windows and never appear.
+    *
+    * Reference scope: the reference engine has no substring-level
+    * dedup; this extends the dedup family for LLM-corpus curation
+    * alongside [[exact]]/[[duplicateSpans]]/[[minhashLshPairs]]. */
+  def maximalDuplicateSpans(docs: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    duplicatedWindows(docs, l)
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + l, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + (l - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Corpus-level duplicated-substring rate per source — the audit
+    * consumer of [[maximalDuplicateSpans]]: how much of each source's
+    * token mass sits inside a duplicated ≥`l`-token substring (the
+    * number ExactSubstr removal would delete). Documents shorter than
+    * `l` count toward `n_docs`/`total_tokens` with zero dup mass. */
+  def substringDupRate(docs: DataFrame, l: Int): DataFrame = {
+    val perDoc = maximalDuplicateSpans(docs, l)
+      .groupBy("doc_id")
+      .agg(sum("span_tokens").as("doc_dup_tokens"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("doc_dup_tokens")).as("docs_with_dups"),
+        coalesce(sum("doc_dup_tokens"), lit(0L)).as("dup_tokens"),
+        sum("n_tokens").as("total_tokens"))
+  }
+
+  /** ExactSubstr REMOVAL — the consumer of the span report: each
+    * duplicated `l`-token window keeps its FIRST corpus occurrence
+    * (lexicographic min (doc_id, pos) per fingerprint) and every other
+    * occurrence is deleted. Token-level semantics: a token is removed
+    * iff it is covered by at least one duplicated window AND by no
+    * surviving occurrence — so the first copy of a shared passage
+    * stays intact (every its token is survivor-covered) while later
+    * copies lose exactly the duplicated region. Like the reference
+    * ExactSubstr cut, removal can leave partial fragments at repeat
+    * boundaries (a trailing sub-`l` prefix of a within-doc repeat
+    * survives because no duplicated window covers only it).
+    *
+    * Shape: survivor choice is ONE lexicographic min-struct aggregate
+    * per fingerprint (no per-fp window — a boilerplate fingerprint with
+    * millions of occurrences partial-aggregates instead of sorting one
+    * hot partition); coverage expands each duplicated window to its
+    * ≤`l` covered positions map-side and resolves per-token survival
+    * with a second aggregate; reassembly is the same ordered
+    * collect_list-per-doc as [[removeDuplicateSpans]]. Everything
+    * shuffles ids and positions, never text (tokens rejoin by
+    * (doc_id, pos) equi-join at the end).
+    *
+    * Output: (doc_id, text) with whitespace normalized to single
+    * spaces; documents whose every token was removed are absent. */
+  def removeDuplicateSubstrings(docs: DataFrame, l: Int): DataFrame = {
+    val wins = duplicatedWindows(docs, l)
+    val surv = wins.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("s"))
+      .select(col("fp"), col("s.doc_id").as("sdoc"), col("s.pos").as("spos"))
+    val tokenFate = wins.join(surv, "fp")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("p"),
+        (col("doc_id") === col("sdoc") && col("pos") === col("spos"))
+          .cast(LongType).as("is_surv"))
+      .groupBy("doc_id", "p")
+      .agg(max("is_surv").as("surv_covered"))
+      .filter(col("surv_covered") === 0L)
+      .select(col("doc_id"), col("p").as("removed_p"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("p"),
+        col("col").as("tok"))
+    toks.join(tokenFate,
+        toks("doc_id") === tokenFate("doc_id") &&
+          toks("p") === tokenFate("removed_p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          c => c.getField("tok"))).as("text"))
+  }
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over a near-duplicate pair graph — the final

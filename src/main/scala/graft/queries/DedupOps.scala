@@ -120,6 +120,37 @@ object DedupOps {
     s.read.parquet(path)
   }
 
+  /** Shared CTE chain for the ExactSubstr oracles: sliding `l`-token
+    * window fingerprints → duplicated windows → per-doc maximal covered
+    * islands (merge when the next duplicated window starts ≤ l tokens
+    * after the previous — overlapping or adjacent coverage). Mirrors
+    * [[graft.operators.Dedup.maximalDuplicateSpans]] exactly. */
+  private[queries] def substrCtes(l: Int): String =
+    s"""words AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents),
+       wins AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                md5(array_to_string(list_slice(w, i, i + ${l - 1}), ' ')) AS fp
+         FROM words, unnest(generate_series(1, len(w) - ${l - 1})) AS t(i)
+         WHERE len(w) >= $l),
+       dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) > 1),
+       dw AS (SELECT w.doc_id, w.pos, w.fp
+              FROM wins w JOIN dup d ON w.fp = d.fp),
+       marked AS (
+         SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) + $l
+                     THEN 1 ELSE 0 END AS brk
+         FROM dw),
+       isl AS (
+         SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+         FROM marked)"""
+
   val entries: Seq[Entry] = Seq(
 
     // exact dedup: fingerprint group-by, min-id survivor.
@@ -179,6 +210,81 @@ object DedupOps {
               SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text
               FROM kept WHERE occ = 1
               GROUP BY doc_id ORDER BY doc_id""")),
+
+    // arbitrary-offset exact-substring dedup (Lee et al. ExactSubstr,
+    // relational form): duplicated 8-token sliding windows merged into
+    // per-doc maximal covered spans. The fixed-grid dedup_span_exact
+    // catches only aligned repeats; this catches a shared substring at
+    // any offset — three shuffles of (fp, id, pos), O(corpus tokens).
+    Entry(
+      "dedup_substr_spans",
+      (s, dir) => Dedup.maximalDuplicateSpans(Tables(s, dir, "documents"), 8)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH ${substrCtes(8)}
+               SELECT doc_id, MIN(pos) AS span_start,
+                      MAX(pos) + 7 AS span_end,
+                      MAX(pos) + 8 - MIN(pos) AS span_tokens
+               FROM isl GROUP BY doc_id, island
+               ORDER BY doc_id, span_start""")),
+
+    // audit consumer: per-source duplicated-substring token mass — the
+    // fraction ExactSubstr removal would delete from each source.
+    Entry(
+      "dedup_substr_rate",
+      (s, dir) => Dedup.substringDupRate(Tables(s, dir, "documents"), 8)
+        .orderBy("source"),
+      Some(s"""WITH ${substrCtes(8)},
+               spans AS (
+                 SELECT doc_id, MAX(pos) + 8 - MIN(pos) AS span_tokens
+                 FROM isl GROUP BY doc_id, island),
+               perdoc AS (
+                 SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT)
+                        AS doc_dup_tokens
+                 FROM spans GROUP BY doc_id),
+               base AS (
+                 SELECT doc_id, source,
+                        CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                             AS BIGINT) AS n_tokens
+                 FROM documents)
+               SELECT b.source, COUNT(*) AS n_docs,
+                      COUNT(p.doc_dup_tokens) AS docs_with_dups,
+                      CAST(COALESCE(SUM(p.doc_dup_tokens), 0) AS BIGINT)
+                        AS dup_tokens,
+                      CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens
+               FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+               GROUP BY b.source ORDER BY b.source""")),
+
+    // ExactSubstr removal: every duplicated 8-token window keeps its
+    // first corpus occurrence; later copies lose exactly the
+    // survivor-uncovered duplicated tokens, docs reassemble in token
+    // order. Survivor = lexicographic min (doc_id, pos) per
+    // fingerprint, chosen by aggregate (no per-fp hot-partition sort).
+    Entry(
+      "dedup_substr_removed",
+      (s, dir) => Dedup.removeDuplicateSubstrings(Tables(s, dir, "documents"), 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${substrCtes(8)},
+               s1 AS (SELECT fp, MIN(doc_id) AS sdoc FROM dw GROUP BY fp),
+               s2 AS (SELECT s1.fp, s1.sdoc, MIN(w.pos) AS spos
+                      FROM s1 JOIN dw w
+                        ON w.fp = s1.fp AND w.doc_id = s1.sdoc
+                      GROUP BY s1.fp, s1.sdoc),
+               fate AS (
+                 SELECT w.doc_id, c.p,
+                        MAX(CASE WHEN w.doc_id = s.sdoc AND w.pos = s.spos
+                                 THEN 1 ELSE 0 END) AS surv
+                 FROM dw w JOIN s2 s ON w.fp = s.fp,
+                      unnest(generate_series(w.pos, w.pos + 7)) AS c(p)
+                 GROUP BY w.doc_id, c.p),
+               removed AS (SELECT doc_id, p FROM fate WHERE surv = 0),
+               toks AS (
+                 SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS tok
+                 FROM words, unnest(generate_series(1, len(w))) AS t(i))
+               SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text
+               FROM toks t LEFT JOIN removed r
+                 ON t.doc_id = r.doc_id AND t.p = r.p
+               WHERE r.doc_id IS NULL
+               GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
     // exact n-gram Jaccard near-dup pairs via the inverted-index join.
     Entry(

@@ -122,6 +122,63 @@ class DedupSpec extends SparkSuite {
     assert(dups.head.getAs[Long]("n_copies") === 2L)
   }
 
+  test("maximalDuplicateSpans: arbitrary-offset repeats merge into maximal covered spans (hand-computed)") {
+    // l=3 corpus, every span hand-derived:
+    //  doc 1 "a b c d e f g h": dup windows {1,2} (shared with doc 2 at
+    //        offset 3) and {5} ("e f g" shared with doc 6); window 5
+    //        starts exactly prev+l after window 2 → adjacent coverage,
+    //        ONE span [1,7]
+    //  doc 2 "x y a b c d z w": dup windows {3,4} → span [3,6]
+    //  doc 3 "p q r p q r p q r": every window repeats within-doc →
+    //        whole-doc span [1,9]
+    //  doc 4 "m n": shorter than l → absent
+    //  doc 5 "s t u": single unique window → absent
+    //  doc 6 "a b c q1 q2 q3 q4 e f g": dup windows {1,8}, gap > l →
+    //        TWO spans [1,3] and [8,10]
+    val docs = Seq(
+      (1L, "a b c d e f g h", "web"),
+      (2L, "x y a b c d z w", "web"),
+      (3L, "p q r p q r p q r", "web"),
+      (4L, "m n", "books"),
+      (5L, "s t u", "books"),
+      (6L, "a b c q1 q2 q3 q4 e f g", "books")
+    ).toDF("doc_id", "text", "source")
+    val spans = Dedup.maximalDuplicateSpans(docs, 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq === Seq(
+      (1L, 1L, 7L, 7L),
+      (2L, 3L, 6L, 4L),
+      (3L, 1L, 9L, 9L),
+      (6L, 1L, 3L, 3L),
+      (6L, 8L, 10L, 3L)))
+
+    // removal: first corpus occurrence of each duplicated window keeps
+    // its tokens; later copies lose exactly the survivor-uncovered
+    // duplicated region. doc 1 holds every survivor → intact; doc 2
+    // loses "a b c d"; doc 3 keeps the first repeat + the fragment
+    // "p q" (tokens 6-9 removed); docs 4/5 pass through untouched;
+    // doc 6 loses both borrowed substrings.
+    val removed = Dedup.removeDuplicateSubstrings(docs, 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(removed.toSeq === Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w"),
+      (3L, "p q r p q"),
+      (4L, "m n"),
+      (5L, "s t u"),
+      (6L, "q1 q2 q3 q4")))
+
+    val rate = Dedup.substringDupRate(docs, 3)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rate.toSeq === Seq(
+      ("books", 3L, 1L, 6L, 15L),   // only doc 6 has dup mass; 2+3+10 tokens
+      ("web", 3L, 3L, 20L, 25L)))   // 7+4+9 dup over 8+8+9 tokens
+  }
+
   test("removeDuplicateSpans: shared header kept once, within-doc repeats collapsed, empty shells absent") {
     val corpus = Seq(
       (1L, "h1 h2 h3 h4 a b c d"), // header + unique tail — keeps everything
