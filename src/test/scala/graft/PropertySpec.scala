@@ -527,6 +527,71 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ExactSubstr spans + removal ≡ brute-force reference on random tiny-alphabet corpora") {
+    // 3-token alphabet over short docs → duplicated windows guaranteed,
+    // including within-doc repeats and overlapping occurrences
+    val genCorpus: Gen[List[(Long, List[String])]] =
+      Gen.listOfN(6, Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+        .map(_.zipWithIndex.map { case (ts, i) => ((i + 1).toLong, ts) })
+    val L = 3
+
+    def windows(c: List[(Long, List[String])]) = for {
+      (id, toks) <- c if toks.size >= L
+      p <- 1 to (toks.size - L + 1)
+    } yield (id, p.toLong, toks.slice(p - 1, p - 1 + L).mkString(" "))
+
+    check(Prop.forAll(genCorpus) { corpus =>
+      val wins = windows(corpus)
+      val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val dup = wins.filter(w => freq(w._3) > 1)
+
+      // brute spans: merge sorted duplicated positions per doc
+      val expectSpans = dup.groupBy(_._1).toList.flatMap { case (id, ws) =>
+        val ps = ws.map(_._2).distinct.sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        var start = ps.head; var prev = ps.head
+        for (p <- ps.tail) {
+          if (p > prev + L) { spans += ((start, prev + L - 1)); start = p }
+          prev = p
+        }
+        spans += ((start, prev + L - 1))
+        spans.map { case (s, e) => (id, s, e, e - s + 1) }
+      }.toSet
+
+      // brute removal: survivor occurrence = min (doc, pos) per gram;
+      // token removed iff dup-covered and never survivor-covered
+      val surv = dup.groupBy(_._3).view.mapValues(ws =>
+        ws.map(w => (w._1, w._2)).min).toMap
+      val covered = dup.flatMap(w =>
+        (w._2 until w._2 + L).map(p => (w._1, p))).toSet
+      val survCovered = dup.filter(w => surv(w._3) == ((w._1, w._2)))
+        .flatMap(w => (w._2 until w._2 + L).map(p => (w._1, p))).toSet
+      val expectRemoved = corpus.flatMap { case (id, toks) =>
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !(covered((id, i + 1L)) && !survCovered((id, i + 1L))) => t
+        }
+        if (kept.nonEmpty) Some((id, kept.mkString(" "))) else None
+      }.toSet
+
+      val df = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val gotSpans = Dedup.maximalDuplicateSpans(df, L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val gotRemoved = Dedup.removeDuplicateSubstrings(df, L).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // empty-text docs tokenize to [""], a real 1-token doc — mirror
+      // that in the expectation (the brute model uses [] for them)
+      val emptyDocs = corpus.collect {
+        case (id, ts) if ts.isEmpty => (id, "")
+      }.toSet
+      (gotSpans == expectSpans) :| s"spans: $gotSpans vs $expectSpans" &&
+        (gotRemoved == (expectRemoved ++ emptyDocs)) :|
+          s"removed: $gotRemoved vs ${expectRemoved ++ emptyDocs}"
+    })
+  }
+
   test("maintainJoin ≡ from-scratch re-join on random two-sided changelogs") {
     import graft.pipeline.IncrementalFinal
     // A rows: (k, aid); B rows: (k, bid). Random bases + random
