@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.core.{Layout, Tables}
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 /** Corpus-curation inventory over `documents`: the selection operators a
   * training-data pipeline runs after cleaning/dedup — deterministic
@@ -574,6 +574,46 @@ object CurationOps {
                       least(64, len(w) - i*64) AS n_tokens
                FROM surv,
                     unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS t(i)
+               ORDER BY doc_id, chunk_id""")),
+
+    // the curation chain with ExactSubstr removal FIRST — the
+    // RefinedWeb/Lee-et-al stage order: strip verbatim repeated
+    // substrings before near-dup clustering, so shared boilerplate
+    // cannot glue unrelated documents into one Jaccard cluster and
+    // survivors are chosen on their ACTUAL content. One plan, one
+    // composed oracle (the full removal chain feeding the quality →
+    // cluster-survivor → chunk chain over `cleaned`).
+    Entry(
+      "pipeline_curate_substr",
+      (s, dir) => Curation.curate(
+          Dedup.removeDuplicateSubstrings(Tables(s, dir, "documents"), 8),
+          TextOps.Stopwords, minQuality = 0.5,
+          shingleN = 3, jaccardThreshold = 0.8, chunkWords = 64)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH RECURSIVE
+               ${DedupOps.substrRemovalCtes(8)},
+               raw AS (
+                 SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\\s+') AS tk
+                 FROM cleaned),
+               kept AS (
+                 SELECT doc_id, text, tk FROM (
+                   SELECT *,
+                          LEAST(len(tk) / 100.0, 1.0)
+                            * (1.0 - CAST(len(list_filter(tk, x -> x IN ('the', 'a'))) AS DOUBLE)
+                                     / len(tk)) AS quality
+                   FROM raw)
+                 WHERE quality >= 0.5),
+               ${DedupOps.reachCtes("kept")},
+               clusters AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+               csurv AS (
+                 SELECT k.doc_id, k.tk AS cw FROM kept k
+                 JOIN clusters c ON k.doc_id = c.id AND k.doc_id = c.comp)
+               SELECT doc_id, i AS chunk_id,
+                      array_to_string(list_slice(cw, i*64 + 1, (i+1)*64), ' ') AS chunk_text,
+                      least(64, len(cw) - i*64) AS n_tokens
+               FROM csurv,
+                    unnest(generate_series(0, CAST(floor((len(cw)-1)/64.0) AS BIGINT))) AS t(i)
                ORDER BY doc_id, chunk_id""")),
 
     // the same selection chain finished by CONTENT-DEFINED chunks: the

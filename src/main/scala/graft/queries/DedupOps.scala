@@ -126,13 +126,13 @@ object DedupOps {
     * after the previous — overlapping or adjacent coverage). Mirrors
     * [[graft.operators.Dedup.maximalDuplicateSpans]] exactly. */
   private[queries] def substrCtes(l: Int): String =
-    s"""words AS (
+    s"""sw AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
          FROM documents),
        wins AS (
          SELECT doc_id, CAST(i AS BIGINT) AS pos,
                 md5(array_to_string(list_slice(w, i, i + ${l - 1}), ' ')) AS fp
-         FROM words, unnest(generate_series(1, len(w) - ${l - 1})) AS t(i)
+         FROM sw, unnest(generate_series(1, len(w) - ${l - 1})) AS t(i)
          WHERE len(w) >= $l),
        dup AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) > 1),
        dw AS (SELECT w.doc_id, w.pos, w.fp
@@ -150,6 +150,35 @@ object DedupOps {
                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS UNBOUNDED PRECEDING) AS island
          FROM marked)"""
+
+  /** [[substrCtes]] extended through survivor choice and token-level
+    * removal to a `cleaned (doc_id, text)` relation — the full
+    * ExactSubstr-removal chain, shared by `dedup_substr_removed` and
+    * the composed `pipeline_curate_substr`. */
+  private[queries] def substrRemovalCtes(l: Int): String =
+    s"""${substrCtes(l)},
+       s1 AS (SELECT fp, MIN(doc_id) AS sdoc FROM dw GROUP BY fp),
+       s2 AS (SELECT s1.fp, s1.sdoc, MIN(w.pos) AS spos
+              FROM s1 JOIN dw w
+                ON w.fp = s1.fp AND w.doc_id = s1.sdoc
+              GROUP BY s1.fp, s1.sdoc),
+       fate AS (
+         SELECT w.doc_id, c.p,
+                MAX(CASE WHEN w.doc_id = s.sdoc AND w.pos = s.spos
+                         THEN 1 ELSE 0 END) AS surv
+         FROM dw w JOIN s2 s ON w.fp = s.fp,
+              unnest(generate_series(w.pos, w.pos + ${l - 1})) AS c(p)
+         GROUP BY w.doc_id, c.p),
+       removed AS (SELECT doc_id, p FROM fate WHERE surv = 0),
+       toks AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS tok
+         FROM sw, unnest(generate_series(1, len(w))) AS t(i)),
+       cleaned AS (
+         SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text
+         FROM toks t LEFT JOIN removed r
+           ON t.doc_id = r.doc_id AND t.p = r.p
+         WHERE r.doc_id IS NULL
+         GROUP BY t.doc_id)"""
 
   val entries: Seq[Entry] = Seq(
 
@@ -263,28 +292,8 @@ object DedupOps {
       "dedup_substr_removed",
       (s, dir) => Dedup.removeDuplicateSubstrings(Tables(s, dir, "documents"), 8)
         .orderBy("doc_id"),
-      Some(s"""WITH ${substrCtes(8)},
-               s1 AS (SELECT fp, MIN(doc_id) AS sdoc FROM dw GROUP BY fp),
-               s2 AS (SELECT s1.fp, s1.sdoc, MIN(w.pos) AS spos
-                      FROM s1 JOIN dw w
-                        ON w.fp = s1.fp AND w.doc_id = s1.sdoc
-                      GROUP BY s1.fp, s1.sdoc),
-               fate AS (
-                 SELECT w.doc_id, c.p,
-                        MAX(CASE WHEN w.doc_id = s.sdoc AND w.pos = s.spos
-                                 THEN 1 ELSE 0 END) AS surv
-                 FROM dw w JOIN s2 s ON w.fp = s.fp,
-                      unnest(generate_series(w.pos, w.pos + 7)) AS c(p)
-                 GROUP BY w.doc_id, c.p),
-               removed AS (SELECT doc_id, p FROM fate WHERE surv = 0),
-               toks AS (
-                 SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS tok
-                 FROM words, unnest(generate_series(1, len(w))) AS t(i))
-               SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text
-               FROM toks t LEFT JOIN removed r
-                 ON t.doc_id = r.doc_id AND t.p = r.p
-               WHERE r.doc_id IS NULL
-               GROUP BY t.doc_id ORDER BY t.doc_id""")),
+      Some(s"""WITH ${substrRemovalCtes(8)}
+               SELECT doc_id, text FROM cleaned ORDER BY doc_id""")),
 
     // exact n-gram Jaccard near-dup pairs via the inverted-index join.
     Entry(
