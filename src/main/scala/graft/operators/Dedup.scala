@@ -363,16 +363,47 @@ object Dedup {
           c => c.getField("chunk_text"))).as("text"))
   }
 
+  /** Occurrence count at which a duplicated-window fingerprint is
+    * routed through [[duplicatedWindows]]' broadcast (hot) path instead
+    * of the fp-partitioned shuffle join. The hot list is provably
+    * bounded: at most corpus_windows / threshold fingerprints can
+    * exceed it, so at 10¹³ corpus tokens and this default the broadcast
+    * side is ≤ ~2.4M rows × 32 bytes ≈ 76 MB worst case, and in any
+    * real corpus far smaller (boilerplate fps are few). */
+  val DefaultHotFpThreshold: Long = 1L << 22
+
   /** Shared first half of the ExactSubstr family (feeds
-    * [[maximalDuplicateSpans]] and [[removeDuplicateSubstrings]]):
-    * (doc_id, pos, fp) of every `l`-token sliding window whose
-    * fingerprint occurs more than once in the corpus (across documents
-    * or within one). Tokenize + fingerprint are pure map-side (one
-    * `explode` over positions, md5 over a bounded `slice`); the only
-    * data-sized shuffles carry (16-byte fp, doc_id, pos) — never window
-    * text — and the duplicate filter is one partial-aggregated count. */
-  private def duplicatedWindows(docs: DataFrame, l: Int): DataFrame = {
+    * [[spansFromWindows]] and [[removeSubstringsFromWindows]], and is
+    * the relation a 100 TB deployment materializes beside the corpus):
+    * one row per OCCURRENCE of a duplicated `l`-token sliding window —
+    * (doc_id, pos, fp, sdoc, spos), where (sdoc, spos) is the window's
+    * corpus-wide survivor occurrence (lexicographic min (doc_id, pos)
+    * over its fingerprint, chosen by ONE min-struct aggregate in the
+    * same pass as the duplicate count — never a per-fp sort).
+    *
+    * Tokenize + fingerprint are pure map-side (one `explode` over
+    * positions, md5 over a bounded `slice`); the only data-sized
+    * shuffles carry (16-byte fp, doc_id, pos) — never window text —
+    * and the duplicate/survivor stats are one partial-aggregated pass.
+    *
+    * Skew contract (the license-block case this operator exists to
+    * find IS its own worst key): a corpus-wide boilerplate window puts
+    * every occurrence on one fingerprint, and a plain fp-partitioned
+    * join would funnel all of them through one task. Fingerprints with
+    * ≥ `hotFpThreshold` occurrences are therefore split out: their
+    * (fp, sdoc, spos) rows — bounded by corpus_windows / threshold, see
+    * [[DefaultHotFpThreshold]] — BROADCAST, so hot occurrences join
+    * map-side in their scan partitions and never shuffle on fp; only
+    * sub-threshold fingerprints (≤ threshold rows per key by
+    * construction) take the shuffle join, with the hot keys excluded
+    * map-side by a broadcast anti-join. Results are identical at any
+    * threshold (DedupSpec plants a corpus-wide window and checks). */
+  def duplicatedWindows(docs: DataFrame, l: Int,
+                        hotFpThreshold: Long = DefaultHotFpThreshold)
+  : DataFrame = {
     require(l >= 2, s"window must span at least 2 tokens, got $l")
+    require(hotFpThreshold >= 2,
+      s"hotFpThreshold must be >= 2, got $hotFpThreshold")
     val wins = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .where(size(col("w")) >= l)
@@ -380,11 +411,24 @@ object Dedup {
         explode(sequence(lit(1), size(col("w")) - l + 1)).as("pos"), col("w"))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(concat_ws(" ", slice(col("w"), col("pos"), lit(l)))).as("fp"))
-    val dupFp = wins.groupBy("fp")
-      .agg(count(lit(1)).as("n_occ"))
+    // count + survivor in ONE aggregate; the shuffle before it is
+    // shared by all three consumers below via exchange reuse
+    val stats = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("s"))
       .filter(col("n_occ") > 1)
-      .select("fp")
-    wins.join(dupFp, "fp").select("doc_id", "pos", "fp")
+      .select(col("fp"), col("n_occ"),
+        col("s.doc_id").as("sdoc"), col("s.pos").as("spos"))
+    val hot = stats.filter(col("n_occ") >= hotFpThreshold)
+      .select("fp", "sdoc", "spos")
+    val warm = stats.filter(col("n_occ") < hotFpThreshold)
+      .select("fp", "sdoc", "spos")
+    val hotRows = wins.join(broadcast(hot), Seq("fp"))
+    val warmRows = wins
+      .join(broadcast(hot.select("fp")), Seq("fp"), "left_anti")
+      .join(warm, Seq("fp"))
+    hotRows.unionByName(warmRows)
+      .select("doc_id", "pos", "fp", "sdoc", "spos")
   }
 
   /** Maximal duplicated-substring spans — the arbitrary-offset exact
@@ -415,10 +459,18 @@ object Dedup {
     * Reference scope: the reference engine has no substring-level
     * dedup; this extends the dedup family for LLM-corpus curation
     * alongside [[exact]]/[[duplicateSpans]]/[[minhashLshPairs]]. */
-  def maximalDuplicateSpans(docs: DataFrame, l: Int): DataFrame = {
+  def maximalDuplicateSpans(docs: DataFrame, l: Int): DataFrame =
+    spansFromWindows(duplicatedWindows(docs, l), l)
+
+  /** [[maximalDuplicateSpans]] over a PRE-COMPUTED duplicated-window
+    * relation (the [[duplicatedWindows]] output, typically materialized
+    * once beside the corpus and shared by the whole substr family —
+    * spans, rate, removal, and the curation chain each consume the same
+    * table instead of re-fingerprinting the corpus). */
+  def spansFromWindows(wins: DataFrame, l: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    duplicatedWindows(docs, l)
+    wins
       .select("doc_id", "pos")
       .withColumn("prev", lag("pos", 1).over(byDoc))
       .withColumn("brk",
@@ -438,8 +490,14 @@ object Dedup {
     * token mass sits inside a duplicated ≥`l`-token substring (the
     * number ExactSubstr removal would delete). Documents shorter than
     * `l` count toward `n_docs`/`total_tokens` with zero dup mass. */
-  def substringDupRate(docs: DataFrame, l: Int): DataFrame = {
-    val perDoc = maximalDuplicateSpans(docs, l)
+  def substringDupRate(docs: DataFrame, l: Int): DataFrame =
+    substringDupRateFromWindows(docs, duplicatedWindows(docs, l), l)
+
+  /** [[substringDupRate]] over a pre-computed [[duplicatedWindows]]
+    * relation (see [[spansFromWindows]]). */
+  def substringDupRateFromWindows(docs: DataFrame, wins: DataFrame,
+                                  l: Int): DataFrame = {
+    val perDoc = spansFromWindows(wins, l)
       .groupBy("doc_id")
       .agg(sum("span_tokens").as("doc_dup_tokens"))
     docs
@@ -451,6 +509,32 @@ object Dedup {
         count(col("doc_dup_tokens")).as("docs_with_dups"),
         coalesce(sum("doc_dup_tokens"), lit(0L)).as("dup_tokens"),
         sum("n_tokens").as("total_tokens"))
+  }
+
+  /** Window-length sensitivity report for the ExactSubstr family —
+    * Lee et al. fix l = 50 tokens by eyeballing this exact curve; the
+    * report makes the choice data-driven: corpus-wide duplicated token
+    * mass (and span/doc counts) at each candidate window length, one
+    * [[duplicatedWindows]] fingerprint pass per l (each pass is the
+    * same O(corpus tokens) map-side pipeline; the passes share the
+    * tokenize scan shape but nothing forces them into one job — run it
+    * at corpus-audit cadence, not per query).
+    *
+    * Monotonicity law (spec-pinned): covered-token mass is
+    * NON-INCREASING in l — a duplicated 2l-window's sub-l-windows are
+    * each duplicated too, so coverage at smaller l is a superset. A
+    * report violating that is a bug, not a corpus property. */
+  def substringDupSensitivity(docs: DataFrame, ls: Seq[Int]): DataFrame = {
+    require(ls.nonEmpty && ls.distinct.size == ls.size,
+      s"window lengths must be non-empty distinct, got $ls")
+    ls.map { l =>
+      maximalDuplicateSpans(docs, l)
+        .agg(count(lit(1)).as("n_spans"),
+          count_distinct(col("doc_id")).as("docs_with_dups"),
+          coalesce(sum("span_tokens"), lit(0L)).as("dup_tokens"))
+        .select(lit(l).as("l"), col("n_spans"), col("docs_with_dups"),
+          col("dup_tokens"))
+    }.reduce(_ unionByName _).orderBy("l")
   }
 
   /** ExactSubstr REMOVAL — the consumer of the span report: each
@@ -477,12 +561,18 @@ object Dedup {
     *
     * Output: (doc_id, text) with whitespace normalized to single
     * spaces; documents whose every token was removed are absent. */
-  def removeDuplicateSubstrings(docs: DataFrame, l: Int): DataFrame = {
-    val wins = duplicatedWindows(docs, l)
-    val surv = wins.groupBy("fp")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("s"))
-      .select(col("fp"), col("s.doc_id").as("sdoc"), col("s.pos").as("spos"))
-    val tokenFate = wins.join(surv, "fp")
+  def removeDuplicateSubstrings(docs: DataFrame, l: Int): DataFrame =
+    removeSubstringsFromWindows(docs, duplicatedWindows(docs, l), l)
+
+  /** [[removeDuplicateSubstrings]] over a pre-computed
+    * [[duplicatedWindows]] relation (see [[spansFromWindows]]). The
+    * survivor occurrence rides each window row (sdoc, spos — chosen
+    * inside [[duplicatedWindows]]' single stats aggregate), so removal
+    * adds NO fp-keyed shuffle of its own: coverage expands map-side and
+    * resolves per-token survival partitioned by doc_id. */
+  def removeSubstringsFromWindows(docs: DataFrame, wins: DataFrame,
+                                  l: Int): DataFrame = {
+    val tokenFate = wins
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (l - 1))).as("p"),
         (col("doc_id") === col("sdoc") && col("pos") === col("spos"))

@@ -585,8 +585,14 @@ object CurationOps {
     // cluster-survivor → chunk chain over `cleaned`).
     Entry(
       "pipeline_curate_substr",
+      // the removal front-end reads the SHARED materialized
+      // duplicated-window table (DedupOps.windowFps) instead of
+      // re-fingerprinting the corpus — the same per-(JVM, sfDir)
+      // share the cluster-label table uses; dedup_substr_spans stays
+      // the live-computed canonical fingerprint-pass entry
       (s, dir) => Curation.curate(
-          Dedup.removeDuplicateSubstrings(Tables(s, dir, "documents"), 8),
+          Dedup.removeSubstringsFromWindows(
+            Tables(s, dir, "documents"), DedupOps.windowFps(s, dir), 8),
           TextOps.Stopwords, minQuality = 0.5,
           shingleN = 3, jaccardThreshold = 0.8, chunkWords = 64)
         .orderBy("doc_id", "chunk_id"),

@@ -179,6 +179,84 @@ class DedupSpec extends SparkSuite {
       ("web", 3L, 3L, 20L, 25L)))   // 7+4+9 dup over 8+8+9 tokens
   }
 
+  test("duplicatedWindows hot-fp split: corpus-wide boilerplate window stays exact and broadcasts, never fp-shuffles") {
+    // the license-block case: ONE 3-token window planted in 50% of a
+    // 40-doc corpus (20 occurrences — corpus-wide hot), plus a warm
+    // pair-shared window (2 occurrences) and unique filler everywhere
+    // else. hotFpThreshold=4 forces the boilerplate fp onto the hot
+    // path while the warm pair takes the shuffle join.
+    val boiler = "lic1 lic2 lic3"
+    val docs = (1L to 40L).map { i =>
+      val filler = (1 to 5).map(j => s"u${i}_$j").mkString(" ")
+      val text =
+        if (i <= 20) s"$filler $boiler"           // hot window, offset 6
+        else if (i <= 22) s"warm1 warm2 warm3 $filler" // warm pair (21, 22)
+        else s"$filler x$i y$i z$i"
+      (i, text, "web")
+    }.toDF("doc_id", "text", "source")
+
+    // exactness: results are INVARIANT to the threshold — the split
+    // run must equal the default run (where nothing is hot) on spans,
+    // rate, and removal
+    def spans(t: Long) = Dedup.spansFromWindows(
+        Dedup.duplicatedWindows(docs, 3, t), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def removed(t: Long) = Dedup.removeSubstringsFromWindows(
+        docs, Dedup.duplicatedWindows(docs, 3, t), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(spans(4L) === spans(Dedup.DefaultHotFpThreshold))
+    assert(removed(4L) === removed(Dedup.DefaultHotFpThreshold))
+    // sanity of the plant itself: every boilerplate carrier has the
+    // [6,8] span, and removal keeps exactly one boilerplate copy
+    assert(spans(4L).filter(s => s._1 <= 20) ===
+      (1L to 20L).map(i => (i, 6L, 8L)).toSet)
+    assert(removed(4L).count(_._2.contains(boiler)) === 1)
+
+    // structure: with the low threshold, the hot fp's 20 occurrence
+    // rows take the BROADCAST path (two broadcast joins: hot stats +
+    // the anti-join fencing the shuffle side), so no task ever
+    // receives the hot key's full occurrence list via an fp-keyed
+    // exchange; the warm join is the only fp-partitioned join left
+    val split = Dedup.duplicatedWindows(docs, 3, 4L)
+    val physical = split.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(physical).size >= 2,
+      s"expected hot-path broadcast joins in:\n$physical")
+    // default threshold (nothing hot): the broadcast branches are
+    // still in the plan but carry zero rows — same single warm join
+    assert(split.count() ===
+      Dedup.duplicatedWindows(docs, 3).count())
+  }
+
+  test("substringDupSensitivity: duplicated token mass is non-increasing in l, exact at each length") {
+    // two docs share a 16-token passage; two more share an 8-token
+    // passage; one doc repeats a 4-token phrase internally
+    val p16 = (1 to 16).map(i => s"p$i").mkString(" ")
+    val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $p16 a3"),
+      (2L, s"b1 $p16 b2 b3"),
+      (3L, s"c1 c2 c3 $p8"),
+      (4L, s"$p8 d1 d2 d3"),
+      (5L, "e1 r1 r2 r3 r4 e2 r1 r2 r3 r4 e3"),
+      (6L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.substringDupSensitivity(docs, Seq(4, 8, 16, 32))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rep.map(_._1).toSeq === Seq(4, 8, 16, 32))
+    val mass = rep.map(_._4)
+    assert(mass.sliding(2).forall(w => w(0) >= w(1)),
+      s"dup mass must be non-increasing in l: ${mass.toSeq}")
+    // exact at the ends: l=4 covers the 16- and 8-token passages plus
+    // the within-doc repeat (2×(4+4+2... hand-check: docs 1,2 → 16 each;
+    // docs 3,4 → 8 each; doc 5 → both r1..r4 runs covered = 8; l=32
+    // finds nothing
+    assert(rep(0)._4 === 16L + 16L + 8L + 8L + 8L)
+    assert(rep(3) === ((32, 0L, 0L, 0L)))
+    // l=16: only the shared 16-token passage qualifies
+    assert(rep(2)._4 === 32L && rep(2)._3 === 2L)
+  }
+
   test("removeDuplicateSpans: shared header kept once, within-doc repeats collapsed, empty shells absent") {
     val corpus = Seq(
       (1L, "h1 h2 h3 h4 a b c d"), // header + unique tail — keeps everything
