@@ -384,6 +384,15 @@ object Curation {
   def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
                              salt: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // INTEGER-WEIGHT semantics: priority = H DIV w needs an integral w —
+    // a fractional weight would be silently floor-truncated here (1.9
+    // sampling as 1) while DuckDB's // on a DOUBLE float-floor-divides,
+    // so the engine-exactness claim only holds for integral columns.
+    // Reject the type loudly instead of diverging quietly (ADVICE r12).
+    val wt = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wt),
+      s"weightedPrioritySample: $weightCol must be an integral column " +
+        s"(priority is exact integer H DIV w), got $wt")
     val bad = s"weightedPrioritySample: $weightCol must be >= 1, got "
     val w = when(col(weightCol) >= 1, col(weightCol).cast(LongType))
       .otherwise(raise_error(concat(lit(bad),

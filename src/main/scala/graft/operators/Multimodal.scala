@@ -73,35 +73,94 @@ object Multimodal {
           md5(col("payload")).as("content_md5"),
           col("mime")).as("meta"))
 
-  /** Feature row produced by the stubbed decoder. */
+  /** Feature row produced by the decode stage. */
   final case class MediaFeatures(
       doc_id: Long, byte_len: Int, histogram: Array[Double])
 
-  /** STUB DECODER — deterministic fake standing in for image/audio decode
-    * (the real codec is not installable here). Produces a 16-bin byte
-    * histogram normalized to sum 1, which has the exact shape (fixed-width
-    * double vector per row) a real embedding/feature extractor returns.
+  /** The decode seam: payload bytes → fixed-width feature vector (16-bin
+    * histogram summing to 1, the shape every downstream similarity /
+    * phash consumer expects). Implementations must be deterministic and
+    * serializable — one instance ships to each executor and is shared by
+    * all rows of a partition. */
+  trait MediaCodec extends Serializable {
+    def features(bytes: Array[Byte]): Array[Double]
+  }
+
+  /** Deterministic fake codec — the gate path (text payloads are not
+    * images, so the oracle-checked mm_* queries need a decode DuckDB can
+    * replicate): 16-bin BYTE histogram normalized to sum 1. Same output
+    * shape as [[ImageIoCodec]]. */
+  object ByteHistogramCodec extends MediaCodec {
+    override def features(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xFF) / 16) += 1.0; i += 1 }
+      // empty payload → all-zero histogram, not 0/0 = NaN poison
+      if (bytes.length > 0) {
+        val total = bytes.length.toDouble
+        var b = 0
+        while (b < 16) { hist(b) = hist(b) / total; b += 1 }
+      }
+      hist
+    }
+  }
+
+  /** REAL image decoder — `javax.imageio` (JDK built-in, no extra
+    * dependency): decodes PNG/JPEG/GIF/BMP payload bytes to pixels and
+    * emits a 16-bin LUMINANCE histogram (integer BT.601 weights
+    * (299·R + 587·G + 114·B) / 1000, bin = lum / 16 — all-integer, so
+    * the same image decodes to the same features on every JVM).
+    * Non-decodable bytes fail loudly: a corrupt payload in a media
+    * pipeline is a data-quality event, not a silent zero vector.
+    * MultimodalSpec drives real PNG and JPEG bytes through this. */
+  object ImageIoCodec extends MediaCodec {
+    override def features(bytes: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"ImageIoCodec: payload (${bytes.length} bytes) is not a " +
+          "decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Double](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          hist(lum / 16) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w.toLong * h).toDouble
+      var b = 0
+      while (b < 16) { hist(b) = hist(b) / total; b += 1 }
+      hist
+    }
+  }
+
+  /** Decode stage: payload → features through the pluggable codec seam.
+    * Default is the deterministic [[ByteHistogramCodec]] (the
+    * oracle-gated path); pass [[ImageIoCodec]] for real image payloads —
+    * the Spark plumbing (binary column in, mapPartitions batch decode,
+    * fixed-width vector out) is IDENTICAL either way, which is the
+    * point of the seam.
     *
     * The mapPartitions structure is the real contract: per-partition
-    * initialization (a codec handle, here trivial), streaming batch
-    * iteration, no driver involvement. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    * initialization (the codec instance), streaming batch iteration, no
+    * driver involvement. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+                     codec: MediaCodec = ByteHistogramCodec)
+  : Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "codec" init would go here
+        val c = codec // one codec instance serves the whole partition
         rows.map { case (id, bytes) =>
-          val hist = new Array[Double](16)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xFF) / 16) += 1.0; i += 1 }
-          // empty payload → all-zero histogram, not 0/0 = NaN poison
-          if (bytes.length > 0) {
-            val total = bytes.length.toDouble
-            var b = 0
-            while (b < 16) { hist(b) = hist(b) / total; b += 1 }
-          }
-          MediaFeatures(id, bytes.length, hist)
+          MediaFeatures(id, bytes.length, c.features(bytes))
         }
       }(Encoders.product[MediaFeatures])
   }

@@ -442,9 +442,18 @@ object Similarity {
     // the sketch is built over NORMALIZED vectors (a map-side transform;
     // exactness of the gated m = corpus end is unaffected: the candidate
     // pass keeps everything there regardless of its metric)
+    // zero-norm guard: an all-zero embedding has no direction — 0/0
+    // coordinates would silently poison candidate ranking as NaN, so
+    // fail loudly like jlProjCol's ragged-dim guard (ADVICE r12)
     def unit(df: DataFrame): DataFrame = df.select(col("vec_id"),
       zip_with(col("embedding"),
-        array_repeat(sqrt(vecNorm2(col("embedding"))), inDim),
+        array_repeat(
+          when(vecNorm2(col("embedding")) > 0,
+            sqrt(vecNorm2(col("embedding"))))
+            .otherwise(raise_error(concat(
+              lit("knnJlRerank: zero-norm embedding for vec_id="),
+              col("vec_id").cast("string")))),
+          inDim),
         (x, n) => (x.cast("double") / n).cast("float")).as("embedding"))
     val p = randomProject(unit(emb), inDim, outDim, seed)
     val pq = randomProject(
@@ -517,7 +526,12 @@ object Similarity {
       .select(col("query_id"), col("n_pairs"),
         Exact.bigColToDouble("st").as("sum_true_d2"),
         Exact.bigColToDouble("ss").as("sum_sketch_d2"),
-        (Exact.bigColToDouble("ss") /
-          (lit(outDim.toDouble) * Exact.bigColToDouble("st"))).as("ratio"))
+        // a query identical to every corpus vector has zero true mass;
+        // the ratio is then undefined — NULL, never 0/0 = NaN poison
+        // (oracle carries the same CASE)
+        when(Exact.bigColToDouble("st") > 0,
+          Exact.bigColToDouble("ss") /
+            (lit(outDim.toDouble) * Exact.bigColToDouble("st")))
+          .as("ratio"))
   }
 }

@@ -174,9 +174,10 @@ object SimilarityOps {
                SELECT td.query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                       ${Exact.bigSqlToDouble("SUM(true_d2)")} AS sum_true_d2,
                       ${Exact.bigSqlToDouble("SUM(sk_d2)")} AS sum_sketch_d2,
-                      ${Exact.bigSqlToDouble("SUM(sk_d2)")}
-                        / (8.0 * ${Exact.bigSqlToDouble("SUM(true_d2)")})
-                        AS ratio
+                      CASE WHEN ${Exact.bigSqlToDouble("SUM(true_d2)")} > 0
+                           THEN ${Exact.bigSqlToDouble("SUM(sk_d2)")}
+                             / (8.0 * ${Exact.bigSqlToDouble("SUM(true_d2)")})
+                      END AS ratio
                FROM td JOIN sd ON td.query_id = sd.query_id
                               AND td.vec_id = sd.vec_id
                GROUP BY td.query_id ORDER BY td.query_id""")),

@@ -96,6 +96,18 @@ object StreamingIvm {
       // but localCheckpoint also decouples from the streaming batch
       .localCheckpoint(true)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$batchId")
+    // versions() treats the _SUCCESS marker as the commit record; a
+    // Hadoop conf with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false writes no marker, which would make every committed version
+    // INVISIBLE and silently re-fold from empty state — fail loudly
+    // here instead (ADVICE r12)
+    val fsv = new Path(s"$stateDir/v=$batchId")
+    val fs0 = fsv.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs0.exists(new Path(fsv, "_SUCCESS")),
+      s"StreamingIvm: state write v=$batchId produced no _SUCCESS " +
+        "marker — the committer is configured with " +
+        "marksuccessfuljobs=false; the versioned-fold protocol " +
+        "cannot see commits without markers")
     // prune AFTER the successful write: keep the newest keepVersions
     // committed versions (the just-written v=batchId and at least its
     // predecessor); also sweep marker-less half-written leftovers

@@ -40,6 +40,78 @@ class MultimodalSpec extends SparkSuite {
     assert(hist(7) === 1.0)
   }
 
+  // --- real codec: javax.imageio behind the same decodeFeatures seam ---
+
+  /** Encode a BufferedImage to real container bytes via ImageIO. */
+  private def encodeImage(img: java.awt.image.BufferedImage,
+                          format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  private def solid(rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("ImageIoCodec: real 4x4 PNG decodes to pixel-derived luminance features") {
+    // top half black (lum 0 → bin 0), bottom half white (lum 255 → bin 15)
+    val img = solid(0x000000)
+    for (y <- 2 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+    val png = encodeImage(img, "png")
+    // the payload IS a real PNG container (magic bytes), not text
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte)
+
+    val media = Seq((1L, png)).toDF("doc_id", "payload")
+    val feats = Multimodal
+      .decodeFeatures(spark, media, Multimodal.ImageIoCodec)
+      .collect().head
+    assert(feats.byte_len === png.length)
+    assert(feats.histogram(0) === 0.5)   // 8 black pixels of 16
+    assert(feats.histogram(15) === 0.5)  // 8 white pixels of 16
+    assert(math.abs(feats.histogram.sum - 1.0) < 1e-12)
+  }
+
+  test("ImageIoCodec: JPEG decodes through the same seam; phash buckets real pixels") {
+    // three REAL images: two luminance-identical (white PNG + white
+    // JPEG — lossy, but a solid field survives ~255), one mid-gray
+    val media = Seq(
+      (1L, encodeImage(solid(0xFFFFFF), "png")),
+      (2L, encodeImage(solid(0xFFFFFF), "jpg")),
+      (3L, encodeImage(solid(0x808080), "png"))
+    ).toDF("doc_id", "payload")
+    val phash = Multimodal
+      .decodeFeatures(spark, media, Multimodal.ImageIoCodec)
+      .toDF()
+      .select(col("doc_id"), expr(
+        """aggregate(
+             zip_with(histogram, sequence(0, 15),
+                      (w, i) -> IF(w > 0.0625D, shiftleft(1L, i), 0L)),
+             0L, (a, b) -> a | b)""").as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phash(1L) === phash(2L),
+      "white PNG and white JPEG must land in the same phash bucket")
+    assert(phash(1L) !== phash(3L),
+      "gray image must land in a different bucket")
+    assert(phash(1L) === (1L << 15)) // all luminance in bin 15
+    assert(phash(3L) === (1L << 8))  // 0x80 = 128 → bin 8
+  }
+
+  test("ImageIoCodec: non-decodable payload fails loudly, never a silent zero vector") {
+    val media = Seq((1L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark, media, Multimodal.ImageIoCodec)
+        .collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("resizePayload: truncates or zero-pads to the target, meta stays honest") {
     val resized = Multimodal.resizePayload(Multimodal.asMedia(docs), 16)
       .collect().map(r => r.getLong(0) ->

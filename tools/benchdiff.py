@@ -63,8 +63,14 @@ def main():
     spot = load(opts["spot"]) if "spot" in opts else None
 
     movers = []
+    skipped_old = []
     for q, nv in sorted(new["queries"].items()):
         ov = old["queries"].get(q)
+        if ov is not None and ov <= 0 < nv:
+            # OLD failed, NEW succeeded: not a ratio, but absence must
+            # not read as "no change" — logged, never gates
+            skipped_old.append(q)
+            continue
         if ov is None or ov <= 0 or nv <= 0:
             continue  # new query, or a failure — failures live in "errors"
         r = nv / ov
@@ -76,18 +82,23 @@ def main():
                  "flagged_load_suspect": q in new.get("load_suspect", [])}
             if r < 1:
                 # got FASTER: good news, listed for the record but
-                # never gates — only slowdowns need adjudication
+                # never gates — only slowdowns need adjudication, so a
+                # spot result (even a failed one) never overrides this
                 m["verdict"] = "improvement"
             if spot and q in spot.get("queries", {}):
                 sv = spot["queries"][q]
                 m["spot_min"] = sv
-                if sv <= 0:
+                if r > 1 and sv <= 0:
                     m["verdict"] = "spot-run-failed"
                 elif r > 1 and sv <= 1.5 * ov:
                     m["verdict"] = "load-artifact"
                 elif r > 1:
                     m["verdict"] = "confirmed-regression"
             movers.append(m)
+    if skipped_old:
+        print(f"NOTE: {len(skipped_old)} queries failed in OLD but "
+              f"succeed in NEW (no ratio computable): {skipped_old}",
+              file=sys.stderr)
 
     if old.get("sf") != new.get("sf"):
         print(f"WARNING: comparing different scale factors "
