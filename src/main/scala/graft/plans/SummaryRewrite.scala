@@ -33,9 +33,38 @@ object MvRegistry {
                            cntCol: String, sums: Map[String, String],
                            nns: Map[String, String] = Map.empty,
                            mins: Map[String, String] = Map.empty,
-                           maxs: Map[String, String] = Map.empty) {
+                           maxs: Map[String, String] = Map.empty,
+                           baseToken: Option[String] = None) {
     require(groupCols.nonEmpty && groupCols.distinct.size == groupCols.size,
       s"summary grain must be non-empty distinct columns, got $groupCols")
+  }
+
+  /** Freshness token for a base table: an md5 over the sorted
+    * (path, length, mtime) of every data file under `path` — the plain-
+    * parquet stand-in for a lakehouse snapshot id (on Delta/Iceberg this
+    * would be the table version, one metadata read). Record it at
+    * registration ([[registerFresh]]); [[SummaryRewrite]] recomputes it
+    * per candidate rewrite and BAILS to the base scan when it differs —
+    * a summary lagging its base must never serve stale rows silently.
+    * The listing is metadata-only (no data read); registries fronting
+    * object stores should prefer the snapshot-id form. */
+  def baseVersionToken(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.toString
+      // committer markers/CRCs churn without data changes — data files
+      // (and their lengths/mtimes) are the version-bearing facts
+      if (!name.endsWith("_SUCCESS") && !name.endsWith(".crc"))
+        entries += s"$name:${st.getLen}:${st.getModificationTime}"
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    digest.map("%02x".format(_)).mkString
   }
 
   object Summary {
@@ -49,6 +78,19 @@ object MvRegistry {
   private val reg = new ConcurrentHashMap[String, Summary]()
 
   def register(basePath: String, s: Summary): Unit = reg.put(basePath, s)
+
+  /** [[register]] with the freshness contract: stamps the CURRENT
+    * [[baseVersionToken]] of `basePath` into the summary, so any later
+    * base write (append, overwrite, compaction) makes
+    * [[SummaryRewrite]] bail until re-registration. This is the
+    * registration every maintenance loop should use — the bare
+    * [[register]] (no token) keeps routing unconditionally and exists
+    * for callers that pin freshness some other way. */
+  def registerFresh(spark: org.apache.spark.sql.SparkSession,
+                    basePath: String, s: Summary): Unit =
+    reg.put(basePath,
+      s.copy(baseToken = Some(baseVersionToken(spark, basePath))))
+
   def clear(): Unit = reg.clear()
   private[plans] def lookup(path: String): Option[Summary] =
     Option(reg.get(path))
@@ -115,10 +157,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * would answer for the union out of one path's summary, so
     * multi-root bails. */
   private def collectBase(plan: LogicalPlan)
-  : Option[(String, Seq[Expression])] = plan match {
+  : Option[(String, Seq[Expression], HadoopFsRelation)] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        Some((fs.location.rootPaths.head.toString, Nil))
+        Some((fs.location.rootPaths.head.toString, Nil, fs))
       case _ => None
     }
     case Project(projList, child)
@@ -126,32 +168,152 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       collectBase(child)
     case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
       if cond.deterministic =>
-      collectBase(child).map { case (p, fs) => (p, cond +: fs) }
+      collectBase(child).map { case (p, fs, rel) => (p, cond +: fs, rel) }
     case _ => None
   }
+
+  /** Registry lookup + the freshness gate: a summary registered with a
+    * base-version token only routes while the CURRENT token matches —
+    * a base write after registration (append, overwrite, compaction)
+    * makes every candidate rewrite bail to the base scan until the
+    * maintenance loop re-registers. Token absent = caller pinned
+    * freshness elsewhere; route unconditionally (pre-r13 contract). */
+  private def freshLookup(path: String, rel: HadoopFsRelation)
+  : Option[MvRegistry.Summary] =
+    MvRegistry.lookup(path).filter { s =>
+      s.baseToken.forall(
+        _ == MvRegistry.baseVersionToken(rel.sparkSession, path))
+    }
 
   private def isConst(e: Expression): Boolean = e match {
     case l: Literal => l.value != null
     case _ => false
   }
 
+  /** Look through column-pruning Projects (re-planning rebuilds the
+    * aggregate directly over the new child, so a pruning projection
+    * between Aggregate and Join carries no semantics). */
+  private def stripPrune(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPrune(c)
+    case p => p
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupExprs, aggExprs, child, None)
       if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
       val gs = groupExprs.map(_.asInstanceOf[AttributeReference])
-      (for {
-        (path, filters) <- collectBase(child)
-        s <- MvRegistry.lookup(path)
-        // query grain = a duplicate-free subset of the summary grain
-        // (any order); grouping by anything finer/other bails
-        if gs.map(_.name).distinct.size == gs.size &&
-          gs.forall(g => s.groupCols.contains(g.name))
-        // every filter must touch grain columns ONLY — a predicate on
-        // any other column needs row-level data the summary lost
-        if filters.forall(_.references.forall(a =>
-          s.groupCols.contains(a.name)))
-        rewritten <- rewriteAll(agg, gs, aggExprs, s, filters)
-      } yield rewritten).getOrElse(agg)
+      rewriteDirect(agg, gs, aggExprs, child)
+        .orElse(rewriteStar(agg, gs, aggExprs, child))
+        .getOrElse(agg)
+  }
+
+  private def rewriteDirect(agg: Aggregate, gs: Seq[AttributeReference],
+                            aggExprs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      (path, filters, rel) <- collectBase(child)
+      s <- freshLookup(path, rel)
+      // query grain = a duplicate-free subset of the summary grain
+      // (any order); grouping by anything finer/other bails
+      if gs.map(_.name).distinct.size == gs.size &&
+        gs.forall(g => s.groupCols.contains(g.name))
+      // every filter must touch grain columns ONLY — a predicate on
+      // any other column needs row-level data the summary lost
+      if filters.forall(_.references.forall(a =>
+        s.groupCols.contains(a.name)))
+      rewritten <- rewriteAll(agg, gs, aggExprs, s, filters)
+    } yield rewritten
+
+  /** Star-join routing — the most common dashboard shape after the
+    * plain aggregate: an Aggregate over `base ⋈ dim` whose base-side
+    * join key is a GRAIN column routes the base side to the summary
+    * and keeps the dim join:
+    *
+    *   SELECT g, d.label, SUM(x) FROM base JOIN dim ON base.g = dim.k
+    *   GROUP BY g, d.label
+    *   →  same over (summary ⋈ dim ON summary.g = dim.k)
+    *
+    * Correct for ANY dim multiplicity (no uniqueness assumption): a
+    * dim key matching m rows replicates base rows m times on the
+    * original plan and summary rows m times on the routed plan, and
+    * every served function is multiplicity-linear at the grain —
+    * Σx·m, cnt·m, nn·m fold identically, and MIN/MAX are m-invariant.
+    * An "exploding" dim therefore changes nothing (spec-proven with a
+    * duplicate-key dim), while keys with m = 0 drop from both sides.
+    *
+    * Conservative bails, same discipline as the direct path: the join
+    * must be INNER with a single deterministic equi-condition; the
+    * base-side key must be a grain column; aggregate functions may
+    * reference BASE columns only (a same-named dim column must not
+    * hijack a sum_x mapping — checked by attribute membership, not
+    * name); groupings are grain columns or dim attributes; base-side
+    * filters are grain-only; both sides registered → ambiguous → bail.
+    * The dim subtree passes through UNTOUCHED (its own filters,
+    * projections, and nested joins keep their semantics). */
+  private def rewriteStar(agg: Aggregate, gs: Seq[AttributeReference],
+                          aggExprs: Seq[NamedExpression],
+                          child: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    stripPrune(child) match {
+      case Join(l, r, Inner, Some(cond @ EqualTo(
+          a: AttributeReference, b: AttributeReference)), _)
+        if cond.deterministic =>
+        val lBase = collectBase(l).flatMap { case (p, f, rel) =>
+          freshLookup(p, rel).map(s => (p, f, s)) }
+        val rBase = collectBase(r).flatMap { case (p, f, rel) =>
+          freshLookup(p, rel).map(s => (p, f, s)) }
+        ((lBase, rBase) match {
+          case (Some(hit), None) => Some((hit, l, r))
+          case (None, Some(hit)) => Some((hit, r, l))
+          case _ => None // neither, or BOTH (self-join ambiguity): bail
+        }).flatMap { case ((_, filters, s), base, dim) =>
+          val (baseKey, dimKey) =
+            if (base.outputSet.contains(a) && dim.outputSet.contains(b))
+              (a, b)
+            else if (base.outputSet.contains(b) && dim.outputSet.contains(a))
+              (b, a)
+            else return None // key not split across the two sides
+          if (!s.groupCols.contains(baseKey.name)) return None
+          // groupings: base grain columns (to remap) or dim attributes
+          // (pass through); anything else bails
+          if (!gs.forall(g => dim.outputSet.contains(g) ||
+              (base.outputSet.contains(g) && s.groupCols.contains(g.name))))
+            return None
+          if (gs.map(_.exprId).distinct.size != gs.size) return None
+          if (!filters.forall(_.references.forall(x =>
+              s.groupCols.contains(x.name)))) return None
+          val mvPlan = s.mv().queryExecution.analyzed
+          def mvAttr(name: String): Option[AttributeReference] =
+            mvPlan.output.collectFirst {
+              case x: AttributeReference if x.name == name => x
+            }
+          val baseGs = gs.filterNot(dim.outputSet.contains)
+          val mvGroups: Map[ExprId, AttributeReference] = baseGs.flatMap(g =>
+            mvAttr(g.name).map(g.exprId -> _)).toMap
+          if (mvGroups.size != baseGs.size) return None
+          val mvKey = mvAttr(baseKey.name).getOrElse(return None)
+          if (mvKey.dataType != baseKey.dataType) return None
+          for {
+            out <- mapOutputs(aggExprs, mvAttr, mvGroups, s,
+              isBase = x => base.outputSet.contains(x),
+              passThrough = x => dim.outputSet.contains(x))
+            fc <- remapFilters(filters, mvAttr)
+          } yield {
+            val mvFiltered = fc.foldRight(mvPlan) { (f, acc) =>
+              org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+            }
+            val joined = Join(mvFiltered, dim, Inner,
+              Some(EqualTo(mvKey, dimKey)), JoinHint.NONE)
+            val newGroups = gs.map(g =>
+              mvGroups.getOrElse(g.exprId, g): Expression)
+            Aggregate(newGroups, out, joined)
+          }
+        }
+      case _ => None
+    }
   }
 
   private def rewriteAll(agg: Aggregate, gs: Seq[AttributeReference],
@@ -163,35 +325,69 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       mvPlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }
-    val mvCnt = mvAttr(s.cntCol)
     // grouping attr exprId → its summary twin
     val mvGroups: Map[ExprId, AttributeReference] = gs.flatMap(g =>
       mvAttr(g.name).map(g.exprId -> _)).toMap
-    if (mvGroups.size != gs.size || mvCnt.isEmpty) return None
+    if (mvGroups.size != gs.size) return None
+    for {
+      out <- mapOutputs(aggExprs, mvAttr, mvGroups, s,
+        isBase = _ => true, passThrough = _ => false)
+      fc <- remapFilters(filters, mvAttr)
+    } yield {
+      val child = fc.foldRight(mvPlan) { (f, acc) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+      }
+      Aggregate(gs.map(g => mvGroups(g.exprId)), out, child)
+    }
+  }
 
-    val out = aggExprs.map {
+  /** The shared output-expression mapping of both rewrite shapes. Each
+    * aggExpr must be provably answerable or the whole rewrite bails:
+    * grouping attrs re-point at their summary twin (original exprId
+    * kept so parents still resolve), `passThrough` attrs (the star
+    * path's dim columns) stay untouched, and the served aggregate
+    * functions fold the summary columns. `isBase` fences the function
+    * arguments: in the star shape a DIM column that happens to share a
+    * served base column's NAME must not hijack its mapping. */
+  private def mapOutputs(aggExprs: Seq[NamedExpression],
+                         mvAttr: String => Option[AttributeReference],
+                         mvGroups: Map[ExprId, AttributeReference],
+                         s: MvRegistry.Summary,
+                         isBase: AttributeReference => Boolean,
+                         passThrough: AttributeReference => Boolean)
+  : Option[Seq[NamedExpression]] = {
+    val mvCnt = mvAttr(s.cntCol)
+    if (mvCnt.isEmpty) return None
+    val out: Seq[Option[NamedExpression]] = aggExprs.map {
       // a grouping column itself: re-point at the summary's, keeping
       // the original exprId so parents still resolve
       case a: AttributeReference if mvGroups.contains(a.exprId) =>
         Some(Alias(mvGroups(a.exprId), a.name)(exprId = a.exprId))
+      // a dim-side grouping column (star shape): the dim subtree is
+      // unchanged, so the attribute resolves as-is
+      case a: AttributeReference if passThrough(a) => Some(a)
       case al @ Alias(AggregateExpression(Count(Seq(c)), _, false, None, _), name)
         if isConst(c) =>
         // COUNT(const) ≡ row count ≡ Σ summary.cnt; coalesce keeps
         // COUNT's non-nullable BIGINT type (vacuous per group, exact
-        // for the grand total over an empty base)
+        // for the grand total over an empty base). In the star shape
+        // each summary row replicates per dim match, so Σ cnt·m is
+        // exactly the joined row count.
         Some(Alias(
           Coalesce(Seq(
             Sum(mvCnt.get).toAggregateExpression(),
             Literal(0L))), name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), name)
-        if s.sums.contains(a.name) && mvAttr(s.sums(a.name)).isDefined &&
+        if isBase(a) && s.sums.contains(a.name) &&
+          mvAttr(s.sums(a.name)).isDefined &&
           mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
         Some(Alias(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
       // COUNT(col): non-null count ≡ Σ summary.nn (coalesced: COUNT is
       // non-nullable)
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
-        if s.nns.contains(a.name) && mvAttr(s.nns(a.name)).isDefined =>
+        if isBase(a) && s.nns.contains(a.name) &&
+          mvAttr(s.nns(a.name)).isDefined =>
         Some(Alias(Coalesce(Seq(
           Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
           Literal(0L))), name)(exprId = al.exprId))
@@ -202,7 +398,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // native Average's double accumulation — see the scaladoc's
       // numeric note); the denominator is an exact long fold cast once.
       case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), name)
-        if s.sums.contains(a.name) && s.nns.contains(a.name) &&
+        if isBase(a) && s.sums.contains(a.name) && s.nns.contains(a.name) &&
           mvAttr(s.sums(a.name)).isDefined && mvAttr(s.nns(a.name)).isDefined &&
           al.dataType == DoubleType =>
         Some(Alias(
@@ -214,24 +410,33 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           name)(exprId = al.exprId))
       // MIN/MAX: re-aggregate the summary extremes — exact at the
       // summary grain (one row per group) and at any coarser grain
-      // (min of mins IS the min)
+      // (min of mins IS the min); multiplicity-invariant, so the star
+      // shape needs no extra care
       case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), name)
-        if s.mins.contains(a.name) && mvAttr(s.mins(a.name)).isDefined &&
+        if isBase(a) && s.mins.contains(a.name) &&
+          mvAttr(s.mins(a.name)).isDefined &&
           mvAttr(s.mins(a.name)).get.dataType == al.dataType =>
         Some(Alias(
           Min(mvAttr(s.mins(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), name)
-        if s.maxs.contains(a.name) && mvAttr(s.maxs(a.name)).isDefined &&
+        if isBase(a) && s.maxs.contains(a.name) &&
+          mvAttr(s.maxs(a.name)).isDefined &&
           mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
         Some(Alias(
           Max(mvAttr(s.maxs(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
       case _ => None // anything else: not provably answerable — bail
     }
-    if (out.exists(_.isEmpty)) return None
-    // re-point each grain filter's attributes at the summary's; a
-    // referenced grain column missing from the summary output bails
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
+  }
+
+  /** Re-point each grain filter's attributes at the summary's; a
+    * referenced grain column missing from the summary output (or type-
+    * mismatched) bails. */
+  private def remapFilters(filters: Seq[Expression],
+                           mvAttr: String => Option[AttributeReference])
+  : Option[Seq[Expression]] = {
     val remapped = filters.map { f =>
       var ok = true
       val rf = f.transform {
@@ -243,10 +448,6 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
       if (ok) Some(rf) else None
     }
-    if (remapped.exists(_.isEmpty)) return None
-    val child = remapped.flatten.foldRight(mvPlan) { (f, acc) =>
-      org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
-    }
-    Some(Aggregate(gs.map(g => mvGroups(g.exprId)), out.map(_.get), child))
+    if (remapped.exists(_.isEmpty)) None else Some(remapped.flatten)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.core.Tables
 import graft.pipeline.IncrementalFinal
@@ -556,8 +556,11 @@ object CdcOps {
         // changelog — never recomputed from the corpus
         IncrementalFinal.maintainAggregate(baseAgg, delta, Seq("event_type"))
           .write.mode("overwrite").parquet(mvPath)
-        graft.plans.MvRegistry.register(
-          "file:" + basePath, graft.plans.MvRegistry.Summary(
+        // registerFresh stamps the base-version token: routing is now
+        // CONDITIONAL on the summary being current — any later base
+        // write bails to the corpus scan until re-registration
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
             () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
             sums = Map("v_micro" -> "sum_micro"),
             nns = Map("v_micro" -> "n_nonnull")))
@@ -579,6 +582,69 @@ object CdcOps {
                      CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
                      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
                      AVG(v_micro) AS avg_micro
-              FROM base GROUP BY 1 ORDER BY 1"""))
+              FROM base GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ star-join routing: the dashboard shape one notch wider than
+    // cdc_mv_routed — a plain aggregate over `base ⋈ dim` (join key =
+    // the summary grain) grouped by a DIM attribute. SummaryRewrite
+    // re-plans the BASE side onto the |keys|-row summary and keeps the
+    // dim join; the answer is exact for any dim multiplicity because
+    // every served function is multiplicity-linear at the grain. The
+    // oracle recomputes from raw rows, so this one gate proves
+    // maintain ≡ recompute AND star-routed ≡ recompute. At 100 TB the
+    // corpus is never opened: summary ⋈ dim is |keys| × |dim|-sized.
+    Entry(
+      "cdc_mv_routed_star",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvstar_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val dimPath = new java.io.File(root, "dim").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.select("event_type", "v_micro")
+          .write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        // the dim table: event_type → its name length (a stand-in for
+        // any small attribute dim), maintained beside the summary
+        ev.select(col("event_type").as("k")).distinct()
+          .select(col("k"),
+            length(col("k")).cast(IntegerType).as("type_len"))
+          .write.mode("overwrite").parquet(dimPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .join(s.read.parquet(dimPath), col("event_type") === col("k"))
+          .groupBy("type_len")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          .orderBy("type_len")
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events),
+              dim AS (
+                SELECT DISTINCT event_type AS k,
+                       CAST(length(event_type) AS INTEGER) AS type_len
+                FROM base)
+              SELECT d.type_len, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(b.v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(b.v_micro) AS BIGINT) AS sum_micro,
+                     AVG(b.v_micro) AS avg_micro
+              FROM base b JOIN dim d ON b.event_type = d.k
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -510,6 +510,26 @@ class PlanSpec extends SparkSuite {
       s"base corpus still scanned after routing: $paths")
   }
 
+  test("star-join routing: summary replaces the base side, the dim join survives (cdc_mv_routed_star)") {
+    val df = Inventory.byName("cdc_mv_routed_star").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(paths.exists(_.endsWith("/dim")), s"dim join dropped: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after star routing: $paths")
+    // the dim join is still a JOIN in the physical plan (not collapsed)
+    assert(df.queryExecution.executedPlan.toString.contains("Join"),
+      "expected a physical join of summary and dim")
+  }
+
   test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
     val p = plan("sim_kmeans_step")
     assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins

@@ -196,6 +196,149 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("star join: aggregate over base ⋈ dim routes the base side to the summary, keeps the dim join") {
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-dim")
+    Seq(("t0", "alpha"), ("t1", "beta"), ("t2", "gamma"), ("zzz", "none"))
+      .toDF("k", "label").write.mode("overwrite").parquet(dim)
+    def q() = spark.read.parquet(base)
+      .join(spark.read.parquet(dim), col("event_type") === col("k"))
+      .groupBy("event_type", "label")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        count(col("v_micro")).as("nn"), avg("v_micro").as("a"),
+        min("v_micro").as("lo"), max("v_micro").as("hi"))
+      .orderBy("event_type")
+    val expect = q().collect() // registry empty: computed from base
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(paths.exists(_.contains(dim)), s"dim join dropped: $paths")
+      assert(routed.collect() === expect)
+      // grouping by the DIM side only also routes (base key not grouped)
+      val dimOnly = () => spark.read.parquet(base)
+        .join(spark.read.parquet(dim), col("event_type") === col("k"))
+        .groupBy("label").agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+        .orderBy("label")
+      MvRegistry.clear()
+      val exp2 = dimOnly().collect()
+      register(base, mv)
+      val routed2 = dimOnly()
+      assert(scannedPaths(routed2).exists(_.contains(mv)))
+      assert(!scannedPaths(routed2).exists(_.contains(base)))
+      assert(routed2.collect() === exp2)
+    } finally MvRegistry.clear()
+  }
+
+  test("star join: duplicate-key (exploding) dim stays exact — multiplicity is grain-constant") {
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-dimdup")
+    // t0 matches THREE dim rows, t1 two, t2 one — count/sum/avg must
+    // scale with multiplicity identically on both plans
+    Seq(("t0", "a"), ("t0", "b"), ("t0", "c"), ("t1", "d"), ("t1", "e"),
+      ("t2", "f")).toDF("k", "label").write.mode("overwrite").parquet(dim)
+    def q() = spark.read.parquet(base)
+      .join(spark.read.parquet(dim), col("event_type") === col("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        avg("v_micro").as("a"), min("v_micro").as("lo"))
+      .orderBy("event_type")
+    val expect = q().collect()
+    register(base, mv)
+    try {
+      val routed = q()
+      assert(scannedPaths(routed).exists(_.contains(mv)))
+      assert(!scannedPaths(routed).exists(_.contains(base)))
+      assert(routed.collect() === expect)
+    } finally MvRegistry.clear()
+  }
+
+  test("star join bail battery: non-grain key, non-inner, dim-column aggregate, same-named dim column") {
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-dimbail")
+    // dim carries a column NAMED v_micro — aggregating it must not
+    // hijack the summary's sum_v mapping (attribute fence, not names)
+    Seq(("t0", 10L, 100L), ("t1", 20L, 200L))
+      .toDF("k", "junk2", "v_micro")
+      .write.mode("overwrite").parquet(dim)
+    register(base, mv)
+    try {
+      val b1 = spark.read.parquet(base); val d1 = spark.read.parquet(dim)
+      val b2 = spark.read.parquet(base); val d2 = spark.read.parquet(dim)
+      val b3 = spark.read.parquet(base); val d3 = spark.read.parquet(dim)
+      val bails = Seq(
+        // join key is NOT a grain column
+        b1.join(d1, b1("v_micro") === d1("junk2"))
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
+        // non-inner join: left rows without a match have no dim twin
+        b2.join(d2, b2("event_type") === d2("k"), "left")
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
+        // aggregate over a DIM column (even one sharing a served
+        // base column's name)
+        b3.join(d3.select(col("k"), col("v_micro").as("dim_v")),
+            b3("event_type") === col("k"))
+          .groupBy("event_type").agg(sum("dim_v").as("s")))
+      bails.foreach { df =>
+        val paths = scannedPaths(df)
+        assert(paths.exists(_.contains(base)), s"expected base scan: $paths")
+        assert(!paths.exists(_.contains(mv)), s"summary wrongly used: $paths")
+      }
+      // the name-collision case in its sharpest form: SUM over the dim
+      // column literally named v_micro — must bail AND stay correct
+      val b4 = spark.read.parquet(base); val d4 = spark.read.parquet(dim)
+      val collide = b4.join(d4, b4("event_type") === d4("k"))
+        .groupBy(b4("event_type"))
+        .agg(sum(d4("v_micro")).as("s"))
+      assert(!scannedPaths(collide).exists(_.contains(mv)))
+      // unrouted ≡ ground truth: dim v_micro per match, never sum_v
+      val got = collide.orderBy("event_type").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("t0") === 200L * 100L) // 200 base rows × dim v 100
+      assert(got("t1") === 200L * 200L)
+    } finally MvRegistry.clear()
+  }
+
+  test("staleness guard: a base write after registerFresh bails routing until re-registration") {
+    val (base, mv) = fixture()
+    def q() = spark.read.parquet(base)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("v_micro").as("s")).orderBy("event_type")
+    MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+    try {
+      // fresh: routes
+      assert(scannedPaths(q()).exists(_.contains(mv)))
+      // base moves on (append) — the registered summary now LAGS: the
+      // guard must bail to the base scan, and the answer must include
+      // the appended rows (a stale summary would miss them)
+      Seq(("t0", 99, java.lang.Long.valueOf(1000000L)))
+        .toDF("event_type", "junk", "v_micro")
+        .write.mode("append").parquet(base)
+      val afterAppend = q()
+      assert(scannedPaths(afterAppend).exists(_.contains(base)),
+        "stale summary must not serve")
+      assert(!scannedPaths(afterAppend).exists(_.contains(mv)))
+      val t0 = afterAppend.collect().find(_.getString(0) == "t0").get
+      assert(t0.getLong(1) === 201) // 200 + the appended row
+      // maintenance refreshes the summary and re-registers → routes again
+      spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+          count("v_micro").as("nn_v"), min("v_micro").as("min_v"),
+          max("v_micro").as("max_v"))
+        .write.mode("overwrite").parquet(mv + "2")
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv + "2"), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+      val rerouted = q()
+      assert(scannedPaths(rerouted).exists(_.contains(mv + "2")))
+      assert(rerouted.collect().find(_.getString(0) == "t0").get
+        .getLong(1) === 201)
+    } finally MvRegistry.clear()
+  }
+
   test("unanswerable shapes bail to the base: filter, avg, distinct, other grain") {
     val (base, mv) = fixture()
     register(base, mv)
