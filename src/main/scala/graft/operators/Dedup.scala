@@ -401,27 +401,70 @@ object Dedup {
   def duplicatedWindows(docs: DataFrame, l: Int,
                         hotFpThreshold: Long = DefaultHotFpThreshold)
   : DataFrame = {
+    val wins = allWindows(docs, l)
+    joinWindowsWithStats(wins,
+      windowStats(wins).filter(col("n_occ") > 1), hotFpThreshold)
+  }
+
+  /** (doc_id, pos, fp) of EVERY `l`-token sliding window — the
+    * occurrence half of the persisted ExactSubstr index (pure map-side:
+    * one explode over positions, md5 over a bounded slice). */
+  def allWindows(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"window must span at least 2 tokens, got $l")
-    require(hotFpThreshold >= 2,
-      s"hotFpThreshold must be >= 2, got $hotFpThreshold")
-    val wins = docs
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .where(size(col("w")) >= l)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("w")) - l + 1)).as("pos"), col("w"))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(concat_ws(" ", slice(col("w"), col("pos"), lit(l)))).as("fp"))
-    // count + survivor in ONE aggregate; the shuffle before it is
-    // shared by all three consumers below via exchange reuse
-    val stats = wins.groupBy("fp")
+  }
+
+  /** Per-fingerprint stats over a window-occurrence relation: (fp,
+    * n_occ, sdoc, spos) for EVERY fingerprint — occurrence count and
+    * survivor (lexicographic min (doc_id, pos)) in ONE partial-
+    * aggregated pass. UNFILTERED (singletons kept): the incremental
+    * fold needs them — a batch window colliding with a base SINGLETON
+    * is exactly the 1→2 crossing that creates a new duplication. */
+  def windowStats(wins: DataFrame): DataFrame =
+    wins.groupBy("fp")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("s"))
-      .filter(col("n_occ") > 1)
       .select(col("fp"), col("n_occ"),
         col("s.doc_id").as("sdoc"), col("s.pos").as("spos"))
-    val hot = stats.filter(col("n_occ") >= hotFpThreshold)
+
+  /** Merge two [[windowStats]] relations (disjoint corpora): counts
+    * add, survivors take the lexicographic min — a full-outer fp join,
+    * cost ∝ |keys|, no text, no occurrence rows. */
+  def mergeWindowStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val l0 = a.select(col("fp"), col("n_occ").as("na"),
+      struct(col("sdoc"), col("spos")).as("sa"))
+    val r0 = b.select(col("fp"), col("n_occ").as("nb"),
+      struct(col("sdoc"), col("spos")).as("sb"))
+    l0.join(r0, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("n_occ"),
+        when(col("sa").isNull, col("sb"))
+          .when(col("sb").isNull, col("sa"))
+          .when(col("sa") < col("sb"), col("sa")).otherwise(col("sb"))
+          .as("s"))
+      .select(col("fp"), col("n_occ"),
+        col("s.sdoc").as("sdoc"), col("s.spos").as("spos"))
+  }
+
+  /** The skew-fenced occurrence ⋈ stats join shared by the batch and
+    * incremental paths (see [[duplicatedWindows]]' skew contract):
+    * `dupStats` must already be filtered to n_occ > 1; fingerprints at
+    * ≥ `hotFpThreshold` occurrences broadcast (bounded count), the
+    * rest take the shuffle join with hot keys anti-fenced map-side. */
+  private def joinWindowsWithStats(wins: DataFrame, dupStats: DataFrame,
+                                   hotFpThreshold: Long): DataFrame = {
+    require(hotFpThreshold >= 2,
+      s"hotFpThreshold must be >= 2, got $hotFpThreshold")
+    val hot = dupStats.filter(col("n_occ") >= hotFpThreshold)
       .select("fp", "sdoc", "spos")
-    val warm = stats.filter(col("n_occ") < hotFpThreshold)
+    val warm = dupStats.filter(col("n_occ") < hotFpThreshold)
       .select("fp", "sdoc", "spos")
     val hotRows = wins.join(broadcast(hot), Seq("fp"))
     val warmRows = wins
@@ -430,6 +473,73 @@ object Dedup {
     hotRows.unionByName(warmRows)
       .select("doc_id", "pos", "fp", "sdoc", "spos")
   }
+
+  /** Incremental ExactSubstr — the daily-crawl fold: given the
+    * PERSISTED index of the base corpus (its [[allWindows]] occurrence
+    * table and [[windowStats]] per-fp stats, maintained beside the
+    * corpus exactly like the bucketed shingle index of
+    * [[incrementalJaccardPairs]]) and a new-document batch, produce the
+    * duplicated-window relation of the UNION corpus — equal by
+    * construction to `duplicatedWindows(base ∪ batch)` (spec + gate
+    * proven) — WITHOUT re-tokenizing or re-fingerprinting a single base
+    * document.
+    *
+    * Per-increment cost: fingerprint the batch (map-side, ∝ batch
+    * tokens), ONE stats merge (fp-keyed join of batch stats against the
+    * persisted stats table — bucket the table by fp on a real lake and
+    * the base side never shuffles), and the occurrence ⋈ dup-stats
+    * join. The base occurrence table is re-scanned (map-side, no
+    * shuffle: dup fps semi-join against it), which is what makes the
+    * 1→2 crossing exact — a batch window colliding with a base
+    * SINGLETON surfaces the base occurrence too, the case a
+    * duplicates-only index would silently miss. Downstream consumers
+    * ([[spansFromWindows]], [[removeSubstringsFromWindows]],
+    * [[substringDupRateFromWindows]]) apply unchanged to the result. */
+  def duplicatedWindowsIncremental(baseWins: DataFrame,
+                                   baseStats: DataFrame,
+                                   batchDocs: DataFrame, l: Int,
+                                   hotFpThreshold: Long =
+                                     DefaultHotFpThreshold): DataFrame = {
+    val batchWins = allWindows(batchDocs, l)
+    val merged = mergeWindowStats(baseStats, windowStats(batchWins))
+      .filter(col("n_occ") > 1)
+    // join each side separately (join distributes over union): a
+    // BUCKETED base occurrence table then reads its buckets with zero
+    // exchange — unioning before the join would discard the bucket
+    // property and re-shuffle the whole corpus per increment
+    joinWindowsWithStats(baseWins, merged, hotFpThreshold)
+      .unionByName(joinWindowsWithStats(batchWins, merged, hotFpThreshold))
+  }
+
+  /** Persist a base corpus's ExactSubstr index for incremental substring
+    * dedup: the window-occurrence table (`<name>_wins`: doc_id, pos, fp)
+    * and the per-fp stats (`<name>_stats`: fp, n_occ, sdoc, spos), both
+    * bucketed + sorted on `fp` ([[graft.core.Bucketing]]) — written ONCE
+    * per corpus version, so every daily increment's fp-keyed joins read
+    * the base side through its buckets with zero Exchange (DedupSpec
+    * asserts `SelectedBucketsCount` + the single batch-side shuffle).
+    * Size `buckets` to target-partition bytes at the index's volume
+    * (~32 bytes per corpus token position). */
+  def writeSubstrIndex(base: DataFrame, l: Int, name: String,
+                       buckets: Int): Unit = {
+    graft.core.Bucketing.writeBucketed(allWindows(base, l),
+      s"${name}_wins", "fp", buckets)
+    val spark = base.sparkSession
+    graft.core.Bucketing.writeBucketed(
+      windowStats(spark.table(s"${name}_wins")),
+      s"${name}_stats", "fp", buckets)
+  }
+
+  /** [[duplicatedWindowsIncremental]] against a PERSISTED index written
+    * by [[writeSubstrIndex]] — the production daily-crawl path: base
+    * documents are never re-tokenized AND the index side never
+    * re-shuffles. */
+  def duplicatedWindowsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, batchDocs: DataFrame, l: Int,
+                                 hotFpThreshold: Long =
+                                   DefaultHotFpThreshold): DataFrame =
+    duplicatedWindowsIncremental(spark.table(s"${name}_wins"),
+      spark.table(s"${name}_stats"), batchDocs, l, hotFpThreshold)
 
   /** Maximal duplicated-substring spans — the arbitrary-offset exact
     * substring dedup of Lee et al., "Deduplicating Training Data Makes

@@ -141,6 +141,57 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder — `javax.sound.sampled` (JDK built-in): decodes
+    * WAV/AIFF/AU payload bytes to PCM samples and emits a 16-bin
+    * AMPLITUDE histogram (|sample| / full-scale, binned evenly; first
+    * channel of each frame). Supports the signed 16-bit and unsigned
+    * 8-bit PCM encodings the JDK parses natively — all-integer sample
+    * math, so identical features on every JVM. Non-decodable bytes fail
+    * loudly, like [[ImageIoCodec]]. */
+  object WavCodec extends MediaCodec {
+    override def features(bytes: Array[Byte]): Array[Double] = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"WavCodec: payload (${bytes.length} bytes) is not a " +
+              "decodable audio container", e)
+      }
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 16 || bits == 8,
+        s"WavCodec: only 8/16-bit PCM supported, got $bits-bit " +
+          s"${fmt.getEncoding}")
+      val frameSize = fmt.getFrameSize
+      val data = in.readAllBytes()
+      require(frameSize > 0 && data.length % frameSize == 0,
+        s"WavCodec: truncated frame (len ${data.length}, frame $frameSize)")
+      val n = data.length / frameSize
+      val hist = new Array[Double](16)
+      var f = 0
+      while (f < n) {
+        val off = f * frameSize
+        // first channel; amplitude normalized to 0..32768
+        val amp =
+          if (bits == 16) {
+            val lo = data(off) & 0xFF
+            val hi = data(off + 1)
+            val s = if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF))
+                    else ((hi << 8) | lo)
+            math.min(math.abs(s), 32767)
+          } else {
+            // 8-bit WAV PCM is unsigned, centered at 128
+            math.abs(((data(off) & 0xFF) - 128)) * 256
+          }
+        hist(math.min(15, amp * 16 / 32768)) += 1.0
+        f += 1
+      }
+      if (n > 0) { var b = 0; while (b < 16) { hist(b) /= n.toDouble; b += 1 } }
+      hist
+    }
+  }
+
   /** Decode stage: payload → features through the pluggable codec seam.
     * Default is the deterministic [[ByteHistogramCodec]] (the
     * oracle-gated path); pass [[ImageIoCodec]] for real image payloads —

@@ -383,6 +383,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
         Some(Alias(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
           name)(exprId = al.exprId))
+      // COUNT(DISTINCT g) where g is a GRAIN column: the summary holds
+      // exactly one row per existing grain combination, so the distinct
+      // set of g within any coarser group is identical over the summary
+      // (null groups excluded by COUNT on both sides; multiplicity —
+      // the star shape's dim fan-out — cannot change a distinct count)
+      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), name)
+        if isBase(a) && s.groupCols.contains(a.name) &&
+          mvAttr(a.name).isDefined &&
+          mvAttr(a.name).get.dataType == a.dataType =>
+        Some(Alias(
+          Count(mvAttr(a.name).get)
+            .toAggregateExpression(isDistinct = true),
+          name)(exprId = al.exprId))
       // COUNT(col): non-null count ≡ Σ summary.nn (coalesced: COUNT is
       // non-nullable)
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)

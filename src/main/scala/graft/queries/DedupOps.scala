@@ -154,6 +154,36 @@ object DedupOps {
     s.read.parquet(path)
   }
 
+  /** The persisted BASE half of the incremental ExactSubstr index
+    * (occurrences + per-fp stats at l = 8 over the deterministic
+    * `sinc:` base split), materialized once per (JVM, sfDir) — the
+    * stand-in for the lake tables a daily-crawl loop maintains. The
+    * `dedup_substr_incremental` entry folds the batch split into THIS,
+    * never re-fingerprinting base documents. */
+  private val substrIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def substrIncSplit =
+    substring(md5(concat(lit("sinc:"),
+      col("doc_id").cast(org.apache.spark.sql.types.StringType))), 1, 1)
+
+  private[queries] def substrBaseIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_substr_idx_${ProcessHandle.current().pid()}_$tag").toString
+    substrIndexTables.computeIfAbsent(root, { p =>
+      val base = Tables(s, dir, "documents").filter(substrIncSplit < "c")
+      val wins = Dedup.allWindows(base, 8)
+      wins.write.mode("overwrite").parquet(s"$p/wins")
+      Dedup.windowStats(s.read.parquet(s"$p/wins"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+      p
+    })
+    (s.read.parquet(s"$root/wins"), s.read.parquet(s"$root/stats"))
+  }
+
   /** Materialize both shared tables eagerly — Bench calls this in its
     * UNTIMED warm-up so the one-off build cost is never attributed to
     * whichever derived entry happens to run first (at
@@ -163,6 +193,7 @@ object DedupOps {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     clusterLabels(s, dir)
     windowFps(s, dir)
+    substrBaseIndex(s, dir)
     ()
   }
 
@@ -369,6 +400,28 @@ object DedupOps {
             ${Seq(8, 16, 32, 64).map(one).mkString("\nUNION ALL\n")}
             ORDER BY l"""
       }),
+
+    // incremental ExactSubstr: the daily-crawl fold — the batch split's
+    // windows fingerprint map-side and merge into the PERSISTED base
+    // index (occurrences + per-fp stats; base docs never re-tokenized);
+    // the 1->2 crossing (batch window colliding with a base SINGLETON)
+    // is exact because singleton stats are kept. The oracle is the
+    // full-corpus span CTE: incremental ≡ batch in one gate.
+    Entry(
+      "dedup_substr_incremental",
+      (s, dir) => {
+        val (bw, bs) = substrBaseIndex(s, dir)
+        val batch = Tables(s, dir, "documents").filter(substrIncSplit >= "c")
+        Dedup.spansFromWindows(
+            Dedup.duplicatedWindowsIncremental(bw, bs, batch, 8), 8)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH ${substrCtes(8)}
+               SELECT doc_id, MIN(pos) AS span_start,
+                      MAX(pos) + 7 AS span_end,
+                      MAX(pos) + 8 - MIN(pos) AS span_tokens
+               FROM isl GROUP BY doc_id, island
+               ORDER BY doc_id, span_start""")),
 
     // exact n-gram Jaccard near-dup pairs via the inverted-index join.
     Entry(

@@ -227,6 +227,95 @@ class DedupSpec extends SparkSuite {
       Dedup.duplicatedWindows(docs, 3).count())
   }
 
+  test("duplicatedWindowsIncremental ≡ batch recompute, including the 1→2 singleton crossing") {
+    // base: doc 1 carries window "s1 s2 s3" ONCE (a singleton — absent
+    // from any duplicates-only index) and docs 2/3 share "d1 d2 d3";
+    // batch: doc 10 re-uses the base singleton (the 1→2 crossing: BOTH
+    // occurrences must surface), doc 11 pairs internally with doc 12,
+    // doc 13 is all-unique
+    val base = Seq(
+      (1L, "s1 s2 s3 a1 a2 a3"),
+      (2L, "b1 d1 d2 d3 b2 b3"),
+      (3L, "c1 c2 d1 d2 d3 c3")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x1 x2 s1 s2 s3 x3"),
+      (11L, "e1 e2 e3 f1 f2 f3"),
+      (12L, "g1 e1 e2 e3 g2 g3"),
+      (13L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val full = base.unionByName(batch)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inc = Dedup.duplicatedWindowsIncremental(
+      Dedup.allWindows(base, 3), Dedup.windowStats(Dedup.allWindows(base, 3)),
+      batch, 3)
+    assert(key(inc) === key(Dedup.duplicatedWindows(full, 3)))
+    // the crossing is present from BOTH sides, survivor = the base copy
+    val sRows = inc.filter(col("doc_id").isin(1L, 10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(sRows.toSet === Set((1L, 1L, 1L, 1L), (10L, 3L, 1L, 1L)))
+    // downstream consumers apply unchanged: spans of the union match
+    // the batch-recomputed spans
+    val incSpans = Dedup.spansFromWindows(inc, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullSpans = Dedup.maximalDuplicateSpans(full, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incSpans === fullSpans)
+    // stats merge itself is exact (counts add, survivor is global min)
+    val merged = Dedup.mergeWindowStats(
+        Dedup.windowStats(Dedup.allWindows(base, 3)),
+        Dedup.windowStats(Dedup.allWindows(batch, 3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val direct = Dedup.windowStats(Dedup.allWindows(full, 3))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(merged === direct)
+  }
+
+  test("persisted ExactSubstr index: identical windows, bucketed base scans, single batch-side fp shuffle in the stats merge") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val keep = graft.operators.Curation.hashKeep(col("doc_id"), "sinc", 12)
+    val base = docs.filter(keep)
+    val batch = docs.filter(!keep)
+    Dedup.writeSubstrIndex(base, 8, "sinc_idx", buckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+    // size shuffle partitions to the bucket count — the documented
+    // bucketed-join practice; the batch side then shuffles ONCE
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val fromIdx = Dedup.duplicatedWindowsFromIndex(
+        spark, "sinc_idx", batch, 8)
+      val plan = fromIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = key(Dedup.duplicatedWindows(
+        base.unionByName(batch), 8))
+      assert(key(fromIdx) === expected)
+      assert(expected.nonEmpty) // non-vacuous on the planted corpus
+      // the focused claim: merging batch stats into the bucketed stats
+      // table shuffles the BATCH side exactly once; the base side reads
+      // its buckets with zero exchange
+      val probe = Dedup.mergeWindowStats(spark.table("sinc_idx_stats"),
+        Dedup.windowStats(Dedup.allWindows(batch, 8)))
+      val pplan = probe.queryExecution.executedPlan.toString
+      assert(pplan.contains("SelectedBucketsCount"), pplan)
+      assert(pplan.linesIterator
+        .count(_.contains("Exchange hashpartitioning(fp")) === 1, pplan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.shuffle.partitions", oldSp)
+      spark.sql("DROP TABLE IF EXISTS sinc_idx_wins")
+      spark.sql("DROP TABLE IF EXISTS sinc_idx_stats")
+    }
+  }
+
   test("substringDupSensitivity: duplicated token mass is non-increasing in l, exact at each length") {
     // two docs share a 16-token passage; two more share an 8-token
     // passage; one doc repeats a 4-token phrase internally

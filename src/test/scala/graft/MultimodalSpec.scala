@@ -101,6 +101,44 @@ class MultimodalSpec extends SparkSuite {
     assert(phash(3L) === (1L << 8))  // 0x80 = 128 → bin 8
   }
 
+  /** Render 16-bit mono PCM samples into real WAV container bytes. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec: real WAV bytes decode to amplitude histograms through the same seam") {
+    val silence = wavBytes(Array.fill[Short](64)(0))
+    val half = wavBytes(Array.fill[Short](64)(16384)) // |s|=2^14 → bin 8
+    assert(new String(silence.slice(0, 4), "US-ASCII") === "RIFF")
+    val media = Seq((1L, silence), (2L, half)).toDF("doc_id", "payload")
+    val feats = Multimodal
+      .decodeFeatures(spark, media, Multimodal.WavCodec)
+      .collect().map(f => f.doc_id -> f.histogram).toMap
+    assert(feats(1L)(0) === 1.0)  // all samples in the zero-amplitude bin
+    assert(feats(2L)(8) === 1.0)  // half-scale tone → bin 8
+    assert(math.abs(feats(1L).sum - 1.0) < 1e-12)
+    // corrupt audio fails loudly, like the image codec
+    val bad = Seq((3L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark, bad, Multimodal.WavCodec).collect()
+    }
+    assert(e.getMessage.contains("not a decodable audio") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("not a decodable audio")))
+  }
+
   test("ImageIoCodec: non-decodable payload fails loudly, never a silent zero vector") {
     val media = Seq((1L, "not an image".getBytes("UTF-8")))
       .toDF("doc_id", "payload")

@@ -103,12 +103,31 @@ class SummaryRewriteSpec extends SparkSuite {
       () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
       sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
       mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
-    try shapes.zip(expect).foreach { case (q, exp) =>
-      val routed = q()
-      val paths = scannedPaths(routed)
-      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
-      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+    try {
+      shapes.zip(expect).foreach { case (q, exp) =>
+        val routed = q()
+        val paths = scannedPaths(routed)
+        assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+        assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+        assert(routed.collect() === exp)
+      }
+      // COUNT(DISTINCT grain-col) at a coarser grain: the summary holds
+      // one row per existing (event_type, junk) combo, so the distinct
+      // junk set per event_type routes exactly
+      val cd = () => spark.read.parquet(base).groupBy("event_type")
+        .agg(countDistinct(col("junk")).as("d"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+      MvRegistry.clear()
+      val exp = cd().collect()
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+        mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+      val routed = cd()
+      assert(scannedPaths(routed).exists(_.contains(mv)))
+      assert(!scannedPaths(routed).exists(_.contains(base)))
       assert(routed.collect() === exp)
+      assert(routed.collect().forall(_.getLong(1) === 7L)) // 7 junk values
     } finally MvRegistry.clear()
   }
 
