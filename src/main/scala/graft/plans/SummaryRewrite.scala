@@ -225,94 +225,154 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       rewritten <- rewriteAll(agg, gs, aggExprs, s, filters)
     } yield rewritten
 
-  /** Star-join routing — the most common dashboard shape after the
-    * plain aggregate: an Aggregate over `base ⋈ dim` whose base-side
-    * join key is a GRAIN column routes the base side to the summary
-    * and keeps the dim join:
+  /** The located base inside an inner-join tree: `rebuild` re-plants a
+    * replacement subplan where the base (and its pruning Projects /
+    * collected Filters) stood, re-creating every Join on the path with
+    * its condition passed through `remap` (grain attrs → summary
+    * twins); `conds` are those path conditions for validation. */
+  private final case class BaseSite(
+      rebuild: (LogicalPlan, Expression => Expression) => LogicalPlan,
+      path: String, filters: Seq[Expression], rel: HadoopFsRelation,
+      baseOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      conds: Seq[Expression])
+
+  /** True when any relation under `plan` scans a registered base path
+    * (used for the ambiguity bail — see [[rewriteStar]]). */
+  private def containsRegisteredBase(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case lr: LogicalRelation if (lr.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+          MvRegistry.lookup(fs.location.rootPaths.head.toString).isDefined
+        case _ => false
+      }) => ()
+    }.isDefined
+
+  /** Locate a registered base under a tree of INNER joins, descending
+    * through pruning Projects. Left subtree wins the search; a second
+    * registered base anywhere else in the tree bails (ambiguity — a
+    * self-join needs row-level data on at least one side). */
+  private def findBase(plan: LogicalPlan): Option[BaseSite] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    collectBase(plan) match {
+      case Some((p, fs, rel)) if MvRegistry.lookup(p).isDefined =>
+        Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil))
+      case _ => plan match {
+        case j @ Join(l, r, Inner, cond, _)
+          if cond.forall(_.deterministic) =>
+          (findBase(l), findBase(r)) match {
+            case (Some(_), _) if containsRegisteredBase(r) => None
+            case (None, Some(_)) if containsRegisteredBase(l) => None
+            case (Some(c), _) => Some(c.copy(
+              rebuild = (nb, remap) => j.copy(
+                left = c.rebuild(nb, remap),
+                condition = cond.map(_.transform {
+                  case e: AttributeReference => remap(e)
+                })),
+              conds = c.conds ++ cond))
+            case (None, Some(c)) => Some(c.copy(
+              rebuild = (nb, remap) => j.copy(
+                right = c.rebuild(nb, remap),
+                condition = cond.map(_.transform {
+                  case e: AttributeReference => remap(e)
+                })),
+              conds = c.conds ++ cond))
+            case _ => None
+          }
+        case Project(pl, ch)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          // pruning-only projection: drop it on rebuild (the routed
+          // aggregate re-derives exactly what it needs; the optimizer
+          // re-prunes)
+          findBase(ch)
+        case _ => None
+      }
+    }
+  }
+
+  /** Star/snowflake routing — the dashboard shapes beyond the plain
+    * aggregate: an Aggregate over an INNER-join tree containing the
+    * registered base routes the base leaf to the summary and keeps
+    * every dim join:
     *
-    *   SELECT g, d.label, SUM(x) FROM base JOIN dim ON base.g = dim.k
+    *   SELECT g, d.label, SUM(x)
+    *   FROM base JOIN d ON base.g = d.k JOIN d2 ON d.r = d2.r
     *   GROUP BY g, d.label
-    *   →  same over (summary ⋈ dim ON summary.g = dim.k)
+    *   →  same with `base` replaced by its summary
     *
-    * Correct for ANY dim multiplicity (no uniqueness assumption): a
-    * dim key matching m rows replicates base rows m times on the
-    * original plan and summary rows m times on the routed plan, and
-    * every served function is multiplicity-linear at the grain —
-    * Σx·m, cnt·m, nn·m fold identically, and MIN/MAX are m-invariant.
-    * An "exploding" dim therefore changes nothing (spec-proven with a
-    * duplicate-key dim), while keys with m = 0 drop from both sides.
+    * Correctness rests on one invariant: every join condition's
+    * BASE-side references must be GRAIN columns. Then each base row's
+    * join multiplicity m is a function of its grain values alone, so m
+    * is constant within every summary group and every served function
+    * is multiplicity-linear (Σx·m, cnt·m, nn·m fold identically) or
+    * multiplicity-invariant (MIN/MAX, COUNT DISTINCT of a grain
+    * column). This holds for ANY deterministic condition — equi, range,
+    * or compound — and any dim fan-out (spec-proven with a
+    * duplicate-key dim and a non-equi range condition); keys with
+    * m = 0 drop from both plans alike.
     *
-    * Conservative bails, same discipline as the direct path: the join
-    * must be INNER with a single deterministic equi-condition; the
-    * base-side key must be a grain column; aggregate functions may
-    * reference BASE columns only (a same-named dim column must not
-    * hijack a sum_x mapping — checked by attribute membership, not
-    * name); groupings are grain columns or dim attributes; base-side
-    * filters are grain-only; both sides registered → ambiguous → bail.
-    * The dim subtree passes through UNTOUCHED (its own filters,
-    * projections, and nested joins keep their semantics). */
+    * Conservative bails, same discipline as the direct path: any
+    * non-INNER join on the path, a condition referencing a base
+    * NON-grain column, aggregate functions over non-base columns (an
+    * attribute fence, so a dim column sharing a served base column's
+    * name cannot hijack its mapping), groupings that are neither grain
+    * columns nor dim attributes, non-grain base-side filters, or a
+    * second registered base in the tree (self-join ambiguity). Dim
+    * subtrees pass through UNTOUCHED. */
   private def rewriteStar(agg: Aggregate, gs: Seq[AttributeReference],
                           aggExprs: Seq[NamedExpression],
                           child: LogicalPlan): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.Inner
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
-    stripPrune(child) match {
-      case Join(l, r, Inner, Some(cond @ EqualTo(
-          a: AttributeReference, b: AttributeReference)), _)
-        if cond.deterministic =>
-        val lBase = collectBase(l).flatMap { case (p, f, rel) =>
-          freshLookup(p, rel).map(s => (p, f, s)) }
-        val rBase = collectBase(r).flatMap { case (p, f, rel) =>
-          freshLookup(p, rel).map(s => (p, f, s)) }
-        ((lBase, rBase) match {
-          case (Some(hit), None) => Some((hit, l, r))
-          case (None, Some(hit)) => Some((hit, r, l))
-          case _ => None // neither, or BOTH (self-join ambiguity): bail
-        }).flatMap { case ((_, filters, s), base, dim) =>
-          val (baseKey, dimKey) =
-            if (base.outputSet.contains(a) && dim.outputSet.contains(b))
-              (a, b)
-            else if (base.outputSet.contains(b) && dim.outputSet.contains(a))
-              (b, a)
-            else return None // key not split across the two sides
-          if (!s.groupCols.contains(baseKey.name)) return None
-          // groupings: base grain columns (to remap) or dim attributes
-          // (pass through); anything else bails
-          if (!gs.forall(g => dim.outputSet.contains(g) ||
-              (base.outputSet.contains(g) && s.groupCols.contains(g.name))))
-            return None
-          if (gs.map(_.exprId).distinct.size != gs.size) return None
-          if (!filters.forall(_.references.forall(x =>
-              s.groupCols.contains(x.name)))) return None
-          val mvPlan = s.mv().queryExecution.analyzed
-          def mvAttr(name: String): Option[AttributeReference] =
-            mvPlan.output.collectFirst {
-              case x: AttributeReference if x.name == name => x
-            }
-          val baseGs = gs.filterNot(dim.outputSet.contains)
-          val mvGroups: Map[ExprId, AttributeReference] = baseGs.flatMap(g =>
-            mvAttr(g.name).map(g.exprId -> _)).toMap
-          if (mvGroups.size != baseGs.size) return None
-          val mvKey = mvAttr(baseKey.name).getOrElse(return None)
-          if (mvKey.dataType != baseKey.dataType) return None
-          for {
-            out <- mapOutputs(aggExprs, mvAttr, mvGroups, s,
-              isBase = x => base.outputSet.contains(x),
-              passThrough = x => dim.outputSet.contains(x))
-            fc <- remapFilters(filters, mvAttr)
-          } yield {
-            val mvFiltered = fc.foldRight(mvPlan) { (f, acc) =>
-              org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
-            }
-            val joined = Join(mvFiltered, dim, Inner,
-              Some(EqualTo(mvKey, dimKey)), JoinHint.NONE)
-            val newGroups = gs.map(g =>
-              mvGroups.getOrElse(g.exprId, g): Expression)
-            Aggregate(newGroups, out, joined)
+    findBase(stripPrune(child)).flatMap { site =>
+      freshLookup(site.path, site.rel).flatMap { s =>
+        val baseOut = site.baseOut
+        def grainAttr(a: AttributeReference): Boolean =
+          baseOut.contains(a) && s.groupCols.contains(a.name)
+        // every path condition: base-side references must be grain cols
+        if (!site.conds.forall(_.references.forall(a =>
+            !baseOut.contains(a) ||
+              s.groupCols.contains(a.name)))) return None
+        // groupings: grain columns (remapped) or non-base attributes
+        if (!gs.forall(g => !baseOut.contains(g) || grainAttr(g)))
+          return None
+        if (gs.map(_.exprId).distinct.size != gs.size) return None
+        if (!site.filters.forall(_.references.forall(a =>
+            s.groupCols.contains(a.name)))) return None
+        val mvPlan = s.mv().queryExecution.analyzed
+        def mvAttr(name: String): Option[AttributeReference] =
+          mvPlan.output.collectFirst {
+            case x: AttributeReference if x.name == name => x
           }
+        // every base attr referenced ANYWHERE outside the aggregate
+        // functions (groupings + path conditions) needs a same-typed
+        // summary twin
+        val needed = (gs.filter(baseOut.contains) ++
+          site.conds.flatMap(_.references.toSeq.collect {
+            case a: AttributeReference if baseOut.contains(a) => a
+          })).distinct
+        val twins: Map[ExprId, AttributeReference] = needed.flatMap(a =>
+          mvAttr(a.name).collect {
+            case m if m.dataType == a.dataType => a.exprId -> m
+          }).toMap
+        if (twins.size != needed.size) return None
+        for {
+          out <- mapOutputs(aggExprs, mvAttr, twins, s,
+            isBase = baseOut.contains,
+            passThrough = a => !baseOut.contains(a))
+          fc <- remapFilters(site.filters, mvAttr)
+        } yield {
+          val mvFiltered = fc.foldRight(mvPlan) { (f, acc) =>
+            org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+          }
+          val remap: Expression => Expression = {
+            case a: AttributeReference => twins.getOrElse(a.exprId, a)
+            case e => e
+          }
+          val newGroups = gs.map(g =>
+            twins.getOrElse(g.exprId, g): Expression)
+          Aggregate(newGroups, out,
+            site.rebuild(mvFiltered, remap))
         }
-      case _ => None
+      }
     }
   }
 

@@ -319,6 +319,61 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("snowflake: a two-dim inner-join chain routes; non-equi grain range conditions route; base-non-grain conditions bail") {
+    val (base, mv) = fixture()
+    val dim1 = tmpDir("mv-sf-d1"); val dim2 = tmpDir("mv-sf-d2")
+    Seq(("t0", "alpha", 1L), ("t1", "beta", 1L), ("t2", "gamma", 2L),
+      ("t3", "delta", 2L))
+      .toDF("k", "label", "r").write.mode("overwrite").parquet(dim1)
+    Seq((1L, "east"), (2L, "west"))
+      .toDF("r2", "region").write.mode("overwrite").parquet(dim2)
+    def chain() = spark.read.parquet(base)
+      .join(spark.read.parquet(dim1), col("event_type") === col("k"))
+      .join(spark.read.parquet(dim2), col("r") === col("r2"))
+      .groupBy("region", "label")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        avg("v_micro").as("a"))
+      .orderBy("region", "label")
+    val expectChain = chain().collect()
+    // non-equi: a RANGE condition on the grain column (string band
+    // membership) — multiplicity is still a pure function of the grain
+    val dimR = tmpDir("mv-sf-dr")
+    Seq(("t0", "t1", "low"), ("t2", "t4", "high"))
+      .toDF("lo", "hi", "band").write.mode("overwrite").parquet(dimR)
+    def ranged() = spark.read.parquet(base)
+      .join(spark.read.parquet(dimR),
+        col("event_type") >= col("lo") && col("event_type") <= col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy("band")
+    val expectRanged = ranged().collect()
+    register(base, mv)
+    try {
+      val routedChain = chain()
+      val p1 = scannedPaths(routedChain)
+      assert(p1.exists(_.contains(mv)), s"summary not scanned: $p1")
+      assert(!p1.exists(_.contains(base)), s"base still scanned: $p1")
+      assert(p1.exists(_.contains(dim1)) && p1.exists(_.contains(dim2)),
+        s"dim joins dropped: $p1")
+      assert(routedChain.collect() === expectChain)
+
+      val routedRanged = ranged()
+      val p2 = scannedPaths(routedRanged)
+      assert(p2.exists(_.contains(mv)), s"summary not scanned: $p2")
+      assert(!p2.exists(_.contains(base)), s"base still scanned: $p2")
+      assert(routedRanged.collect() === expectRanged)
+
+      // a condition referencing a base NON-grain column makes the
+      // multiplicity row-dependent — must stay on the base
+      val b = spark.read.parquet(base); val d = spark.read.parquet(dimR)
+      val bail = b.join(d, b("v_micro") >= lit(500L) &&
+          b("event_type") >= d("lo"))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(bail).exists(_.contains(base)))
+      assert(!scannedPaths(bail).exists(_.contains(mv)))
+    } finally MvRegistry.clear()
+  }
+
   test("staleness guard: a base write after registerFresh bails routing until re-registration") {
     val (base, mv) = fixture()
     def q() = spark.read.parquet(base)
