@@ -458,6 +458,27 @@ object Curation {
     chunkDocs(surv, chunkWords)
   }
 
+  /** The shared PREFIX of every curation chain: quality-filter →
+    * near-dup cluster survivors, returning the surviving rows with all
+    * their columns. This is the relation a production pipeline
+    * materializes as its "curated corpus" table (refreshed per crawl;
+    * the incremental fold is [[Dedup.incrementalConnectedComponents]]);
+    * [[graft.queries.CurationOps]] shares one per-(JVM, sfDir) copy
+    * across the gated full/CDC chains the way the dedup reports share
+    * cluster labels — with `pipeline_curate` kept live as the
+    * canonical whole-chain cost signal. */
+  def qualitySurvivors(docs: DataFrame, stopwords: Seq[String],
+                       minQuality: Double, shingleN: Int,
+                       jaccardThreshold: Double): DataFrame = {
+    val kept = docs.filter(
+      TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
+    val comp = Dedup.connectedComponents(kept, "doc_id",
+      Dedup.ngramJaccardPairs(kept, shingleN, jaccardThreshold))
+    kept.join(
+      comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** The FULL curation chain — every selection stage a training-data
     * pipeline runs between a raw crawl and a tokenizer, composed as one
     * plan: quality-filter → near-dup cluster survivors →
@@ -505,6 +526,35 @@ object Curation {
           budget),
         Seq("doc_id"), "left_semi"))
 
+  /** [[curateFull]] with the quality→survivor prefix supplied as a
+    * PRE-COMPUTED relation (a [[qualitySurvivors]] table, typically
+    * materialized once per corpus version) — the chain runs only its
+    * distinctive tail per consumer. */
+  def curateFullFrom(docs: DataFrame, survivors: DataFrame,
+                     probes: DataFrame, stopwords: Seq[String],
+                     decontamN: Int, targets: Map[String, Double],
+                     defaultTarget: Double, mixSalt: String, budget: Long,
+                     chunkWords: Int): DataFrame =
+    chunkDocs(
+      docs.join(
+        selectCuratedFrom(survivors, probes, stopwords, decontamN,
+          targets, defaultTarget, mixSalt, budget),
+        Seq("doc_id"), "left_semi"),
+      chunkWords)
+
+  /** [[curateFullCdc]] over a pre-computed [[qualitySurvivors]] table
+    * (see [[curateFullFrom]]). */
+  def curateFullCdcFrom(docs: DataFrame, survivors: DataFrame,
+                        probes: DataFrame, stopwords: Seq[String],
+                        decontamN: Int, targets: Map[String, Double],
+                        defaultTarget: Double, mixSalt: String,
+                        budget: Long): DataFrame =
+    contentDefinedChunks(
+      docs.join(
+        selectCuratedFrom(survivors, probes, stopwords, decontamN,
+          targets, defaultTarget, mixSalt, budget),
+        Seq("doc_id"), "left_semi"))
+
   /** The shared selection chain: quality → near-dup survivors →
     * decontaminate → mixture-sample → token-budget; returns selected
     * doc ids (tiny — bounded by budget / avg doc tokens — so the
@@ -514,15 +564,20 @@ object Curation {
                             shingleN: Int, jaccardThreshold: Double,
                             decontamN: Int, targets: Map[String, Double],
                             defaultTarget: Double, mixSalt: String,
-                            budget: Long): DataFrame = {
-    val kept = docs.filter(
-      TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
-    val comp = Dedup.connectedComponents(kept, "doc_id",
-      Dedup.ngramJaccardPairs(kept, shingleN, jaccardThreshold))
-    val surv = kept.join(
-      comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val clean = decontaminate(surv, probes, decontamN)
+                            budget: Long): DataFrame =
+    selectCuratedFrom(
+      qualitySurvivors(docs, stopwords, minQuality, shingleN,
+        jaccardThreshold),
+      probes, stopwords, decontamN, targets, defaultTarget, mixSalt,
+      budget)
+
+  /** [[selectCurated]]'s tail over a supplied survivor relation. */
+  private def selectCuratedFrom(survivors: DataFrame, probes: DataFrame,
+                                stopwords: Seq[String], decontamN: Int,
+                                targets: Map[String, Double],
+                                defaultTarget: Double, mixSalt: String,
+                                budget: Long): DataFrame = {
+    val clean = decontaminate(survivors, probes, decontamN)
     val mixed = sampleToMixture(clean, "source", "doc_id", targets,
       defaultTarget, mixSalt)
     selectUnderBudget(mixed, stopwords, budget).select("doc_id")

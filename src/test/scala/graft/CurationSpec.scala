@@ -13,6 +13,25 @@ class CurationSpec extends SparkSuite {
     .map(i => (i, Seq.fill(10)(s"w$i").mkString(" ")))
     .toDF("doc_id", "text")
 
+  test("curateFullFrom / curateFullCdcFrom over a materialized survivor prefix equal the inline chains") {
+    val corpus = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val probes = Curation.hashSample(corpus, "doc_id", "bench", rate16 = 2)
+    val stop = Seq("the", "a")
+    val targets = Map("src0" -> 0.10, "src1" -> 0.02)
+    val surv = Curation.qualitySurvivors(corpus, stop, 0.5, 3, 0.8)
+      .localCheckpoint(true) // stands in for the persisted table
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Curation.curateFullFrom(corpus, surv, probes, stop, 8,
+        targets, 0.002, "mix", 5000L, 64)) ===
+      rows(Curation.curateFull(corpus, probes, stop, 0.5, 3, 0.8, 8,
+        targets, 0.002, "mix", 5000L, 64)))
+    assert(rows(Curation.curateFullCdcFrom(corpus, surv, probes, stop, 8,
+        targets, 0.002, "mix", 5000L)) ===
+      rows(Curation.curateFullCdc(corpus, probes, stop, 0.5, 3, 0.8, 8,
+        targets, 0.002, "mix", 5000L)))
+  }
+
   test("hashKeep: rate 16 keeps everything, rate 1 keeps ~1/16, rates nest monotonically") {
     def n(r: Int) = Curation.hashSample(docs, "doc_id", "t", r).count()
     assert(n(16) === 64L)
