@@ -192,6 +192,72 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-container image payloads derived from row data:
+    * one `px`×`px` solid-gray PNG per document, gray = n_chars mod 256 —
+    * a full ImageIO ENCODE in executor partitions. Because the decoded
+    * luminance is a pure function of n_chars, the real-codec decode
+    * path ([[ImageIoCodec]]) becomes ORACLE-GATEABLE: the expected
+    * histogram is one ANSI-SQL expression over the base table
+    * (`mm_decode_image`), so the gate certifies a genuine
+    * PNG-encode → PNG-decode → feature round trip, not a stub. */
+  def syntheticImages(spark: SparkSession, docs: DataFrame,
+                      px: Int): DataFrame = {
+    import spark.implicits._
+    require(px >= 1, s"px must be >= 1, got $px")
+    docs.select(col("doc_id"), col("n_chars").cast(LongType))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val g = (((nc % 256) + 256) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            px, px, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < px) {
+            var x = 0
+            while (x < px) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Deterministic WAV payloads, same idea as [[syntheticImages]]: 16-bit
+    * mono PCM, `samples` frames at constant amplitude n_chars mod 32768 —
+    * a real WAV ENCODE (javax.sound.sampled) whose [[WavCodec]] decode
+    * lands every sample in bin (n_chars mod 32768) DIV 2048, making the
+    * audio decode path oracle-gateable (`mm_decode_audio`). */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame,
+                     samples: Int): DataFrame = {
+    import spark.implicits._
+    require(samples >= 1, s"samples must be >= 1, got $samples")
+    docs.select(col("doc_id"), col("n_chars").cast(LongType))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nc) =>
+          val amp = (((nc % 32768) + 32768) % 32768).toInt
+          val pcm = new Array[Byte](samples * 2)
+          var i = 0
+          while (i < samples) {
+            pcm(2 * i) = (amp & 0xFF).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Decode stage: payload → features through the pluggable codec seam.
     * Default is the deterministic [[ByteHistogramCodec]] (the
     * oracle-gated path); pass [[ImageIoCodec]] for real image payloads —

@@ -73,6 +73,48 @@ object MultimodalOps {
               FROM b GROUP BY doc_id, byte_len, bin
               ORDER BY doc_id, bin""")),
 
+    // ⊕ REAL image decode, oracle-gated: solid-gray 4×4 PNGs encoded
+    // from n_chars in executor partitions, decoded by ImageIoCodec
+    // (javax.imageio) — the luminance histogram is a pure function of
+    // n_chars, so DuckDB states the expected features in one SQL
+    // expression and the gate certifies the genuine PNG encode→decode
+    // round trip (the byte-codec stub gates the text-payload path
+    // above; THIS one gates the real pixel path).
+    Entry(
+      "mm_decode_image",
+      (s, dir) => Multimodal
+        .decodeFeatures(s,
+          Multimodal.syntheticImages(s, Tables(s, dir, "documents"), 4),
+          Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("histogram")).as(Seq("bin", "weight")))
+        .filter(col("weight") > 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST((n_chars % 256) // 16 AS INTEGER) AS bin,
+                     CAST(1.0 AS DOUBLE) AS weight
+              FROM documents ORDER BY doc_id""")),
+
+    // ⊕ REAL audio decode, oracle-gated: 32-sample constant-amplitude
+    // WAVs encoded from n_chars (javax.sound.sampled), decoded by
+    // WavCodec — every sample lands in bin (n_chars % 32768) DIV 2048.
+    Entry(
+      "mm_decode_audio",
+      (s, dir) => Multimodal
+        .decodeFeatures(s,
+          Multimodal.syntheticAudio(s, Tables(s, dir, "documents"), 32),
+          Multimodal.WavCodec)
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("histogram")).as(Seq("bin", "weight")))
+        .filter(col("weight") > 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST((n_chars % 32768) // 2048 AS INTEGER) AS bin,
+                     CAST(1.0 AS DOUBLE) AS weight
+              FROM documents ORDER BY doc_id""")),
+
     // ⊕ perceptual-hash dedup buckets: threshold the 16-bin feature
     // histogram into a 16-bit signature (bin weight > 1/16 → bit set,
     // packed map-side with zip_with/aggregate — no shuffle until the
