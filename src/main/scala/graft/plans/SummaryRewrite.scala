@@ -426,79 +426,107 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // a dim-side grouping column (star shape): the dim subtree is
       // unchanged, so the attribute resolves as-is
       case a: AttributeReference if passThrough(a) => Some(a)
-      case al @ Alias(AggregateExpression(Count(Seq(c)), _, false, None, _), name)
-        if isConst(c) =>
-        // COUNT(const) ≡ row count ≡ Σ summary.cnt; coalesce keeps
-        // COUNT's non-nullable BIGINT type (vacuous per group, exact
-        // for the grand total over an empty base). In the star shape
-        // each summary row replicates per dim match, so Σ cnt·m is
-        // exactly the joined row count.
-        Some(Alias(
-          Coalesce(Seq(
-            Sum(mvCnt.get).toAggregateExpression(),
-            Literal(0L))), name)(exprId = al.exprId))
-      case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), name)
-        if isBase(a) && s.sums.contains(a.name) &&
-          mvAttr(s.sums(a.name)).isDefined &&
-          mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
-        Some(Alias(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression(),
-          name)(exprId = al.exprId))
-      // COUNT(DISTINCT g) where g is a GRAIN column: the summary holds
-      // exactly one row per existing grain combination, so the distinct
-      // set of g within any coarser group is identical over the summary
-      // (null groups excluded by COUNT on both sides; multiplicity —
-      // the star shape's dim fan-out — cannot change a distinct count)
-      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), name)
-        if isBase(a) && s.groupCols.contains(a.name) &&
-          mvAttr(a.name).isDefined &&
-          mvAttr(a.name).get.dataType == a.dataType =>
-        Some(Alias(
-          Count(mvAttr(a.name).get)
-            .toAggregateExpression(isDistinct = true),
-          name)(exprId = al.exprId))
-      // COUNT(col): non-null count ≡ Σ summary.nn (coalesced: COUNT is
-      // non-nullable)
-      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), name)
-        if isBase(a) && s.nns.contains(a.name) &&
-          mvAttr(s.nns(a.name)).isDefined =>
-        Some(Alias(Coalesce(Seq(
-          Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
-          Literal(0L))), name)(exprId = al.exprId))
-      // AVG(col) = Σ sum_col / Σ nn_col — nulls ignored by avg, so the
-      // non-null count is the denominator; an all-null group has a
-      // null summary sum and the division stays null, matching avg.
-      // The numerator folds DOUBLE-cast summary sums (replicating
-      // native Average's double accumulation — see the scaladoc's
-      // numeric note); the denominator is an exact long fold cast once.
-      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _), _, false, None, _), name)
-        if isBase(a) && s.sums.contains(a.name) && s.nns.contains(a.name) &&
-          mvAttr(s.sums(a.name)).isDefined && mvAttr(s.nns(a.name)).isDefined &&
-          al.dataType == DoubleType =>
-        Some(Alias(
-          Divide(
-            Sum(Cast(mvAttr(s.sums(a.name)).get, DoubleType))
-              .toAggregateExpression(),
-            Cast(Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
-              DoubleType)),
-          name)(exprId = al.exprId))
-      // MIN/MAX: re-aggregate the summary extremes — exact at the
-      // summary grain (one row per group) and at any coarser grain
-      // (min of mins IS the min); multiplicity-invariant, so the star
-      // shape needs no extra care
-      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), name)
-        if isBase(a) && s.mins.contains(a.name) &&
-          mvAttr(s.mins(a.name)).isDefined &&
-          mvAttr(s.mins(a.name)).get.dataType == al.dataType =>
-        Some(Alias(
-          Min(mvAttr(s.mins(a.name)).get).toAggregateExpression(),
-          name)(exprId = al.exprId))
-      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), name)
-        if isBase(a) && s.maxs.contains(a.name) &&
-          mvAttr(s.maxs(a.name)).isDefined &&
-          mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
-        Some(Alias(
-          Max(mvAttr(s.maxs(a.name)).get).toAggregateExpression(),
-          name)(exprId = al.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        // FILTER (WHERE …) clauses are served when every base-side
+        // reference is a GRAIN column (remapped to its summary twin);
+        // non-base (dim) references pass through — either way the
+        // predicate is constant within a summary group × dim row, so
+        // the filtered multiplicity stays grain-constant and every
+        // served fold filters identically on the summary. A base
+        // NON-grain reference needs row-level data — bail.
+        val filterRemapped: Option[Option[Expression]] = ae.filter match {
+          case None => Some(None)
+          case Some(f) if f.deterministic =>
+            var ok = true
+            val rf = f.transform {
+              case a: AttributeReference if isBase(a) =>
+                if (s.groupCols.contains(a.name))
+                  mvAttr(a.name) match {
+                    case Some(m) if m.dataType == a.dataType => m
+                    case _ => ok = false; a
+                  }
+                else { ok = false; a }
+            }
+            if (ok) Some(Some(rf)) else None
+          case _ => None // non-deterministic filter: bail
+        }
+        val core: Option[Expression] =
+          (ae.aggregateFunction, ae.isDistinct) match {
+            // COUNT(const) ≡ row count ≡ Σ summary.cnt; coalesce keeps
+            // COUNT's non-nullable BIGINT type (vacuous per group,
+            // exact for the grand total over an empty base). In the
+            // star shape each summary row replicates per dim match, so
+            // Σ cnt·m is exactly the joined row count.
+            case (Count(Seq(c)), false) if isConst(c) =>
+              Some(Coalesce(Seq(
+                Sum(mvCnt.get).toAggregateExpression(),
+                Literal(0L))))
+            case (Sum(a: AttributeReference, _), false)
+              if isBase(a) && s.sums.contains(a.name) &&
+                mvAttr(s.sums(a.name)).isDefined &&
+                mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
+              Some(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression())
+            // COUNT(DISTINCT g) for a GRAIN column g: the summary holds
+            // exactly one row per existing grain combination, so the
+            // distinct set of g within any coarser group is identical
+            // over the summary (null groups excluded by COUNT on both
+            // sides; multiplicity — the star shape's dim fan-out —
+            // cannot change a distinct count)
+            case (Count(Seq(a: AttributeReference)), true)
+              if isBase(a) && s.groupCols.contains(a.name) &&
+                mvAttr(a.name).isDefined &&
+                mvAttr(a.name).get.dataType == a.dataType =>
+              Some(Count(mvAttr(a.name).get)
+                .toAggregateExpression(isDistinct = true))
+            // COUNT(col): non-null count ≡ Σ summary.nn (coalesced:
+            // COUNT is non-nullable)
+            case (Count(Seq(a: AttributeReference)), false)
+              if isBase(a) && s.nns.contains(a.name) &&
+                mvAttr(s.nns(a.name)).isDefined =>
+              Some(Coalesce(Seq(
+                Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
+                Literal(0L))))
+            // AVG(col) = Σ sum_col / Σ nn_col — nulls ignored by avg,
+            // so the non-null count is the denominator; an all-null
+            // group has a null summary sum and the division stays
+            // null, matching avg. The numerator folds DOUBLE-cast
+            // summary sums (replicating native Average's double
+            // accumulation — see the scaladoc's numeric note); the
+            // denominator is an exact long fold cast once.
+            case (Average(a: AttributeReference, _), false)
+              if isBase(a) && s.sums.contains(a.name) &&
+                s.nns.contains(a.name) &&
+                mvAttr(s.sums(a.name)).isDefined &&
+                mvAttr(s.nns(a.name)).isDefined &&
+                al.dataType == DoubleType =>
+              Some(Divide(
+                Sum(Cast(mvAttr(s.sums(a.name)).get, DoubleType))
+                  .toAggregateExpression(),
+                Cast(Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
+                  DoubleType)))
+            // MIN/MAX: re-aggregate the summary extremes — exact at
+            // the summary grain (one row per group) and at any coarser
+            // grain (min of mins IS the min); multiplicity-invariant,
+            // so the star shape needs no extra care
+            case (Min(a: AttributeReference), false)
+              if isBase(a) && s.mins.contains(a.name) &&
+                mvAttr(s.mins(a.name)).isDefined &&
+                mvAttr(s.mins(a.name)).get.dataType == al.dataType =>
+              Some(Min(mvAttr(s.mins(a.name)).get).toAggregateExpression())
+            case (Max(a: AttributeReference), false)
+              if isBase(a) && s.maxs.contains(a.name) &&
+                mvAttr(s.maxs(a.name)).isDefined &&
+                mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
+              Some(Max(mvAttr(s.maxs(a.name)).get).toAggregateExpression())
+            case _ => None // not provably answerable — bail
+          }
+        for {
+          rf <- filterRemapped
+          e <- core
+        } yield Alias(
+          e.transform {
+            case x: AggregateExpression => x.copy(filter = rf)
+          }, name)(exprId = al.exprId)
       case _ => None // anything else: not provably answerable — bail
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))

@@ -319,6 +319,53 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("FILTER (WHERE grain-pred) aggregates route; base non-grain filter predicates bail") {
+    // composite (event_type, junk) grain — the pivot/conditional-agg
+    // dashboard shape: every FILTER predicate below touches grain
+    // columns only, so it transfers to the summary fold verbatim
+    val base = tmpDir("mvflt-base"); val mv = tmpDir("mvflt-sum")
+    (0L until 1000L)
+      .map(i => (s"t${i % 5}", i % 7, if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("event_type", "junk")
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"), min("v_micro").as("min_v"),
+        max("v_micro").as("max_v"))
+      .write.mode("overwrite").parquet(mv)
+    def q() = spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(
+        expr("sum(v_micro) FILTER (WHERE junk < 3)").as("s"),
+        expr("count(*) FILTER (WHERE junk IN (1, 2))").as("n"),
+        expr("count(v_micro) FILTER (WHERE junk <> 0)").as("nn"),
+        expr("avg(v_micro) FILTER (WHERE junk <> 0)").as("a"),
+        expr("min(v_micro) FILTER (WHERE junk >= 2)").as("lo"),
+        expr("count(DISTINCT junk) FILTER (WHERE junk <> 4)").as("d"))
+      .orderBy("event_type")
+    val expect = q().collect() // registry empty
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+      mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === expect)
+      // a FILTER predicate over a NON-grain column needs row-level
+      // data the summary lost — stays on the base
+      val bail = spark.read.parquet(base)
+        .groupBy("event_type")
+        .agg(expr("count(*) FILTER (WHERE v_micro > 500)").as("n"))
+      assert(scannedPaths(bail).exists(_.contains(base)))
+      assert(!scannedPaths(bail).exists(_.contains(mv)))
+    } finally MvRegistry.clear()
+  }
+
   test("snowflake: a two-dim inner-join chain routes; non-equi grain range conditions route; base-non-grain conditions bail") {
     val (base, mv) = fixture()
     val dim1 = tmpDir("mv-sf-d1"); val dim2 = tmpDir("mv-sf-d2")
