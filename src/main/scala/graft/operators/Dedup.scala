@@ -811,6 +811,11 @@ object Dedup {
     // lift to its existing root either way)
     val trulyNew = newVertices.select(col(idCol))
       .join(lbl.select(col("lid").as(idCol)), Seq(idCol), "left_anti")
+    // materialize the lifted edges ONCE: this relation fans out to the
+    // tiny vertex set, the propagation seed, AND the checkpointed edge
+    // mirror below — without the checkpoint each branch re-evaluates
+    // the whole upstream pair-scoring plan (measured 3× the entry cost
+    // at sf0.1 when the caller feeds live-scored pairs)
     val lifted = newPairs.select(col("doc_a"), col("doc_b"))
       .join(lbl.select(col("lid").as("doc_a"), col("cluster_id").as("ra")),
         Seq("doc_a"), "left")
@@ -818,6 +823,7 @@ object Dedup {
         Seq("doc_b"), "left")
       .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .localCheckpoint(true)
     val tinyV = lifted.select(col("doc_a").as(idCol))
       .union(lifted.select(col("doc_b").as(idCol)))
       .union(trulyNew)
