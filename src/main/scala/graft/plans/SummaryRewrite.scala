@@ -156,19 +156,48 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * the registered base even when one root matches — routing it
     * would answer for the union out of one path's summary, so
     * multi-root bails. */
+  /** Inline alias definitions into `e` (bottom-up maps are already
+    * fully substituted, so one pass suffices). */
+  private def substitute(e: Expression,
+                         amap: Map[ExprId, Expression]): Expression =
+    if (amap.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if amap.contains(a.exprId) => amap(a.exprId)
+    }
+
+  /** The parquet root under `plan`, the deterministic Filter conditions
+    * on the way down (alias-substituted), the relation, and the ALIAS
+    * MAP of every computed projection passed through: the analyzer
+    * extracts complex groupings (`GROUP BY f(g)`) and computed columns
+    * into `Alias(expr) AS _groupingexpression#N` Projects below the
+    * Aggregate — the map lets callers resolve those attributes back to
+    * expressions over the SCAN's columns, where the grain check is
+    * meaningful. */
   private def collectBase(plan: LogicalPlan)
-  : Option[(String, Seq[Expression], HadoopFsRelation)] = plan match {
+  : Option[(String, Seq[Expression], HadoopFsRelation,
+      Map[ExprId, Expression])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        Some((fs.location.rootPaths.head.toString, Nil, fs))
+        Some((fs.location.rootPaths.head.toString, Nil, fs, Map.empty))
       case _ => None
     }
     case Project(projList, child)
-      if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      collectBase(child)
+      if projList.forall {
+        case _: AttributeReference => true
+        case Alias(e, _) => e.deterministic
+        case _ => false
+      } =>
+      collectBase(child).map { case (p, fs, rel, amap) =>
+        val added = projList.collect {
+          case al @ Alias(e, _) => al.exprId -> substitute(e, amap)
+        }
+        (p, fs, rel, amap ++ added)
+      }
     case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
       if cond.deterministic =>
-      collectBase(child).map { case (p, fs, rel) => (p, cond +: fs, rel) }
+      collectBase(child).map { case (p, fs, rel, amap) =>
+        (p, substitute(cond, amap) +: fs, rel, amap)
+      }
     case _ => None
   }
 
@@ -200,29 +229,53 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // groupings may be plain grain columns OR any deterministic
+    // EXPRESSION over them (GROUP BY f(grain) — date_trunc rollups,
+    // substrings, band arithmetic): evaluating f per summary row is
+    // identical to evaluating it per base row within the group, so
+    // grouping the summary by the remapped expression re-aggregates
+    // exactly (mapOutputs serves the matching output expressions)
     case agg @ Aggregate(groupExprs, aggExprs, child, None)
-      if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-      val gs = groupExprs.map(_.asInstanceOf[AttributeReference])
-      rewriteDirect(agg, gs, aggExprs, child)
-        .orElse(rewriteStar(agg, gs, aggExprs, child))
+      if groupExprs.forall(_.deterministic) =>
+      rewriteDirect(agg, groupExprs, aggExprs, child)
+        .orElse(rewriteStar(agg, groupExprs, aggExprs, child))
         .getOrElse(agg)
   }
 
-  private def rewriteDirect(agg: Aggregate, gs: Seq[AttributeReference],
+  /** Substitute alias definitions into a named output, keeping the top
+    * name (a bare reference to an aliased attribute re-wraps as an
+    * Alias carrying the same exprId so parents still resolve). */
+  private def substNamed(ne: NamedExpression,
+                         amap: Map[ExprId, Expression])
+  : Option[NamedExpression] = ne match {
+    case a: AttributeReference if amap.contains(a.exprId) =>
+      Some(Alias(amap(a.exprId), a.name)(exprId = a.exprId))
+    case al @ Alias(e, n) =>
+      Some(Alias(substitute(e, amap), n)(exprId = al.exprId))
+    case a: AttributeReference => Some(a)
+    case _ => None
+  }
+
+  private def rewriteDirect(agg: Aggregate, groupExprs: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] =
     for {
-      (path, filters, rel) <- collectBase(child)
+      (path, filters, rel, amap) <- collectBase(child)
       s <- freshLookup(path, rel)
-      // query grain = a duplicate-free subset of the summary grain
-      // (any order); grouping by anything finer/other bails
-      if gs.map(_.name).distinct.size == gs.size &&
-        gs.forall(g => s.groupCols.contains(g.name))
+      gsub = groupExprs.map(substitute(_, amap))
+      asub <- {
+        val subs = aggExprs.map(substNamed(_, amap))
+        if (subs.exists(_.isEmpty)) None else Some(subs.map(_.get))
+      }
+      // every grouping expression may reference GRAIN columns only —
+      // grouping by (a function of) anything else needs row-level data
+      if gsub.forall(_.references.forall(a =>
+        s.groupCols.contains(a.name)))
       // every filter must touch grain columns ONLY — a predicate on
       // any other column needs row-level data the summary lost
       if filters.forall(_.references.forall(a =>
         s.groupCols.contains(a.name)))
-      rewritten <- rewriteAll(agg, gs, aggExprs, s, filters)
+      rewritten <- rewriteAll(agg, gsub, asub, s, filters)
     } yield rewritten
 
   /** The located base inside an inner-join tree: `rebuild` re-plants a
@@ -255,7 +308,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.catalyst.plans.logical.Join
     collectBase(plan) match {
-      case Some((p, fs, rel)) if MvRegistry.lookup(p).isDefined =>
+      // the alias map is dropped here: a computed base column
+      // referenced by a join condition or an aggregate fails the
+      // grain-name / served-column checks downstream, which is the
+      // correct conservative bail for the star shape
+      case Some((p, fs, rel, _)) if MvRegistry.lookup(p).isDefined =>
         Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil))
       case _ => plan match {
         case j @ Join(l, r, Inner, cond, _)
@@ -319,22 +376,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * columns nor dim attributes, non-grain base-side filters, or a
     * second registered base in the tree (self-join ambiguity). Dim
     * subtrees pass through UNTOUCHED. */
-  private def rewriteStar(agg: Aggregate, gs: Seq[AttributeReference],
+  private def rewriteStar(agg: Aggregate, groupExprs: Seq[Expression],
                           aggExprs: Seq[NamedExpression],
                           child: LogicalPlan): Option[LogicalPlan] = {
     findBase(stripPrune(child)).flatMap { site =>
       freshLookup(site.path, site.rel).flatMap { s =>
         val baseOut = site.baseOut
-        def grainAttr(a: AttributeReference): Boolean =
-          baseOut.contains(a) && s.groupCols.contains(a.name)
-        // every path condition: base-side references must be grain cols
-        if (!site.conds.forall(_.references.forall(a =>
-            !baseOut.contains(a) ||
-              s.groupCols.contains(a.name)))) return None
-        // groupings: grain columns (remapped) or non-base attributes
-        if (!gs.forall(g => !baseOut.contains(g) || grainAttr(g)))
-          return None
-        if (gs.map(_.exprId).distinct.size != gs.size) return None
+        def baseRefsAreGrain(e: Expression): Boolean =
+          e.references.forall(a =>
+            !baseOut.contains(a) || s.groupCols.contains(a.name))
+        // every path condition and every grouping expression: base-side
+        // references must be grain columns (dim references pass)
+        if (!site.conds.forall(baseRefsAreGrain)) return None
+        if (!groupExprs.forall(baseRefsAreGrain)) return None
         if (!site.filters.forall(_.references.forall(a =>
             s.groupCols.contains(a.name)))) return None
         val mvPlan = s.mv().queryExecution.analyzed
@@ -343,12 +397,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case x: AttributeReference if x.name == name => x
           }
         // every base attr referenced ANYWHERE outside the aggregate
-        // functions (groupings + path conditions) needs a same-typed
-        // summary twin
-        val needed = (gs.filter(baseOut.contains) ++
-          site.conds.flatMap(_.references.toSeq.collect {
+        // functions (groupings, path conditions, named grouping
+        // outputs) needs a same-typed summary twin
+        val needed = (groupExprs.flatMap(_.references.toSeq) ++
+          site.conds.flatMap(_.references.toSeq) ++
+          aggExprs.flatMap {
+            case Alias(e, _)
+              if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+              e.references.toSeq
+            case a: AttributeReference => Seq(a)
+            case _ => Nil
+          }).collect {
             case a: AttributeReference if baseOut.contains(a) => a
-          })).distinct
+          }.groupBy(_.exprId).map(_._2.head).toSeq
         val twins: Map[ExprId, AttributeReference] = needed.flatMap(a =>
           mvAttr(a.name).collect {
             case m if m.dataType == a.dataType => a.exprId -> m
@@ -367,8 +428,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case a: AttributeReference => twins.getOrElse(a.exprId, a)
             case e => e
           }
-          val newGroups = gs.map(g =>
-            twins.getOrElse(g.exprId, g): Expression)
+          val newGroups = groupExprs.map(g => g.transform {
+            case a: AttributeReference => twins.getOrElse(a.exprId, a)
+          })
           Aggregate(newGroups, out,
             site.rebuild(mvFiltered, remap))
         }
@@ -376,7 +438,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewriteAll(agg: Aggregate, gs: Seq[AttributeReference],
+  private def rewriteAll(agg: Aggregate, groupExprs: Seq[Expression],
                          aggExprs: Seq[NamedExpression],
                          s: MvRegistry.Summary,
                          filters: Seq[Expression]): Option[LogicalPlan] = {
@@ -385,19 +447,35 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       mvPlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }
-    // grouping attr exprId → its summary twin
-    val mvGroups: Map[ExprId, AttributeReference] = gs.flatMap(g =>
-      mvAttr(g.name).map(g.exprId -> _)).toMap
-    if (mvGroups.size != gs.size) return None
+    // every grain attr referenced by groupings (or the non-aggregate
+    // output expressions built from them) needs a same-typed summary
+    // twin; exprId-keyed so a same-named computed column can't collide
+    val refAttrs: Seq[AttributeReference] =
+      (groupExprs.flatMap(_.references.toSeq) ++ aggExprs.flatMap {
+        case Alias(e, _)
+          if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+          e.references.toSeq
+        case a: AttributeReference => Seq(a)
+        case _ => Nil
+      }).collect { case a: AttributeReference => a }
+        .groupBy(_.exprId).map(_._2.head).toSeq
+    val twins: Map[ExprId, AttributeReference] = refAttrs.flatMap(a =>
+      mvAttr(a.name).collect {
+        case m if m.dataType == a.dataType => a.exprId -> m
+      }).toMap
+    if (twins.size != refAttrs.size) return None
+    val remap: Expression => Expression = e => e.transform {
+      case a: AttributeReference => twins.getOrElse(a.exprId, a)
+    }
     for {
-      out <- mapOutputs(aggExprs, mvAttr, mvGroups, s,
+      out <- mapOutputs(aggExprs, mvAttr, twins, s,
         isBase = _ => true, passThrough = _ => false)
       fc <- remapFilters(filters, mvAttr)
     } yield {
       val child = fc.foldRight(mvPlan) { (f, acc) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
       }
-      Aggregate(gs.map(g => mvGroups(g.exprId)), out, child)
+      Aggregate(groupExprs.map(remap), out, child)
     }
   }
 
@@ -527,6 +605,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           e.transform {
             case x: AggregateExpression => x.copy(filter = rf)
           }, name)(exprId = al.exprId)
+      // a non-aggregate output expression (a named grouping expression
+      // — GROUP BY f(grain) emits `f(grain) AS name` here): analyzer
+      // already proved it is composed of grouping expressions, so
+      // remapping its grain attrs to their summary twins preserves it
+      // exactly; dim attrs (star shape) pass through
+      case al @ Alias(e, name)
+        if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          e.deterministic &&
+          e.references.forall {
+            case a: AttributeReference =>
+              (isBase(a) && mvGroups.contains(a.exprId)) || passThrough(a)
+            case _ => false
+          } =>
+        Some(Alias(
+          e.transform {
+            case a: AttributeReference => mvGroups.getOrElse(a.exprId, a)
+          }, name)(exprId = al.exprId))
       case _ => None // anything else: not provably answerable — bail
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))

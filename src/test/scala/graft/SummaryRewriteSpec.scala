@@ -319,6 +319,49 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("GROUP BY f(grain) routes — the date_trunc-style rollup; non-grain expression groupings bail") {
+    // composite (event_type, junk) grain; groupings are EXPRESSIONS
+    // over grain columns — evaluating f per summary row ≡ per base row
+    // within the group, so the summary re-aggregates under f exactly
+    val base = tmpDir("mvge-base"); val mv = tmpDir("mvge-sum")
+    (0L until 1000L)
+      .map(i => (s"t${i % 5}", i % 7, if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("event_type", "junk")
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"), min("v_micro").as("min_v"),
+        max("v_micro").as("max_v"))
+      .write.mode("overwrite").parquet(mv)
+    def q() = spark.read.parquet(base)
+      .groupBy(expr("substring(event_type, 2, 1)").as("sfx"),
+        expr("junk % 2").as("par"))
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        avg("v_micro").as("a"), max("v_micro").as("hi"))
+      .orderBy("sfx", "par")
+    val expect = q().collect() // registry empty
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+      mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === expect)
+      // a grouping expression over a NON-grain column needs row-level
+      // data — stays on the base
+      val bail = spark.read.parquet(base)
+        .groupBy(expr("v_micro % 2").as("p"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(bail).exists(_.contains(base)))
+      assert(!scannedPaths(bail).exists(_.contains(mv)))
+    } finally MvRegistry.clear()
+  }
+
   test("FILTER (WHERE grain-pred) aggregates route; base non-grain filter predicates bail") {
     // composite (event_type, junk) grain — the pivot/conditional-agg
     // dashboard shape: every FILTER predicate below touches grain
