@@ -503,6 +503,87 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("randomized law: routed ≡ unrouted over the served shape grammar (direct + star, filters, FILTER clauses, f(grain))") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // one corpus + summary + dim for all cases
+    val base = tmpDir("mvlaw-base"); val mv = tmpDir("mvlaw-sum")
+    val dim = tmpDir("mvlaw-dim")
+    (0L until 400L)
+      .map(i => (s"t${i % 4}", i % 5, if (i % 7 == 0) null
+        else java.lang.Long.valueOf(i % 97)))
+      .toDF("g1", "g2", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        count("v").as("nn_v"), min("v").as("min_v"), max("v").as("max_v"))
+      .write.mode("overwrite").parquet(mv)
+    // duplicate keys on purpose: multiplicity must never matter
+    Seq(("t0", "a"), ("t0", "b"), ("t1", "c"), ("t2", "d"), ("t9", "e"))
+      .toDF("k", "label").write.mode("overwrite").parquet(dim)
+
+    val genGrouping: Gen[Seq[org.apache.spark.sql.Column]] =
+      Gen.someOf(Seq(
+        col("g1"), col("g2"),
+        expr("substring(g1, 2, 1)").as("sfx"),
+        expr("g2 % 2").as("par"))).map(_.toSeq)
+    val genAgg: Gen[Seq[org.apache.spark.sql.Column]] =
+      Gen.atLeastOne(Seq(
+        count(lit(1)).as("n"),
+        sum("v").as("s"),
+        count(col("v")).as("nn"),
+        avg("v").as("a"),
+        min("v").as("lo"),
+        max("v").as("hi"),
+        countDistinct(col("g2")).as("d"),
+        expr("sum(v) FILTER (WHERE g2 < 3)").as("sf"),
+        expr("count(*) FILTER (WHERE g1 <> 't2')").as("nf"))).map(_.toSeq)
+    val genFilter: Gen[Option[org.apache.spark.sql.Column]] =
+      Gen.oneOf(None, Some(col("g1") =!= "t3"), Some(col("g2") >= 1),
+        Some(col("g1") === "t0" && col("g2") < 4))
+    val genStar: Gen[Boolean] = Gen.oneOf(true, false)
+
+    def run(groups: Seq[org.apache.spark.sql.Column],
+            aggs: Seq[org.apache.spark.sql.Column],
+            filter: Option[org.apache.spark.sql.Column],
+            star: Boolean): Set[Seq[Any]] = {
+      val scan0 = spark.read.parquet(base)
+      val scan = filter.fold(scan0)(scan0.filter)
+      val src = if (star)
+        scan.join(spark.read.parquet(dim), col("g1") === col("k"))
+      else scan
+      val grouped = if (star)
+        src.groupBy(groups :+ col("label"): _*)
+      else if (groups.isEmpty) src.groupBy()
+      else src.groupBy(groups: _*)
+      grouped.agg(aggs.head, aggs.tail: _*)
+        .collect().map(_.toSeq.map {
+          case d: Double => math.round(d * 1e9) // tolerate fold-order ulps
+          case x => x
+        }).toSet
+    }
+
+    val prop = Prop.forAll(genGrouping, genAgg, genFilter, genStar) {
+      (groups, aggs, filter, star) =>
+        MvRegistry.clear()
+        val expected = run(groups, aggs, filter, star)
+        MvRegistry.register("file:" + base, MvRegistry.Summary(
+          () => spark.read.parquet(mv), Seq("g1", "g2"), "cnt",
+          sums = Map("v" -> "sum_v"), nns = Map("v" -> "nn_v"),
+          mins = Map("v" -> "min_v"), maxs = Map("v" -> "max_v")))
+        val routed = try run(groups, aggs, filter, star)
+        finally MvRegistry.clear()
+        Prop.propBoolean(routed == expected) :|
+          s"groups=$groups aggs=$aggs filter=$filter star=$star\n" +
+          s"routed=$routed\nexpected=$expected"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(1337L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unanswerable shapes bail to the base: filter, avg, distinct, other grain") {
     val (base, mv) = fixture()
     register(base, mv)
