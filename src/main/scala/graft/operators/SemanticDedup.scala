@@ -77,4 +77,48 @@ object SemanticDedup {
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
+
+  /** Incremental SemDeDup — the daily-crawl fold for the embedding
+    * family: given the PERSISTED state (the cell-assigned base corpus —
+    * at 100 TB a `partitionBy("cell")` table — and its survivor list),
+    * fold a new-vector batch WITHOUT re-scoring a single base×base
+    * pair. Per-increment work: map-side cell assignment of the batch,
+    * one cell-equi join batch × base (co-located when the base table is
+    * cell-partitioned; cost ∝ |batch| · avg cell size), and the
+    * intra-batch prune.
+    *
+    * Exact under ARBITRARY id interleaving — no append-only id contract
+    * needed: the dropped set of the keep-smallest-id policy is
+    * dropped(v) ⇔ ∃ u < v, same cell, cos ≥ t, with u ranging over the
+    * WHOLE corpus, so the fold re-checks both directions of the cross
+    * pairs — a batch arrival with a smaller id than a base survivor
+    * evicts it, exactly as the full recompute would (spec + gate:
+    * incremental ≡ [[survivors]] over the union). */
+  def incrementalSurvivors(baseAssigned: DataFrame,
+                           baseSurvivors: DataFrame, batch: DataFrame,
+                           centroids: Array[Array[Float]],
+                           threshold: Double): DataFrame = {
+    val nb = assignCells(batch, centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val nbn = nb.withColumn("nrm", sqrt(vecNorm2(col("embedding"))))
+    val ba = baseAssigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        col("cell").as("b_cell"))
+      .withColumn("b_nrm", sqrt(vecNorm2(col("b_e"))))
+    val cross = ba.join(nbn, col("b_cell") === col("cell"))
+      .filter(vecDot(col("b_e"), col("embedding"))
+        / (col("b_nrm") * col("nrm")) >= threshold)
+      .select(col("b_id"), col("vec_id"))
+    val droppedBase = cross.filter(col("b_id") > col("vec_id"))
+      .select(col("b_id").as("vec_id")).distinct()
+    val droppedNew = cross.filter(col("vec_id") > col("b_id"))
+      .select(col("vec_id"))
+      .unionByName(intraCellPairs(nb, threshold)
+        .select(col("vec_b").as("vec_id")))
+      .distinct()
+    baseSurvivors.join(droppedBase, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .unionByName(nb.join(droppedNew, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell")))
+  }
 }

@@ -645,6 +645,63 @@ object CdcOps {
                      CAST(SUM(b.v_micro) AS BIGINT) AS sum_micro,
                      AVG(b.v_micro) AS avg_micro
               FROM base b JOIN dim d ON b.event_type = d.k
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ rollup routing: GROUP BY f(grain) through the summary — the
+    // time-series dashboard shape. The summary is maintained at DAY
+    // grain; the query groups the BASE corpus by MONTH (substring of
+    // the day string), and SummaryRewrite substitutes the analyzer's
+    // extracted grouping expression back to the grain column, routes
+    // to the |days|-row summary, and re-aggregates under the same
+    // expression. Oracle recomputes from raw events. At 100 TB this is
+    // the difference between scanning the event corpus and scanning
+    // one row per day.
+    Entry(
+      "cdc_mv_routed_rollup",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvroll_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("day").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("day"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        // week-of-month: a non-trivial f(grain) at this corpus's one-
+        // month span (month rollup would collapse to a single group)
+        s.read.parquet(basePath)
+          .groupBy(expr("substring(day, 1, 7)").as("month"),
+            expr("CAST((CAST(substring(day, 9, 2) AS INT) - 1) DIV 7 AS INT)")
+              .as("wk"))
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          .orderBy("month", "wk")
+      },
+      Some("""WITH base AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events WHERE ts IS NOT NULL)
+              SELECT substring(day, 1, 7) AS month,
+                     CAST((CAST(substring(day, 9, 2) AS INTEGER) - 1) // 7
+                       AS INTEGER) AS wk,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro
+              FROM base GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -770,6 +770,50 @@ object DedupOps {
               WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
               ORDER BY vec_id""")),
 
+    // ⊕ incremental SemDeDup: the embedding family's daily-crawl fold —
+    // batch vectors assign map-side and score only against their cell's
+    // base vectors + each other; base survivors re-check only against
+    // smaller-id batch arrivals (exact under arbitrary id interleaving,
+    // no append-only contract). Same full-recompute oracle as
+    // dedup_semantic: one gate proves fold ≡ recompute.
+    Entry(
+      "dedup_semantic_incremental",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        val keep = Curation.hashKeep(col("vec_id"), "semi", 12)
+        val ba = SemanticDedup.assignCells(emb.filter(keep), codebook)
+        SemanticDedup.incrementalSurvivors(ba,
+            SemanticDedup.survivors(ba, 0.4), emb.filter(!keep),
+            codebook, 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+              av AS (SELECT a.vec_id, a.cell, v.e FROM asg a JOIN v ON a.vec_id = v.vec_id),
+              dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                      >= 0.4)
+              SELECT vec_id, cell FROM asg
+              WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              ORDER BY vec_id""")),
+
     // ⊕ fuzzy entity matching: same-nation customer-name pairs within
     // edit distance 1, mined through the SymSpell deletion-neighborhood
     // index (operators/FuzzyMatch) — a LINEAR variant index + equi-join

@@ -530,6 +530,22 @@ class PlanSpec extends SparkSuite {
       "expected a physical join of summary and dim")
   }
 
+  test("rollup routing: month grouping scans the day summary, never the base (cdc_mv_routed_rollup)") {
+    val df = Inventory.byName("cdc_mv_routed_rollup").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after rollup routing: $paths")
+  }
+
   test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
     val p = plan("sim_kmeans_step")
     assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins

@@ -37,6 +37,28 @@ class SemanticDedupSpec extends SparkSuite {
     assert(!plan.contains("Join") && !plan.contains("Exchange"))
   }
 
+  test("incrementalSurvivors ≡ full recompute, including a batch arrival evicting a base survivor") {
+    // interleaved split: batch holds id 1 (SMALLER than base's 2) — the
+    // fold must evict base survivor 2 exactly as a recompute would
+    def surv(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = surv(SemanticDedup.survivors(
+      SemanticDedup.assignCells(vectors, axes), 0.9))
+    val splits = Seq(
+      Set(0L, 2L, 10L, 20L),        // batch {1, 11}: 1 < 2 evicts 2
+      Set(1L, 2L, 11L, 20L),        // batch {0, 10}: 0 evicts 1 and 2
+      Set(0L, 1L, 2L, 10L, 11L),    // batch = outlier only
+      Set[Long]())                  // empty base
+    splits.foreach { baseIds =>
+      val base = vectors.filter(col("vec_id").isInCollection(baseIds))
+      val batch = vectors.filter(!col("vec_id").isInCollection(baseIds))
+      val ba = SemanticDedup.assignCells(base, axes)
+      val inc = surv(SemanticDedup.incrementalSurvivors(
+        ba, SemanticDedup.survivors(ba, 0.9), batch, axes, 0.9))
+      assert(inc === full, s"base=$baseIds: $inc vs $full")
+    }
+  }
+
   test("tie between cells breaks toward the lowest cell id") {
     val tied = Seq((7L, Array(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
     val cell = SemanticDedup.assignCells(tied, axes).head().getAs[Long]("cell")
