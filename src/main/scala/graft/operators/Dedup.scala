@@ -195,16 +195,22 @@ object Dedup {
     * Recall: P[miss | J=s] = (1 − s^rows)^bands; at the default 16×4 and
     * s = 0.8 that is ~2e-4 per pair. Verification makes precision exact.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
-                      bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sig = minhashSignatureArray(docs, n, bands * rows)
+  /** (doc_id, band, bh) LSH bucket rows of a signature table — the
+    * relation [[writeLshIndex]] persists and every probe joins on. */
+  def lshBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
+                      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val buckets = lshBuckets(minhashSignatureArray(docs, n, bands * rows),
+      bands, rows)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -226,6 +232,58 @@ object Dedup {
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
     jaccardScores(docShingles(candDocs, n).cache(), Some(candidates), threshold)
+  }
+
+  /** Persist a base corpus's LSH band table for incremental sketch-probe
+    * dedup: (doc_id, band, bh) bucketed + sorted on `bh`
+    * ([[graft.core.Bucketing]]) — `bands`·|docs| rows of three longs,
+    * written once per corpus version. This is the SKETCH counterpart of
+    * [[writeShingleIndex]]: when the exact shingle index is too large to
+    * persist (it is ∝ corpus tokens; the band table is ∝ documents),
+    * daily increments probe THIS and re-shingle only candidates. */
+  def writeLshIndex(base: DataFrame, n: Int, name: String, buckets: Int,
+                    bands: Int = 16, rows: Int = 4): Unit =
+    graft.core.Bucketing.writeBucketed(
+      lshBuckets(minhashSignatureArray(base, n, bands * rows), bands, rows),
+      s"${name}_bands", "bh", buckets)
+
+  /** Incremental MinHash-LSH near-dup pairs against a PERSISTED band
+    * table ([[writeLshIndex]]): the batch's signatures compute map-side
+    * (∝ batch tokens), candidate generation is ONE equi-join of the
+    * batch's band rows against the bucketed table plus the intra-batch
+    * band self-join, and exact-Jaccard verification re-shingles ONLY
+    * candidate documents (semi-joined out of `baseDocs`/`batch` — the
+    * corpus is never re-sketched or re-shingled). Output: canonical
+    * (doc_a < doc_b) pairs TOUCHING the batch at ≥ `threshold` — the
+    * same result [[minhashLshPairs]] over the union corpus restricted
+    * to non-base-only pairs, with the same (1 − sʳ)ᵇ recall and exact
+    * precision. */
+  def incrementalMinhashLshPairs(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, baseDocs: DataFrame,
+                                 batch: DataFrame, n: Int,
+                                 threshold: Double, bands: Int = 16,
+                                 rows: Int = 4): DataFrame = {
+    val batchBuckets =
+      lshBuckets(minhashSignatureArray(batch, n, bands * rows), bands, rows)
+    val baseBuckets = spark.table(s"${name}_bands")
+    val cross = baseBuckets.as("x")
+      .join(batchBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val intra = batchBuckets.as("x")
+      .join(batchBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candidates = cross.unionByName(intra).distinct().cache()
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candDocs = baseDocs.unionByName(batch)
+      .join(candIds, Seq("doc_id"), "left_semi")
+    jaccardScores(docShingles(candDocs, n).cache(), Some(candidates),
+      threshold)
   }
 
   /** Incremental near-dup detection: word-`n`-gram Jaccard pairs between

@@ -276,6 +276,35 @@ class DedupSpec extends SparkSuite {
     assert(merged === direct)
   }
 
+  test("persisted LSH band index: batch probe finds exactly the exact-Jaccard pairs touching the batch; bands read bucketed") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val keep = graft.operators.Curation.hashKeep(col("doc_id"), "inc", 12)
+    val base = docs.filter(keep)
+    val batch = docs.filter(!keep)
+    Dedup.writeLshIndex(base, 3, "linc_idx", buckets = 8)
+    try {
+      val got = Dedup.incrementalMinhashLshPairs(
+          spark, "linc_idx", base, batch, 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // expected: every exact pair touching the batch (cross + intra)
+      val keepIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .filterNot { case ((a, b), _) => keepIds(a) && keepIds(b) }
+        .toMap
+      assert(got === expected)
+      assert(expected.nonEmpty) // non-vacuous on the planted corpus
+      // the band table is read through its buckets
+      val plan = Dedup.incrementalMinhashLshPairs(
+          spark, "linc_idx", base, batch, 3, 0.8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS linc_idx_bands")
+    }
+  }
+
   test("persisted ExactSubstr index: identical windows, bucketed base scans, single batch-side fp shuffle in the stats merge") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val keep = graft.operators.Curation.hashKeep(col("doc_id"), "sinc", 12)
