@@ -207,10 +207,57 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
+  /** The (band, bh) keys whose bucket population exceeds `cap` — the
+    * LSH counterpart of the hot-shingle document frequency: a bucket of
+    * f docs contributes f² candidate pairs to ONE join key, so a
+    * degenerate bucket (near-empty docs with identical signatures,
+    * corpus-wide templated text that survives shingling) funnels a
+    * quadratic candidate set onto one task. One aggregation pass over
+    * the bucket rows (partial map-side, shuffles only (band, bh,
+    * count)) before the self-join it protects. */
+  private def hotBandBuckets(buckets: DataFrame, cap: Long): DataFrame =
+    buckets.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap).select("band", "bh")
+
+  private def pruneBandBuckets(buckets: DataFrame, cap: Long): DataFrame =
+    if (cap == Long.MaxValue) buckets
+    else buckets.join(hotBandBuckets(buckets, cap), Seq("band", "bh"),
+      "left_anti")
+
   def minhashLshPairs(docs: DataFrame, n: Int, threshold: Double,
-                      bands: Int = 16, rows: Int = 4): DataFrame = {
-    val buckets = lshBuckets(minhashSignatureArray(docs, n, bands * rows),
-      bands, rows)
+                      bands: Int = 16, rows: Int = 4,
+                      maxBandBucketSize: Long = Long.MaxValue): DataFrame =
+    minhashLshPairsFromSigs(docs,
+      minhashSignatureArray(docs, n, bands * rows), n, threshold, bands,
+      rows, maxBandBucketSize)
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED signature table (doc_id,
+    * sig) — the shape a production corpus keeps: signatures are the
+    * per-document sketch state written once per corpus version, so a
+    * pipeline running several LSH consumers (pair mining, incremental
+    * index builds) sketches once and shares. `sigs` must carry
+    * `bands`·`rows` hashes per row ([[minhashSignatureArray]] with
+    * numHashes = bands·rows).
+    *
+    * `maxBandBucketSize` is the 100 TB fence on the LAST uncapped pair
+    * generator (mirrors `maxShingleDocFreq` / `hotFpThreshold`):
+    * buckets whose population exceeds the cap are DROPPED from
+    * candidate generation. Recall effect: a pair is lost only when
+    * EVERY band bucket it shares is hot — for genuinely near-identical
+    * docs that means the pair sits inside a ≥ cap-sized identical-
+    * signature cohort (templated boilerplate at corpus scale), the
+    * same no-near-dup-signal population the shingle-frequency cap
+    * excludes by design. The default keeps every bucket — exact LSH
+    * semantics, and a no-op whenever cap ≥ the corpus's max bucket
+    * population (DedupSpec plants a degenerate bucket and asserts both
+    * directions). */
+  def minhashLshPairsFromSigs(docs: DataFrame, sigs: DataFrame, n: Int,
+                              threshold: Double, bands: Int = 16,
+                              rows: Int = 4,
+                              maxBandBucketSize: Long = Long.MaxValue)
+  : DataFrame = {
+    val buckets =
+      pruneBandBuckets(lshBuckets(sigs, bands, rows), maxBandBucketSize)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -243,9 +290,24 @@ object Dedup {
     * daily increments probe THIS and re-shingle only candidates. */
   def writeLshIndex(base: DataFrame, n: Int, name: String, buckets: Int,
                     bands: Int = 16, rows: Int = 4): Unit =
+    writeLshIndexFromSigs(minhashSignatureArray(base, n, bands * rows),
+      name, buckets, bands, rows)
+
+  /** [[writeLshIndex]] over a precomputed signature table — sketch once,
+    * share ([[minhashLshPairsFromSigs]] scaladoc). Also persists the
+    * per-bucket POPULATION (`<name>_bandsizes`: band, bh, sz — one tiny
+    * row per occupied bucket) so [[incrementalMinhashLshPairs]]'s
+    * hot-bucket fence never re-aggregates the corpus-sized band table
+    * per increment. */
+  def writeLshIndexFromSigs(sigs: DataFrame, name: String, buckets: Int,
+                            bands: Int = 16, rows: Int = 4): Unit = {
+    val bk = lshBuckets(sigs, bands, rows)
+    graft.core.Bucketing.writeBucketed(bk, s"${name}_bands", "bh", buckets)
     graft.core.Bucketing.writeBucketed(
-      lshBuckets(minhashSignatureArray(base, n, bands * rows), bands, rows),
-      s"${name}_bands", "bh", buckets)
+      bk.sparkSession.table(s"${name}_bands")
+        .groupBy("band", "bh").agg(count(lit(1)).as("sz")),
+      s"${name}_bandsizes", "bh", buckets)
+  }
 
   /** Incremental MinHash-LSH near-dup pairs against a PERSISTED band
     * table ([[writeLshIndex]]): the batch's signatures compute map-side
@@ -262,10 +324,37 @@ object Dedup {
                                  name: String, baseDocs: DataFrame,
                                  batch: DataFrame, n: Int,
                                  threshold: Double, bands: Int = 16,
-                                 rows: Int = 4): DataFrame = {
-    val batchBuckets =
+                                 rows: Int = 4,
+                                 maxBandBucketSize: Long = Long.MaxValue)
+  : DataFrame = {
+    val rawBatchBuckets =
       lshBuckets(minhashSignatureArray(batch, n, bands * rows), bands, rows)
-    val baseBuckets = spark.table(s"${name}_bands")
+    val rawBaseBuckets = spark.table(s"${name}_bands")
+    // Hot-bucket fence over the COMBINED (base + batch) population —
+    // the cross join emits |base_bucket|·|batch_bucket| candidates per
+    // key, so a batch doc landing in one degenerate base bucket pulls
+    // the whole cohort as candidates. Base populations come from the
+    // persisted `<name>_bandsizes` table when [[writeLshIndexFromSigs]]
+    // wrote one (one tiny row per occupied bucket — never re-aggregate
+    // the corpus-sized band table per increment); recall semantics as
+    // [[minhashLshPairsFromSigs]].
+    val (baseBuckets, batchBuckets) =
+      if (maxBandBucketSize == Long.MaxValue) (rawBaseBuckets, rawBatchBuckets)
+      else {
+        val baseSz =
+          if (spark.catalog.tableExists(s"${name}_bandsizes"))
+            spark.table(s"${name}_bandsizes")
+          else rawBaseBuckets.groupBy("band", "bh")
+            .agg(count(lit(1)).as("sz"))
+        val hot = baseSz.select(col("band"), col("bh"), col("sz"))
+          .unionByName(rawBatchBuckets.groupBy("band", "bh")
+            .agg(count(lit(1)).as("sz")))
+          .groupBy("band", "bh").agg(sum(col("sz")).as("tsz"))
+          .filter(col("tsz") > maxBandBucketSize)
+          .select("band", "bh")
+        (rawBaseBuckets.join(hot, Seq("band", "bh"), "left_anti"),
+          rawBatchBuckets.join(hot, Seq("band", "bh"), "left_anti"))
+      }
     val cross = baseBuckets.as("x")
       .join(batchBuckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -302,6 +302,85 @@ class DedupSpec extends SparkSuite {
       assert(plan.contains("SelectedBucketsCount"), plan)
     } finally {
       spark.sql("DROP TABLE IF EXISTS linc_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS linc_idx_bandsizes")
+    }
+  }
+
+  // the quadratic LSH pathology: identical signatures put a cohort of
+  // docs into ONE (band, bh) bucket per band, f² candidate pairs on one
+  // join key (VERDICT r13 "what's wrong #1") — plus disjoint normal
+  // near-dup pairs that must survive any cap
+  private def degenerateLshCorpus(nBoiler: Int) = {
+    val boiler = (1 to nBoiler).map(i => (i.toLong,
+      "the big degenerate bucket of identical boilerplate text rows here"))
+    val pairs = (0 until 5).flatMap { k =>
+      val a = 100L + 2 * k
+      Seq((a, s"unique pair nr$k alpha beta gamma delta epsilon zeta eta theta"),
+        (a + 1, s"unique pair nr$k alpha beta gamma delta epsilon zeta eta iota"))
+    }
+    (boiler ++ pairs).toDF("doc_id", "text")
+  }
+
+  test("LSH band-bucket cap: no-op when cap ≥ max bucket; degenerate-bucket pairs drop when capped, normal pairs survive") {
+    val docs = degenerateLshCorpus(40)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(Dedup.minhashLshPairs(docs, 3, 0.5))
+    val boilerPairs = (for {
+      a <- 1 to 40; b <- (a + 1) to 40 } yield (a.toLong, b.toLong)).toSet
+    val normalPairs = (0 until 5).map(k => (100L + 2 * k, 101L + 2 * k)).toSet
+    assert(boilerPairs.subsetOf(uncapped)) // the pathology is really planted
+    assert(normalPairs.subsetOf(uncapped))
+    // cap ≥ the max bucket population (40 identical docs) ⇒ identical output
+    val atCap = pairSet(Dedup.minhashLshPairs(docs, 3, 0.5,
+      maxBandBucketSize = 40))
+    assert(atCap === uncapped)
+    // cap below the cohort drops EVERY degenerate bucket (all bands hot for
+    // identical signatures) and ONLY those: normal pairs' buckets hold 2 docs
+    val capped = pairSet(Dedup.minhashLshPairs(docs, 3, 0.5,
+      maxBandBucketSize = 10))
+    assert(capped === uncapped -- boilerPairs)
+    assert(normalPairs.subsetOf(capped))
+  }
+
+  test("incremental LSH band-bucket cap: persisted sizes table fences the COMBINED (base+batch) hot bucket") {
+    val docs = degenerateLshCorpus(40)
+    // boiler cohort split 30 base / 10 batch; each normal pair split a/b
+    val base = docs.filter(col("doc_id") <= 30 ||
+      (col("doc_id") >= 100 && col("doc_id") % 2 === 0))
+    val batch = docs.filter((col("doc_id") > 30 && col("doc_id") < 100) ||
+      (col("doc_id") >= 100 && col("doc_id") % 2 === 1))
+    Dedup.writeLshIndex(base, 3, "lcap_idx", buckets = 8)
+    try {
+      assert(spark.catalog.tableExists("lcap_idx_bandsizes"))
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairSet(Dedup.incrementalMinhashLshPairs(
+        spark, "lcap_idx", base, batch, 3, 0.5))
+      val crossBoiler = (for { a <- 1 to 30; b <- 31 to 40 }
+        yield (a.toLong, b.toLong)).toSet
+      val intraBoiler = (for { a <- 31 to 40; b <- (a + 1) to 40 }
+        yield (a.toLong, b.toLong)).toSet
+      val normalPairs = (0 until 5).map(k => (100L + 2 * k, 101L + 2 * k)).toSet
+      assert((crossBoiler ++ intraBoiler ++ normalPairs).subsetOf(uncapped))
+      // combined bucket population 30 (base, read from the persisted
+      // sizes table) + 10 (batch) = 40 > 10 ⇒ dropped from BOTH sides;
+      // normal pairs sit in 2-doc buckets and survive
+      val capped = pairSet(Dedup.incrementalMinhashLshPairs(
+        spark, "lcap_idx", base, batch, 3, 0.5, maxBandBucketSize = 10))
+      assert(capped === uncapped -- crossBoiler -- intraBoiler)
+      assert(normalPairs.subsetOf(capped))
+      // cap 35: EACH side alone is under it (base 30, batch 10) — a
+      // per-side fence would keep the bucket and emit 300 cross
+      // candidates on one key; the combined 40 > 35 sizing drops it
+      val capped35 = pairSet(Dedup.incrementalMinhashLshPairs(
+        spark, "lcap_idx", base, batch, 3, 0.5, maxBandBucketSize = 35))
+      assert(capped35 === capped)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lcap_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS lcap_idx_bandsizes")
     }
   }
 
