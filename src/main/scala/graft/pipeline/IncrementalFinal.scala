@@ -146,6 +146,48 @@ object IncrementalFinal {
       .drop("sum0")
   }
 
+  /** The stale→refresh→re-route cycle as ONE operation — the repair
+    * [[graft.plans.MvRegistry.registerFresh]]'s bail demands: when a
+    * base write lands after registration, every candidate rewrite
+    * bails to the corpus scan until the summary is repaired, and this
+    * is the repair. Folds `delta` (the signed changelog of that base
+    * write) into the registered summary via [[maintainAggregate]] —
+    * never rescanning the base — persists the result as a NEW summary
+    * version, and re-registers with the CURRENT base token so routing
+    * resumes. (Reference analog: the daily `join_tables` rerun,
+    * `airflow/dags/rewrite_delta_dag.py:27-53`, which re-derives its
+    * summary from scratch each day; here the refresh is Δ-proportional.)
+    *
+    * The new version is written beside the old
+    * (`<summaryPath>-v<token-prefix>`, the plain-parquet stand-in for a
+    * lakehouse snapshot): in-flight readers of the old files are never
+    * disturbed, and re-running the same refresh lands on the same path.
+    * The token is read BEFORE the fold — if yet another base write
+    * races in between, the stamped token mismatches at query time and
+    * routing bails again (conservative, never stale-serving).
+    *
+    * Returns the refreshed summary path. Requires a summary registered
+    * for `basePath` whose maintained columns match `maintainAggregate`'s
+    * contract (cntCol/sumCol/nnCol names as registered). */
+  def refreshSummary(spark: SparkSession, basePath: String,
+                     summaryPath: String, delta: DataFrame,
+                     keyCols: Seq[String],
+                     cntCol: String = "cnt", sumCol: String = "sum_micro",
+                     nnCol: String = "n_nonnull",
+                     signCol: String = "sign",
+                     valueCol: String = "v_micro"): String = {
+    val reg = graft.plans.MvRegistry.lookup(basePath).getOrElse(sys.error(
+      s"refreshSummary: no summary registered for base $basePath"))
+    val tok = graft.plans.MvRegistry.baseVersionToken(spark, basePath)
+    val nextPath = s"$summaryPath-v${tok.take(12)}"
+    maintainAggregate(spark.read.parquet(summaryPath), delta, keyCols,
+        cntCol, sumCol, nnCol, signCol, valueCol)
+      .write.mode(SaveMode.Overwrite).parquet(nextPath)
+    graft.plans.MvRegistry.register(basePath, reg.copy(
+      mv = () => spark.read.parquet(nextPath), baseToken = Some(tok)))
+    nextPath
+  }
+
   /** MIN/MAX IVM with the honest dirty-key protocol. Extremes are NOT
     * self-maintainable under retraction: deleting the current minimum
     * cannot be repaired from (key, min, max) state alone — the new

@@ -92,8 +92,17 @@ object MvRegistry {
       s.copy(baseToken = Some(baseVersionToken(spark, basePath))))
 
   def clear(): Unit = reg.clear()
-  private[plans] def lookup(path: String): Option[Summary] =
+  private[graft] def lookup(path: String): Option[Summary] =
     Option(reg.get(path))
+
+  /** Why did (or didn't) `df` route through a registered summary?
+    * Re-optimizes `df`'s plan with [[SummaryRewrite]]'s decision trace
+    * enabled and returns the log — candidate bases, every conservative
+    * bail by reason, and the routes taken. The bails are otherwise
+    * invisible (the rule silently keeps the original plan), which
+    * makes "why is my dashboard query scanning the corpus?" an
+    * unanswerable operator question without this readout. */
+  def explainRoute(df: DataFrame): Seq[String] = SummaryRewrite.traceRoute(df)
 }
 
 /** Transparent aggregate-to-summary routing — the optimizer half of the
@@ -142,6 +151,32 @@ object MvRegistry {
   * plans are untouched unless a summary is explicitly registered
   * (SummaryRewriteSpec proves both directions). */
 object SummaryRewrite extends Rule[LogicalPlan] {
+
+  /** Decision trace, enabled per-thread by [[traceRoute]] — `note`
+    * costs one null check when tracing is off (the normal optimizer
+    * path). */
+  private val traceBuf =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]
+
+  private def note(msg: => String): Unit = {
+    val b = traceBuf.get()
+    if (b != null) b += msg
+  }
+
+  /** [[MvRegistry.explainRoute]]'s engine: force a FRESH optimizer run
+    * over `df`'s plan (the vacuous filter guarantees a new, un-cached
+    * QueryExecution; ConstantFolding removes it long before this rule's
+    * extension batch runs) with the trace enabled. */
+  private[plans] def traceRoute(df: DataFrame): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    traceBuf.set(buf)
+    try df.filter(org.apache.spark.sql.functions.lit(true))
+      .queryExecution.optimizedPlan
+    finally traceBuf.remove()
+    if (buf.isEmpty)
+      Seq("no aggregate over a registered base reached SummaryRewrite")
+    else buf.toSeq
+  }
 
   /** The parquet root path under Aggregate's child plus any Filter
     * conditions sitting between them, looking through column-pruning
@@ -201,18 +236,25 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Registry lookup + the freshness gate: a summary registered with a
-    * base-version token only routes while the CURRENT token matches —
-    * a base write after registration (append, overwrite, compaction)
-    * makes every candidate rewrite bail to the base scan until the
-    * maintenance loop re-registers. Token absent = caller pinned
-    * freshness elsewhere; route unconditionally (pre-r13 contract). */
-  private def freshLookup(path: String, rel: HadoopFsRelation)
-  : Option[MvRegistry.Summary] =
-    MvRegistry.lookup(path).filter { s =>
-      s.baseToken.forall(
-        _ == MvRegistry.baseVersionToken(rel.sparkSession, path))
-    }
+  /** The freshness gate: a summary registered with a base-version token
+    * only routes while the CURRENT token matches — a base write after
+    * registration (append, overwrite, compaction) makes every candidate
+    * rewrite bail to the base scan until the maintenance loop
+    * re-registers. Token absent = caller pinned freshness elsewhere;
+    * route unconditionally (pre-r13 contract).
+    *
+    * Checked LAST, after every cheap structural check has passed, and
+    * memoized per optimizer invocation (`cache`): the token is a
+    * recursive file listing — on an object store a full LIST per
+    * aggregate per query — so plans that bail structurally must never
+    * pay it, and several candidate aggregates over one base in one
+    * plan list its files once (ADVICE r13). */
+  private def isFresh(s: MvRegistry.Summary, path: String,
+                      rel: HadoopFsRelation,
+                      cache: scala.collection.mutable.Map[String, String])
+  : Boolean =
+    s.baseToken.forall(_ == cache.getOrElseUpdate(path,
+      MvRegistry.baseVersionToken(rel.sparkSession, path)))
 
   private def isConst(e: Expression): Boolean = e match {
     case l: Literal => l.value != null
@@ -228,18 +270,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case p => p
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // groupings may be plain grain columns OR any deterministic
-    // EXPRESSION over them (GROUP BY f(grain) — date_trunc rollups,
-    // substrings, band arithmetic): evaluating f per summary row is
-    // identical to evaluating it per base row within the group, so
-    // grouping the summary by the remapped expression re-aggregates
-    // exactly (mapOutputs serves the matching output expressions)
-    case agg @ Aggregate(groupExprs, aggExprs, child, None)
-      if groupExprs.forall(_.deterministic) =>
-      rewriteDirect(agg, groupExprs, aggExprs, child)
-        .orElse(rewriteStar(agg, groupExprs, aggExprs, child))
-        .getOrElse(agg)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val tokCache = scala.collection.mutable.HashMap.empty[String, String]
+    plan.transform {
+      // groupings may be plain grain columns OR any deterministic
+      // EXPRESSION over them (GROUP BY f(grain) — date_trunc rollups,
+      // substrings, band arithmetic): evaluating f per summary row is
+      // identical to evaluating it per base row within the group, so
+      // grouping the summary by the remapped expression re-aggregates
+      // exactly (mapOutputs serves the matching output expressions)
+      case agg @ Aggregate(groupExprs, aggExprs, child, None)
+        if groupExprs.forall(_.deterministic) =>
+        rewriteDirect(agg, groupExprs, aggExprs, child, tokCache)
+          .orElse(rewriteStar(agg, groupExprs, aggExprs, child, tokCache))
+          .getOrElse(agg)
+    }
   }
 
   /** Substitute alias definitions into a named output, keeping the top
@@ -258,25 +303,49 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private def rewriteDirect(agg: Aggregate, groupExprs: Seq[Expression],
                             aggExprs: Seq[NamedExpression],
-                            child: LogicalPlan): Option[LogicalPlan] =
-    for {
-      (path, filters, rel, amap) <- collectBase(child)
-      s <- freshLookup(path, rel)
-      gsub = groupExprs.map(substitute(_, amap))
-      asub <- {
-        val subs = aggExprs.map(substNamed(_, amap))
-        if (subs.exists(_.isEmpty)) None else Some(subs.map(_.get))
-      }
-      // every grouping expression may reference GRAIN columns only —
-      // grouping by (a function of) anything else needs row-level data
-      if gsub.forall(_.references.forall(a =>
-        s.groupCols.contains(a.name)))
-      // every filter must touch grain columns ONLY — a predicate on
-      // any other column needs row-level data the summary lost
-      if filters.forall(_.references.forall(a =>
-        s.groupCols.contains(a.name)))
-      rewritten <- rewriteAll(agg, gsub, asub, s, filters)
-    } yield rewritten
+                            child: LogicalPlan,
+                            tokCache: scala.collection.mutable.Map[String, String])
+  : Option[LogicalPlan] = {
+    val based = collectBase(child)
+    if (based.isEmpty) return None
+    val (path, filters, rel, amap) = based.get
+    val s = MvRegistry.lookup(path).getOrElse(return None)
+    note(s"candidate(direct): aggregate over registered base $path")
+    val gsub = groupExprs.map(substitute(_, amap))
+    val subs = aggExprs.map(substNamed(_, amap))
+    if (subs.exists(_.isEmpty)) {
+      note("bail(direct): an output expression shape is unsupported")
+      return None
+    }
+    val asub = subs.map(_.get)
+    // every grouping expression may reference GRAIN columns only —
+    // grouping by (a function of) anything else needs row-level data
+    if (!gsub.forall(_.references.forall(a =>
+        s.groupCols.contains(a.name)))) {
+      note("bail(direct): a grouping references a non-grain column")
+      return None
+    }
+    // every filter must touch grain columns ONLY — a predicate on
+    // any other column needs row-level data the summary lost
+    if (!filters.forall(_.references.forall(a =>
+        s.groupCols.contains(a.name)))) {
+      note("bail(direct): a filter references a non-grain column")
+      return None
+    }
+    val rewritten = rewriteAll(agg, gsub, asub, s, filters)
+    if (rewritten.isEmpty) {
+      note("bail(direct): an output is not answerable by the summary " +
+        "(unserved aggregate function or missing/mistyped summary column)")
+      return None
+    }
+    if (!isFresh(s, path, rel, tokCache)) {
+      note(s"bail(direct): base version token changed since " +
+        s"registration — summary for $path is stale, re-register after refresh")
+      return None
+    }
+    note(s"routed(direct): $path → summary")
+    rewritten
+  }
 
   /** The located base inside an inner-join tree: `rebuild` re-plants a
     * replacement subplan where the base (and its pruning Projects /
@@ -287,7 +356,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       rebuild: (LogicalPlan, Expression => Expression) => LogicalPlan,
       path: String, filters: Seq[Expression], rel: HadoopFsRelation,
       baseOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
-      conds: Seq[Expression])
+      conds: Seq[Expression],
+      amap: Map[ExprId, Expression])
 
   /** True when any relation under `plan` scans a registered base path
     * (used for the ambiguity bail — see [[rewriteStar]]). */
@@ -308,12 +378,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.catalyst.plans.logical.Join
     collectBase(plan) match {
-      // the alias map is dropped here: a computed base column
-      // referenced by a join condition or an aggregate fails the
-      // grain-name / served-column checks downstream, which is the
-      // correct conservative bail for the star shape
-      case Some((p, fs, rel, _)) if MvRegistry.lookup(p).isDefined =>
-        Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil))
+      // the alias map is CARRIED (not dropped): a computed projection
+      // below the join can shadow a grain column's NAME AND TYPE
+      // (upper(event_type) AS event_type), which passes every
+      // name/type-based downstream check while the rebuild would
+      // replace the computing Project with the raw summary — silently
+      // wrong results. rewriteStar bails when anything references an
+      // alias (ADVICE r13, high).
+      case Some((p, fs, rel, amap)) if MvRegistry.lookup(p).isDefined =>
+        Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil, amap))
       case _ => plan match {
         case j @ Join(l, r, Inner, cond, _)
           if cond.forall(_.deterministic) =>
@@ -378,19 +451,45 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * subtrees pass through UNTOUCHED. */
   private def rewriteStar(agg: Aggregate, groupExprs: Seq[Expression],
                           aggExprs: Seq[NamedExpression],
-                          child: LogicalPlan): Option[LogicalPlan] = {
+                          child: LogicalPlan,
+                          tokCache: scala.collection.mutable.Map[String, String])
+  : Option[LogicalPlan] = {
     findBase(stripPrune(child)).flatMap { site =>
-      freshLookup(site.path, site.rel).flatMap { s =>
+      MvRegistry.lookup(site.path).flatMap { s =>
+        note(s"candidate(star): join tree over registered base ${site.path}")
+        // a computed projection alias below the join (carried in
+        // site.amap) referenced by ANY path condition, grouping, or
+        // output would be silently replaced by the raw summary column
+        // on rebuild — a shadowing alias passes the name/type checks
+        // below, so the reference itself must bail (ADVICE r13, high)
+        if (site.amap.nonEmpty) {
+          val refIds = (groupExprs ++ site.conds ++ aggExprs)
+            .flatMap(_.references.toSeq).map(_.exprId).toSet
+          if (refIds.exists(site.amap.contains)) {
+            note("bail(star): a join condition, grouping, or output " +
+              "references a computed projection below the join")
+            return None
+          }
+        }
         val baseOut = site.baseOut
         def baseRefsAreGrain(e: Expression): Boolean =
           e.references.forall(a =>
             !baseOut.contains(a) || s.groupCols.contains(a.name))
         // every path condition and every grouping expression: base-side
         // references must be grain columns (dim references pass)
-        if (!site.conds.forall(baseRefsAreGrain)) return None
-        if (!groupExprs.forall(baseRefsAreGrain)) return None
+        if (!site.conds.forall(baseRefsAreGrain)) {
+          note("bail(star): a join condition references a non-grain base column")
+          return None
+        }
+        if (!groupExprs.forall(baseRefsAreGrain)) {
+          note("bail(star): a grouping references a non-grain base column")
+          return None
+        }
         if (!site.filters.forall(_.references.forall(a =>
-            s.groupCols.contains(a.name)))) return None
+            s.groupCols.contains(a.name)))) {
+          note("bail(star): a base-side filter references a non-grain column")
+          return None
+        }
         val mvPlan = s.mv().queryExecution.analyzed
         def mvAttr(name: String): Option[AttributeReference] =
           mvPlan.output.collectFirst {
@@ -414,26 +513,41 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           mvAttr(a.name).collect {
             case m if m.dataType == a.dataType => a.exprId -> m
           }).toMap
-        if (twins.size != needed.size) return None
-        for {
-          out <- mapOutputs(aggExprs, mvAttr, twins, s,
-            isBase = baseOut.contains,
-            passThrough = a => !baseOut.contains(a))
-          fc <- remapFilters(site.filters, mvAttr)
-        } yield {
-          val mvFiltered = fc.foldRight(mvPlan) { (f, acc) =>
-            org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
-          }
-          val remap: Expression => Expression = {
-            case a: AttributeReference => twins.getOrElse(a.exprId, a)
-            case e => e
-          }
-          val newGroups = groupExprs.map(g => g.transform {
-            case a: AttributeReference => twins.getOrElse(a.exprId, a)
-          })
-          Aggregate(newGroups, out,
-            site.rebuild(mvFiltered, remap))
+        if (twins.size != needed.size) {
+          note("bail(star): a referenced base column has no same-typed summary twin")
+          return None
         }
+        val outOpt = mapOutputs(aggExprs, mvAttr, twins, s,
+          isBase = baseOut.contains,
+          passThrough = a => !baseOut.contains(a))
+        if (outOpt.isEmpty) {
+          note("bail(star): an output is not answerable by the summary " +
+            "(unserved aggregate function or missing/mistyped summary column)")
+          return None
+        }
+        val fcOpt = remapFilters(site.filters, mvAttr)
+        if (fcOpt.isEmpty) {
+          note("bail(star): a filter column has no same-typed summary twin")
+          return None
+        }
+        if (!isFresh(s, site.path, site.rel, tokCache)) {
+          note(s"bail(star): base version token changed since registration " +
+            s"— summary for ${site.path} is stale, re-register after refresh")
+          return None
+        }
+        note(s"routed(star): ${site.path} → summary ⋈ dims")
+        val mvFiltered = fcOpt.get.foldRight(mvPlan) { (f, acc) =>
+          org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+        }
+        val remap: Expression => Expression = {
+          case a: AttributeReference => twins.getOrElse(a.exprId, a)
+          case e => e
+        }
+        val newGroups = groupExprs.map(g => g.transform {
+          case a: AttributeReference => twins.getOrElse(a.exprId, a)
+        })
+        Some(Aggregate(newGroups, outOpt.get,
+          site.rebuild(mvFiltered, remap)))
       }
     }
   }

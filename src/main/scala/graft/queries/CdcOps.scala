@@ -702,6 +702,71 @@ object CdcOps {
                      CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
                      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
                      AVG(v_micro) AS avg_micro
-              FROM base GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM base GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ⊕ the stale→refresh→re-route cycle end-to-end: register a fresh
+    // summary, APPEND to the base (routing now bails on the changed
+    // version token — never stale-serving), then repair with
+    // IncrementalFinal.refreshSummary: ONE operation that folds the
+    // append's changelog into the summary (Δ-proportional, base never
+    // rescanned), persists a new summary version, and re-stamps the
+    // token so routing resumes. The returned aggregate routes to the
+    // REFRESHED summary (PlanSpec asserts the version-suffixed path is
+    // the one scanned); the oracle recomputes from raw rows, so the
+    // gate proves fold ≡ recompute through the full repair cycle.
+    // (Reference analog: the daily join_tables rerun,
+    // airflow/dags/rewrite_delta_dag.py:27-53 — a from-scratch daily
+    // rebuild; here the repair touches |Δ| + |keys| rows.)
+    Entry(
+      "cdc_mv_refresh",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvrefresh_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        val v1 = ev.filter(col("event_id") % 10 =!= 9)
+        v1.select("event_type", "v_micro")
+          .write.mode("overwrite").parquet(basePath)
+        v1.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        // the later base write that makes the registration stale
+        val appendRows = ev.filter(col("event_id") % 10 === 9)
+        appendRows.select("event_type", "v_micro")
+          .write.mode("append").parquet(basePath)
+        // the one-call repair: fold the append's changelog, re-stamp
+        graft.pipeline.IncrementalFinal.refreshSummary(
+          s, "file:" + basePath, mvPath,
+          appendRows.select("event_type", "v_micro")
+            .withColumn("sign", lit(1L)),
+          Seq("event_type"))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events)
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro
+              FROM base GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -546,6 +546,27 @@ class PlanSpec extends SparkSuite {
       s"base corpus still scanned after rollup routing: $paths")
   }
 
+  test("refresh routing: the query scans the REFRESHED summary version, not the stale one, never the base (cdc_mv_refresh)") {
+    val df = Inventory.byName("cdc_mv_refresh").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    // refreshSummary persists the fold as summary-v<token-prefix>: the
+    // routed scan must read THAT version — the pre-append summary would
+    // be a stale serve, the base a failed re-route
+    assert(paths.exists(p => p.contains("/summary-v")),
+      s"refreshed summary version not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/summary")),
+      s"stale pre-refresh summary scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after refresh re-route: $paths")
+  }
+
   test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
     val p = plan("sim_kmeans_step")
     assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins

@@ -617,4 +617,183 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(s === direct)
     } finally MvRegistry.clear()
   }
+
+  test("a computed projection shadowing a grain column below the join bails — never silently serves the raw summary") {
+    // ADVICE r13 (high): upper(event_type) AS event_type below the join
+    // has the grain column's NAME and TYPE, so every name/type-based
+    // check passes — only the exprId-level alias fence can catch that
+    // the join/grouping value is COMPUTED, not the scan column
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-shadow-dim")
+    // dim keys = UPPERCASE type names: the computed join matches them,
+    // the raw summary column would match none (or different rows)
+    (0 until 5).map(i => (s"T$i", i)).toDF("k", "attr")
+      .write.mode("overwrite").parquet(dim)
+    val q = () => spark.read.parquet(base)
+      .select(upper(col("event_type")).as("event_type"), col("v_micro"))
+      .join(spark.read.parquet(dim), col("event_type") === col("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy("event_type")
+    val expect = q().collect() // registry empty
+    assert(expect.nonEmpty)    // non-vacuous: the computed join matches
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(base)),
+        s"expected bail to base scan: $paths")
+      assert(!paths.exists(_.contains(mv)),
+        s"raw summary silently replaced the computed projection: $paths")
+      assert(routed.collect() === expect)
+      // same shadowing in a GROUPING with no join at all: the direct
+      // path substitutes the alias and correctly re-groups the summary
+      // by upper(grain) — answers must agree either way
+      val g = () => spark.read.parquet(base)
+        .select(upper(col("event_type")).as("event_type"), col("v_micro"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+      MvRegistry.clear()
+      val gExpect = g().collect()
+      register(base, mv)
+      assert(g().collect() === gExpect)
+    } finally MvRegistry.clear()
+  }
+
+  test("HAVING composes with every routed shape: the post-aggregate filter survives the rewrite") {
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-having-dim")
+    (0 until 5).map(i => (s"t$i", i % 2)).toDF("k", "parity")
+      .write.mode("overwrite").parquet(dim)
+    // one query per served grammar row, each with a HAVING (a Filter
+    // above the Aggregate — outside the rewritten subtree, resolved via
+    // the preserved output exprIds)
+    val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      // direct grain + HAVING on a served aggregate
+      () => spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+        .filter(col("n") > 150L).orderBy("event_type"),
+      // star + HAVING on the dim-grouped count
+      () => spark.read.parquet(base)
+        .join(spark.read.parquet(dim), col("event_type") === col("k"))
+        .groupBy("parity").agg(count(lit(1)).as("n"), avg("v_micro").as("a"))
+        .filter(col("n") > 100L).orderBy("parity"),
+      // f(grain) rollup + HAVING
+      () => spark.read.parquet(base)
+        .groupBy(substring(col("event_type"), 2, 1).as("sfx"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 200L).orderBy("sfx"),
+      // FILTER clause + HAVING on it
+      () => spark.read.parquet(base).groupBy("event_type")
+        .agg(expr("count(*) FILTER (WHERE event_type <> 't0')").as("cf"))
+        .filter(col("cf") > 0L).orderBy("event_type"),
+      // COUNT(DISTINCT grain) at the global grain + HAVING
+      () => spark.read.parquet(base).groupBy()
+        .agg(countDistinct(col("event_type")).as("d"), count(lit(1)).as("n"))
+        .filter(col("d") >= 5L))
+    val expect = shapes.map(q => q().collect()) // registry empty
+    register(base, mv)
+    try {
+      shapes.zip(expect).foreach { case (q, exp) =>
+        val routed = q()
+        val paths = scannedPaths(routed)
+        assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+        assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+        assert(routed.collect() === exp)
+      }
+      // SQL HAVING referencing an aggregate NOT in the select list (the
+      // analyzer appends it to the Aggregate and strips it above)
+      spark.read.parquet(base).createOrReplaceTempView("mv_having_base")
+      val sql = () => spark.sql(
+        """SELECT event_type, sum(v_micro) AS s FROM mv_having_base
+           GROUP BY 1 HAVING count(*) > 150 ORDER BY 1""")
+      MvRegistry.clear()
+      val sqlExpect = sql().collect()
+      register(base, mv)
+      val routedSql = sql()
+      assert(scannedPaths(routedSql).exists(_.contains(mv)))
+      assert(!scannedPaths(routedSql).exists(_.contains(base)))
+      assert(routedSql.collect() === sqlExpect)
+    } finally MvRegistry.clear()
+  }
+
+  test("explainRoute names the route taken and every conservative bail reason") {
+    val (base, mv) = fixture()
+    register(base, mv)
+    try {
+      val routed = spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(MvRegistry.explainRoute(routed)
+        .exists(_.startsWith("routed(direct)")))
+      val nonGrainFilter = spark.read.parquet(base)
+        .filter(col("junk") === 3)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(MvRegistry.explainRoute(nonGrainFilter)
+        .exists(_.contains("filter references a non-grain column")))
+      val unservedAgg = spark.read.parquet(base)
+        .groupBy("event_type").agg(avg("junk").as("a"))
+      assert(MvRegistry.explainRoute(unservedAgg)
+        .exists(_.contains("not answerable")))
+      // stale: write to the base AFTER a tokened registration
+      MvRegistry.clear()
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+      Seq(("t0", 0, 1L)).toDF("event_type", "junk", "v_micro")
+        .write.mode("append").parquet(base)
+      assert(MvRegistry.explainRoute(routed)
+        .exists(_.contains("stale")))
+      // no registered base at all
+      MvRegistry.clear()
+      assert(MvRegistry.explainRoute(routed) ===
+        Seq("no aggregate over a registered base reached SummaryRewrite"))
+    } finally MvRegistry.clear()
+  }
+
+  test("refreshSummary: stale bail, Δ-fold repair, routing resumes — one operation") {
+    val base = tmpDir("mvr-base"); val mv = tmpDir("mvr-sum")
+    def rows(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (s"t${i % 5}", if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "v_micro")
+    rows(0, 800).write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+        sum("v_micro").as("sum_micro"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("v_micro" -> "sum_micro"),
+      nns = Map("v_micro" -> "n_nonnull")))
+    val q = () => spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        count(col("v_micro")).as("nn"), avg("v_micro").as("a"))
+      .orderBy("event_type")
+    try {
+      assert(scannedPaths(q()).exists(_.contains(mv))) // fresh: routes
+      // the base write that strands the summary
+      rows(800, 1000).write.mode("append").parquet(base)
+      val stale = q()
+      assert(scannedPaths(stale).exists(_.contains(base)),
+        "stale summary must bail to the base scan")
+      val expect = stale.collect() // correct either way — from the base
+      // ONE repair call: fold the append's changelog, re-stamp, re-route
+      val nextPath = graft.pipeline.IncrementalFinal.refreshSummary(
+        spark, "file:" + base, mv,
+        rows(800, 1000).withColumn("sign", lit(1L)), Seq("event_type"))
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(nextPath)),
+        s"refreshed summary version not scanned: $paths")
+      assert(!paths.exists(_.contains(base)),
+        s"base still scanned after refresh: $paths")
+      assert(routed.collect() === expect) // fold ≡ recompute
+      // idempotence of the repair: same delta fold onto the same stale
+      // summary lands on the same version path with the same content
+      val again = graft.pipeline.IncrementalFinal.refreshSummary(
+        spark, "file:" + base, mv,
+        rows(800, 1000).withColumn("sign", lit(1L)), Seq("event_type"))
+      assert(again === nextPath)
+      assert(q().collect() === expect)
+    } finally MvRegistry.clear()
+  }
 }
