@@ -107,7 +107,14 @@ object Bench {
     * reported — the list says WHERE to look, the loads say WHY);
     * `value` the total of the mins; failed queries are -1 in `queries`
     * and listed by name in `errors` (excluded from the total). */
-  def toJson(results: Seq[QueryRuns], sfDir: String): String = {
+  /** `warmupSec`: wall seconds of the untimed shared-table warm-up
+    * (−1 when not measured, e.g. unit tests). Reported as a separate
+    * NON-GATING field: the one-off build cost excluded from every
+    * timed entry must stay visible and adjudicable — without it the
+    * totals silently stopped being comparable to pre-r13 rounds
+    * (ADVICE r13). */
+  def toJson(results: Seq[QueryRuns], sfDir: String,
+             warmupSec: Double = -1.0): String = {
     val mins = results.map(r => r.name -> best(r.secs))
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -123,7 +130,7 @@ object Bench {
     val total = mins.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$raw,"loads":$ld,"load_suspect":$sus,""" +
-      s""""errors":$failed,"sf":"$sfDir"}"""
+      s""""warmup_sec":$warmupSec,"errors":$failed,"sf":"$sfDir"}"""
   }
 
   /** Tail-survivable summary line: the round driver keeps only the last
@@ -167,11 +174,16 @@ object Bench {
     // tables are built once per (JVM, sfDir) by whichever derived
     // entry runs first — INSIDE that entry's timer. Build them here,
     // untimed, so first-pass attribution stays honest even at runs=1
-    // (min-of-1 cannot absorb a build pass; ADVICE r12).
+    // (min-of-1 cannot absorb a build pass; ADVICE r12). The wall time
+    // is MEASURED and published as warmup_sec: an untimed-but-invisible
+    // build cost would make totals incomparable across rounds
+    // (ADVICE r13).
+    val warmT0 = System.nanoTime()
     try {
       graft.queries.DedupOps.warmSharedTables(spark, sfDir)
       graft.queries.CurationOps.curatedSurvivors(spark, sfDir)
     } catch { case _: Throwable => () }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
 
     // dev iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
     // (the driver never sets it — full inventory is the default)
@@ -180,7 +192,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = timeQueries(spark, sfDir, selected, runs)
-    val full = toJson(results, sfDir)
+    val full = toJson(results, sfDir, warmupSec)
     // full artifact → committed file (survives regardless of stdout
     // truncation); overridable for tests
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

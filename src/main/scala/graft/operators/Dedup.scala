@@ -326,10 +326,27 @@ object Dedup {
                                  threshold: Double, bands: Int = 16,
                                  rows: Int = 4,
                                  maxBandBucketSize: Long = Long.MaxValue)
+  : DataFrame =
+    incrementalLshPairsFromBuckets(
+      spark.table(s"${name}_bands"),
+      if (spark.catalog.tableExists(s"${name}_bandsizes"))
+        Some(spark.table(s"${name}_bandsizes")) else None,
+      lshBuckets(minhashSignatureArray(batch, n, bands * rows), bands, rows),
+      baseDocs, batch, n, threshold, maxBandBucketSize)
+
+  /** [[incrementalMinhashLshPairs]] against IN-PLAN base state — the
+    * band rows (and optional precomputed per-bucket sizes) as
+    * DataFrames instead of catalog tables, and the batch's bucket rows
+    * precomputed so a caller that already sketched the batch (the
+    * streaming crawl fold, which also appends those rows to its state)
+    * never sketches twice. Identical semantics and fences. */
+  def incrementalLshPairsFromBuckets(rawBaseBuckets: DataFrame,
+                                     baseSizes: Option[DataFrame],
+                                     rawBatchBuckets: DataFrame,
+                                     baseDocs: DataFrame, batch: DataFrame,
+                                     n: Int, threshold: Double,
+                                     maxBandBucketSize: Long = Long.MaxValue)
   : DataFrame = {
-    val rawBatchBuckets =
-      lshBuckets(minhashSignatureArray(batch, n, bands * rows), bands, rows)
-    val rawBaseBuckets = spark.table(s"${name}_bands")
     // Hot-bucket fence over the COMBINED (base + batch) population —
     // the cross join emits |base_bucket|·|batch_bucket| candidates per
     // key, so a batch doc landing in one degenerate base bucket pulls
@@ -341,11 +358,9 @@ object Dedup {
     val (baseBuckets, batchBuckets) =
       if (maxBandBucketSize == Long.MaxValue) (rawBaseBuckets, rawBatchBuckets)
       else {
-        val baseSz =
-          if (spark.catalog.tableExists(s"${name}_bandsizes"))
-            spark.table(s"${name}_bandsizes")
-          else rawBaseBuckets.groupBy("band", "bh")
-            .agg(count(lit(1)).as("sz"))
+        val baseSz = baseSizes.getOrElse(
+          rawBaseBuckets.groupBy("band", "bh")
+            .agg(count(lit(1)).as("sz")))
         val hot = baseSz.select(col("band"), col("bh"), col("sz"))
           .unionByName(rawBatchBuckets.groupBy("band", "bh")
             .agg(count(lit(1)).as("sz")))

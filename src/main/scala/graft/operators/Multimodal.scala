@@ -73,6 +73,50 @@ object Multimodal {
           md5(col("payload")).as("content_md5"),
           col("mime")).as("meta"))
 
+  /** REAL image resize through the same ImageIO seam as [[ImageIoCodec]]:
+    * decode the payload container → rescale to `targetPx`×`targetPx`
+    * pixels (JDK-only `java.awt.Graphics2D.drawImage` with bilinear
+    * interpolation — no extra dependency) → re-encode as PNG, with the
+    * metadata struct recomputed from the ACTUAL re-encoded bytes, never
+    * claimed. [[resizePayload]] is the byte-level stand-in for opaque
+    * formats; this is the real transform for decodable images — same
+    * Spark contract (binary in, binary out, mapPartitions batch
+    * execution, meta kept honest), which is the point of the seam.
+    * Non-decodable payloads fail loudly, like the codec. */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+                  targetPx: Int): DataFrame = {
+    import spark.implicits._
+    require(targetPx >= 1, s"targetPx must be >= 1, got $targetPx")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"resizeImage: payload (${bytes.length} bytes) is not a " +
+              "decodable image")
+          val out = new java.awt.image.BufferedImage(
+            targetPx, targetPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetPx, targetPx, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(
+          octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_md5"),
+          lit("image/png").as("mime")).as("meta"))
+  }
+
   /** Feature row produced by the decode stage. */
   final case class MediaFeatures(
       doc_id: Long, byte_len: Int, histogram: Array[Double])

@@ -29,6 +29,11 @@ class BenchSuite extends SparkSuite {
     assert(json.contains(""""q_broken":-1"""))
     // the total excludes the failure instead of silently absorbing it
     assert(json.contains(s""""value":${Bench.best(byName("q_ok"))}"""))
+    // the untimed warm-up cost is a visible (non-gating) field: -1
+    // sentinel when unmeasured, the measured wall seconds in main()
+    assert(json.contains(""""warmup_sec":-1"""))
+    assert(Bench.toJson(results, "/tmp/unused", 12.5)
+      .contains(""""warmup_sec":12.5"""))
   }
 
   test("runtime failures (not just construction) also surface as -1") {

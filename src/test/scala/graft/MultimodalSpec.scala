@@ -162,4 +162,43 @@ class MultimodalSpec extends SparkSuite {
     val d2 = resized(2L)._1
     assert(d2.drop(4).forall(_ === 0.toByte))
   }
+
+  test("resizeImage: real decode → scale → re-encode; features survive, meta derives from actual bytes") {
+    // the r13 gap: resizePayload only rewrites bytes — this drives the
+    // REAL transform on the real 4×4 PNG fixture, down (4→2) and up
+    // (4→8); solid fields are interpolation-invariant, so the resized
+    // image must decode to the SAME luminance histogram
+    val media = Seq(
+      (1L, encodeImage(solid(0x808080), "png")),   // gray → bin 8
+      (2L, encodeImage(solid(0xFFFFFF), "jpg"))    // white JPEG in, PNG out
+    ).toDF("doc_id", "payload")
+    for (target <- Seq(2, 8)) {
+      val resized = Multimodal.resizeImage(spark, media, target)
+      val rows = resized.collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("payload"), r.getStruct(2))).toMap
+      rows.foreach { case (_, (payload, meta)) =>
+        // the output is a REAL PNG of the target geometry
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        assert(img != null && img.getWidth === target &&
+          img.getHeight === target)
+        // meta derives from the actual re-encoded bytes
+        assert(meta.getInt(0) === payload.length)
+        assert(meta.getString(2) === "image/png")
+      }
+      val feats = Multimodal
+        .decodeFeatures(spark, resized, Multimodal.ImageIoCodec)
+        .collect().map(f => f.doc_id -> f.histogram).toMap
+      assert(feats(1L)(8) === 1.0)  // gray survives the rescale exactly
+      assert(feats(2L)(15) === 1.0) // white survives JPEG→PNG + rescale
+    }
+    // non-decodable payloads fail loudly through the same seam
+    val bad = Seq((9L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeImage(spark, bad, 2).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
 }

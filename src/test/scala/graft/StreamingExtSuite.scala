@@ -673,6 +673,78 @@ class StreamingExtSuite extends SparkSuite {
     assert(StreamingIvm.versions(spark, state) === Seq(0L, 1L, 2L))
   }
 
+  test("crawl pipeline: LSH probe → label fold → survivors compose end-to-end; " +
+    "kill-and-restart resumes mid-crawl; re-delivery is idempotent") {
+    import graft.operators.Dedup
+    import graft.streaming.{CrawlDedup, StreamingIvm}
+    val in = tmpDir("crawl-in"); val cp = tmpDir("crawl-cp")
+    val state = tmpDir("crawl-state")
+    def src = spark.readStream.schema("doc_id long, text string").json(in)
+    def start() = CrawlDedup.attach(src, state, 3, 0.5)
+      .option("checkpointLocation", cp).start()
+
+    // crawl day 1: an exact dup, a near dup, a distinct doc
+    val q1 = start()
+    try feed(in, q1, Seq(
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog"}""",
+      """{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog"}""",
+      """{"doc_id":3,"text":"the quick brown fox jumps over the lazy cat"}""",
+      """{"doc_id":4,"text":"completely different content about spark engines here"}"""))
+    finally q1.stop() // kill mid-crawl
+
+    // crawl day 2 resumes from the checkpoint + versioned state: a
+    // cross-batch dup of cluster 1, a near dup of doc 4, a new singleton
+    val q2 = start()
+    try feed(in, q2, Seq(
+      """{"doc_id":5,"text":"the  quick   brown fox jumps over the lazy dog"}""",
+      """{"doc_id":6,"text":"completely different content about spark engines today"}""",
+      """{"doc_id":7,"text":"nothing like anything else in this corpus at all"}"""))
+    finally q2.stop()
+
+    def labelMap() = CrawlDedup.labels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      4L -> 4L, 6L -> 4L, 7L -> 7L)
+    assert(labelMap() === expect)
+    assert(CrawlDedup.survivors(spark, state).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L, 7L))
+
+    // the composed streaming fold ≡ one-shot batch recompute over the
+    // full corpus with EXACT pairs (the usual LSH-recall-at-0.5 gate)
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different content about spark engines here"),
+      (5L, "the  quick   brown fox jumps over the lazy dog"),
+      (6L, "completely different content about spark engines today"),
+      (7L, "nothing like anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val batchExpect = Dedup.connectedComponents(all, "doc_id",
+        Dedup.ngramJaccardPairs(all, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === batchExpect)
+
+    // at-least-once re-delivery: re-run the LAST batch (same id, same
+    // rows) exactly as a post-crash retry would — every state write is
+    // keyed by batchId, so nothing may change
+    val lastV = StreamingIvm.versions(spark, s"$state/labels").last
+    CrawlDedup.applyBatch(spark, state, 3, 0.5)(
+      all.filter($"doc_id" >= 5L), lastV)
+    assert(labelMap() === expect, "re-delivered crawl batch corrupted state")
+    assert(CrawlDedup.survivors(spark, state).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L, 7L))
+
+    // both crawl days' docs and band rows are committed append-only state
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("docs", "bands").foreach { d =>
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/$d"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+      assert(names.length === 2, s"$d: ${names.toSeq}")
+    }
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm
