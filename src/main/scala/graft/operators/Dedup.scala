@@ -342,11 +342,16 @@ object Dedup {
     * never sketches twice. Identical semantics and fences. */
   def incrementalLshPairsFromBuckets(rawBaseBuckets: DataFrame,
                                      baseSizes: Option[DataFrame],
-                                     rawBatchBuckets: DataFrame,
+                                     batchBuckets0: DataFrame,
                                      baseDocs: DataFrame, batch: DataFrame,
                                      n: Int, threshold: Double,
                                      maxBandBucketSize: Long = Long.MaxValue)
   : DataFrame = {
+    // the batch's bucket rows feed the cross join, the intra self-join
+    // (twice), and the size fence — cached so the batch sketches ONCE
+    // per fold instead of once per consumer (the base side is a
+    // bucketed table scan and needs no pinning)
+    val rawBatchBuckets = batchBuckets0.cache()
     // Hot-bucket fence over the COMBINED (base + batch) population —
     // the cross join emits |base_bucket|·|batch_bucket| candidates per
     // key, so a batch doc landing in one degenerate base bucket pulls

@@ -168,7 +168,14 @@ object IncrementalFinal {
     *
     * Returns the refreshed summary path. Requires a summary registered
     * for `basePath` whose maintained columns match `maintainAggregate`'s
-    * contract (cntCol/sumCol/nnCol names as registered). */
+    * contract (cntCol/sumCol/nnCol names as registered). Registered
+    * MIN/MAX columns stay routed when the delta is INSERT-ONLY (extremes
+    * fold exactly under pure appends: least/greatest of old extreme and
+    * the insert extreme); any retraction in the delta drops the min/max
+    * registrations instead — extremes are not self-maintainable under
+    * retraction ([[maintainMinMax]]'s dirty-key protocol exists for
+    * that), so MIN/MAX queries then bail to the base scan rather than
+    * ever serving a wrong extreme. */
   def refreshSummary(spark: SparkSession, basePath: String,
                      summaryPath: String, delta: DataFrame,
                      keyCols: Seq[String],
@@ -180,11 +187,48 @@ object IncrementalFinal {
       s"refreshSummary: no summary registered for base $basePath"))
     val tok = graft.plans.MvRegistry.baseVersionToken(spark, basePath)
     val nextPath = s"$summaryPath-v${tok.take(12)}"
-    maintainAggregate(spark.read.parquet(summaryPath), delta, keyCols,
-        cntCol, sumCol, nnCol, signCol, valueCol)
-      .write.mode(SaveMode.Overwrite).parquet(nextPath)
+    val prev = spark.read.parquet(summaryPath)
+    val folded = maintainAggregate(prev, delta, keyCols,
+      cntCol, sumCol, nnCol, signCol, valueCol)
+    // MIN/MAX under RETRACTION are not self-maintainable (maintainMinMax's
+    // dirty-key protocol needs targeted base rescans) — but the common
+    // refresh delta is an APPEND (insert-only), where extremes fold
+    // exactly: new_min = least(old_min, min inserted). Detect which case
+    // this delta is (one cheap aggregate) and keep the min/max
+    // registrations routed when the fold is exact; otherwise drop them so
+    // MIN/MAX queries bail to the base scan (conservative) instead of
+    // resolving against columns the refreshed summary no longer has.
+    val insertOnly =
+      delta.filter(col(signCol) < 0).limit(1).count() == 0L
+    val mmCols = (reg.mins.values ++ reg.maxs.values).toSeq.distinct
+      .filter(prev.columns.contains)
+    val keepMm = insertOnly && mmCols.nonEmpty &&
+      (reg.mins.values ++ reg.maxs.values).forall(prev.columns.contains) &&
+      // extremes are only foldable for the ONE value column this fold
+      // maintains — a summary serving extremes of other columns would
+      // need their deltas too
+      (reg.mins.keys ++ reg.maxs.keys).forall(_ == valueCol)
+    val next =
+      if (!keepMm) folded
+      else {
+        val dMm = delta.groupBy(keyCols.map(col): _*)
+          .agg(min(col(valueCol)).as("_d_min"),
+            max(col(valueCol)).as("_d_max"))
+        val prevMm = prev.select(
+          (keyCols.map(col) ++ mmCols.map(col)): _*)
+        folded.join(prevMm, keyCols, "left")
+          .join(dMm, keyCols, "left")
+          .select((folded.columns.map(col) ++
+            reg.mins.values.toSeq.distinct.map(c =>
+              least(col(c), col("_d_min")).as(c)) ++
+            reg.maxs.values.toSeq.distinct.map(c =>
+              greatest(col(c), col("_d_max")).as(c))): _*)
+      }
+    next.write.mode(SaveMode.Overwrite).parquet(nextPath)
     graft.plans.MvRegistry.register(basePath, reg.copy(
-      mv = () => spark.read.parquet(nextPath), baseToken = Some(tok)))
+      mv = () => spark.read.parquet(nextPath), baseToken = Some(tok),
+      mins = if (keepMm) reg.mins else Map.empty,
+      maxs = if (keepMm) reg.maxs else Map.empty))
     nextPath
   }
 

@@ -96,6 +96,31 @@ object MultimodalOps {
                      CAST(1.0 AS DOUBLE) AS weight
               FROM documents ORDER BY doc_id""")),
 
+    // ⊕ REAL image RESIZE, oracle-gated end-to-end: PNG-encode (4×4,
+    // gray = n_chars mod 256) → ImageIO decode → bilinear rescale to
+    // 2×2 → PNG re-encode → ImageIO decode → luminance features. A
+    // solid field is interpolation-invariant (bilinear of equal
+    // integer pixels is exact), so the decoded histogram is the same
+    // pure function of n_chars as mm_decode_image — the gate certifies
+    // the full transform round trip, not a byte rewrite.
+    Entry(
+      "mm_resize_image",
+      (s, dir) => Multimodal
+        .decodeFeatures(s,
+          Multimodal.resizeImage(s,
+            Multimodal.syntheticImages(s, Tables(s, dir, "documents"), 4),
+            2),
+          Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("histogram")).as(Seq("bin", "weight")))
+        .filter(col("weight") > 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST((n_chars % 256) // 16 AS INTEGER) AS bin,
+                     CAST(1.0 AS DOUBLE) AS weight
+              FROM documents ORDER BY doc_id""")),
+
     // ⊕ REAL audio decode, oracle-gated: 32-sample constant-amplitude
     // WAVs encoded from n_chars (javax.sound.sampled), decoded by
     // WavCodec — every sample lands in bin (n_chars % 32768) DIV 2048.

@@ -546,6 +546,16 @@ class PlanSpec extends SparkSuite {
       s"base corpus still scanned after rollup routing: $paths")
   }
 
+  test("dedup_minhash_lsh reads the shared signature table: no in-plan sketch aggregate (dedup_minhash_lsh)") {
+    // r13 measured this entry re-sketching the corpus per run — the
+    // MinHashSketch udaf planned as ObjectHashAggregate nodes. The
+    // shared materialization replaces the sketch subtree with a parquet
+    // scan of (doc_id, sig); any ObjectHashAggregate reappearing here
+    // means the share regressed
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("ObjectHashAggregate"), p)
+  }
+
   test("refresh routing: the query scans the REFRESHED summary version, not the stale one, never the base (cdc_mv_refresh)") {
     val df = Inventory.byName("cdc_mv_refresh").run(spark, sfDir)
     val paths = df.queryExecution.optimizedPlan.collect {

@@ -796,4 +796,94 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(q().collect() === expect)
     } finally MvRegistry.clear()
   }
+
+  test("refreshSummary extremes: insert-only deltas keep MIN/MAX routed exactly; a retraction drops them to the base scan") {
+    import graft.pipeline.IncrementalFinal
+    def fixtureMm(tag: String): (String, String) = {
+      val base = tmpDir(s"mvmm-$tag-base"); val mv = tmpDir(s"mvmm-$tag-sum")
+      (0L until 600L)
+        .map(i => (s"t${i % 5}", if (i % 11 == 0) null
+          else java.lang.Long.valueOf(i % 97)))
+        .toDF("event_type", "v_micro")
+        .write.mode("overwrite").parquet(base)
+      spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+          sum("v_micro").as("sum_micro"), min("v_micro").as("min_v"),
+          max("v_micro").as("max_v"))
+        .write.mode("overwrite").parquet(mv)
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_micro"),
+        nns = Map("v_micro" -> "n_nonnull"),
+        mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+      (base, mv)
+    }
+    def mmQuery(base: String) = () => spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(min("v_micro").as("lo"), max("v_micro").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+    // INSERT-ONLY append: extremes fold exactly (one value below every
+    // existing min, one above every max, plus a brand-new key)
+    val (b1, m1) = fixtureMm("ins")
+    try {
+      val appendRows = Seq(("t0", java.lang.Long.valueOf(-5L)),
+        ("t1", java.lang.Long.valueOf(500L)),
+        ("t9", java.lang.Long.valueOf(7L)))
+        .toDF("event_type", "v_micro")
+      appendRows.write.mode("append").parquet("file:" + b1)
+      val next = IncrementalFinal.refreshSummary(spark, "file:" + b1, m1,
+        appendRows.withColumn("sign", lit(1L)), Seq("event_type"))
+      val routed = mmQuery(b1)()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(next)),
+        s"refreshed summary not scanned for MIN/MAX: $paths")
+      assert(!paths.exists(_.contains(b1)), s"base still scanned: $paths")
+      MvRegistry.clear()
+      assert(routed.collect() === mmQuery(b1)().collect()) // ≡ recompute
+    } finally MvRegistry.clear()
+
+    // a RETRACTION in the delta: extremes are not self-maintainable —
+    // the registrations drop and MIN/MAX queries bail to the base scan
+    // (still correct), while COUNT/SUM keep routing
+    val (b2, m2) = fixtureMm("ret")
+    try {
+      // retract one row the base has counted, and remove it from the
+      // base files so scan and summary agree
+      // null-safe equality: t0's NULL-valued rows must survive the
+      // rewrite (they are not being retracted)
+      spark.read.parquet(b2)
+        .filter(!(col("event_type") === "t0" && (col("v_micro") <=> 0L)))
+        .write.mode("overwrite").parquet(b2 + "-v2")
+      val delta = Seq(("t0", java.lang.Long.valueOf(0L), -1L))
+        .toDF("event_type", "v_micro", "sign")
+      // re-register against the rewritten base path, then refresh it
+      MvRegistry.registerFresh(spark, "file:" + b2 + "-v2",
+        MvRegistry.Summary(() => spark.read.parquet(m2), Seq("event_type"),
+          "cnt", sums = Map("v_micro" -> "sum_micro"),
+          nns = Map("v_micro" -> "n_nonnull"),
+          mins = Map("v_micro" -> "min_v"),
+          maxs = Map("v_micro" -> "max_v")))
+      val next = IncrementalFinal.refreshSummary(spark,
+        "file:" + b2 + "-v2", m2, delta, Seq("event_type"))
+      val mm = mmQuery(b2 + "-v2")()
+      assert(scannedPaths(mm).exists(_.contains(b2 + "-v2")),
+        "MIN/MAX after a retraction must bail to the base scan")
+      MvRegistry.clear()
+      assert(mm.collect() === mmQuery(b2 + "-v2")().collect())
+      // COUNT/SUM still route against the refreshed version
+      MvRegistry.register("file:" + b2 + "-v2", MvRegistry.Summary(
+        () => spark.read.parquet(next), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_micro"),
+        nns = Map("v_micro" -> "n_nonnull")))
+      val cs = () => spark.read.parquet(b2 + "-v2").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+        .orderBy("event_type")
+      val routed = cs()
+      assert(scannedPaths(routed).exists(_.contains(next)))
+      MvRegistry.clear()
+      assert(routed.collect() === cs().collect())
+    } finally MvRegistry.clear()
+  }
 }
