@@ -625,8 +625,9 @@ object Dedup {
     * `dupStats` must already be filtered to n_occ > 1; fingerprints at
     * ≥ `hotFpThreshold` occurrences broadcast (bounded count), the
     * rest take the shuffle join with hot keys anti-fenced map-side. */
-  private def joinWindowsWithStats(wins: DataFrame, dupStats: DataFrame,
-                                   hotFpThreshold: Long): DataFrame = {
+  private[graft] def joinWindowsWithStats(wins: DataFrame,
+                                          dupStats: DataFrame,
+                                          hotFpThreshold: Long): DataFrame = {
     require(hotFpThreshold >= 2,
       s"hotFpThreshold must be >= 2, got $hotFpThreshold")
     val hot = dupStats.filter(col("n_occ") >= hotFpThreshold)

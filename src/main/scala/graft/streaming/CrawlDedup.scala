@@ -9,11 +9,15 @@ import graft.operators.Dedup
 /** The daily-crawl dedup loop composed END-TO-END as one streaming job:
   * each micro-batch of new documents is LSH-probed against the persisted
   * corpus state, its near-dup pairs fold into the persisted cluster
-  * labels, and the survivor set follows — the production composition of
-  * the incremental-dedup matrix whose pieces
+  * labels, and the survivor set follows; optional stages fold the
+  * ExactSubstr window index ([[SubstrStage]]) and the SemDeDup survivor
+  * list ([[SemanticStage]]) in the same pass — the production
+  * composition of the COMPLETE incremental-dedup matrix whose pieces
   * ([[graft.operators.Dedup.incrementalLshPairsFromBuckets]],
-  * [[graft.operators.Dedup.incrementalConnectedComponents]]) are each
-  * gated fold ≡ recompute separately.
+  * [[graft.operators.Dedup.incrementalConnectedComponents]],
+  * [[graft.operators.Dedup.duplicatedWindowsIncremental]]'s stats
+  * merge, [[graft.operators.SemanticDedup.incrementalSurvivors]]) are
+  * each gated fold ≡ recompute separately.
   *
   * State layout under `stateDir` (all parquet, all writes keyed by
   * batchId so at-least-once re-delivery is idempotent by construction —
@@ -47,6 +51,23 @@ import graft.operators.Dedup
   * otherwise quadratically funnel every later batch forever. */
 object CrawlDedup {
 
+  /** Optional ExactSubstr stage: maintain the window-occurrence and
+    * merged per-fp stats state so maximal duplicated-substring spans
+    * over the WHOLE crawled corpus stay current per batch —
+    * [[graft.operators.Dedup.duplicatedWindowsIncremental]]'s fold
+    * driven by the same versioned protocol. */
+  final case class SubstrStage(l: Int,
+      hotFpThreshold: Long = Dedup.DefaultHotFpThreshold)
+
+  /** Optional SemDeDup stage: the crawl stream carries an embedding
+    * column; each batch is cell-assigned map-side and folded into the
+    * persisted survivor list via
+    * [[graft.operators.SemanticDedup.incrementalSurvivors]] (both
+    * eviction directions — a smaller-id arrival evicts a base
+    * survivor, exactly as recompute would). */
+  final case class SemanticStage(embCol: String,
+      centroids: Array[Array[Float]], threshold: Double)
+
   /** Accumulated state strictly BEFORE `beforeBatch` for an append-only
     * per-batch directory (`docs`/`bands`); None when no prior batch has
     * committed. */
@@ -67,13 +88,40 @@ object CrawlDedup {
       .drop("batch"))
   }
 
+  /** Versioned-fold state write: overwrite `dir/v=<batchId>`, verify the
+    * commit marker, prune to the newest `keepVersions` committed
+    * versions (the predecessor always survives — re-delivery folds from
+    * it). */
+  private def writeVersioned(spark: SparkSession, dir: String,
+                             df: DataFrame, batchId: Long,
+                             keepVersions: Int): Unit = {
+    df.localCheckpoint(true)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$batchId")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(s"$dir/v=$batchId/_SUCCESS")),
+      s"CrawlDedup: state write $dir/v=$batchId produced no _SUCCESS " +
+        "marker — the versioned-fold protocol cannot see commits " +
+        "without markers")
+    val keep = StreamingIvm.versions(spark, dir)
+      .takeRight(keepVersions).toSet
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filter { st =>
+        val v = st.getPath.getName.stripPrefix("v=").toLong
+        !keep(v) && v < batchId
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** The foreachBatch body — public so tests can drive re-delivery
-    * explicitly. Folds one batch of `(doc_id, text)` documents into
-    * `stateDir`. */
+    * explicitly. Folds one batch of `(doc_id, text[, embedding])`
+    * documents into `stateDir`. */
   def applyBatch(spark: SparkSession, stateDir: String, n: Int,
                  threshold: Double, bands: Int = 16, rows: Int = 4,
                  maxBandBucketSize: Long = Long.MaxValue,
-                 keepVersions: Int = 3)
+                 keepVersions: Int = 3,
+                 substr: Option[SubstrStage] = None,
+                 semantic: Option[SemanticStage] = None)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 (re-delivery folds from the " +
@@ -108,33 +156,70 @@ object CrawlDedup {
         Dedup.incrementalConnectedComponents(pl, batch.select("doc_id"),
           "doc_id", pairs)
     }
-    labels.localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/labels/v=$batchId")
-    val fs = new Path(stateDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new Path(s"$stateDir/labels/v=$batchId/_SUCCESS")),
-      s"CrawlDedup: label state write v=$batchId produced no _SUCCESS " +
-        "marker — the versioned-fold protocol cannot see commits " +
-        "without markers")
-    // state appends, each keyed by batchId (idempotent overwrite)
+    writeVersioned(spark, s"$stateDir/labels", labels, batchId,
+      keepVersions)
+    // state appends, each keyed by batchId (idempotent overwrite); the
+    // docs/bands per-batch partitions are DATA (not versioned copies)
+    // and stay — bound their file count with the core/Layout compaction
+    // loop on a real lake
     batch.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/docs/batch=$batchId")
     batchBands.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/bands/batch=$batchId")
-    // prune old label versions (full copies) — keep the just-written
-    // one and at least its predecessor, like StreamingIvm; the docs/
-    // bands per-batch partitions are DATA (not versioned copies) and
-    // stay
-    val lp = new Path(s"$stateDir/labels")
-    val keep = StreamingIvm.versions(spark, s"$stateDir/labels")
-      .takeRight(keepVersions).toSet
-    fs.listStatus(lp).toSeq
-      .filter(_.getPath.getName.startsWith("v="))
-      .filter { st =>
-        val v = st.getPath.getName.stripPrefix("v=").toLong
-        !keep(v) && v < batchId
+
+    // ---- optional ExactSubstr stage: fold the batch's window
+    // fingerprints into the merged per-fp stats (counts add, survivor =
+    // global min — Dedup.mergeWindowStats), keep the occurrence rows as
+    // append-only per-batch partitions; duplicateSpans() then serves
+    // whole-corpus maximal spans without re-fingerprinting anything
+    substr.foreach { st =>
+      val batchWins = Dedup.allWindows(batch, st.l).localCheckpoint(true)
+      val stats = StreamingIvm.readState(spark, s"$stateDir/substats",
+          Some(batchId)) match {
+        case None => Dedup.windowStats(batchWins)
+        case Some(ps) => Dedup.mergeWindowStats(ps,
+          Dedup.windowStats(batchWins))
       }
-      .foreach(st => fs.delete(st.getPath, true))
+      writeVersioned(spark, s"$stateDir/substats", stats, batchId,
+        keepVersions)
+      batchWins.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/subwins/batch=$batchId")
+    }
+
+    // ---- optional SemDeDup stage: map-side cell assignment of the
+    // batch's embeddings, one cell-equi join against the accumulated
+    // assigned corpus, survivor fold with BOTH eviction directions
+    // (a smaller-id arrival evicts a base survivor, ≡ recompute)
+    semantic.foreach { se =>
+      val batchEmb = batchDf.select(col("doc_id").as("vec_id"),
+          col(se.embCol).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("embedding"))
+        .localCheckpoint(true)
+      val assignedBatch = graft.operators.SemanticDedup
+        .assignCells(batchEmb, se.centroids)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val surv = (priorBatches(spark, s"$stateDir/semassigned", batchId),
+          StreamingIvm.readState(spark, s"$stateDir/semsurv",
+            Some(batchId))) match {
+        case (Some(pa), Some(psv)) => graft.operators.SemanticDedup
+          .incrementalSurvivors(pa, psv, batchEmb, se.centroids,
+            se.threshold)
+        case _ => graft.operators.SemanticDedup
+          .survivors(assignedBatch, se.threshold)
+      }
+      writeVersioned(spark, s"$stateDir/semsurv", surv, batchId,
+        keepVersions)
+      assignedBatch.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/semassigned/batch=$batchId")
+    }
+
+    // drop this batch's cache entries (the probe pins its band rows and
+    // candidate set; everything is on disk now) — cache blocks are NOT
+    // GC-collected, so a long-running crawl would otherwise accumulate
+    // one batch's worth per trigger, violating the bounded-state
+    // contract. The crawl job owns its session (a dedicated maintenance
+    // stream), so a full clear is the honest lifetime.
+    spark.catalog.clearCache()
   }
 
   /** Current cluster labels (doc_id, cluster_id) — the latest committed
@@ -150,17 +235,46 @@ object CrawlDedup {
     labels(spark, stateDir).filter(col("doc_id") === col("cluster_id"))
       .select("doc_id")
 
+  /** Current maximal duplicated-substring spans over the crawled corpus
+    * (requires [[SubstrStage]]): occurrence rows from the append-only
+    * per-batch window partitions, duplicated fps from the latest merged
+    * stats, the skew-fenced occurrence ⋈ stats join, maximal-island
+    * merging — ≡ `spansFromWindows(duplicatedWindows(all docs))` by the
+    * fold ≡ recompute law (suite-gated). */
+  def duplicateSpans(spark: SparkSession, stateDir: String, l: Int,
+                     hotFpThreshold: Long = Dedup.DefaultHotFpThreshold)
+  : DataFrame = {
+    val wins = priorBatches(spark, s"$stateDir/subwins", Long.MaxValue)
+      .getOrElse(sys.error(
+        s"CrawlDedup: no committed substr window state under $stateDir"))
+    val dup = StreamingIvm.readState(spark, s"$stateDir/substats", None)
+      .getOrElse(sys.error(
+        s"CrawlDedup: no committed substr stats state under $stateDir"))
+      .filter(col("n_occ") > 1)
+    Dedup.spansFromWindows(
+      Dedup.joinWindowsWithStats(wins, dup, hotFpThreshold), l)
+  }
+
+  /** Current semantic survivor set (vec_id, cell) — requires
+    * [[SemanticStage]]. */
+  def semanticSurvivors(spark: SparkSession, stateDir: String): DataFrame =
+    StreamingIvm.readState(spark, s"$stateDir/semsurv", None).getOrElse(
+      sys.error(s"CrawlDedup: no committed semantic state under $stateDir"))
+
   /** Wire a document stream into the crawl fold. Caller starts the
     * returned writer with a checkpoint dir; restarts resume from the
     * checkpoint and the versioned state (kill-and-restart proven in
     * StreamingExtSuite). */
   def attach(docs: DataFrame, stateDir: String, n: Int, threshold: Double,
              bands: Int = 16, rows: Int = 4,
-             maxBandBucketSize: Long = Long.MaxValue)
+             maxBandBucketSize: Long = Long.MaxValue,
+             substr: Option[SubstrStage] = None,
+             semantic: Option[SemanticStage] = None)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(b.sparkSession, stateDir, n, threshold, bands, rows,
-          maxBandBucketSize)(b.toDF(), id)
+          maxBandBucketSize, substr = substr, semantic = semantic)(
+          b.toDF(), id)
     }
 }

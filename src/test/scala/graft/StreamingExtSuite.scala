@@ -679,26 +679,33 @@ class StreamingExtSuite extends SparkSuite {
     import graft.streaming.{CrawlDedup, StreamingIvm}
     val in = tmpDir("crawl-in"); val cp = tmpDir("crawl-cp")
     val state = tmpDir("crawl-state")
-    def src = spark.readStream.schema("doc_id long, text string").json(in)
-    def start() = CrawlDedup.attach(src, state, 3, 0.5)
+    // all five matrix pieces in ONE job: LSH pairs → labels → survivors,
+    // plus the ExactSubstr window fold and the SemDeDup survivor fold
+    val substr = Some(CrawlDedup.SubstrStage(4))
+    val semantic = Some(CrawlDedup.SemanticStage("emb",
+      Array(Array(1f, 0f), Array(0f, 1f)), 0.99))
+    def src = spark.readStream
+      .schema("doc_id long, text string, emb array<double>").json(in)
+    def start() = CrawlDedup.attach(src, state, 3, 0.5,
+        substr = substr, semantic = semantic)
       .option("checkpointLocation", cp).start()
 
     // crawl day 1: an exact dup, a near dup, a distinct doc
     val q1 = start()
     try feed(in, q1, Seq(
-      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog"}""",
-      """{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog"}""",
-      """{"doc_id":3,"text":"the quick brown fox jumps over the lazy cat"}""",
-      """{"doc_id":4,"text":"completely different content about spark engines here"}"""))
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog","emb":[1.0,0.0]}""",
+      """{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog","emb":[0.999,0.02]}""",
+      """{"doc_id":3,"text":"the quick brown fox jumps over the lazy cat","emb":[0.8,0.6]}""",
+      """{"doc_id":4,"text":"completely different content about spark engines here","emb":[0.0,1.0]}"""))
     finally q1.stop() // kill mid-crawl
 
     // crawl day 2 resumes from the checkpoint + versioned state: a
     // cross-batch dup of cluster 1, a near dup of doc 4, a new singleton
     val q2 = start()
     try feed(in, q2, Seq(
-      """{"doc_id":5,"text":"the  quick   brown fox jumps over the lazy dog"}""",
-      """{"doc_id":6,"text":"completely different content about spark engines today"}""",
-      """{"doc_id":7,"text":"nothing like anything else in this corpus at all"}"""))
+      """{"doc_id":5,"text":"the  quick   brown fox jumps over the lazy dog","emb":[1.0,0.005]}""",
+      """{"doc_id":6,"text":"completely different content about spark engines today","emb":[0.01,1.0]}""",
+      """{"doc_id":7,"text":"nothing like anything else in this corpus at all","emb":[0.6,0.8]}"""))
     finally q2.stop()
 
     def labelMap() = CrawlDedup.labels(spark, state).collect()
@@ -712,33 +719,62 @@ class StreamingExtSuite extends SparkSuite {
     // the composed streaming fold ≡ one-shot batch recompute over the
     // full corpus with EXACT pairs (the usual LSH-recall-at-0.5 gate)
     val all = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog"),
-      (3L, "the quick brown fox jumps over the lazy cat"),
-      (4L, "completely different content about spark engines here"),
-      (5L, "the  quick   brown fox jumps over the lazy dog"),
-      (6L, "completely different content about spark engines today"),
-      (7L, "nothing like anything else in this corpus at all")
-    ).toDF("doc_id", "text")
+      (1L, "the quick brown fox jumps over the lazy dog", Seq(1.0, 0.0)),
+      (2L, "the quick brown fox jumps over the lazy dog", Seq(0.999, 0.02)),
+      (3L, "the quick brown fox jumps over the lazy cat", Seq(0.8, 0.6)),
+      (4L, "completely different content about spark engines here", Seq(0.0, 1.0)),
+      (5L, "the  quick   brown fox jumps over the lazy dog", Seq(1.0, 0.005)),
+      (6L, "completely different content about spark engines today", Seq(0.01, 1.0)),
+      (7L, "nothing like anything else in this corpus at all", Seq(0.6, 0.8))
+    ).toDF("doc_id", "text", "emb")
     val batchExpect = Dedup.connectedComponents(all, "doc_id",
         Dedup.ngramJaccardPairs(all, 3, 0.5))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelMap() === batchExpect)
 
+    // ExactSubstr stage: whole-corpus maximal spans ≡ one-shot recompute
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val spansExpect = spanSet(Dedup.spansFromWindows(
+      Dedup.duplicatedWindows(all, 4), 4))
+    assert(spansExpect.nonEmpty) // docs 1/2/5 share whole-doc spans
+    assert(spanSet(CrawlDedup.duplicateSpans(spark, state, 4))
+      === spansExpect)
+
+    // SemDeDup stage: survivor fold ≡ one-shot recompute; doc 2 evicted
+    // by 1, doc 5 cross-evicted by base survivor 1, doc 6 by 4
+    def semSet() = CrawlDedup.semanticSurvivors(spark, state).collect()
+      .map(_.getLong(0)).toSet
+    import graft.operators.SemanticDedup
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val semExpect = SemanticDedup.survivors(
+        SemanticDedup.assignCells(
+          all.select($"doc_id".as("vec_id"),
+            $"emb".cast("array<float>").as("embedding")), cents), 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(semSet() === semExpect)
+    assert(semSet() === Set(1L, 3L, 4L, 7L))
+
     // at-least-once re-delivery: re-run the LAST batch (same id, same
     // rows) exactly as a post-crash retry would — every state write is
-    // keyed by batchId, so nothing may change
+    // keyed by batchId, so nothing may change in ANY stage
     val lastV = StreamingIvm.versions(spark, s"$state/labels").last
-    CrawlDedup.applyBatch(spark, state, 3, 0.5)(
+    CrawlDedup.applyBatch(spark, state, 3, 0.5,
+      substr = Some(CrawlDedup.SubstrStage(4)),
+      semantic = Some(CrawlDedup.SemanticStage("emb", cents, 0.99)))(
       all.filter($"doc_id" >= 5L), lastV)
     assert(labelMap() === expect, "re-delivered crawl batch corrupted state")
     assert(CrawlDedup.survivors(spark, state).collect()
       .map(_.getLong(0)).toSet === Set(1L, 4L, 7L))
+    assert(spanSet(CrawlDedup.duplicateSpans(spark, state, 4))
+      === spansExpect, "re-delivery corrupted substr state")
+    assert(semSet() === semExpect, "re-delivery corrupted semantic state")
 
     // both crawl days' docs and band rows are committed append-only state
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("docs", "bands").foreach { d =>
+    Seq("docs", "bands", "subwins", "semassigned").foreach { d =>
       val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/$d"))
         .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
       assert(names.length === 2, s"$d: ${names.toSeq}")
