@@ -503,7 +503,7 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
-  test("randomized law: routed ≡ unrouted over the served shape grammar (direct + star, filters, FILTER clauses, f(grain))") {
+  test("randomized law: routed ≡ unrouted over the served shape grammar (direct + star, filters, FILTER clauses, f(grain), HAVING)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // one corpus + summary + dim for all cases
     val base = tmpDir("mvlaw-base"); val mv = tmpDir("mvlaw-sum")
@@ -542,11 +542,15 @@ class SummaryRewriteSpec extends SparkSuite {
       Gen.oneOf(None, Some(col("g1") =!= "t3"), Some(col("g2") >= 1),
         Some(col("g1") === "t0" && col("g2") < 4))
     val genStar: Gen[Boolean] = Gen.oneOf(true, false)
+    // HAVING: a Filter ABOVE the Aggregate on an aggregate output —
+    // outside the rewritten subtree, resolved via preserved exprIds
+    val genHaving: Gen[Option[Long]] =
+      Gen.oneOf(None, Some(1L), Some(20L), Some(60L))
 
     def run(groups: Seq[org.apache.spark.sql.Column],
             aggs: Seq[org.apache.spark.sql.Column],
             filter: Option[org.apache.spark.sql.Column],
-            star: Boolean): Set[Seq[Any]] = {
+            star: Boolean, having: Option[Long]): Set[Seq[Any]] = {
       val scan0 = spark.read.parquet(base)
       val scan = filter.fold(scan0)(scan0.filter)
       val src = if (star)
@@ -556,26 +560,29 @@ class SummaryRewriteSpec extends SparkSuite {
         src.groupBy(groups :+ col("label"): _*)
       else if (groups.isEmpty) src.groupBy()
       else src.groupBy(groups: _*)
-      grouped.agg(aggs.head, aggs.tail: _*)
+      val aggsH =
+        if (having.isDefined) aggs :+ count(lit(1)).as("hn") else aggs
+      val out = grouped.agg(aggsH.head, aggsH.tail: _*)
+      having.fold(out)(t => out.filter(col("hn") >= t))
         .collect().map(_.toSeq.map {
           case d: Double => math.round(d * 1e9) // tolerate fold-order ulps
           case x => x
         }).toSet
     }
 
-    val prop = Prop.forAll(genGrouping, genAgg, genFilter, genStar) {
-      (groups, aggs, filter, star) =>
+    val prop = Prop.forAll(genGrouping, genAgg, genFilter, genStar,
+      genHaving) { (groups, aggs, filter, star, having) =>
         MvRegistry.clear()
-        val expected = run(groups, aggs, filter, star)
+        val expected = run(groups, aggs, filter, star, having)
         MvRegistry.register("file:" + base, MvRegistry.Summary(
           () => spark.read.parquet(mv), Seq("g1", "g2"), "cnt",
           sums = Map("v" -> "sum_v"), nns = Map("v" -> "nn_v"),
           mins = Map("v" -> "min_v"), maxs = Map("v" -> "max_v")))
-        val routed = try run(groups, aggs, filter, star)
+        val routed = try run(groups, aggs, filter, star, having)
         finally MvRegistry.clear()
         Prop.propBoolean(routed == expected) :|
-          s"groups=$groups aggs=$aggs filter=$filter star=$star\n" +
-          s"routed=$routed\nexpected=$expected"
+          s"groups=$groups aggs=$aggs filter=$filter star=$star " +
+          s"having=$having\nrouted=$routed\nexpected=$expected"
     }
     val res = SCTest.check(
       SCTest.Parameters.default
