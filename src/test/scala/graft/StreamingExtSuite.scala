@@ -781,6 +781,62 @@ class StreamingExtSuite extends SparkSuite {
     }
   }
 
+  test("crawl retention: a long run keeps <= keepVersions label/stats/survivor dirs; the fold still equals recompute after pruning") {
+    import graft.operators.{Dedup, SemanticDedup}
+    import graft.streaming.{CrawlDedup, StreamingIvm}
+    val state = tmpDir("crawlret-state")
+    // five single-doc crawl days: two near-dup chains + a singleton,
+    // embeddings alternating between two cells
+    val days = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", Seq(1.0, 0.0)),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", Seq(0.999, 0.01)),
+      (3L, "one two three four five six seven eight", Seq(0.0, 1.0)),
+      (4L, "alpha beta gamma delta epsilon zeta eta kappa", Seq(0.6, 0.8)),
+      (5L, "one two three four five six seven nine", Seq(0.01, 1.0)))
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val stages = (Some(CrawlDedup.SubstrStage(4)),
+      Some(CrawlDedup.SemanticStage("emb", cents, 0.99)))
+    days.zipWithIndex.foreach { case ((id, text, emb), b) =>
+      CrawlDedup.applyBatch(spark, state, 3, 0.5, keepVersions = 2,
+        substr = stages._1, semantic = stages._2)(
+        Seq((id, text, emb)).toDF("doc_id", "text", "emb"), b.toLong)
+    }
+    // bounded state: each versioned family holds exactly keepVersions
+    // committed dirs after five folds
+    Seq("labels", "substats", "semsurv").foreach { d =>
+      assert(StreamingIvm.versions(spark, s"$state/$d") === Seq(3L, 4L),
+        d)
+    }
+    // the surviving fold is still exactly the recompute
+    val all = days.toDF("doc_id", "text", "emb")
+    val labelExpect = Dedup.connectedComponents(all, "doc_id",
+        Dedup.ngramJaccardPairs(all, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(CrawlDedup.labels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelExpect)
+    val spansExpect = Dedup.spansFromWindows(
+        Dedup.duplicatedWindows(all, 4), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(CrawlDedup.duplicateSpans(spark, state, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet === spansExpect)
+    val semExpect = SemanticDedup.survivors(
+        SemanticDedup.assignCells(
+          all.select($"doc_id".as("vec_id"),
+            $"emb".cast("array<float>").as("embedding")), cents), 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(CrawlDedup.semanticSurvivors(spark, state).collect()
+      .map(_.getLong(0)).toSet === semExpect)
+    // re-delivery after pruning still folds from the surviving
+    // predecessor (v=3) and changes nothing
+    CrawlDedup.applyBatch(spark, state, 3, 0.5, keepVersions = 2,
+      substr = stages._1, semantic = stages._2)(
+      Seq(days(4)).toDF("doc_id", "text", "emb"), 4L)
+    assert(CrawlDedup.labels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelExpect)
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm

@@ -804,6 +804,84 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("randomized refresh law: fold ≡ recompute over random append/retract deltas; extremes routed iff insert-only") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.pipeline.IncrementalFinal
+    var caseId = 0
+    val genCase = for {
+      n <- Gen.choose(30, 70)
+      baseRows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+        Gen.option(Gen.choose(-50L, 50L))))
+      nIns <- Gen.choose(1, 12)
+      insRows <- Gen.listOfN(nIns, Gen.zip(Gen.oneOf("a", "b", "c", "e"),
+        Gen.option(Gen.choose(-50L, 50L))))
+      retractIdx <- Gen.someOf(0 until n)
+    } yield (baseRows, insRows, retractIdx.toSet)
+
+    def df(rows: Seq[(String, Option[Long])]) = rows
+      .map { case (g, v) => (g, v.map(java.lang.Long.valueOf).orNull) }
+      .toDF("g", "v_micro")
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(_.toSeq.map {
+        case d: Double => math.round(d * 1e9)
+        case x => x
+      }).toSet
+
+    val prop = Prop.forAll(genCase) { case (baseRows, insRows, rIdx) =>
+      caseId += 1
+      val base = tmpDir(s"mvrlaw-$caseId-base")
+      val mv = tmpDir(s"mvrlaw-$caseId-sum")
+      df(baseRows).write.mode("overwrite").parquet(base)
+      spark.read.parquet(base).groupBy("g")
+        .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+          sum("v_micro").as("sum_micro"), min("v_micro").as("min_v"),
+          max("v_micro").as("max_v"))
+        .write.mode("overwrite").parquet(mv)
+      MvRegistry.clear()
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq("g"), "cnt",
+        sums = Map("v_micro" -> "sum_micro"),
+        nns = Map("v_micro" -> "n_nonnull"),
+        mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+      // the base write: retracted rows removed, inserts appended
+      val v2 = baseRows.zipWithIndex.collect {
+        case (r, i) if !rIdx(i) => r } ++ insRows
+      df(v2).write.mode("overwrite").parquet(base)
+      val delta = df(baseRows.zipWithIndex.collect {
+          case (r, i) if rIdx(i) => r })
+        .withColumn("sign", lit(-1L))
+        .unionByName(df(insRows).withColumn("sign", lit(1L)))
+      val nextPath = IncrementalFinal.refreshSummary(spark, "file:" + base,
+        mv, delta, Seq("g"))
+      val q = () => spark.read.parquet(base).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+          count(col("v_micro")).as("nn"), avg("v_micro").as("a"))
+      val qmm = () => spark.read.parquet(base).groupBy("g")
+        .agg(min("v_micro").as("lo"), max("v_micro").as("hi"))
+      val routed = norm(q().collect())
+      val routedMm = norm(qmm().collect())
+      val mmPaths = scannedPaths(qmm())
+      val insertOnly = rIdx.isEmpty
+      MvRegistry.clear()
+      val expect = norm(q().collect())
+      val expectMm = norm(qmm().collect())
+      val okPaths =
+        if (insertOnly) mmPaths.exists(_.contains(nextPath)) &&
+          !mmPaths.exists(_.contains(base))
+        else mmPaths.exists(_.contains(base))
+      Prop.propBoolean(
+        routed == expect && routedMm == expectMm && okPaths) :|
+        s"insertOnly=$insertOnly mmPaths=$mmPaths\n" +
+        s"routed=$routed\nexpect=$expect\n" +
+        s"routedMm=$routedMm\nexpectMm=$expectMm"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(12)
+        .withInitialSeed(org.scalacheck.rng.Seed(4242L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("refreshSummary extremes: insert-only deltas keep MIN/MAX routed exactly; a retraction drops them to the base scan") {
     import graft.pipeline.IncrementalFinal
     def fixtureMm(tag: String): (String, String) = {
