@@ -435,8 +435,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * join multiplicity m is a function of its grain values alone, so m
     * is constant within every summary group and every served function
     * is multiplicity-linear (Σx·m, cnt·m, nn·m fold identically) or
-    * multiplicity-invariant (MIN/MAX, COUNT DISTINCT of a grain
-    * column). This holds for ANY deterministic condition — equi, range,
+    * multiplicity-invariant (MIN/MAX, COUNT DISTINCT over expressions
+    * of grain and dim columns). This holds for ANY deterministic condition — equi, range,
     * or compound — and any dim fan-out (spec-proven with a
     * duplicate-key dim and a non-equi range condition); keys with
     * m = 0 drop from both plans alike.
@@ -658,18 +658,30 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 mvAttr(s.sums(a.name)).isDefined &&
                 mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
               Some(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression())
-            // COUNT(DISTINCT g) for a GRAIN column g: the summary holds
-            // exactly one row per existing grain combination, so the
-            // distinct set of g within any coarser group is identical
-            // over the summary (null groups excluded by COUNT on both
-            // sides; multiplicity — the star shape's dim fan-out —
-            // cannot change a distinct count)
-            case (Count(Seq(a: AttributeReference)), true)
-              if isBase(a) && s.groupCols.contains(a.name) &&
-                mvAttr(a.name).isDefined &&
-                mvAttr(a.name).get.dataType == a.dataType =>
-              Some(Count(mvAttr(a.name).get)
-                .toAggregateExpression(isDistinct = true))
+            // COUNT(DISTINCT e1[, e2…]) where every BASE-side reference
+            // is a GRAIN column (dim references pass through in the
+            // star shape): the summary holds exactly ONE row per
+            // existing grain combination, so after the dim joins the
+            // routed plan sees exactly one row per (grain, dim-match)
+            // pair — the same distinct tuple set the base produces,
+            // with base-row multiplicity collapsed by DISTINCT on both
+            // sides. Covers the bare grain column, f(grain) rollup
+            // keys, multi-argument distincts, and grain × dim mixes;
+            // rows where any argument is null drop from COUNT DISTINCT
+            // identically on both sides.
+            case (Count(args), true)
+              if args.nonEmpty && args.forall(_.deterministic) &&
+                args.flatMap(_.references.toSeq).forall {
+                  case a: AttributeReference =>
+                    (isBase(a) && s.groupCols.contains(a.name) &&
+                      mvAttr(a.name).exists(_.dataType == a.dataType)) ||
+                      passThrough(a)
+                  case _ => false
+                } =>
+              Some(Count(args.map(_.transform {
+                case a: AttributeReference if isBase(a) =>
+                  mvAttr(a.name).get
+              })).toAggregateExpression(isDistinct = true))
             // COUNT(col): non-null count ≡ Σ summary.nn (coalesced:
             // COUNT is non-nullable)
             case (Count(Seq(a: AttributeReference)), false)

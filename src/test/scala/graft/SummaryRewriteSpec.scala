@@ -111,11 +111,14 @@ class SummaryRewriteSpec extends SparkSuite {
         assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
         assert(routed.collect() === exp)
       }
-      // COUNT(DISTINCT grain-col) at a coarser grain: the summary holds
-      // one row per existing (event_type, junk) combo, so the distinct
-      // junk set per event_type routes exactly
+      // COUNT(DISTINCT …) at a coarser grain: the summary holds one row
+      // per existing (event_type, junk) combo, so distinct sets of any
+      // expression over grain columns route exactly — the bare column,
+      // an f(grain), and a multi-argument tuple
       val cd = () => spark.read.parquet(base).groupBy("event_type")
-        .agg(countDistinct(col("junk")).as("d"), count(lit(1)).as("n"))
+        .agg(countDistinct(col("junk")).as("d"), count(lit(1)).as("n"),
+          countDistinct(expr("junk % 3")).as("dm"),
+          countDistinct(col("event_type"), col("junk")).as("dt"))
         .orderBy("event_type")
       MvRegistry.clear()
       val exp = cd().collect()
@@ -536,6 +539,8 @@ class SummaryRewriteSpec extends SparkSuite {
         min("v").as("lo"),
         max("v").as("hi"),
         countDistinct(col("g2")).as("d"),
+        countDistinct(expr("substring(g1, 2, 1)")).as("df"),
+        countDistinct(col("g1"), col("g2")).as("d2"),
         expr("sum(v) FILTER (WHERE g2 < 3)").as("sf"),
         expr("count(*) FILTER (WHERE g1 <> 't2')").as("nf"))).map(_.toSeq)
     val genFilter: Gen[Option[org.apache.spark.sql.Column]] =
