@@ -610,6 +610,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   : Option[Seq[NamedExpression]] = {
     val mvCnt = mvAttr(s.cntCol)
     if (mvCnt.isEmpty) return None
+    // an expression over GRAIN columns only (star-dim references pass
+    // through): evaluable per summary row, where it sees exactly the
+    // distinct argument tuples the base sees — the precondition of
+    // every multiplicity-invariant rewrite below
+    def grainOnlyExpr(e: Expression): Boolean =
+      e.deterministic && e.references.toSeq.forall {
+        case a: AttributeReference =>
+          (isBase(a) && s.groupCols.contains(a.name) &&
+            mvAttr(a.name).exists(_.dataType == a.dataType)) ||
+            passThrough(a)
+        case _ => false
+      }
+    def remapGrain(e: Expression): Expression = e.transform {
+      case a: AttributeReference if isBase(a) => mvAttr(a.name).get
+    }
     val out: Seq[Option[NamedExpression]] = aggExprs.map {
       // a grouping column itself: re-point at the summary's, keeping
       // the original exprId so parents still resolve
@@ -670,18 +685,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             // rows where any argument is null drop from COUNT DISTINCT
             // identically on both sides.
             case (Count(args), true)
-              if args.nonEmpty && args.forall(_.deterministic) &&
-                args.flatMap(_.references.toSeq).forall {
-                  case a: AttributeReference =>
-                    (isBase(a) && s.groupCols.contains(a.name) &&
-                      mvAttr(a.name).exists(_.dataType == a.dataType)) ||
-                      passThrough(a)
-                  case _ => false
-                } =>
-              Some(Count(args.map(_.transform {
-                case a: AttributeReference if isBase(a) =>
-                  mvAttr(a.name).get
-              })).toAggregateExpression(isDistinct = true))
+              if args.nonEmpty && args.forall(grainOnlyExpr) =>
+              Some(Count(args.map(remapGrain))
+                .toAggregateExpression(isDistinct = true))
             // COUNT(col): non-null count ≡ Σ summary.nn (coalesced:
             // COUNT is non-nullable)
             case (Count(Seq(a: AttributeReference)), false)
@@ -722,6 +728,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 mvAttr(s.maxs(a.name)).isDefined &&
                 mvAttr(s.maxs(a.name)).get.dataType == al.dataType =>
               Some(Max(mvAttr(s.maxs(a.name)).get).toAggregateExpression())
+            // MIN/MAX over ANY expression of grain (and dim) columns —
+            // no registered extreme column needed: the summary's
+            // one-row-per-grain (× dim matches) argument set is the
+            // base's distinct argument set, and extremes ignore
+            // multiplicity. Serves the MAX(day) freshness readout and
+            // f(grain) rollup extremes over a plain count/sum summary.
+            // (Value-column extremes take the registered-column cases
+            // above; this case only fires for grain-derived arguments.)
+            case (Min(e), false) if grainOnlyExpr(e) =>
+              Some(Min(remapGrain(e)).toAggregateExpression())
+            case (Max(e), false) if grainOnlyExpr(e) =>
+              Some(Max(remapGrain(e)).toAggregateExpression())
             case _ => None // not provably answerable — bail
           }
         for {

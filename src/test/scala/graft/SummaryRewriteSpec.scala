@@ -118,7 +118,10 @@ class SummaryRewriteSpec extends SparkSuite {
       val cd = () => spark.read.parquet(base).groupBy("event_type")
         .agg(countDistinct(col("junk")).as("d"), count(lit(1)).as("n"),
           countDistinct(expr("junk % 3")).as("dm"),
-          countDistinct(col("event_type"), col("junk")).as("dt"))
+          countDistinct(col("event_type"), col("junk")).as("dt"),
+          // grain-expression extremes: no registered max column needed
+          max(expr("junk * 2")).as("mj"),
+          min(col("junk")).as("nj"))
         .orderBy("event_type")
       MvRegistry.clear()
       val exp = cd().collect()
@@ -541,6 +544,8 @@ class SummaryRewriteSpec extends SparkSuite {
         countDistinct(col("g2")).as("d"),
         countDistinct(expr("substring(g1, 2, 1)")).as("df"),
         countDistinct(col("g1"), col("g2")).as("d2"),
+        min(expr("substring(g1, 2, 1)")).as("glo"),
+        max(expr("g2 * 10")).as("ghi"),
         expr("sum(v) FILTER (WHERE g2 < 3)").as("sf"),
         expr("count(*) FILTER (WHERE g1 <> 't2')").as("nf"))).map(_.toSeq)
     val genFilter: Gen[Option[org.apache.spark.sql.Column]] =
