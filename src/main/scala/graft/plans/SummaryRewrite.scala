@@ -3,12 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, If, IsNull, Literal, Multiply, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-summary registry: base table path → its maintained
   * per-key aggregate (the table [[graft.pipeline.IncrementalFinal
@@ -443,12 +443,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     *
     * Conservative bails, same discipline as the direct path: any
     * non-INNER join on the path, a condition referencing a base
-    * NON-grain column, aggregate functions over non-base columns (an
-    * attribute fence, so a dim column sharing a served base column's
-    * name cannot hijack its mapping), groupings that are neither grain
-    * columns nor dim attributes, non-grain base-side filters, or a
-    * second registered base in the tree (self-join ambiguity). Dim
-    * subtrees pass through UNTOUCHED. */
+    * NON-grain column, aggregate functions over base non-grain value
+    * columns without a registered summary column, groupings that are
+    * neither grain columns nor dim attributes, non-grain base-side
+    * filters, or a second registered base in the tree (self-join
+    * ambiguity). Dim subtrees pass through UNTOUCHED; aggregates over
+    * DIM (or mixed grain × dim) expressions route via the
+    * multiplicity-linear cnt fold or the multiplicity-invariant
+    * rewrites — the attribute fence (`isBase`) keeps a dim column that
+    * shares a served base column's NAME from ever hijacking its
+    * mapping (it keeps its own attribute; spec asserts the sharpest
+    * collision). */
   private def rewriteStar(agg: Aggregate, groupExprs: Seq[Expression],
                           aggExprs: Seq[NamedExpression],
                           child: LogicalPlan,
@@ -740,6 +745,46 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               Some(Min(remapGrain(e)).toAggregateExpression())
             case (Max(e), false) if grainOnlyExpr(e) =>
               Some(Max(remapGrain(e)).toAggregateExpression())
+            // SUM / COUNT / AVG over a grain (or star-dim, or mixed)
+            // expression: multiplicity-
+            // LINEAR — each grain contributes f(g) · cnt(g), and the
+            // summary row carries cnt(g) (the star shape's dim fan-out
+            // replicates summary rows exactly m(g) times, matching the
+            // base's joined multiplicity), so folding f(twin)·cnt
+            // reproduces the base fold in EXACT integer arithmetic.
+            // SUM restricted to integral inputs (long folds both ways;
+            // a fractional f would change rounding order); COUNT(f)
+            // folds cnt over non-null f for any type; AVG divides the
+            // two folds double-cast — the same ≤2⁵³ exactness note as
+            // the registered-column AVG above.
+            case (Sum(e, _), false)
+              if grainOnlyExpr(e) && al.dataType == LongType &&
+                Seq(org.apache.spark.sql.types.ByteType,
+                  org.apache.spark.sql.types.ShortType,
+                  org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.LongType)
+                  .contains(e.dataType) =>
+              Some(Sum(Multiply(Cast(remapGrain(e), LongType), mvCnt.get))
+                .toAggregateExpression())
+            case (Count(Seq(e)), false) if grainOnlyExpr(e) =>
+              Some(Coalesce(Seq(
+                Sum(If(IsNull(remapGrain(e)),
+                  Literal.create(null, LongType), mvCnt.get))
+                  .toAggregateExpression(),
+                Literal(0L))))
+            case (Average(e, _), false)
+              if grainOnlyExpr(e) && al.dataType == DoubleType &&
+                Seq(org.apache.spark.sql.types.ByteType,
+                  org.apache.spark.sql.types.ShortType,
+                  org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.LongType)
+                  .contains(e.dataType) =>
+              Some(Divide(
+                Sum(Cast(Multiply(Cast(remapGrain(e), LongType),
+                  mvCnt.get), DoubleType)).toAggregateExpression(),
+                Cast(Sum(If(IsNull(remapGrain(e)),
+                  Literal.create(null, LongType), mvCnt.get))
+                  .toAggregateExpression(), DoubleType)))
             case _ => None // not provably answerable — bail
           }
         for {

@@ -280,10 +280,10 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
-  test("star join bail battery: non-grain key, non-inner, dim-column aggregate, same-named dim column") {
+  test("star join bail battery: non-grain key and non-inner bail; dim-column aggregates route via the cnt fold, never name-hijacked") {
     val (base, mv) = fixture()
     val dim = tmpDir("mv-dimbail")
-    // dim carries a column NAMED v_micro — aggregating it must not
+    // dim carries a column NAMED v_micro — aggregating it must never
     // hijack the summary's sum_v mapping (attribute fence, not names)
     Seq(("t0", 10L, 100L), ("t1", 20L, 200L))
       .toDF("k", "junk2", "v_micro")
@@ -292,32 +292,33 @@ class SummaryRewriteSpec extends SparkSuite {
     try {
       val b1 = spark.read.parquet(base); val d1 = spark.read.parquet(dim)
       val b2 = spark.read.parquet(base); val d2 = spark.read.parquet(dim)
-      val b3 = spark.read.parquet(base); val d3 = spark.read.parquet(dim)
       val bails = Seq(
         // join key is NOT a grain column
         b1.join(d1, b1("v_micro") === d1("junk2"))
           .groupBy("event_type").agg(count(lit(1)).as("n")),
         // non-inner join: left rows without a match have no dim twin
         b2.join(d2, b2("event_type") === d2("k"), "left")
-          .groupBy("event_type").agg(count(lit(1)).as("n")),
-        // aggregate over a DIM column (even one sharing a served
-        // base column's name)
-        b3.join(d3.select(col("k"), col("v_micro").as("dim_v")),
-            b3("event_type") === col("k"))
-          .groupBy("event_type").agg(sum("dim_v").as("s")))
+          .groupBy("event_type").agg(count(lit(1)).as("n")))
       bails.foreach { df =>
         val paths = scannedPaths(df)
         assert(paths.exists(_.contains(base)), s"expected base scan: $paths")
         assert(!paths.exists(_.contains(mv)), s"summary wrongly used: $paths")
       }
-      // the name-collision case in its sharpest form: SUM over the dim
-      // column literally named v_micro — must bail AND stay correct
+      // SUM over a DIM column: multiplicity-linear via the summary's
+      // cnt (each summary row fans out per dim match exactly like the
+      // base's joined multiplicity) — ROUTES, and the answer must be
+      // the dim value times the base row count, never a hijacked
+      // summary sum. Sharpest form: the dim column is literally named
+      // v_micro, a registered base value column.
       val b4 = spark.read.parquet(base); val d4 = spark.read.parquet(dim)
       val collide = b4.join(d4, b4("event_type") === d4("k"))
         .groupBy(b4("event_type"))
         .agg(sum(d4("v_micro")).as("s"))
-      assert(!scannedPaths(collide).exists(_.contains(mv)))
-      // unrouted ≡ ground truth: dim v_micro per match, never sum_v
+      val paths4 = scannedPaths(collide)
+      assert(paths4.exists(_.contains(mv)), s"dim sum not routed: $paths4")
+      assert(!paths4.exists(_.contains(base)), s"base still scanned: $paths4")
+      // ground truth: dim v_micro per match × 200 base rows per type —
+      // a sum_v hijack would return the summary's value sums instead
       val got = collide.orderBy("event_type").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got("t0") === 200L * 100L) // 200 base rows × dim v 100
@@ -546,6 +547,9 @@ class SummaryRewriteSpec extends SparkSuite {
         countDistinct(col("g1"), col("g2")).as("d2"),
         min(expr("substring(g1, 2, 1)")).as("glo"),
         max(expr("g2 * 10")).as("ghi"),
+        sum(expr("g2 * 3")).as("gs"),
+        count(expr("nullif(g2, 3)")).as("gc"),
+        avg(expr("nullif(g2, 3)")).as("ga"),
         expr("sum(v) FILTER (WHERE g2 < 3)").as("sf"),
         expr("count(*) FILTER (WHERE g1 <> 't2')").as("nf"))).map(_.toSeq)
     val genFilter: Gen[Option[org.apache.spark.sql.Column]] =
