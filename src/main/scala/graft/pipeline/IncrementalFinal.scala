@@ -183,8 +183,12 @@ object IncrementalFinal {
                      nnCol: String = "n_nonnull",
                      signCol: String = "sign",
                      valueCol: String = "v_micro"): String = {
-    val reg = graft.plans.MvRegistry.lookup(basePath).getOrElse(sys.error(
-      s"refreshSummary: no summary registered for base $basePath"))
+    // several rollup grains may be registered per base — refresh the one
+    // whose grain matches this fold's keys (register replaces same-grain)
+    val reg = graft.plans.MvRegistry.lookup(basePath)
+      .find(_.groupCols.toSet == keyCols.toSet).getOrElse(sys.error(
+        s"refreshSummary: no summary with grain $keyCols registered " +
+          s"for base $basePath"))
     val tok = graft.plans.MvRegistry.baseVersionToken(spark, basePath)
     val nextPath = s"$summaryPath-v${tok.take(12)}"
     val prev = spark.read.parquet(summaryPath)

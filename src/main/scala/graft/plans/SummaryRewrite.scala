@@ -75,9 +75,19 @@ object MvRegistry {
       Summary(mv, Seq(groupCol), cntCol, sums, nns, mins, maxs)
   }
 
-  private val reg = new ConcurrentHashMap[String, Summary]()
+  private val reg = new ConcurrentHashMap[String, Vector[Summary]]()
 
-  def register(basePath: String, s: Summary): Unit = reg.put(basePath, s)
+  /** Register a summary, keyed by (base path, GRAIN): re-registering
+    * the same grain REPLACES the entry (the maintenance loop's
+    * re-stamp), a different grain COEXISTS — a base commonly keeps
+    * several rollups (day grain for time series, type grain for
+    * breakdowns), and [[SummaryRewrite]] tries each registered summary
+    * and routes to the first that provably serves the query. */
+  def register(basePath: String, s: Summary): Unit =
+    reg.compute(basePath, (_, cur) => {
+      val v = if (cur == null) Vector.empty[Summary] else cur
+      v.filterNot(_.groupCols.toSet == s.groupCols.toSet) :+ s
+    })
 
   /** [[register]] with the freshness contract: stamps the CURRENT
     * [[baseVersionToken]] of `basePath` into the summary, so any later
@@ -88,12 +98,12 @@ object MvRegistry {
     * for callers that pin freshness some other way. */
   def registerFresh(spark: org.apache.spark.sql.SparkSession,
                     basePath: String, s: Summary): Unit =
-    reg.put(basePath,
+    register(basePath,
       s.copy(baseToken = Some(baseVersionToken(spark, basePath))))
 
   def clear(): Unit = reg.clear()
-  private[graft] def lookup(path: String): Option[Summary] =
-    Option(reg.get(path))
+  private[graft] def lookup(path: String): Seq[Summary] =
+    Option(reg.get(path)).getOrElse(Vector.empty)
 
   /** Why did (or didn't) `df` route through a registered summary?
     * Re-optimizes `df`'s plan with [[SummaryRewrite]]'s decision trace
@@ -309,12 +319,31 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val based = collectBase(child)
     if (based.isEmpty) return None
     val (path, filters, rel, amap) = based.get
-    val s = MvRegistry.lookup(path).getOrElse(return None)
-    note(s"candidate(direct): aggregate over registered base $path")
+    val cands = MvRegistry.lookup(path)
+    if (cands.isEmpty) return None
+    note(s"candidate(direct): aggregate over registered base $path " +
+      s"(${cands.size} registered summaries)")
+    // several rollup grains may be registered for one base — the first
+    // summary that provably serves the query wins
+    cands.iterator
+      .map(s => attemptDirect(agg, groupExprs, aggExprs, path, filters,
+        rel, amap, s, tokCache))
+      .collectFirst { case Some(r) => r }
+  }
+
+  private def attemptDirect(agg: Aggregate, groupExprs: Seq[Expression],
+                            aggExprs: Seq[NamedExpression], path: String,
+                            filters: Seq[Expression],
+                            rel: HadoopFsRelation,
+                            amap: Map[ExprId, Expression],
+                            s: MvRegistry.Summary,
+                            tokCache: scala.collection.mutable.Map[String, String])
+  : Option[LogicalPlan] = {
+    val tag = s"direct, grain=${s.groupCols.mkString("+")}"
     val gsub = groupExprs.map(substitute(_, amap))
     val subs = aggExprs.map(substNamed(_, amap))
     if (subs.exists(_.isEmpty)) {
-      note("bail(direct): an output expression shape is unsupported")
+      note(s"bail($tag): an output expression shape is unsupported")
       return None
     }
     val asub = subs.map(_.get)
@@ -322,28 +351,28 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // grouping by (a function of) anything else needs row-level data
     if (!gsub.forall(_.references.forall(a =>
         s.groupCols.contains(a.name)))) {
-      note("bail(direct): a grouping references a non-grain column")
+      note(s"bail($tag): a grouping references a non-grain column")
       return None
     }
     // every filter must touch grain columns ONLY — a predicate on
     // any other column needs row-level data the summary lost
     if (!filters.forall(_.references.forall(a =>
         s.groupCols.contains(a.name)))) {
-      note("bail(direct): a filter references a non-grain column")
+      note(s"bail($tag): a filter references a non-grain column")
       return None
     }
     val rewritten = rewriteAll(agg, gsub, asub, s, filters)
     if (rewritten.isEmpty) {
-      note("bail(direct): an output is not answerable by the summary " +
+      note(s"bail($tag): an output is not answerable by the summary " +
         "(unserved aggregate function or missing/mistyped summary column)")
       return None
     }
     if (!isFresh(s, path, rel, tokCache)) {
-      note(s"bail(direct): base version token changed since " +
+      note(s"bail($tag): base version token changed since " +
         s"registration — summary for $path is stale, re-register after refresh")
       return None
     }
-    note(s"routed(direct): $path → summary")
+    note(s"routed($tag): $path → summary")
     rewritten
   }
 
@@ -365,7 +394,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     plan.collectFirst {
       case lr: LogicalRelation if (lr.relation match {
         case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-          MvRegistry.lookup(fs.location.rootPaths.head.toString).isDefined
+          MvRegistry.lookup(fs.location.rootPaths.head.toString).nonEmpty
         case _ => false
       }) => ()
     }.isDefined
@@ -385,7 +414,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // replace the computing Project with the raw summary — silently
       // wrong results. rewriteStar bails when anything references an
       // alias (ADVICE r13, high).
-      case Some((p, fs, rel, amap)) if MvRegistry.lookup(p).isDefined =>
+      case Some((p, fs, rel, amap)) if MvRegistry.lookup(p).nonEmpty =>
         Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil, amap))
       case _ => plan match {
         case j @ Join(l, r, Inner, cond, _)
@@ -460,101 +489,115 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                           tokCache: scala.collection.mutable.Map[String, String])
   : Option[LogicalPlan] = {
     findBase(stripPrune(child)).flatMap { site =>
-      MvRegistry.lookup(site.path).flatMap { s =>
-        note(s"candidate(star): join tree over registered base ${site.path}")
-        // a computed projection alias below the join (carried in
-        // site.amap) referenced by ANY path condition, grouping, or
-        // output would be silently replaced by the raw summary column
-        // on rebuild — a shadowing alias passes the name/type checks
-        // below, so the reference itself must bail (ADVICE r13, high)
-        if (site.amap.nonEmpty) {
-          val refIds = (groupExprs ++ site.conds ++ aggExprs)
-            .flatMap(_.references.toSeq).map(_.exprId).toSet
-          if (refIds.exists(site.amap.contains)) {
-            note("bail(star): a join condition, grouping, or output " +
-              "references a computed projection below the join")
-            return None
-          }
-        }
-        val baseOut = site.baseOut
-        def baseRefsAreGrain(e: Expression): Boolean =
-          e.references.forall(a =>
-            !baseOut.contains(a) || s.groupCols.contains(a.name))
-        // every path condition and every grouping expression: base-side
-        // references must be grain columns (dim references pass)
-        if (!site.conds.forall(baseRefsAreGrain)) {
-          note("bail(star): a join condition references a non-grain base column")
+      val cands = MvRegistry.lookup(site.path)
+      if (cands.isEmpty) return None
+      note(s"candidate(star): join tree over registered base " +
+        s"${site.path} (${cands.size} registered summaries)")
+      // a computed projection alias below the join (carried in
+      // site.amap) referenced by ANY path condition, grouping, or
+      // output would be silently replaced by the raw summary column
+      // on rebuild — a shadowing alias passes the name/type checks
+      // downstream, so the reference itself must bail (ADVICE r13,
+      // high). Summary-independent: checked once per site.
+      if (site.amap.nonEmpty) {
+        val refIds = (groupExprs ++ site.conds ++ aggExprs)
+          .flatMap(_.references.toSeq).map(_.exprId).toSet
+        if (refIds.exists(site.amap.contains)) {
+          note("bail(star): a join condition, grouping, or output " +
+            "references a computed projection below the join")
           return None
         }
-        if (!groupExprs.forall(baseRefsAreGrain)) {
-          note("bail(star): a grouping references a non-grain base column")
-          return None
-        }
-        if (!site.filters.forall(_.references.forall(a =>
-            s.groupCols.contains(a.name)))) {
-          note("bail(star): a base-side filter references a non-grain column")
-          return None
-        }
-        val mvPlan = s.mv().queryExecution.analyzed
-        def mvAttr(name: String): Option[AttributeReference] =
-          mvPlan.output.collectFirst {
-            case x: AttributeReference if x.name == name => x
-          }
-        // every base attr referenced ANYWHERE outside the aggregate
-        // functions (groupings, path conditions, named grouping
-        // outputs) needs a same-typed summary twin
-        val needed = (groupExprs.flatMap(_.references.toSeq) ++
-          site.conds.flatMap(_.references.toSeq) ++
-          aggExprs.flatMap {
-            case Alias(e, _)
-              if !e.exists(_.isInstanceOf[AggregateExpression]) =>
-              e.references.toSeq
-            case a: AttributeReference => Seq(a)
-            case _ => Nil
-          }).collect {
-            case a: AttributeReference if baseOut.contains(a) => a
-          }.groupBy(_.exprId).map(_._2.head).toSeq
-        val twins: Map[ExprId, AttributeReference] = needed.flatMap(a =>
-          mvAttr(a.name).collect {
-            case m if m.dataType == a.dataType => a.exprId -> m
-          }).toMap
-        if (twins.size != needed.size) {
-          note("bail(star): a referenced base column has no same-typed summary twin")
-          return None
-        }
-        val outOpt = mapOutputs(aggExprs, mvAttr, twins, s,
-          isBase = baseOut.contains,
-          passThrough = a => !baseOut.contains(a))
-        if (outOpt.isEmpty) {
-          note("bail(star): an output is not answerable by the summary " +
-            "(unserved aggregate function or missing/mistyped summary column)")
-          return None
-        }
-        val fcOpt = remapFilters(site.filters, mvAttr)
-        if (fcOpt.isEmpty) {
-          note("bail(star): a filter column has no same-typed summary twin")
-          return None
-        }
-        if (!isFresh(s, site.path, site.rel, tokCache)) {
-          note(s"bail(star): base version token changed since registration " +
-            s"— summary for ${site.path} is stale, re-register after refresh")
-          return None
-        }
-        note(s"routed(star): ${site.path} → summary ⋈ dims")
-        val mvFiltered = fcOpt.get.foldRight(mvPlan) { (f, acc) =>
-          org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
-        }
-        val remap: Expression => Expression = {
-          case a: AttributeReference => twins.getOrElse(a.exprId, a)
-          case e => e
-        }
-        val newGroups = groupExprs.map(g => g.transform {
-          case a: AttributeReference => twins.getOrElse(a.exprId, a)
-        })
-        Some(Aggregate(newGroups, outOpt.get,
-          site.rebuild(mvFiltered, remap)))
       }
+      cands.iterator
+        .map(s => attemptStar(agg, groupExprs, aggExprs, site, s,
+          tokCache))
+        .collectFirst { case Some(r) => r }
     }
+  }
+
+  private def attemptStar(agg: Aggregate, groupExprs: Seq[Expression],
+                          aggExprs: Seq[NamedExpression], site: BaseSite,
+                          s: MvRegistry.Summary,
+                          tokCache: scala.collection.mutable.Map[String, String])
+  : Option[LogicalPlan] = {
+    val tag = s"star, grain=${s.groupCols.mkString("+")}"
+    val baseOut = site.baseOut
+    def baseRefsAreGrain(e: Expression): Boolean =
+      e.references.forall(a =>
+        !baseOut.contains(a) || s.groupCols.contains(a.name))
+    // every path condition and every grouping expression: base-side
+    // references must be grain columns (dim references pass)
+    if (!site.conds.forall(baseRefsAreGrain)) {
+      note(s"bail($tag): a join condition references a non-grain base column")
+      return None
+    }
+    if (!groupExprs.forall(baseRefsAreGrain)) {
+      note(s"bail($tag): a grouping references a non-grain base column")
+      return None
+    }
+    if (!site.filters.forall(_.references.forall(a =>
+        s.groupCols.contains(a.name)))) {
+      note(s"bail($tag): a base-side filter references a non-grain column")
+      return None
+    }
+    val mvPlan = s.mv().queryExecution.analyzed
+    def mvAttr(name: String): Option[AttributeReference] =
+      mvPlan.output.collectFirst {
+        case x: AttributeReference if x.name == name => x
+      }
+    // every base attr referenced ANYWHERE outside the aggregate
+    // functions (groupings, path conditions, named grouping
+    // outputs) needs a same-typed summary twin
+    val needed = (groupExprs.flatMap(_.references.toSeq) ++
+      site.conds.flatMap(_.references.toSeq) ++
+      aggExprs.flatMap {
+        case Alias(e, _)
+          if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+          e.references.toSeq
+        case a: AttributeReference => Seq(a)
+        case _ => Nil
+      }).collect {
+        case a: AttributeReference if baseOut.contains(a) => a
+      }.groupBy(_.exprId).map(_._2.head).toSeq
+    val twins: Map[ExprId, AttributeReference] = needed.flatMap(a =>
+      mvAttr(a.name).collect {
+        case m if m.dataType == a.dataType => a.exprId -> m
+      }).toMap
+    if (twins.size != needed.size) {
+      note(s"bail($tag): a referenced base column has no same-typed summary twin")
+      return None
+    }
+    val outOpt = mapOutputs(aggExprs, mvAttr, twins, s,
+      isBase = baseOut.contains,
+      passThrough = a => !baseOut.contains(a))
+    if (outOpt.isEmpty) {
+      note(s"bail($tag): an output is not answerable by the summary " +
+        "(unserved aggregate function or missing/mistyped summary column)")
+      return None
+    }
+    val fcOpt = remapFilters(site.filters, mvAttr)
+    if (fcOpt.isEmpty) {
+      note(s"bail($tag): a filter column has no same-typed summary twin")
+      return None
+    }
+    if (!isFresh(s, site.path, site.rel, tokCache)) {
+      note(s"bail($tag): base version token changed since registration " +
+        s"— summary for ${site.path} is stale, re-register after refresh")
+      return None
+    }
+    note(s"routed($tag): ${site.path} → summary ⋈ dims")
+    val mvFiltered = fcOpt.get.foldRight(mvPlan) { (f, acc) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
+    }
+    val remap: Expression => Expression = {
+      case a: AttributeReference => twins.getOrElse(a.exprId, a)
+      case e => e
+    }
+    val newGroups = groupExprs.map(g => g.transform {
+      case a: AttributeReference => twins.getOrElse(a.exprId, a)
+    })
+    Some(Aggregate(newGroups, outOpt.get,
+      site.rebuild(mvFiltered, remap)))
   }
 
   private def rewriteAll(agg: Aggregate, groupExprs: Seq[Expression],

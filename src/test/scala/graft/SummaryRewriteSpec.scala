@@ -744,7 +744,7 @@ class SummaryRewriteSpec extends SparkSuite {
       val routed = spark.read.parquet(base).groupBy("event_type")
         .agg(count(lit(1)).as("n"))
       assert(MvRegistry.explainRoute(routed)
-        .exists(_.startsWith("routed(direct)")))
+        .exists(_.startsWith("routed(direct")))
       val nonGrainFilter = spark.read.parquet(base)
         .filter(col("junk") === 3)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -815,6 +815,65 @@ class SummaryRewriteSpec extends SparkSuite {
         rows(800, 1000).withColumn("sign", lit(1L)), Seq("event_type"))
       assert(again === nextPath)
       assert(q().collect() === expect)
+    } finally MvRegistry.clear()
+  }
+
+  test("multiple rollup grains per base: each query routes to a summary that serves it; same-grain re-registration replaces") {
+    val base = tmpDir("mvmulti-base")
+    val mvT = tmpDir("mvmulti-type"); val mvJ = tmpDir("mvmulti-junk")
+    val mvT2 = tmpDir("mvmulti-type2")
+    (0L until 900L)
+      .map(i => (s"t${i % 5}", i % 7, if (i % 11 == 0) null
+        else java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    def summarize(grain: String, out: String): Unit =
+      spark.read.parquet(base).groupBy(grain)
+        .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("nn_v"),
+          sum("v_micro").as("sum_v"))
+        .write.mode("overwrite").parquet(out)
+    summarize("event_type", mvT); summarize("junk", mvJ)
+    summarize("event_type", mvT2)
+    def reg(grain: String, mv: String): Unit =
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq(grain), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+    val qT = () => spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy("event_type")
+    val qJ = () => spark.read.parquet(base).groupBy("junk")
+      .agg(count(lit(1)).as("n"), avg("v_micro").as("a")).orderBy("junk")
+    val qBoth = () => spark.read.parquet(base)
+      .groupBy("event_type", "junk").agg(count(lit(1)).as("n"))
+    val expT = qT().collect(); val expJ = qJ().collect()
+    val expBoth = qBoth().collect().map(_.toSeq).toSet
+    reg("event_type", mvT); reg("junk", mvJ)
+    try {
+      // each query picks the summary whose grain serves it
+      val rT = qT(); val pT = scannedPaths(rT)
+      assert(pT.exists(_.contains(mvT)) && !pT.exists(_.contains(mvJ)) &&
+        !pT.exists(_.contains(base)), s"$pT")
+      assert(rT.collect() === expT)
+      val rJ = qJ(); val pJ = scannedPaths(rJ)
+      assert(pJ.exists(_.contains(mvJ)) && !pJ.exists(_.contains(mvT)) &&
+        !pJ.exists(_.contains(base)), s"$pJ")
+      assert(rJ.collect() === expJ)
+      // a grain NEITHER summary holds bails to the base — never a
+      // wrong-grain serve
+      val rB = qBoth()
+      assert(scannedPaths(rB).exists(_.contains(base)))
+      assert(rB.collect().map(_.toSeq).toSet === expBoth)
+      // the decision log names both attempts for the bailing query
+      val explain = MvRegistry.explainRoute(qBoth())
+      assert(explain.count(_.startsWith("bail(")) >= 2, explain)
+      // same-grain re-registration REPLACES: the event_type queries now
+      // read the new summary version, not the stale first one
+      reg("event_type", mvT2)
+      val pT2 = scannedPaths(qT())
+      assert(pT2.exists(_.contains(mvT2)), s"$pT2")
+      assert(!pT2.exists(p => p.contains(mvT) && !p.contains(mvT2)),
+        s"stale same-grain summary still served: $pT2")
+      assert(qT().collect() === expT)
     } finally MvRegistry.clear()
   }
 
