@@ -767,6 +767,64 @@ object CdcOps {
                      CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
                      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
                      AVG(v_micro) AS avg_micro
+              FROM base GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ multi-rollup routing: a base keeps TWO maintained summaries
+    // (day grain for time series, type grain for breakdowns) —
+    // registered under the same base path, keyed by grain. The
+    // returned type-grain query must route THROUGH the type summary
+    // even though the day summary is registered first (the rewrite
+    // tries each and takes the first that provably serves; the
+    // day-grain attempt bails on the grouping check). PlanSpec asserts
+    // the /type summary is the scanned relation; the oracle recomputes
+    // from raw rows.
+    Entry(
+      "cdc_mv_routed_multi",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvmulti_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvDay = new java.io.File(root, "day").toString
+        val mvType = new java.io.File(root, "type").toString
+        val ev = Tables(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        def summarize(grain: String, out: String): Unit =
+          ev.groupBy(grain).agg(
+              count(lit(1)).as("cnt"),
+              count(col("v_micro")).as("n_nonnull"),
+              sum(col("v_micro")).as("sum_micro"))
+            .write.mode("overwrite").parquet(out)
+        summarize("day", mvDay)
+        summarize("event_type", mvType)
+        def reg(grain: String, mv: String): Unit =
+          graft.plans.MvRegistry.registerFresh(
+            s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+              () => s.read.parquet(mv), Seq(grain), "cnt",
+              sums = Map("v_micro" -> "sum_micro"),
+              nns = Map("v_micro" -> "n_nonnull")))
+        reg("day", mvDay)
+        reg("event_type", mvType)
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events WHERE ts IS NOT NULL)
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro
               FROM base GROUP BY 1 ORDER BY 1"""))
   )
 }

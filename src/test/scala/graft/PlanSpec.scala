@@ -556,6 +556,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
   }
 
+  test("multi-rollup routing: the type query scans the TYPE summary, not the day summary or the base (cdc_mv_routed_multi)") {
+    val df = Inventory.byName("cdc_mv_routed_multi").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/type")),
+      s"type summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/day")),
+      s"wrong-grain day summary scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned: $paths")
+  }
+
   test("refresh routing: the query scans the REFRESHED summary version, not the stale one, never the base (cdc_mv_refresh)") {
     val df = Inventory.byName("cdc_mv_refresh").run(spark, sfDir)
     val paths = df.queryExecution.optimizedPlan.collect {
