@@ -261,6 +261,16 @@ object CrawlDedup {
     StreamingIvm.readState(spark, s"$stateDir/semsurv", None).getOrElse(
       sys.error(s"CrawlDedup: no committed semantic state under $stateDir"))
 
+  /** The DEDUPLICATED corpus as of the latest fold: every crawled
+    * document whose id survives near-dup clustering (one per cluster —
+    * the min member), with the full document payload — the relation a
+    * training run actually reads. One semi-join of the accumulated doc
+    * partitions against the survivor ids. */
+  def survivorDocs(spark: SparkSession, stateDir: String): DataFrame =
+    priorBatches(spark, s"$stateDir/docs", Long.MaxValue).getOrElse(
+        sys.error(s"CrawlDedup: no committed docs under $stateDir"))
+      .join(survivors(spark, stateDir), Seq("doc_id"), "left_semi")
+
   /** Wire a document stream into the crawl fold. Caller starts the
     * returned writer with a checkpoint dir; restarts resume from the
     * checkpoint and the versioned state (kill-and-restart proven in

@@ -715,6 +715,11 @@ class StreamingExtSuite extends SparkSuite {
     assert(labelMap() === expect)
     assert(CrawlDedup.survivors(spark, state).collect()
       .map(_.getLong(0)).toSet === Set(1L, 4L, 7L))
+    // the deduplicated-corpus reader: survivor docs with full payloads
+    val sd = CrawlDedup.survivorDocs(spark, state).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(sd.keySet === Set(1L, 4L, 7L))
+    assert(sd(1L).startsWith("the quick brown fox"))
 
     // the composed streaming fold ≡ one-shot batch recompute over the
     // full corpus with EXACT pairs (the usual LSH-recall-at-0.5 gate)
