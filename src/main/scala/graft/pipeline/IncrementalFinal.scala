@@ -159,23 +159,41 @@ object IncrementalFinal {
     * summary from scratch each day; here the refresh is Δ-proportional.)
     *
     * The new version is written beside the old
-    * (`<summaryPath>-v<token-prefix>`, the plain-parquet stand-in for a
+    * (`<stem>-v<token-prefix>`, stem = `summaryPath` with any previous
+    * version suffix stripped — the plain-parquet stand-in for a
     * lakehouse snapshot): in-flight readers of the old files are never
     * disturbed, and re-running the same refresh lands on the same path.
     * The token is read BEFORE the fold — if yet another base write
     * races in between, the stamped token mismatches at query time and
     * routing bails again (conservative, never stale-serving).
     *
+    * CHAINING contract (ADVICE r14, medium): the fold's previous state
+    * is the REGISTERED summary's current data (`reg.mv()`), never the
+    * caller-supplied `summaryPath` — a second refresh that passed the
+    * original path would silently drop the first delta while stamping a
+    * fresh token, serving wrong aggregates as "fresh". `summaryPath`
+    * only names the version stem. Re-running a refresh whose fold
+    * already committed (registered token == current base token) is a
+    * NO-OP returning the serving path: by the registration contract the
+    * summary already reflects this exact base version, so folding the
+    * delta again would double-count it.
+    *
     * Returns the refreshed summary path. Requires a summary registered
     * for `basePath` whose maintained columns match `maintainAggregate`'s
-    * contract (cntCol/sumCol/nnCol names as registered). Registered
-    * MIN/MAX columns stay routed when the delta is INSERT-ONLY (extremes
-    * fold exactly under pure appends: least/greatest of old extreme and
-    * the insert extreme); any retraction in the delta drops the min/max
-    * registrations instead — extremes are not self-maintainable under
-    * retraction ([[maintainMinMax]]'s dirty-key protocol exists for
-    * that), so MIN/MAX queries then bail to the base scan rather than
-    * ever serving a wrong extreme. */
+    * contract (cntCol/sumCol/nnCol names as registered) and whose delta
+    * retractions target base-counted rows only (the changelog contract).
+    * Registered MIN/MAX columns STAY ROUTED through retractions:
+    * insert-only (and non-extreme-deleting) deltas fold exactly via
+    * [[maintainMinMax]]'s least/greatest arm, and deltas that retract a
+    * current extreme mark exactly those grains DIRTY — a targeted base
+    * rescan of the dirty keys alone (semi-join pruned; the base must
+    * carry `keyCols` + `valueCol`) recomputes their extremes. Cost is
+    * Δ-proportional plus the dirty-key rescan; a pure append never
+    * touches the base. The min/max registrations are dropped only when
+    * the summary does not carry both extreme columns for `valueCol`
+    * (extremes of OTHER columns would need their deltas too) — then
+    * MIN/MAX queries bail to the base scan rather than ever serving a
+    * wrong extreme. */
   def refreshSummary(spark: SparkSession, basePath: String,
                      summaryPath: String, delta: DataFrame,
                      keyCols: Seq[String],
@@ -190,47 +208,70 @@ object IncrementalFinal {
         s"refreshSummary: no summary with grain $keyCols registered " +
           s"for base $basePath"))
     val tok = graft.plans.MvRegistry.baseVersionToken(spark, basePath)
-    val nextPath = s"$summaryPath-v${tok.take(12)}"
-    val prev = spark.read.parquet(summaryPath)
+    val stem = summaryPath.replaceAll("-v[0-9a-f]{12}$", "")
+    val nextPath = s"$stem-v${tok.take(12)}"
+    if (reg.baseToken.contains(tok)) {
+      // the registered summary already reflects THIS base version —
+      // re-applying the delta would double-fold (idempotent re-run)
+      val fs = new org.apache.hadoop.fs.Path(nextPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      return if (fs.exists(new org.apache.hadoop.fs.Path(nextPath)))
+        nextPath else summaryPath
+    }
+    val prev = reg.mv()
     val folded = maintainAggregate(prev, delta, keyCols,
       cntCol, sumCol, nnCol, signCol, valueCol)
-    // MIN/MAX under RETRACTION are not self-maintainable (maintainMinMax's
-    // dirty-key protocol needs targeted base rescans) — but the common
-    // refresh delta is an APPEND (insert-only), where extremes fold
-    // exactly: new_min = least(old_min, min inserted). Detect which case
-    // this delta is (one cheap aggregate) and keep the min/max
-    // registrations routed when the fold is exact; otherwise drop them so
-    // MIN/MAX queries bail to the base scan (conservative) instead of
-    // resolving against columns the refreshed summary no longer has.
-    val insertOnly =
-      delta.filter(col(signCol) < 0).limit(1).count() == 0L
-    val mmCols = (reg.mins.values ++ reg.maxs.values).toSeq.distinct
-      .filter(prev.columns.contains)
-    val keepMm = insertOnly && mmCols.nonEmpty &&
-      (reg.mins.values ++ reg.maxs.values).forall(prev.columns.contains) &&
-      // extremes are only foldable for the ONE value column this fold
-      // maintains — a summary serving extremes of other columns would
-      // need their deltas too
-      (reg.mins.keys ++ reg.maxs.keys).forall(_ == valueCol)
+    // Extremes stay maintained through retractions via the dirty-key
+    // protocol: maintainMinMax folds inserts exactly and flags grains
+    // whose current extreme was retracted; ONLY those grains rescan the
+    // base (semi-join pruned — untouched grains never read). Requires
+    // BOTH extreme columns registered for this fold's value column.
+    val minColOpt = reg.mins.get(valueCol)
+    val maxColOpt = reg.maxs.get(valueCol)
+    val keepMm =
+      (reg.mins.keys ++ reg.maxs.keys).forall(_ == valueCol) &&
+        minColOpt.exists(prev.columns.contains) &&
+        maxColOpt.exists(prev.columns.contains)
     val next =
       if (!keepMm) folded
       else {
-        val dMm = delta.groupBy(keyCols.map(col): _*)
-          .agg(min(col(valueCol)).as("_d_min"),
-            max(col(valueCol)).as("_d_max"))
-        val prevMm = prev.select(
-          (keyCols.map(col) ++ mmCols.map(col)): _*)
-        folded.join(prevMm, keyCols, "left")
-          .join(dMm, keyCols, "left")
-          .select((folded.columns.map(col) ++
-            reg.mins.values.toSeq.distinct.map(c =>
-              least(col(c), col("_d_min")).as(c)) ++
-            reg.maxs.values.toSeq.distinct.map(c =>
-              greatest(col(c), col("_d_max")).as(c))): _*)
+        val mmState = prev.select((keyCols.map(col) :+
+          col(minColOpt.get).as("_mm_min") :+
+          col(maxColOpt.get).as("_mm_max")): _*)
+        val mm = maintainMinMax(mmState, delta, keyCols,
+            "_mm_min", "_mm_max", signCol, valueCol)
+          .localCheckpoint(true) // consumed by the dirty probe AND the fold
+        val dirtyKeys = mm.filter(col("dirty"))
+          .select(keyCols.map(col): _*)
+        val mmResolved =
+          // the dirty probe is |keys|-bounded and delta-gated: a pure
+          // append (or a delete missing every extreme) rescans NOTHING
+          if (dirtyKeys.limit(1).count() == 0L)
+            mm.select((keyCols.map(col) :+ col("_mm_min") :+
+              col("_mm_max")): _*)
+          else {
+            val rescan = spark.read.parquet(basePath)
+              .join(dirtyKeys, keyCols, "left_semi")
+              .groupBy(keyCols.map(col): _*)
+              .agg(min(col(valueCol)).as("_mm_min"),
+                max(col(valueCol)).as("_mm_max"))
+            mm.filter(!col("dirty"))
+              .select((keyCols.map(col) :+ col("_mm_min") :+
+                col("_mm_max")): _*)
+              .unionByName(rescan)
+          }
+        folded.join(mmResolved, keyCols, "left")
+          .select((folded.columns.toIndexedSeq.map(col) :+
+            col("_mm_min").as(minColOpt.get) :+
+            col("_mm_max").as(maxColOpt.get)): _*)
       }
     next.write.mode(SaveMode.Overwrite).parquet(nextPath)
+    // re-stamp the cost-model row count alongside the token: rollup
+    // cardinality feeds SummaryRewrite's cheapest-server choice
+    val nRows = spark.read.parquet(nextPath).count()
     graft.plans.MvRegistry.register(basePath, reg.copy(
       mv = () => spark.read.parquet(nextPath), baseToken = Some(tok),
+      rows = Some(nRows),
       mins = if (keepMm) reg.mins else Map.empty,
       maxs = if (keepMm) reg.maxs else Map.empty))
     nextPath

@@ -34,7 +34,8 @@ object MvRegistry {
                            nns: Map[String, String] = Map.empty,
                            mins: Map[String, String] = Map.empty,
                            maxs: Map[String, String] = Map.empty,
-                           baseToken: Option[String] = None) {
+                           baseToken: Option[String] = None,
+                           rows: Option[Long] = None) {
     require(groupCols.nonEmpty && groupCols.distinct.size == groupCols.size,
       s"summary grain must be non-empty distinct columns, got $groupCols")
   }
@@ -81,8 +82,12 @@ object MvRegistry {
     * the same grain REPLACES the entry (the maintenance loop's
     * re-stamp), a different grain COEXISTS — a base commonly keeps
     * several rollups (day grain for time series, type grain for
-    * breakdowns), and [[SummaryRewrite]] tries each registered summary
-    * and routes to the first that provably serves the query. */
+    * breakdowns). [[SummaryRewrite]] tries each registered summary and,
+    * among those that provably serve the query, routes to the one with
+    * the fewest `rows` (the registry's cost model: a summary's grain-row
+    * count, stamped at registration/refresh time — rollup cardinality is
+    * as stable a statistic as a table row count); summaries without a
+    * row count rank last, ties keep registration order. */
   def register(basePath: String, s: Summary): Unit =
     reg.compute(basePath, (_, cur) => {
       val v = if (cur == null) Vector.empty[Summary] else cur
@@ -323,12 +328,35 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (cands.isEmpty) return None
     note(s"candidate(direct): aggregate over registered base $path " +
       s"(${cands.size} registered summaries)")
-    // several rollup grains may be registered for one base — the first
-    // summary that provably serves the query wins
-    cands.iterator
-      .map(s => attemptDirect(agg, groupExprs, aggExprs, path, filters,
-        rel, amap, s, tokCache))
-      .collectFirst { case Some(r) => r }
+    // several rollup grains may be registered for one base — every
+    // candidate is attempted and the cheapest server wins (pickBest)
+    pickBest(cands.flatMap(s =>
+      attemptDirect(agg, groupExprs, aggExprs, path, filters,
+        rel, amap, s, tokCache).map(s -> _)), "direct", path)
+  }
+
+  /** Cost-based choice among the summaries that PROVABLY serve the
+    * query: fewest registered grain rows wins — with several rollups
+    * per base (day, type, day×type) the finest grain often serves
+    * everything the coarser ones do, and picking it would scan an
+    * order of magnitude more rows for the same answer. Summaries
+    * registered without a row count rank last (no stats — assume big);
+    * ties keep registration order (`minBy` is stable). */
+  private def pickBest(served: Seq[(MvRegistry.Summary, LogicalPlan)],
+                       tag: String, path: String): Option[LogicalPlan] = {
+    if (served.isEmpty) return None
+    val (best, plan) = served.minBy(_._1.rows.getOrElse(Long.MaxValue))
+    if (served.size > 1)
+      note(s"choice($tag): ${served.size} summaries serve — picked " +
+        s"grain=${best.groupCols.mkString("+")} " +
+        s"(rows=${best.rows.map(_.toString).getOrElse("unknown")}) over " +
+        served.collect { case (s, _) if s ne best =>
+          s"grain=${s.groupCols.mkString("+")}" +
+            s"(rows=${s.rows.map(_.toString).getOrElse("unknown")})"
+        }.mkString(", "))
+    note(s"routed($tag, grain=${best.groupCols.mkString("+")}): " +
+      s"$path → summary")
+    Some(plan)
   }
 
   private def attemptDirect(agg: Aggregate, groupExprs: Seq[Expression],
@@ -372,7 +400,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         s"registration — summary for $path is stale, re-register after refresh")
       return None
     }
-    note(s"routed($tag): $path → summary")
+    note(s"serves($tag): $path")
     rewritten
   }
 
@@ -399,12 +427,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }) => ()
     }.isDefined
 
-  /** Locate a registered base under a tree of INNER joins, descending
-    * through pruning Projects. Left subtree wins the search; a second
-    * registered base anywhere else in the tree bails (ambiguity — a
-    * self-join needs row-level data on at least one side). */
+  /** Locate a registered base under a tree of INNER / LEFT-OUTER joins,
+    * descending through pruning Projects. Inner joins are searched on
+    * both sides; a LEFT-OUTER join is searched on its LEFT side only —
+    * the fact-LEFT-JOIN-dim dashboard shape (the reference's own
+    * flagship batch aggregate, `read_delta.py:285`). With the base on
+    * the left, null extension PRESERVES the routing invariant: every
+    * base row of grain g appears m'(g) = (m(g) = 0 ? 1 : m(g)) times —
+    * still a pure function of the grain when the condition's base-side
+    * references are grain columns — and the unmatched rows' dim columns
+    * are null IDENTICALLY in base and summary plans, so every
+    * multiplicity-linear fold and multiplicity-invariant rewrite
+    * carries over unchanged. A base on the RIGHT of a left join does
+    * NOT route: the null-extended rows are the OTHER side's, with the
+    * base columns nulled — Σcnt over them would undercount (no summary
+    * row backs a null extension), so that side is simply not searched.
+    * A second registered base anywhere else in the tree bails
+    * (ambiguity — a self-join needs row-level data on at least one
+    * side). */
   private def findBase(plan: LogicalPlan): Option[BaseSite] = {
-    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     collectBase(plan) match {
       // the alias map is CARRIED (not dropped): a computed projection
@@ -417,9 +459,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Some((p, fs, rel, amap)) if MvRegistry.lookup(p).nonEmpty =>
         Some(BaseSite((nb, _) => nb, p, fs, rel, plan.outputSet, Nil, amap))
       case _ => plan match {
-        case j @ Join(l, r, Inner, cond, _)
-          if cond.forall(_.deterministic) =>
-          (findBase(l), findBase(r)) match {
+        case j @ Join(l, r, jt, cond, _)
+          if (jt == Inner || jt == LeftOuter) &&
+            cond.forall(_.deterministic) =>
+          (findBase(l),
+            if (jt == Inner) findBase(r) else None) match {
             case (Some(_), _) if containsRegisteredBase(r) => None
             case (None, Some(_)) if containsRegisteredBase(l) => None
             case (Some(c), _) => Some(c.copy(
@@ -470,8 +514,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * duplicate-key dim and a non-equi range condition); keys with
     * m = 0 drop from both plans alike.
     *
+    * The same invariant extends to LEFT-OUTER joins with the base on
+    * the LEFT (see [[findBase]]): m'(g) = max over the null extension
+    * is still grain-constant, and unmatched grains null-extend the dim
+    * columns identically in both plans.
+    *
     * Conservative bails, same discipline as the direct path: any
-    * non-INNER join on the path, a condition referencing a base
+    * non-INNER/non-base-left-LEFT join on the path, a condition
+    * referencing a base
     * NON-grain column, aggregate functions over base non-grain value
     * columns without a registered summary column, groupings that are
     * neither grain columns nor dim attributes, non-grain base-side
@@ -508,10 +558,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           return None
         }
       }
-      cands.iterator
-        .map(s => attemptStar(agg, groupExprs, aggExprs, site, s,
-          tokCache))
-        .collectFirst { case Some(r) => r }
+      pickBest(cands.flatMap(s =>
+        attemptStar(agg, groupExprs, aggExprs, site, s, tokCache)
+          .map(s -> _)), "star", site.path)
     }
   }
 
@@ -585,7 +634,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         s"— summary for ${site.path} is stale, re-register after refresh")
       return None
     }
-    note(s"routed($tag): ${site.path} → summary ⋈ dims")
+    note(s"serves($tag): ${site.path} (summary ⋈ dims)")
     val mvFiltered = fcOpt.get.foldRight(mvPlan) { (f, acc) =>
       org.apache.spark.sql.catalyst.plans.logical.Filter(f, acc)
     }
@@ -658,6 +707,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   : Option[Seq[NamedExpression]] = {
     val mvCnt = mvAttr(s.cntCol)
     if (mvCnt.isEmpty) return None
+    // cnt-column type fence (ADVICE r14): every rewrite below builds
+    // post-analysis expressions, so nothing re-runs type coercion — a
+    // summary registered with, say, an INT cnt must bail conservatively
+    // (or fold through a widening Sum where that is provably the same
+    // type the original aggregate produced), never emit a mistyped plan.
+    def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.ByteType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.IntegerType || dt == LongType
+    // Sum over any integral input yields LongType — COUNT's type — so
+    // the Σcnt / Σnn folds accept any integral summary column…
+    val cntIntegral = isIntegral(mvCnt.get.dataType)
+    // …but the multiplicity-linear folds multiply by (and emit) the raw
+    // cnt column inside Multiply/If branches whose OTHER side is
+    // LongType: those require cnt to be exactly LongType.
+    val cntLong = mvCnt.get.dataType == LongType
     // an expression over GRAIN columns only (star-dim references pass
     // through): evaluable per summary row, where it sees exactly the
     // distinct argument tuples the base sees — the precondition of
@@ -712,7 +777,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             // exact for the grand total over an empty base). In the
             // star shape each summary row replicates per dim match, so
             // Σ cnt·m is exactly the joined row count.
-            case (Count(Seq(c)), false) if isConst(c) =>
+            case (Count(Seq(c)), false) if isConst(c) && cntIntegral =>
               Some(Coalesce(Seq(
                 Sum(mvCnt.get).toAggregateExpression(),
                 Literal(0L))))
@@ -740,7 +805,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             // COUNT is non-nullable)
             case (Count(Seq(a: AttributeReference)), false)
               if isBase(a) && s.nns.contains(a.name) &&
-                mvAttr(s.nns(a.name)).isDefined =>
+                mvAttr(s.nns(a.name)).exists(m => isIntegral(m.dataType)) =>
               Some(Coalesce(Seq(
                 Sum(mvAttr(s.nns(a.name)).get).toAggregateExpression(),
                 Literal(0L))))
@@ -801,27 +866,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             // two folds double-cast — the same ≤2⁵³ exactness note as
             // the registered-column AVG above.
             case (Sum(e, _), false)
-              if grainOnlyExpr(e) && al.dataType == LongType &&
-                Seq(org.apache.spark.sql.types.ByteType,
-                  org.apache.spark.sql.types.ShortType,
-                  org.apache.spark.sql.types.IntegerType,
-                  org.apache.spark.sql.types.LongType)
-                  .contains(e.dataType) =>
+              if cntLong && grainOnlyExpr(e) && al.dataType == LongType &&
+                isIntegral(e.dataType) =>
               Some(Sum(Multiply(Cast(remapGrain(e), LongType), mvCnt.get))
                 .toAggregateExpression())
-            case (Count(Seq(e)), false) if grainOnlyExpr(e) =>
+            case (Count(Seq(e)), false) if cntLong && grainOnlyExpr(e) =>
               Some(Coalesce(Seq(
                 Sum(If(IsNull(remapGrain(e)),
                   Literal.create(null, LongType), mvCnt.get))
                   .toAggregateExpression(),
                 Literal(0L))))
             case (Average(e, _), false)
-              if grainOnlyExpr(e) && al.dataType == DoubleType &&
-                Seq(org.apache.spark.sql.types.ByteType,
-                  org.apache.spark.sql.types.ShortType,
-                  org.apache.spark.sql.types.IntegerType,
-                  org.apache.spark.sql.types.LongType)
-                  .contains(e.dataType) =>
+              if cntLong && grainOnlyExpr(e) && al.dataType == DoubleType &&
+                isIntegral(e.dataType) =>
               Some(Divide(
                 Sum(Cast(Multiply(Cast(remapGrain(e), LongType),
                   mvCnt.get), DoubleType)).toAggregateExpression(),

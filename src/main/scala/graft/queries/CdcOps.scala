@@ -806,7 +806,10 @@ object CdcOps {
             s, "file:" + basePath, graft.plans.MvRegistry.Summary(
               () => s.read.parquet(mv), Seq(grain), "cnt",
               sums = Map("v_micro" -> "sum_micro"),
-              nns = Map("v_micro" -> "n_nonnull")))
+              nns = Map("v_micro" -> "n_nonnull"),
+              // the cost stamp: rollup cardinality feeds the
+              // cheapest-server choice when several grains serve
+              rows = Some(s.read.parquet(mv).count())))
         reg("day", mvDay)
         reg("event_type", mvType)
         s.read.parquet(basePath)
@@ -825,6 +828,170 @@ object CdcOps {
                      CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
                      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
                      AVG(v_micro) AS avg_micro
+              FROM base GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ LEFT-join star routing: the reference's OWN flagship batch
+    // aggregate is a LEFT join (read_delta.py:285 — employees LEFT JOIN
+    // the activity rollup), and until r15 any left join bailed to the
+    // corpus scan. With the base on the LEFT and a grain-bound key,
+    // null extension preserves the routing invariant (each unmatched
+    // grain's multiplicity is exactly 1 — still grain-constant, and the
+    // dim columns null-extend identically in both plans), so the whole
+    // served fold grammar carries over. The dim here covers only the
+    // even-length type names: click/error rows have NO dim match and
+    // land in the COALESCEd -1 group — the oracle recomputes the same
+    // left join from raw rows, so the gate proves routed ≡ recompute
+    // INCLUDING the null-extended group. PlanSpec asserts the summary
+    // replaced the base scan while the dim join survived.
+    Entry(
+      "cdc_mv_routed_left",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvleft_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val dimPath = new java.io.File(root, "dim").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.select("event_type", "v_micro")
+          .write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        // the dim misses the odd-length type names on purpose: the
+        // left join's null extension must survive the rewrite
+        ev.select(col("event_type").as("k")).distinct()
+          .filter(length(col("k")) % 2 === 0)
+          .select(col("k"),
+            length(col("k")).cast(IntegerType).as("type_len"))
+          .write.mode("overwrite").parquet(dimPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .join(s.read.parquet(dimPath), col("event_type") === col("k"),
+            "left")
+          .groupBy("type_len")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"))
+          // the COALESCE sits ABOVE the aggregate (outside the rewritten
+          // subtree): deterministic output without a null sort-order
+          // dependency between the two engines
+          .select(coalesce(col("type_len"), lit(-1)).as("type_len"),
+            col("cnt"), col("n_nonnull"), col("sum_micro"),
+            col("avg_micro"))
+          .orderBy("type_len")
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events),
+              dim AS (
+                SELECT DISTINCT event_type AS k,
+                       CAST(length(event_type) AS INTEGER) AS type_len
+                FROM base WHERE length(event_type) % 2 = 0)
+              SELECT COALESCE(d.type_len, -1) AS type_len,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(b.v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(b.v_micro) AS BIGINT) AS sum_micro,
+                     AVG(b.v_micro) AS avg_micro
+              FROM base b LEFT JOIN dim d ON b.event_type = d.k
+              GROUP BY d.type_len ORDER BY 1""")),
+
+    // ⊕ retraction-safe extremes through the refresh cycle: the summary
+    // serves MIN/MAX, and the base write DELETES every per-type maximum
+    // — the one change (key, min, max) state alone cannot repair.
+    // refreshSummary folds the retraction changelog, maintainMinMax
+    // marks exactly the extreme-losing grains DIRTY, and a targeted
+    // rescan of those grains' base rows (semi-join pruned — untouched
+    // grains never read) repairs the extremes, which STAY ROUTED: the
+    // returned MIN/MAX query reads the refreshed summary version, never
+    // the corpus (PlanSpec-asserted). The oracle recomputes the same
+    // delete from raw rows — fold + dirty-rescan ≡ recompute. Before
+    // r15 any retraction dropped the extreme registrations (correct but
+    // deletion-heavy CDC feeds silently lost extreme routing).
+    Entry(
+      "cdc_mv_refresh_retraction",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvretr_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            min(col("v_micro")).as("min_micro"),
+            max(col("v_micro")).as("max_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull"),
+            mins = Map("v_micro" -> "min_micro"),
+            maxs = Map("v_micro" -> "max_micro")))
+        // the base write: delete every row holding its type's CURRENT
+        // maximum (ties included — the retraction the summary's stored
+        // max cannot survive without a rescan). Retraction set and
+        // post-delete corpus are materialized EAGERLY before the
+        // in-place overwrite (lineage must not reach back into the
+        // files being replaced — mergeChangeset's rule).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val v1 = s.read.parquet(basePath)
+          .withColumn("_mx", max(col("v_micro")).over(w))
+        val retracted = v1.filter(col("v_micro") === col("_mx"))
+          .select("event_type", "v_micro").localCheckpoint(true)
+        val v2 = v1
+          .filter(col("v_micro").isNull || col("v_micro") < col("_mx"))
+          .select("event_type", "v_micro").localCheckpoint(true)
+        v2.write.mode("overwrite").parquet(basePath)
+        // ONE repair call: fold the retraction changelog, dirty-rescan
+        // the extreme-losing grains, re-stamp — extremes stay routed
+        graft.pipeline.IncrementalFinal.refreshSummary(
+          s, "file:" + basePath, mvPath,
+          retracted.withColumn("sign", lit(-1L)),
+          Seq("event_type"))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            avg(col("v_micro")).as("avg_micro"),
+            min(col("v_micro")).as("min_micro"),
+            max(col("v_micro")).as("max_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v1 AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events),
+              mx AS (
+                SELECT event_type, MAX(v_micro) AS m FROM v1 GROUP BY 1),
+              base AS (
+                SELECT v1.event_type, v1.v_micro
+                FROM v1 JOIN mx ON v1.event_type = mx.event_type
+                WHERE v1.v_micro IS NULL OR v1.v_micro < mx.m)
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro,
+                     CAST(MIN(v_micro) AS BIGINT) AS min_micro,
+                     CAST(MAX(v_micro) AS BIGINT) AS max_micro
               FROM base GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -595,6 +595,45 @@ class PlanSpec extends SparkSuite {
       s"base corpus still scanned after refresh re-route: $paths")
   }
 
+  test("left-join star routing: summary replaces the base, the LEFT dim join survives (cdc_mv_routed_left)") {
+    val df = Inventory.byName("cdc_mv_routed_left").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(paths.exists(_.endsWith("/dim")), s"dim join dropped: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after left-join routing: $paths")
+    // the join stays LEFT OUTER in the physical plan — the optimizer
+    // must not have narrowed the null-extended group away
+    assert(df.queryExecution.sparkPlan.toString.contains("LeftOuter"),
+      df.queryExecution.sparkPlan.toString)
+  }
+
+  test("retraction refresh: MIN/MAX scan the REFRESHED summary version, never the base (cdc_mv_refresh_retraction)") {
+    val df = Inventory.byName("cdc_mv_refresh_retraction").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("/summary-v")),
+      s"refreshed summary version not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/summary")),
+      s"stale pre-refresh summary scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned — extremes lost their routing: $paths")
+  }
+
   test("Lloyd step assigns map-side: no join anywhere before the (cell,dim) aggregate (sim_kmeans_step)") {
     val p = plan("sim_kmeans_step")
     assert(!p.contains("Join"), p) // codebook is a literal; assignment never joins

@@ -296,8 +296,13 @@ class SummaryRewriteSpec extends SparkSuite {
         // join key is NOT a grain column
         b1.join(d1, b1("v_micro") === d1("junk2"))
           .groupBy("event_type").agg(count(lit(1)).as("n")),
-        // non-inner join: left rows without a match have no dim twin
-        b2.join(d2, b2("event_type") === d2("k"), "left")
+        // base on the RIGHT of a left join: the null-extended rows are
+        // the LEFT side's, with NO summary row backing them — Σcnt
+        // would undercount, so that side is never searched
+        d2.join(b2, d2("k") === b2("event_type"), "left")
+          .groupBy("k").agg(count(lit(1)).as("n")),
+        // full outer: null extension on the base side again
+        b2.join(d2, b2("event_type") === d2("k"), "full")
           .groupBy("event_type").agg(count(lit(1)).as("n")))
       bails.foreach { df =>
         val paths = scannedPaths(df)
@@ -323,6 +328,68 @@ class SummaryRewriteSpec extends SparkSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got("t0") === 200L * 100L) // 200 base rows × dim v 100
       assert(got("t1") === 200L * 200L)
+    } finally MvRegistry.clear()
+  }
+
+  test("LEFT join with the base on the left routes: null extension is grain-constant, unmatched grains survive") {
+    // the reference's own flagship batch shape (read_delta.py:285 is a
+    // LEFT join): fact LEFT JOIN dim, aggregated — the base keeps every
+    // row whether or not the dim matches, and the null-extended rows'
+    // multiplicity (exactly 1) is as grain-constant as the matched
+    // fan-out, so the whole served grammar carries over
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-left-dim")
+    // dim covers t0/t1 only (t2..t4 null-extend) and DUPLICATES t0
+    // (fan-out 2) — both multiplicity regimes in one query
+    Seq(("t0", 10L), ("t0", 11L), ("t1", 20L))
+      .toDF("k", "attr").write.mode("overwrite").parquet(dim)
+    val b = spark.read.parquet(base); val d = spark.read.parquet(dim)
+    // grouped by the dim attribute itself: the unmatched grains land in
+    // the NULL group — identically on base and summary plans (a
+    // COMPUTED grouping over dim columns would put a computing Project
+    // between Aggregate and Join, which findBase conservatively bails
+    // on — same standing behavior as the inner star path)
+    def q() = b.join(d, b("event_type") === d("k"), "left")
+      .groupBy(d("attr"))
+      .agg(count(lit(1)).as("n"), sum(b("v_micro")).as("s"),
+        avg(b("v_micro")).as("a"), min(b("v_micro")).as("lo"),
+        max(b("v_micro")).as("hi"),
+        countDistinct(b("event_type")).as("d"),
+        sum(d("attr")).as("sd"))
+      .orderBy("attr")
+    // and the nested shape: (base LEFT dim) INNER dim2 — the left join
+    // sits inside an inner tree, both rebuilt around the summary
+    val dim2 = tmpDir("mv-left-dim2")
+    Seq((10L, "x"), (11L, "y"))
+      .toDF("a2", "tag").write.mode("overwrite").parquet(dim2)
+    def q2() = b.join(d, b("event_type") === d("k"), "left")
+      .join(spark.read.parquet(dim2), d("attr") === col("a2"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum(b("v_micro")).as("s"))
+      .orderBy("tag")
+    val expect = q().collect(); val expect2 = q2().collect()
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(paths.exists(_.contains(dim)), s"dim join dropped: $paths")
+      assert(routed.collect() === expect)
+      // the null-extended group must be present and exact
+      assert(expect.exists(_.isNullAt(0)),
+        "fixture lost its unmatched grains — the test is vacuous")
+      val routed2 = q2()
+      val paths2 = scannedPaths(routed2)
+      assert(paths2.exists(_.contains(mv)) && !paths2.exists(_.contains(base)),
+        s"nested left-in-inner tree not routed: $paths2")
+      assert(routed2.collect() === expect2)
+      // a LEFT-join condition referencing a base NON-grain column still
+      // bails (multiplicity would be row-dependent)
+      val bail = b.join(d, b("v_micro") === d("attr"), "left")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(bail).exists(_.contains(base)))
+      assert(!scannedPaths(bail).exists(_.contains(mv)))
     } finally MvRegistry.clear()
   }
 
@@ -510,7 +577,7 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
-  test("randomized law: routed ≡ unrouted over the served shape grammar (direct + star, filters, FILTER clauses, f(grain), HAVING)") {
+  test("randomized law: routed ≡ unrouted over the served shape grammar (direct + star + left-join star, filters, FILTER clauses, f(grain), HAVING)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // one corpus + summary + dim for all cases
     val base = tmpDir("mvlaw-base"); val mv = tmpDir("mvlaw-sum")
@@ -555,7 +622,9 @@ class SummaryRewriteSpec extends SparkSuite {
     val genFilter: Gen[Option[org.apache.spark.sql.Column]] =
       Gen.oneOf(None, Some(col("g1") =!= "t3"), Some(col("g2") >= 1),
         Some(col("g1") === "t0" && col("g2") < 4))
-    val genStar: Gen[Boolean] = Gen.oneOf(true, false)
+    // none = direct aggregate; inner = star; left = the base-left
+    // LEFT-join star (t3 has no dim row → null-extended label group)
+    val genJoin: Gen[String] = Gen.oneOf("none", "inner", "left")
     // HAVING: a Filter ABOVE the Aggregate on an aggregate output —
     // outside the rewritten subtree, resolved via preserved exprIds
     val genHaving: Gen[Option[Long]] =
@@ -564,13 +633,13 @@ class SummaryRewriteSpec extends SparkSuite {
     def run(groups: Seq[org.apache.spark.sql.Column],
             aggs: Seq[org.apache.spark.sql.Column],
             filter: Option[org.apache.spark.sql.Column],
-            star: Boolean, having: Option[Long]): Set[Seq[Any]] = {
+            join: String, having: Option[Long]): Set[Seq[Any]] = {
       val scan0 = spark.read.parquet(base)
       val scan = filter.fold(scan0)(scan0.filter)
-      val src = if (star)
-        scan.join(spark.read.parquet(dim), col("g1") === col("k"))
-      else scan
-      val grouped = if (star)
+      val src = if (join == "none") scan
+      else scan.join(spark.read.parquet(dim), col("g1") === col("k"),
+        join)
+      val grouped = if (join != "none")
         src.groupBy(groups :+ col("label"): _*)
       else if (groups.isEmpty) src.groupBy()
       else src.groupBy(groups: _*)
@@ -584,18 +653,18 @@ class SummaryRewriteSpec extends SparkSuite {
         }).toSet
     }
 
-    val prop = Prop.forAll(genGrouping, genAgg, genFilter, genStar,
-      genHaving) { (groups, aggs, filter, star, having) =>
+    val prop = Prop.forAll(genGrouping, genAgg, genFilter, genJoin,
+      genHaving) { (groups, aggs, filter, join, having) =>
         MvRegistry.clear()
-        val expected = run(groups, aggs, filter, star, having)
+        val expected = run(groups, aggs, filter, join, having)
         MvRegistry.register("file:" + base, MvRegistry.Summary(
           () => spark.read.parquet(mv), Seq("g1", "g2"), "cnt",
           sums = Map("v" -> "sum_v"), nns = Map("v" -> "nn_v"),
           mins = Map("v" -> "min_v"), maxs = Map("v" -> "max_v")))
-        val routed = try run(groups, aggs, filter, star, having)
+        val routed = try run(groups, aggs, filter, join, having)
         finally MvRegistry.clear()
         Prop.propBoolean(routed == expected) :|
-          s"groups=$groups aggs=$aggs filter=$filter star=$star " +
+          s"groups=$groups aggs=$aggs filter=$filter join=$join " +
           s"having=$having\nrouted=$routed\nexpected=$expected"
     }
     val res = SCTest.check(
@@ -877,7 +946,7 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
-  test("randomized refresh law: fold ≡ recompute over random append/retract deltas; extremes routed iff insert-only") {
+  test("randomized refresh law: fold ≡ recompute over random append/retract deltas; extremes stay routed through retractions") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.pipeline.IncrementalFinal
     var caseId = 0
@@ -934,17 +1003,18 @@ class SummaryRewriteSpec extends SparkSuite {
       val routed = norm(q().collect())
       val routedMm = norm(qmm().collect())
       val mmPaths = scannedPaths(qmm())
-      val insertOnly = rIdx.isEmpty
       MvRegistry.clear()
       val expect = norm(q().collect())
       val expectMm = norm(qmm().collect())
-      val okPaths =
-        if (insertOnly) mmPaths.exists(_.contains(nextPath)) &&
-          !mmPaths.exists(_.contains(base))
-        else mmPaths.exists(_.contains(base))
+      // extremes stay ROUTED whatever the delta: insert-only folds
+      // exactly, extreme-deleting deltas repair through the dirty-key
+      // targeted rescan inside the refresh — either way the query
+      // reads the refreshed summary version, never the base
+      val okPaths = mmPaths.exists(_.contains(nextPath)) &&
+        !mmPaths.exists(_.contains(base))
       Prop.propBoolean(
         routed == expect && routedMm == expectMm && okPaths) :|
-        s"insertOnly=$insertOnly mmPaths=$mmPaths\n" +
+        s"retractions=${rIdx.size} mmPaths=$mmPaths\n" +
         s"routed=$routed\nexpect=$expect\n" +
         s"routedMm=$routedMm\nexpectMm=$expectMm"
     }
@@ -955,7 +1025,7 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("refreshSummary extremes: insert-only deltas keep MIN/MAX routed exactly; a retraction drops them to the base scan") {
+  test("refreshSummary extremes: insert-only deltas keep MIN/MAX routed exactly; retracting a current extreme repairs via the dirty-key rescan and STAYS routed") {
     import graft.pipeline.IncrementalFinal
     def fixtureMm(tag: String): (String, String) = {
       val base = tmpDir(s"mvmm-$tag-base"); val mv = tmpDir(s"mvmm-$tag-sum")
@@ -1002,46 +1072,203 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(routed.collect() === mmQuery(b1)().collect()) // ≡ recompute
     } finally MvRegistry.clear()
 
-    // a RETRACTION in the delta: extremes are not self-maintainable —
-    // the registrations drop and MIN/MAX queries bail to the base scan
-    // (still correct), while COUNT/SUM keep routing
-    val (b2, m2) = fixtureMm("ret")
+    // RETRACTION OF A CURRENT EXTREME: the sharpest IVM case — (key,
+    // min, max) state alone cannot answer it; refreshSummary marks the
+    // grain dirty (maintainMinMax), rescans ONLY that grain's base
+    // rows, and the extremes STAY routed with the exact repaired value.
+    // Controlled values so the expected repair is explicit.
+    val b2 = tmpDir("mvmm-ret-base"); val m2 = tmpDir("mvmm-ret-sum")
     try {
-      // retract one row the base has counted, and remove it from the
-      // base files so scan and summary agree
-      // null-safe equality: t0's NULL-valued rows must survive the
-      // rewrite (they are not being retracted)
-      spark.read.parquet(b2)
-        .filter(!(col("event_type") === "t0" && (col("v_micro") <=> 0L)))
-        .write.mode("overwrite").parquet(b2 + "-v2")
-      val delta = Seq(("t0", java.lang.Long.valueOf(0L), -1L))
+      Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 2L), ("b", 4L))
+        .toDF("event_type", "v_micro")
+        .write.mode("overwrite").parquet(b2)
+      spark.read.parquet(b2).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+          sum("v_micro").as("sum_micro"), min("v_micro").as("min_v"),
+          max("v_micro").as("max_v"))
+        .write.mode("overwrite").parquet(m2)
+      MvRegistry.registerFresh(spark, "file:" + b2, MvRegistry.Summary(
+        () => spark.read.parquet(m2), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_micro"),
+        nns = Map("v_micro" -> "n_nonnull"),
+        mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+      // delete a's current MAX (9) and b's current MIN (2) — both
+      // grains turn dirty; the post-change corpus is the new base
+      Seq(("a", 1L), ("a", 5L), ("b", 4L))
+        .toDF("event_type", "v_micro")
+        .write.mode("overwrite").parquet(b2)
+      val delta = Seq(("a", 9L, -1L), ("b", 2L, -1L))
         .toDF("event_type", "v_micro", "sign")
-      // re-register against the rewritten base path, then refresh it
-      MvRegistry.registerFresh(spark, "file:" + b2 + "-v2",
-        MvRegistry.Summary(() => spark.read.parquet(m2), Seq("event_type"),
-          "cnt", sums = Map("v_micro" -> "sum_micro"),
-          nns = Map("v_micro" -> "n_nonnull"),
-          mins = Map("v_micro" -> "min_v"),
-          maxs = Map("v_micro" -> "max_v")))
-      val next = IncrementalFinal.refreshSummary(spark,
-        "file:" + b2 + "-v2", m2, delta, Seq("event_type"))
-      val mm = mmQuery(b2 + "-v2")()
-      assert(scannedPaths(mm).exists(_.contains(b2 + "-v2")),
-        "MIN/MAX after a retraction must bail to the base scan")
+      val next = IncrementalFinal.refreshSummary(spark, "file:" + b2, m2,
+        delta, Seq("event_type"))
+      val mm = mmQuery(b2)()
+      val paths = scannedPaths(mm)
+      assert(paths.exists(_.contains(next)),
+        s"extremes must stay ROUTED through a retraction: $paths")
+      assert(!paths.exists(_.contains(b2)),
+        s"base still scanned after the dirty-key repair: $paths")
+      val rows = mm.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("a") === ((1L, 5L)), "a's max must repair 9 → 5")
+      assert(rows("b") === ((4L, 4L)), "b's min must repair 2 → 4")
       MvRegistry.clear()
-      assert(mm.collect() === mmQuery(b2 + "-v2")().collect())
-      // COUNT/SUM still route against the refreshed version
-      MvRegistry.register("file:" + b2 + "-v2", MvRegistry.Summary(
-        () => spark.read.parquet(next), Seq("event_type"), "cnt",
+      assert(mm.collect() === mmQuery(b2)().collect()) // ≡ recompute
+    } finally MvRegistry.clear()
+  }
+
+  test("refreshSummary chains from the REGISTERED version — a second refresh passing the original path never drops the first delta; a same-token re-run is a no-op") {
+    // ADVICE r14 (medium): the fold's previous state must be reg.mv(),
+    // not the caller-supplied path — otherwise refresh₂(originalPath)
+    // silently drops Δ₁ while stamping a fresh token (stale-serving as
+    // 'fresh', the exact failure the token protocol exists to prevent)
+    import graft.pipeline.IncrementalFinal
+    val base = tmpDir("mvchain-base"); val mv = tmpDir("mvchain-sum")
+    def rows(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (s"t${i % 3}", java.lang.Long.valueOf(i)))
+      .toDF("event_type", "v_micro")
+    rows(0, 300).write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+        sum("v_micro").as("sum_micro"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("v_micro" -> "sum_micro"),
+      nns = Map("v_micro" -> "n_nonnull")))
+    val q = () => spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy("event_type")
+    try {
+      // refresh #1: append Δ₁, fold
+      rows(300, 400).write.mode("append").parquet(base)
+      val p1 = IncrementalFinal.refreshSummary(spark, "file:" + base, mv,
+        rows(300, 400).withColumn("sign", lit(1L)), Seq("event_type"))
+      // refresh #2 passes the ORIGINAL path (the natural caller bug):
+      // the fold must still chain from p1's registered state, keeping Δ₁
+      rows(400, 500).write.mode("append").parquet(base)
+      val p2 = IncrementalFinal.refreshSummary(spark, "file:" + base, mv,
+        rows(400, 500).withColumn("sign", lit(1L)), Seq("event_type"))
+      assert(p2 !== p1)
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(p2)), s"v2 summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      val got = routed.collect()
+      MvRegistry.clear()
+      assert(got === q().collect(),
+        "chained refresh dropped a delta — wrong aggregates served as fresh")
+      // same-token RE-RUN (the crash-after-commit re-delivery): must be
+      // a NO-OP — folding the same delta again would double-count it
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(p2), Seq("event_type"), "cnt",
         sums = Map("v_micro" -> "sum_micro"),
         nns = Map("v_micro" -> "n_nonnull")))
-      val cs = () => spark.read.parquet(b2 + "-v2").groupBy("event_type")
+      val p3 = IncrementalFinal.refreshSummary(spark, "file:" + base, mv,
+        rows(400, 500).withColumn("sign", lit(1L)), Seq("event_type"))
+      assert(p3 === p2, "same-token re-run must not re-fold")
+      val again = q()
+      assert(scannedPaths(again).exists(_.contains(p2)))
+      assert(again.collect() === got)
+    } finally MvRegistry.clear()
+  }
+
+  test("multi-rollup cost choice: when two rollups serve, the one with fewer registered rows wins; explainRoute logs the decision") {
+    val base = tmpDir("mvcost-base")
+    val mvFine = tmpDir("mvcost-fine"); val mvCoarse = tmpDir("mvcost-coarse")
+    (0L until 900L)
+      .map(i => (s"t${i % 3}", i % 50, java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    // FINE grain (event_type, junk): 150 rows — serves the event_type
+    // query (grain superset re-aggregates); registered FIRST
+    spark.read.parquet(base).groupBy("event_type", "junk")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("nn_v"),
+        sum("v_micro").as("sum_v"))
+      .write.mode("overwrite").parquet(mvFine)
+    // COARSE grain (event_type): 3 rows — also serves, 50× cheaper
+    spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("nn_v"),
+        sum("v_micro").as("sum_v"))
+      .write.mode("overwrite").parquet(mvCoarse)
+    def reg(grain: Seq[String], mv: String, n: Long): Unit =
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), grain, "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+        rows = Some(n)))
+    val q = () => spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy("event_type")
+    val expect = q().collect()
+    reg(Seq("event_type", "junk"), mvFine, 150L) // first-registered
+    reg(Seq("event_type"), mvCoarse, 3L)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mvCoarse)),
+        s"cheapest serving summary not picked: $paths")
+      assert(!paths.exists(_.contains(mvFine)),
+        s"finer (50×-bigger) rollup picked despite the row counts: $paths")
+      assert(routed.collect() === expect)
+      val explain = MvRegistry.explainRoute(q())
+      assert(explain.exists(l => l.startsWith("choice(") &&
+        l.contains("rows=3")), explain)
+      // row counts absent → registration order still wins (no stats, no
+      // reordering): re-register both WITHOUT rows
+      MvRegistry.clear()
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mvFine), Seq("event_type", "junk"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mvCoarse), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+      assert(scannedPaths(q()).exists(_.contains(mvFine)),
+        "without row stats the first registration must keep winning")
+    } finally MvRegistry.clear()
+  }
+
+  test("a non-LongType cnt column bails the multiplicity-linear folds conservatively — never a mistyped plan") {
+    // ADVICE r14 (low): the cnt fold builds post-analysis expressions
+    // (Multiply/If over mvCnt) that assume BIGINT; an INT-cnt summary
+    // must keep the query on the base, not fail at runtime
+    val base = tmpDir("mvint-base"); val mv = tmpDir("mvint-sum")
+    (0L until 400L)
+      .map(i => (s"t${i % 4}", i % 5, java.lang.Long.valueOf(i)))
+      .toDF("event_type", "junk", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy("event_type", "junk")
+      .agg(count(lit(1)).cast("int").as("cnt"),
+        count(col("v_micro")).as("nn_v"), sum("v_micro").as("sum_v"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+    try {
+      // multiplicity-linear folds (SUM/COUNT/AVG over a grain
+      // expression) need cnt BIGINT: with INT cnt they must BAIL — and
+      // the answers must come out right off the base
+      val linear = () => spark.read.parquet(base).groupBy("event_type")
+        .agg(sum(expr("junk * 3")).as("gs"), count(expr("nullif(junk, 3)")).as("gc"),
+          avg(expr("junk * 2")).as("ga"))
+        .orderBy("event_type")
+      val lr = linear()
+      assert(scannedPaths(lr).exists(_.contains(base)),
+        "INT-cnt summary must not serve the cnt-multiplying folds")
+      val got = lr.collect()
+      MvRegistry.clear()
+      assert(got === linear().collect())
+      // while Σcnt folds (COUNT(*)) widen through Sum and still serve
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mv), Seq("event_type", "junk"), "cnt",
+        sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v")))
+      val cnt = () => spark.read.parquet(base).groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
         .orderBy("event_type")
-      val routed = cs()
-      assert(scannedPaths(routed).exists(_.contains(next)))
+      val cr = cnt()
+      assert(scannedPaths(cr).exists(_.contains(mv)),
+        s"Σcnt over an integral cnt must still route: ${scannedPaths(cr)}")
+      val cgot = cr.collect()
       MvRegistry.clear()
-      assert(routed.collect() === cs().collect())
+      assert(cgot === cnt().collect())
     } finally MvRegistry.clear()
   }
 }
