@@ -255,7 +255,23 @@ object Dedup {
                               threshold: Double, bands: Int = 16,
                               rows: Int = 4,
                               maxBandBucketSize: Long = Long.MaxValue)
-  : DataFrame = {
+  : DataFrame =
+    minhashLshPairsFromSigsTracked(docs, sigs, n, threshold, bands, rows,
+      maxBandBucketSize)._1
+
+  /** [[minhashLshPairsFromSigs]] plus a RELEASE handle that unpersists
+    * the per-call caches once the caller has materialized the pairs —
+    * for callers whose plans VARY per invocation (the streaming crawl
+    * fold: a new batch every trigger), where the CacheManager's
+    * same-plan dedup can't bound the footprint (ADVICE r14). The
+    * no-handle wrapper stays correct for one-shot/same-plan callers:
+    * re-invoking an identical plan REUSES its cache entry rather than
+    * stacking a new one. */
+  private[graft] def minhashLshPairsFromSigsTracked(
+      docs: DataFrame, sigs: DataFrame, n: Int,
+      threshold: Double, bands: Int = 16, rows: Int = 4,
+      maxBandBucketSize: Long = Long.MaxValue)
+  : (DataFrame, () => Unit) = {
     val buckets =
       pruneBandBuckets(lshBuckets(sigs, bands, rows), maxBandBucketSize)
     val candidates = buckets.as("x")
@@ -278,7 +294,9 @@ object Dedup {
     val candIds = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-    jaccardScores(docShingles(candDocs, n).cache(), Some(candidates), threshold)
+    val shingles = docShingles(candDocs, n).cache()
+    (jaccardScores(shingles, Some(candidates), threshold),
+      () => { candidates.unpersist(); shingles.unpersist(); () })
   }
 
   /** Persist a base corpus's LSH band table for incremental sketch-probe
@@ -346,7 +364,24 @@ object Dedup {
                                      baseDocs: DataFrame, batch: DataFrame,
                                      n: Int, threshold: Double,
                                      maxBandBucketSize: Long = Long.MaxValue)
-  : DataFrame = {
+  : DataFrame =
+    incrementalLshPairsFromBucketsTracked(rawBaseBuckets, baseSizes,
+      batchBuckets0, baseDocs, batch, n, threshold, maxBandBucketSize)._1
+
+  /** [[incrementalLshPairsFromBuckets]] plus a RELEASE handle for the
+    * per-fold caches (batch buckets, candidate set, candidate
+    * shingles) — see [[minhashLshPairsFromSigsTracked]]'s rationale:
+    * per-trigger plans never repeat, so a long-running crawl must
+    * unpersist each fold's pins itself instead of nuking the session
+    * cache (ADVICE r14). */
+  private[graft] def incrementalLshPairsFromBucketsTracked(
+      rawBaseBuckets: DataFrame,
+      baseSizes: Option[DataFrame],
+      batchBuckets0: DataFrame,
+      baseDocs: DataFrame, batch: DataFrame,
+      n: Int, threshold: Double,
+      maxBandBucketSize: Long = Long.MaxValue)
+  : (DataFrame, () => Unit) = {
     // the batch's bucket rows feed the cross join, the intra self-join
     // (twice), and the size fence — cached so the batch sketches ONCE
     // per fold instead of once per consumer (the base side is a
@@ -391,8 +426,12 @@ object Dedup {
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val candDocs = baseDocs.unionByName(batch)
       .join(candIds, Seq("doc_id"), "left_semi")
-    jaccardScores(docShingles(candDocs, n).cache(), Some(candidates),
-      threshold)
+    val shingles = docShingles(candDocs, n).cache()
+    (jaccardScores(shingles, Some(candidates), threshold),
+      () => {
+        rawBatchBuckets.unpersist(); candidates.unpersist()
+        shingles.unpersist(); ()
+      })
   }
 
   /** Incremental near-dup detection: word-`n`-gram Jaccard pairs between

@@ -40,11 +40,14 @@ import graft.operators.Dedup
   * DOCUMENTS, never tokens — exact verification re-shingles only
   * candidate documents, and the label fold touches batch ids + roots of
   * touched clusters only. The corpus is never re-sketched, re-shingled,
-  * or re-clustered. At 100 TB the docs/bands state is the lake's
-  * bucketed band table ([[graft.operators.Dedup.writeLshIndex]]) plus
-  * the corpus itself, with periodic compaction of the per-batch
-  * partitions; the per-batch subdir layout here is the same algebra
-  * with filesystem-idempotent appends.
+  * or re-clustered. The per-batch subdir layout is bounded by the
+  * WIRED periodic compaction (`compactEvery`): every N batches the
+  * closed `batch=<x>` partitions fold into one `compact=<b>` partition
+  * under the same idempotent protocol ([[compactAppendOnly]]) — file
+  * count stays O(compaction interval) at crawl lifetimes and probe
+  * results are bit-identical across a compaction (suite-pinned). At
+  * 100 TB the compacted band table is the lake's bucketed band table
+  * ([[graft.operators.Dedup.writeLshIndex]]) in this layout's terms.
   *
   * `maxBandBucketSize` rides through to the probe: the degenerate-bucket
   * fence matters MOST here, where one templated crawl batch would
@@ -69,23 +72,93 @@ object CrawlDedup {
       centroids: Array[Array[Float]], threshold: Double)
 
   /** Accumulated state strictly BEFORE `beforeBatch` for an append-only
-    * per-batch directory (`docs`/`bands`); None when no prior batch has
-    * committed. */
+    * per-batch directory (`docs`/`bands`/`subwins`/`semassigned`); None
+    * when no prior batch has committed. Compaction-aware: the newest
+    * committed `compact=<c>` partition (c ≤ beforeBatch — it holds
+    * exactly the union of all batches < c) replaces every `batch=<x>`
+    * subdir with x < c, whether or not those subdirs were already
+    * deleted — a crash between the compact commit and the subdir prune
+    * leaves stale subdirs that are simply IGNORED, never double-read. */
   private def priorBatches(spark: SparkSession, dir: String,
                            beforeBatch: Long): Option[DataFrame] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
-    val committed = fs.listStatus(p).toSeq
-      .filter(st => st.getPath.getName.startsWith("batch=") &&
+    val children = fs.listStatus(p).toSeq
+    def committedIds(prefix: String): Seq[Long] = children
+      .filter(st => st.getPath.getName.startsWith(prefix) &&
         fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(_ < beforeBatch)
-    if (committed.isEmpty) None
-    else Some(spark.read
-      .option("basePath", dir)
-      .parquet(committed.map(b => s"$dir/batch=$b"): _*)
-      .drop("batch"))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    val cStar = committedIds("compact=").filter(_ <= beforeBatch)
+      .sorted.lastOption
+    val batches = committedIds("batch=")
+      .filter(b => b < beforeBatch && cStar.forall(b >= _))
+    val batchDf =
+      if (batches.isEmpty) None
+      else Some(spark.read
+        .option("basePath", dir)
+        .parquet(batches.map(b => s"$dir/batch=$b"): _*)
+        .drop("batch"))
+    val compactDf = cStar.map(c => spark.read.parquet(s"$dir/compact=$c"))
+    (compactDf, batchDf) match {
+      case (None, None) => None
+      case (Some(c), None) => Some(c)
+      case (None, Some(b)) => Some(b)
+      case (Some(c), Some(b)) => Some(c.unionByName(b))
+    }
+  }
+
+  /** Fold every closed `batch=<x>` partition (x < uptoBatch) of one
+    * append-only state directory into a single `compact=<uptoBatch>`
+    * partition and prune the superseded subdirs — the periodic
+    * compaction the per-batch layout needs at crawl lifetimes (one
+    * subdir per trigger forever is a small-files death at 100 TB; the
+    * compacted table is the lake's bucketed band/doc table in this
+    * layout's terms). Protocol mirrors the versioned fold:
+    *
+    *   1. write the union to `_compacting=<b>` (inputs untouched — no
+    *      lineage-into-overwrite hazard, no driver materialization)
+    *   2. verify the commit marker, RENAME to `compact=<b>` (atomic on
+    *      HDFS/local; a half-written rename target without a marker is
+    *      deleted and re-renamed on re-delivery)
+    *   3. prune `batch=<x>` (x < b) and older `compact=<c>` (c < b)
+    *
+    * Idempotent under re-delivery: a committed `compact=<b>` re-run
+    * short-circuits to the prune; a crash at ANY step leaves readers on
+    * the previous committed view ([[priorBatches]] ignores subdirs the
+    * newest compact covers). Only CLOSED batches compact — the current
+    * batch may still be re-delivered and must keep overwriting its own
+    * subdir. */
+  private[graft] def compactAppendOnly(spark: SparkSession,
+                                           dir: String,
+                                           uptoBatch: Long): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dir))) return
+    val dest = new Path(s"$dir/compact=$uptoBatch")
+    def prune(): Unit =
+      fs.listStatus(new Path(dir)).toSeq.foreach { st =>
+        val name = st.getPath.getName
+        val stale =
+          (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLong < uptoBatch) ||
+            (name.startsWith("compact=") &&
+              name.stripPrefix("compact=").toLong < uptoBatch) ||
+            (name.startsWith("_compacting=") &&
+              name.stripPrefix("_compacting=").toLong < uptoBatch)
+        if (stale) fs.delete(st.getPath, true)
+      }
+    if (fs.exists(new Path(dest, "_SUCCESS"))) { prune(); return }
+    priorBatches(spark, dir, uptoBatch).foreach { df =>
+      val tmp = new Path(s"$dir/_compacting=$uptoBatch")
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.exists(new Path(tmp, "_SUCCESS")),
+        s"CrawlDedup: compaction write $tmp produced no _SUCCESS marker")
+      if (fs.exists(dest)) fs.delete(dest, true) // half-written, no marker
+      require(fs.rename(tmp, dest),
+        s"CrawlDedup: rename $tmp -> $dest failed")
+      prune()
+    }
   }
 
   /** Versioned-fold state write: overwrite `dir/v=<batchId>`, verify the
@@ -121,11 +194,20 @@ object CrawlDedup {
                  maxBandBucketSize: Long = Long.MaxValue,
                  keepVersions: Int = 3,
                  substr: Option[SubstrStage] = None,
-                 semantic: Option[SemanticStage] = None)
+                 semantic: Option[SemanticStage] = None,
+                 compactEvery: Int = 0)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 (re-delivery folds from the " +
         s"predecessor version), got $keepVersions")
+    // periodic compaction of the append-only per-batch partitions,
+    // BEFORE this batch's own work: only CLOSED batches (< batchId)
+    // fold, so re-delivery re-runs the same idempotent compaction and
+    // the probe below reads the compacted view — ≡ the per-batch view
+    // by construction (suite pins probe-after ≡ probe-before)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      Seq("docs", "bands", "subwins", "semassigned")
+        .foreach(d => compactAppendOnly(spark, s"$stateDir/$d", batchId))
     // materialize the batch once: it feeds the sketch, the verification
     // re-shingle, the label fold, AND the state append
     val batch = batchDf.select(col("doc_id"), col("text"))
@@ -136,13 +218,13 @@ object CrawlDedup {
       .localCheckpoint(true)
     val batchBands = Dedup.lshBuckets(sigs, bands, rows)
     val priorDocs = priorBatches(spark, s"$stateDir/docs", batchId)
-    val pairs = priorDocs match {
+    val (pairs, releasePairs) = priorDocs match {
       case None =>
         // first batch: intra-batch LSH pairs only
-        Dedup.minhashLshPairsFromSigs(batch, sigs, n, threshold, bands,
-          rows, maxBandBucketSize)
+        Dedup.minhashLshPairsFromSigsTracked(batch, sigs, n, threshold,
+          bands, rows, maxBandBucketSize)
       case Some(pd) =>
-        Dedup.incrementalLshPairsFromBuckets(
+        Dedup.incrementalLshPairsFromBucketsTracked(
           priorBatches(spark, s"$stateDir/bands", batchId).get, None,
           batchBands, pd, batch, n, threshold, maxBandBucketSize)
     }
@@ -156,22 +238,35 @@ object CrawlDedup {
         Dedup.incrementalConnectedComponents(pl, batch.select("doc_id"),
           "doc_id", pairs)
     }
-    writeVersioned(spark, s"$stateDir/labels", labels, batchId,
-      keepVersions)
-    // state appends, each keyed by batchId (idempotent overwrite); the
-    // docs/bands per-batch partitions are DATA (not versioned copies)
-    // and stay — bound their file count with the core/Layout compaction
-    // loop on a real lake
+    // COMMIT ORDER (ADVICE r14): the append-only DATA partitions land
+    // FIRST, the versioned label state LAST — the versioned write is
+    // the batch's commit mark. A crash in between leaves readers on the
+    // previous label version with at worst an extra (ignored-until-
+    // labeled) doc partition — conservative; the reverse order let
+    // survivorDocs drop survivor ids whose doc partition never landed.
     batch.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/docs/batch=$batchId")
     batchBands.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/bands/batch=$batchId")
+    writeVersioned(spark, s"$stateDir/labels", labels, batchId,
+      keepVersions)
+    // the fold is on disk — release this batch's cache pins (batch
+    // buckets, candidates, candidate shingles): per-trigger plans never
+    // repeat, so without the targeted release a long-running crawl
+    // accumulates one batch's pins per trigger. Targeted, NOT
+    // spark.catalog.clearCache() — a session-wide clear wipes every
+    // cached relation of whoever shares the session (ADVICE r14).
+    releasePairs()
 
     // ---- optional ExactSubstr stage: fold the batch's window
     // fingerprints into the merged per-fp stats (counts add, survivor =
     // global min — Dedup.mergeWindowStats), keep the occurrence rows as
     // append-only per-batch partitions; duplicateSpans() then serves
-    // whole-corpus maximal spans without re-fingerprinting anything
+    // whole-corpus maximal spans without re-fingerprinting anything.
+    // Same commit order: occurrence DATA first, versioned stats last —
+    // a crash in between must leave duplicateSpans conservative (stats
+    // that don't yet count the batch), never over-reporting spans whose
+    // window rows are missing.
     substr.foreach { st =>
       val batchWins = Dedup.allWindows(batch, st.l).localCheckpoint(true)
       val stats = StreamingIvm.readState(spark, s"$stateDir/substats",
@@ -180,16 +275,17 @@ object CrawlDedup {
         case Some(ps) => Dedup.mergeWindowStats(ps,
           Dedup.windowStats(batchWins))
       }
-      writeVersioned(spark, s"$stateDir/substats", stats, batchId,
-        keepVersions)
       batchWins.write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/subwins/batch=$batchId")
+      writeVersioned(spark, s"$stateDir/substats", stats, batchId,
+        keepVersions)
     }
 
     // ---- optional SemDeDup stage: map-side cell assignment of the
     // batch's embeddings, one cell-equi join against the accumulated
     // assigned corpus, survivor fold with BOTH eviction directions
-    // (a smaller-id arrival evicts a base survivor, ≡ recompute)
+    // (a smaller-id arrival evicts a base survivor, ≡ recompute).
+    // Data partition first, versioned survivor state last (commit mark).
     semantic.foreach { se =>
       val batchEmb = batchDf.select(col("doc_id").as("vec_id"),
           col(se.embCol).cast(org.apache.spark.sql.types.ArrayType(
@@ -207,19 +303,11 @@ object CrawlDedup {
         case _ => graft.operators.SemanticDedup
           .survivors(assignedBatch, se.threshold)
       }
-      writeVersioned(spark, s"$stateDir/semsurv", surv, batchId,
-        keepVersions)
       assignedBatch.write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/semassigned/batch=$batchId")
+      writeVersioned(spark, s"$stateDir/semsurv", surv, batchId,
+        keepVersions)
     }
-
-    // drop this batch's cache entries (the probe pins its band rows and
-    // candidate set; everything is on disk now) — cache blocks are NOT
-    // GC-collected, so a long-running crawl would otherwise accumulate
-    // one batch's worth per trigger, violating the bounded-state
-    // contract. The crawl job owns its session (a dedicated maintenance
-    // stream), so a full clear is the honest lifetime.
-    spark.catalog.clearCache()
   }
 
   /** Current cluster labels (doc_id, cluster_id) — the latest committed
@@ -279,12 +367,13 @@ object CrawlDedup {
              bands: Int = 16, rows: Int = 4,
              maxBandBucketSize: Long = Long.MaxValue,
              substr: Option[SubstrStage] = None,
-             semantic: Option[SemanticStage] = None)
+             semantic: Option[SemanticStage] = None,
+             compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(b.sparkSession, stateDir, n, threshold, bands, rows,
-          maxBandBucketSize, substr = substr, semantic = semantic)(
-          b.toDF(), id)
+          maxBandBucketSize, substr = substr, semantic = semantic,
+          compactEvery = compactEvery)(b.toDF(), id)
     }
 }

@@ -842,6 +842,110 @@ class StreamingExtSuite extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelExpect)
   }
 
+  test("crawl compaction: closed batch partitions fold into compact=<b>; readers are bit-identical across a compaction; re-delivery across it is idempotent; subdir count stays bounded over 3x the interval") {
+    import graft.operators.{Dedup, SemanticDedup}
+    import graft.streaming.{CrawlDedup, StreamingIvm}
+    val state = tmpDir("crawlcomp-state")
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val stages = (Some(CrawlDedup.SubstrStage(4)),
+      Some(CrawlDedup.SemanticStage("emb", cents, 0.99)))
+    // 9 single-doc crawl days over 3× the compaction interval: two
+    // near-dup families CROSSING compaction boundaries (the probe must
+    // find their earlier members in the compacted band state) plus
+    // singletons
+    def day(i: Long): (Long, String, Seq[Double]) = {
+      // families at Jaccard ≈ 0.9 (one differing trailing token over a
+      // long shared prefix — the same regime the other crawl tests
+      // use, where the deterministic 16×4 LSH finds every pair);
+      // singletons share NO token with anything
+      val text = (i % 3) match {
+        case 0 => "alpha beta gamma delta epsilon zeta eta theta iota " +
+          s"kappa lambda mu nu xi omicron pi rho sigma tau upsilon w$i"
+        case 1 => "one two three four five six seven eight nine ten " +
+          s"eleven twelve thirteen fourteen fifteen sixteen seventeen w$i"
+        case _ => (0 until 12).map(k => s"u${i}t$k").mkString(" ")
+      }
+      (i + 1, text, if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0))
+    }
+    def fold(b: Long, d: (Long, String, Seq[Double])): Unit =
+      CrawlDedup.applyBatch(spark, state, 3, 0.5, keepVersions = 2,
+        substr = stages._1, semantic = stages._2, compactEvery = 3)(
+        Seq(d).toDF("doc_id", "text", "emb"), b)
+    (0L until 9L).foreach(b => fold(b, day(b)))
+
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def subdirs(d: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$state/$d")).toSeq
+      .map(_.getPath.getName).sorted
+    // bounded layout: after 9 folds with compactEvery=3 each append-only
+    // family holds ONE compact partition (from the b=6 compaction,
+    // covering batches 0..5) + the open batches 6..8 — never one subdir
+    // per trigger forever
+    Seq("docs", "bands", "subwins", "semassigned").foreach { d =>
+      val names = subdirs(d)
+      assert(names.count(_.startsWith("compact=")) === 1, s"$d: $names")
+      assert(names.count(_.startsWith("batch=")) <= 3, s"$d: $names")
+      assert(!names.exists(_.startsWith("_compacting=")), s"$d: $names")
+    }
+
+    def labelMap() = CrawlDedup.labels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def spanSet() = CrawlDedup.duplicateSpans(spark, state, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def semSet() = CrawlDedup.semanticSurvivors(spark, state).collect()
+      .map(_.getLong(0)).toSet
+    def docSet() = CrawlDedup.survivorDocs(spark, state).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+    // the streamed fold ≡ one-shot recompute over all nine docs — the
+    // probes that crossed the two compactions lost nothing
+    val all = (0L until 9L).map(day).toDF("doc_id", "text", "emb")
+    val labelExpect = Dedup.connectedComponents(all, "doc_id",
+        Dedup.ngramJaccardPairs(all, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === labelExpect)
+    val before = (labelMap(), spanSet(), semSet(), docSet())
+
+    // a standalone compaction sweep (all closed batches): every reader
+    // must return BIT-IDENTICAL results — probe-after ≡ probe-before
+    Seq("docs", "bands", "subwins", "semassigned").foreach(d =>
+      CrawlDedup.compactAppendOnly(spark, s"$state/$d", 9L))
+    assert((labelMap(), spanSet(), semSet(), docSet()) === before,
+      "a compaction changed reader results")
+    Seq("docs", "bands", "subwins", "semassigned").foreach { d =>
+      assert(subdirs(d).filter(_.startsWith("batch=")).isEmpty,
+        s"$d: ${subdirs(d)}")
+    }
+
+    // batch 9 lands a compaction trigger (9 % 3 == 0) AND new content;
+    // re-delivering it re-runs compaction + fold — nothing may change
+    fold(9L, day(9L))
+    val after9 = (labelMap(), spanSet(), semSet(), docSet())
+    assert(after9._1.keySet.contains(10L))
+    fold(9L, day(9L)) // the post-crash retry
+    assert((labelMap(), spanSet(), semSet(), docSet()) === after9,
+      "re-delivery across a compaction corrupted state")
+    // and the total fold is STILL the exact recompute
+    val all10 = (0L until 10L).map(day).toDF("doc_id", "text", "emb")
+    val expect10 = Dedup.connectedComponents(all10, "doc_id",
+        Dedup.ngramJaccardPairs(all10, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === expect10)
+    val semExpect10 = SemanticDedup.survivors(
+        SemanticDedup.assignCells(
+          all10.select($"doc_id".as("vec_id"),
+            $"emb".cast("array<float>").as("embedding")), cents), 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(semSet() === semExpect10)
+    val spansExpect10 = Dedup.spansFromWindows(
+        Dedup.duplicatedWindows(all10, 4), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(spanSet() === spansExpect10)
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm
