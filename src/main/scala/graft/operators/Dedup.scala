@@ -1198,21 +1198,34 @@ object Dedup {
     * any pair with ≤ 3 differing bits shares at least one chunk
     * (pigeonhole), so the chunk-equality self-join has perfect recall;
     * `bit_count(xor)` filters exactly. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairsFromSigs(simhashSignatures(docs), "simhash", maxHamming)
+
+  /** The pigeonhole Hamming join over ANY 64-bit signature table
+    * (doc_id, `sigCol`) — the blocking machinery [[simhashPairs]] and
+    * the perceptual image-dedup path
+    * ([[graft.operators.Multimodal.imageSignature]]) share: 4 chunk
+    * keys per doc shuffle (never payloads), the chunk-equality
+    * self-join has PERFECT recall for Hamming ≤ 3 (a pair with ≤ 3
+    * differing bits cannot differ in all 4 chunks), and `bit_count
+    * (xor)` verifies exactly — output (doc_a, doc_b, hamming) is
+    * bit-identical to the O(n²) pair walk restricted to ≤ maxHamming,
+    * at block-join cost. */
+  def hammingPairsFromSigs(sigs: DataFrame, sigCol: String,
+                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for Hamming <= 3")
-    val sig = simhashSignatures(docs)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val chunks = sigs.select(col("doc_id"), col(sigCol).as("_sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+          shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
         .as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+      .select(col("doc_id"), col("_sig"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

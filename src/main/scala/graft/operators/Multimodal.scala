@@ -269,6 +269,124 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic PATTERNED image payloads — the perceptual-dedup test
+    * corpus [[syntheticImages]]'s solid fields cannot provide (every
+    * gradient of a solid image is zero, so a difference hash would
+    * collapse the whole corpus into one bucket). Each document renders
+    * an 8×8 logical grid of gray cells, scaled up to `px`×`px`
+    * (px must be a multiple of 8 — cells become (px/8)² pixel blocks):
+    *
+    *   gray(cx, cy) = ((doc_id + 1) · (cx + 8·cy + 3) · 40503) mod 256
+    *
+    * Pure integer arithmetic, so the DuckDB oracle restates the exact
+    * grid — and the decoded luminance of a gray pixel is the gray value
+    * itself under the BT.601 integer weights. Rendering the SAME
+    * doc_id at px=8 and px=16 produces byte-DIFFERENT PNGs (different
+    * dimensions, different encode) whose [[imageSignature]]s are
+    * BIT-IDENTICAL: the planted "re-encoded, resized duplicate". */
+  def syntheticPatternImages(spark: SparkSession, docs: DataFrame,
+                             px: Int): DataFrame = {
+    import spark.implicits._
+    require(px >= 8 && px % 8 == 0,
+      s"px must be a positive multiple of 8, got $px")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { rows =>
+        val k = px / 8
+        rows.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            px, px, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < px) {
+            var x = 0
+            while (x < px) {
+              val g = (((id + 1) * ((x / k) + 8L * (y / k) + 3) * 40503L)
+                % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual image signature (difference hash): REAL ImageIO decode
+    * → BT.601 integer luminance → area-mean downscale to a `grid`×
+    * `grid` cell matrix (block means — EXACT for block-aligned integer
+    * upscales, which is what makes a pixel-doubled re-encode hash
+    * bit-identically) → horizontal gradient bits,
+    *
+    *   bit (cy·(grid−1)+cx) = 1  iff  cell(cx+1, cy) > cell(cx, cy)
+    *
+    * packed into one long ((grid−1)·grid bits — 56 for the default 8).
+    * The signature is invariant under re-encoding and block-aligned
+    * resizing but sensitive to content — the standard dHash trade.
+    * Image dimensions must be multiples of `grid` (fail loudly, like
+    * the codecs: a stray thumbnail in a dedup pipeline is a data-
+    * quality event). Pair generation rides the SimHash pigeonhole
+    * machinery ([[Dedup.hammingPairsFromSigs]]): 4-chunk blocking,
+    * exact xor-popcount verify — at 100 TB the shuffle carries
+    * (8-byte signature, id) rows only, never pixels. */
+  def imageSignature(spark: SparkSession, media: DataFrame,
+                     grid: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(grid >= 2 && (grid - 1) * grid <= 64,
+      s"grid must be in [2, 8] so the signature packs into a long, got $grid")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"imageSignature: payload (${bytes.length} bytes) is not a " +
+              "decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w % grid == 0 && h % grid == 0,
+            s"imageSignature: image ${w}x$h is not a multiple of the " +
+              s"$grid-cell grid")
+          val (bw, bh) = (w / grid, h / grid)
+          val cells = Array.ofDim[Long](grid, grid)
+          var cy = 0
+          while (cy < grid) {
+            var cx = 0
+            while (cx < grid) {
+              var sum = 0L
+              var y = cy * bh
+              while (y < (cy + 1) * bh) {
+                var x = cx * bw
+                while (x < (cx + 1) * bw) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 0xFF) +
+                    587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              cells(cy)(cx) = sum / (bw.toLong * bh)
+              cx += 1
+            }
+            cy += 1
+          }
+          var sig = 0L
+          cy = 0
+          while (cy < grid) {
+            var cx = 0
+            while (cx < grid - 1) {
+              if (cells(cy)(cx + 1) > cells(cy)(cx))
+                sig |= 1L << (cy * (grid - 1) + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
+
   /** Deterministic WAV payloads, same idea as [[syntheticImages]]: 16-bit
     * mono PCM, `samples` frames at constant amplitude n_chars mod 32768 —
     * a real WAV ENCODE (javax.sound.sampled) whose [[WavCodec]] decode

@@ -827,6 +827,56 @@ object DedupOps {
                   ON a.vec_id < b.vec_id)
               WHERE cos >= 0.9 ORDER BY vec_a, vec_b""")),
 
+    // ⊕ the NON-VACUOUS scale path at this corpus's REAL similarity
+    // band (planted near-dups top out at cos ≈ 0.51, where sign-LSH
+    // cannot prune — see the note above): IVF-cell blocking. Vectors
+    // are assigned to coarse cells map-side (the same deterministic
+    // 8-centroid codebook dedup_semantic gates — lowest-id embeddings,
+    // zero-iteration, SQL-replayable), candidate pairs are the
+    // cell-equi self-join, exact cosine ≥ 0.4 verifies. The oracle
+    // recomputes assignment + the within-cell pair join bit-exactly, so
+    // the gate proves the blocked pair set — NON-EMPTY at this
+    // threshold — against DuckDB, and PlanSpec pins the equi-join plan
+    // (no product). Declared semantics: pairs WITHIN shared cells (the
+    // IVF contract — cross-cell pairs are the recall trade every IVF
+    // index makes; nProbe > 1 recovers them in the sim_ivf_multiprobe
+    // family); the brute entry above remains the unblocked baseline.
+    Entry(
+      "dedup_embed_cosine_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        // 8-row codebook collect: k·dim floats — the IVF centroid
+        // shipment, not a data collect
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        SemanticDedup
+          .intraCellPairs(SemanticDedup.assignCells(emb, codebook), 0.4)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1)
+              SELECT vec_a, vec_b, cell, cos FROM (
+                SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell AS cell,
+                       list_dot_product(xv.e, yv.e)
+                         / (sqrt(list_dot_product(xv.e, xv.e)) * sqrt(list_dot_product(yv.e, yv.e))) AS cos
+                FROM asg x
+                JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                JOIN v xv ON xv.vec_id = x.vec_id
+                JOIN v yv ON yv.vec_id = y.vec_id)
+              WHERE cos >= 0.4 ORDER BY vec_a, vec_b""")),
+
     // semantic dedup (SemDeDup): coarse cells, then cosine prune WITHIN
     // each cell — the cluster-then-prune scale path for embedding dedup
     // (pair space ÷ k vs the brute join above). The GATED form seeds the

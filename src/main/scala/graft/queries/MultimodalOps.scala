@@ -182,6 +182,59 @@ object MultimodalOps {
                 FROM wgt GROUP BY doc_id)
               SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                      MIN(doc_id) AS keeper
-              FROM ph GROUP BY phash ORDER BY phash"""))
+              FROM ph GROUP BY phash ORDER BY phash""")),
+
+    // ⊕ PERCEPTUAL image dedup, oracle-gated end-to-end on REAL pixels:
+    // every document renders TWICE — an 8×8 patterned PNG and its
+    // pixel-doubled 16×16 re-encode (byte-DIFFERENT payloads, the
+    // planted "resized duplicate") — then Multimodal.imageSignature
+    // decodes each container, area-means the pixels onto the 8×8 grid,
+    // and packs the 56-bit difference hash; pair generation reuses the
+    // SimHash pigeonhole machinery (Dedup.hammingPairsFromSigs: 4-chunk
+    // blocking + exact xor-popcount ≡ the O(n²) walk at Hamming ≤ 3).
+    // Because the pattern is pure integer math on (doc_id, cell), the
+    // DuckDB oracle restates the signature per document in SQL and
+    // brute-joins — so a hash match certifies the FULL pipeline: PNG
+    // encode → decode → block-mean → dHash → banded Hamming join, with
+    // every planted resized duplicate found (vid 2d ↔ 2d+1 at Hamming
+    // 0) and same-pattern documents correctly clustering. At 100 TB the
+    // shuffle carries (8-byte signature, id) chunk rows only — pixels
+    // never leave their decode partition.
+    Entry(
+      "mm_dedup_image",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def variant(px: Int, off: Int) = Multimodal
+          .syntheticPatternImages(s, docs, px)
+          .select((col("doc_id") * 2 + off).as("doc_id"), col("payload"))
+        val sigs = Multimodal.imageSignature(s,
+          variant(8, 0).unionByName(variant(16, 1)))
+        graft.operators.Dedup.hammingPairsFromSigs(sigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              g AS (
+                SELECT d.doc_id, ys.y AS y, xs.x AS x,
+                       ((d.doc_id + 1) * (xs.x + 8*ys.y + 3) * 40503) % 256 AS gl,
+                       ((d.doc_id + 1) * ((xs.x + 1) + 8*ys.y + 3) * 40503) % 256 AS gr
+                FROM documents d CROSS JOIN xs CROSS JOIN ys),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id),
+              vids AS (
+                SELECT doc_id*2 AS vid, sg FROM sig
+                UNION ALL
+                SELECT doc_id*2 + 1 AS vid, sg FROM sig)
+              SELECT a.vid AS vid_a, b.vid AS vid_b,
+                     CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+              FROM vids a JOIN vids b ON a.vid < b.vid
+              WHERE bit_count(xor(a.sg, b.sg)) <= 3
+              ORDER BY vid_a, vid_b"""))
   )
 }

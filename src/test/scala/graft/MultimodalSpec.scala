@@ -201,4 +201,64 @@ class MultimodalSpec extends SparkSuite {
     assert(e.getMessage.contains("not a decodable image") ||
       Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
+
+  test("imageSignature: block-aligned re-encodes hash bit-identically, banded Hamming pairs find every planted duplicate, resizeImage round-trips") {
+    import graft.operators.Dedup
+    val ids = Seq(1L, 2L, 42L, 255L, 300L).toDF("doc_id")
+    def sigs(px: Int) = Multimodal
+      .imageSignature(spark, Multimodal.syntheticPatternImages(spark, ids, px))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (s8, s16, s32) = (sigs(8), sigs(16), sigs(32))
+    // the same pattern at 1×/2×/4× scale decodes to the SAME signature
+    // (area means recover the logical grid exactly) …
+    assert(s8 === s16); assert(s8 === s32)
+    // … while the payload BYTES differ (different dimensions, fresh
+    // encode) — these are genuinely distinct files, not byte copies
+    val md8 = Multimodal.syntheticPatternImages(spark, ids, 8)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md16 = Multimodal.syntheticPatternImages(spark, ids, 16)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.collect().map(_.getLong(0)).forall(i => md8(i) != md16(i)))
+    // distinct patterns get distinct signatures (ids chosen in distinct
+    // mod-256 classes)
+    assert(Set(s8(1L), s8(2L), s8(42L), s8(255L)).size === 4)
+    // the banded Hamming join over orig ∪ resized finds EVERY planted
+    // (2d, 2d+1) duplicate at distance 0 — recall 1.0 on block-aligned
+    // re-encodes, by the pigeonhole guarantee
+    val docs = ids
+    def variant(px: Int, off: Int) = Multimodal
+      .syntheticPatternImages(spark, docs, px)
+      .select((col("doc_id") * 2 + off).as("doc_id"), col("payload"))
+    val pairSigs = Multimodal.imageSignature(spark,
+      variant(8, 0).unionByName(variant(16, 1)))
+    val pairs = Dedup.hammingPairsFromSigs(pairSigs, "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = Seq(1L, 2L, 42L, 255L, 300L)
+      .map(d => (d * 2, d * 2 + 1)).toSet
+    assert(planted.subsetOf(pairs.map(p => (p._1, p._2)).toSet), pairs.toSeq)
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 === 0))
+    // a REAL resizeImage (bilinear Graphics2D upscale) of the 8×8
+    // pattern re-hashes CLOSE to the original — within the banded
+    // join's Hamming-3 reach, so a resized re-encode is still FOUND
+    val resized = Multimodal.resizeImage(spark,
+      Multimodal.syntheticPatternImages(spark, ids, 8)
+        .withColumn("meta", lit(null)), 16)
+    val sr = Multimodal.imageSignature(spark, resized)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.collect().map(_.getLong(0)).foreach { i =>
+      val h = java.lang.Long.bitCount(s8(i) ^ sr(i))
+      assert(h <= 3, s"doc $i: bilinear resize drifted $h bits from the original")
+    }
+    // off-grid images fail loudly (a stray thumbnail is a data-quality
+    // event, not a silent skip)
+    val odd = Multimodal.syntheticImages(spark,
+      Seq((7L, 100L)).toDF("doc_id", "n_chars"), 6)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageSignature(spark, odd).collect()
+    }
+    assert(e2.getMessage.contains("not a multiple") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not a multiple")))
+  }
 }
