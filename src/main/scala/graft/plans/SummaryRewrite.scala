@@ -276,13 +276,32 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Look through column-pruning Projects (re-planning rebuilds the
-    * aggregate directly over the new child, so a pruning projection
-    * between Aggregate and Join carries no semantics). */
-  private def stripPrune(plan: LogicalPlan): LogicalPlan = plan match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      stripPrune(c)
-    case p => p
+  /** Inline the Projects between Aggregate and Join into an alias map —
+    * the star path's analogue of [[collectBase]]'s Project handling:
+    * `GROUP BY f(grain)` (or any computed output) over a join tree gets
+    * its expression extracted by the analyzer into a computing Project
+    * ABOVE the join (`Alias(f(g)) AS _groupingexpression#N`), which
+    * would otherwise block [[findBase]] and bail the month-rollup ×
+    * dim dashboard shape. Substituting the definitions back into the
+    * groupings/outputs is semantics-preserving (the rebuilt Aggregate
+    * re-computes the expression from the summary twins); a
+    * non-deterministic alias stops the descent (conservative — the
+    * remaining Project blocks findBase as before). Only Projects are
+    * inlined: by this point in the optimizer every deterministic
+    * Filter has been pushed below the join. */
+  private def inlineTopProjects(plan: LogicalPlan)
+  : (LogicalPlan, Map[ExprId, Expression]) = plan match {
+    case Project(pl, c) if pl.forall {
+        case _: AttributeReference => true
+        case Alias(e, _) => e.deterministic
+        case _ => false
+      } =>
+      val (inner, amap) = inlineTopProjects(c)
+      val added = pl.collect {
+        case al @ Alias(e, _) => al.exprId -> substitute(e, amap)
+      }
+      (inner, amap ++ added)
+    case p => (p, Map.empty)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -533,12 +552,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * shares a served base column's NAME from ever hijacking its
     * mapping (it keeps its own attribute; spec asserts the sharpest
     * collision). */
-  private def rewriteStar(agg: Aggregate, groupExprs: Seq[Expression],
-                          aggExprs: Seq[NamedExpression],
+  private def rewriteStar(agg: Aggregate, groupExprs0: Seq[Expression],
+                          aggExprs0: Seq[NamedExpression],
                           child: LogicalPlan,
                           tokCache: scala.collection.mutable.Map[String, String])
   : Option[LogicalPlan] = {
-    findBase(stripPrune(child)).flatMap { site =>
+    // computed groupings/outputs live in analyzer-made Projects above
+    // the join — inline their definitions so the grain/dim checks see
+    // the real expressions (GROUP BY f(grain) over a star routes)
+    val (stripped, topMap) = inlineTopProjects(child)
+    val groupExprs = groupExprs0.map(substitute(_, topMap))
+    val subs = aggExprs0.map(substNamed(_, topMap))
+    if (subs.exists(_.isEmpty)) return None
+    val aggExprs = subs.map(_.get)
+    findBase(stripped).flatMap { site =>
       val cands = MvRegistry.lookup(site.path)
       if (cands.isEmpty) return None
       note(s"candidate(star): join tree over registered base " +
@@ -548,7 +575,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // output would be silently replaced by the raw summary column
       // on rebuild — a shadowing alias passes the name/type checks
       // downstream, so the reference itself must bail (ADVICE r13,
-      // high). Summary-independent: checked once per site.
+      // high). Checked AFTER the top-project inlining, so references
+      // that arrived through an above-join alias are fenced too.
+      // Summary-independent: checked once per site.
       if (site.amap.nonEmpty) {
         val refIds = (groupExprs ++ site.conds ++ aggExprs)
           .flatMap(_.references.toSeq).map(_.exprId).toSet

@@ -344,19 +344,19 @@ class SummaryRewriteSpec extends SparkSuite {
     Seq(("t0", 10L), ("t0", 11L), ("t1", 20L))
       .toDF("k", "attr").write.mode("overwrite").parquet(dim)
     val b = spark.read.parquet(base); val d = spark.read.parquet(dim)
-    // grouped by the dim attribute itself: the unmatched grains land in
-    // the NULL group — identically on base and summary plans (a
-    // COMPUTED grouping over dim columns would put a computing Project
-    // between Aggregate and Join, which findBase conservatively bails
-    // on — same standing behavior as the inner star path)
+    // grouped by a COMPUTED dim expression (coalesce of the
+    // null-extended attribute): the analyzer extracts it into a
+    // Project above the join, which rewriteStar inlines — the
+    // unmatched grains land in the -1 group identically on base and
+    // summary plans
     def q() = b.join(d, b("event_type") === d("k"), "left")
-      .groupBy(d("attr"))
+      .groupBy(coalesce(d("attr"), lit(-1L)).as("grp"))
       .agg(count(lit(1)).as("n"), sum(b("v_micro")).as("s"),
         avg(b("v_micro")).as("a"), min(b("v_micro")).as("lo"),
         max(b("v_micro")).as("hi"),
         countDistinct(b("event_type")).as("d"),
         sum(d("attr")).as("sd"))
-      .orderBy("attr")
+      .orderBy("grp")
     // and the nested shape: (base LEFT dim) INNER dim2 — the left join
     // sits inside an inner tree, both rebuilt around the summary
     val dim2 = tmpDir("mv-left-dim2")
@@ -376,8 +376,8 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
       assert(paths.exists(_.contains(dim)), s"dim join dropped: $paths")
       assert(routed.collect() === expect)
-      // the null-extended group must be present and exact
-      assert(expect.exists(_.isNullAt(0)),
+      // the null-extended group (-1) must be present and exact
+      assert(expect.exists(_.getLong(0) == -1L),
         "fixture lost its unmatched grains — the test is vacuous")
       val routed2 = q2()
       val paths2 = scannedPaths(routed2)
@@ -390,6 +390,49 @@ class SummaryRewriteSpec extends SparkSuite {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
       assert(scannedPaths(bail).exists(_.contains(base)))
       assert(!scannedPaths(bail).exists(_.contains(mv)))
+    } finally MvRegistry.clear()
+  }
+
+  test("GROUP BY f(grain) over a STAR JOIN routes — the rollup × dim dashboard shape; the shadowing fence holds through the inlined project") {
+    // the analyzer extracts computed groupings into a Project ABOVE the
+    // join; rewriteStar inlines it (inlineTopProjects) so the rollup ×
+    // dim shape routes instead of bailing on a blocked findBase
+    val (base, mv) = fixture()
+    val dim = tmpDir("mv-starroll-dim")
+    Seq(("t0", 0), ("t1", 1), ("t2", 0), ("t3", 1), ("t4", 0))
+      .toDF("k", "parity").write.mode("overwrite").parquet(dim)
+    def q() = spark.read.parquet(base)
+      .join(spark.read.parquet(dim), col("event_type") === col("k"))
+      .groupBy(expr("substring(event_type, 2, 1)").as("sfx"),
+        col("parity"))
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"),
+        avg("v_micro").as("a"), max("v_micro").as("hi"),
+        sum(expr("parity * 2")).as("sp"))
+      .orderBy("sfx", "parity")
+    val expect = q().collect()
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(paths.exists(_.contains(dim)), s"dim join dropped: $paths")
+      assert(routed.collect() === expect)
+      // the r13 shadowing hazard must STILL bail when the computed
+      // grouping (inlined from above the join) references a computed
+      // projection BELOW the join that shadows the grain column
+      val shadowed = spark.read.parquet(base)
+        .select(upper(col("event_type")).as("event_type"), col("v_micro"))
+        .join(spark.read.parquet(dim)
+          .select(upper(col("k")).as("k"), col("parity")),
+          col("event_type") === col("k"))
+        .groupBy(expr("substring(event_type, 2, 1)").as("sfx"))
+        .agg(count(lit(1)).as("n"))
+      val sp = scannedPaths(shadowed)
+      assert(sp.exists(_.contains(base)),
+        s"shadowed computed grouping must bail to the base: $sp")
+      assert(!sp.exists(_.contains(mv)),
+        s"raw summary silently served a shadowed computed grouping: $sp")
     } finally MvRegistry.clear()
   }
 
