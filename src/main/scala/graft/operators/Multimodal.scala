@@ -276,8 +276,14 @@ object Multimodal {
     * an 8×8 logical grid of gray cells, scaled up to `px`×`px`
     * (px must be a multiple of 8 — cells become (px/8)² pixel blocks):
     *
-    *   gray(cx, cy) = ((doc_id + 1) · (cx + 8·cy + 3) · 40503) mod 256
+    *   t = cx + 8·cy + 3
+    *   gray = ((doc_id+1)·(t+1)·40503 + (doc_id div 256 + 1)·(t²+7)·97) mod 256
     *
+    * TWO id bytes drive the polynomial's coefficients, so distinct
+    * documents get effectively distinct patterns (a single-byte
+    * multiplier would collapse ids that agree mod 256 into identical
+    * signatures — pair volume then grows quadratically in corpus size
+    * instead of tracking the planted duplicates).
     * Pure integer arithmetic, so the DuckDB oracle restates the exact
     * grid — and the decoded luminance of a gray pixel is the gray value
     * itself under the BT.601 integer weights. Rendering the SAME
@@ -299,8 +305,9 @@ object Multimodal {
           while (y < px) {
             var x = 0
             while (x < px) {
-              val g = (((id + 1) * ((x / k) + 8L * (y / k) + 3) * 40503L)
-                % 256).toInt
+              val t = (x / k) + 8L * (y / k) + 3
+              val g = (((id + 1) * (t + 1) * 40503L +
+                (id / 256 + 1) * (t * t + 7) * 97L) % 256).toInt
               img.setRGB(x, y, (g << 16) | (g << 8) | g)
               x += 1
             }

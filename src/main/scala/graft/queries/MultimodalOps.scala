@@ -216,11 +216,18 @@ object MultimodalOps {
       },
       Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
               ys AS (SELECT unnest(range(0, 8)) AS y),
-              g AS (
+              t AS (
                 SELECT d.doc_id, ys.y AS y, xs.x AS x,
-                       ((d.doc_id + 1) * (xs.x + 8*ys.y + 3) * 40503) % 256 AS gl,
-                       ((d.doc_id + 1) * ((xs.x + 1) + 8*ys.y + 3) * 40503) % 256 AS gr
+                       xs.x + 8*ys.y + 3 AS tl,
+                       (xs.x + 1) + 8*ys.y + 3 AS tr
                 FROM documents d CROSS JOIN xs CROSS JOIN ys),
+              g AS (
+                SELECT doc_id, y, x,
+                       ((doc_id + 1) * (tl + 1) * 40503
+                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (tr + 1) * 40503
+                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
+                FROM t),
               sig AS (
                 SELECT doc_id,
                        CAST(SUM(CASE WHEN gr > gl
