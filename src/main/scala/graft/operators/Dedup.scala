@@ -1214,12 +1214,7 @@ object Dedup {
   def hammingPairsFromSigs(sigs: DataFrame, sigCol: String,
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for Hamming <= 3")
-    val chunks = sigs.select(col("doc_id"), col(sigCol).as("_sig"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
-        .as("b"))
-      .select(col("doc_id"), col("_sig"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val chunks = sigChunks(sigs, sigCol)
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
@@ -1228,5 +1223,52 @@ object Dedup {
         bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The 4×16-bit chunk rows of a signature table: (doc_id, _sig,
+    * chunk, ck) — the blocking keys of [[hammingPairsFromSigs]] /
+    * [[incrementalHammingPairs]]. */
+  private def sigChunks(sigs: DataFrame, sigCol: String): DataFrame =
+    sigs.select(col("doc_id"), col(sigCol).as("_sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("_sig"), col("b.chunk").as("chunk"),
+        col("b.ck").as("ck"))
+
+  /** Incremental Hamming dedup — the daily-crawl shape for signature
+    * families (SimHash text sketches, perceptual image hashes): pairs
+    * within `maxHamming` TOUCHING the batch, against a persisted base
+    * signature corpus that is never re-hashed or self-joined. One
+    * (chunk, ck) equi-join of the batch's chunk rows against the
+    * base's (at 100 TB a bucketed chunk table — four thin rows per
+    * corpus item, [[writeLshIndex]]'s layout in chunk terms) plus the
+    * intra-batch self-join; exact `bit_count(xor)` verification keeps
+    * precision exact, and the 4-chunk pigeonhole keeps recall PERFECT
+    * at Hamming ≤ 3 — output ≡ [[hammingPairsFromSigs]] over the union
+    * corpus restricted to non-base-only pairs, bit for bit
+    * (spec-pinned). Per-increment cost ∝ batch items × bucket
+    * occupancy, never corpus². */
+  def incrementalHammingPairs(baseSigs: DataFrame, batchSigs: DataFrame,
+                              sigCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only for Hamming <= 3")
+    val baseChunks = sigChunks(baseSigs, sigCol)
+    val batchChunks = sigChunks(batchSigs, sigCol)
+    val cross = baseChunks.as("x")
+      .join(batchChunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
+    val intra = batchChunks.as("x")
+      .join(batchChunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
+    cross.unionByName(intra).distinct().filter(col("hamming") <= maxHamming)
   }
 }

@@ -242,6 +242,72 @@ object MultimodalOps {
                      CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
               FROM vids a JOIN vids b ON a.vid < b.vid
               WHERE bit_count(xor(a.sg, b.sg)) <= 3
+              ORDER BY vid_a, vid_b""")),
+
+    // ⊕ the DAILY-CRAWL form of the perceptual dedup: 12/16 of the
+    // corpus is the persisted BASE (its signatures/chunk rows the state
+    // a production pipeline keeps — four thin rows per image, never
+    // re-hashed), the rest arrives as the batch; pairs TOUCHING the
+    // batch come from one (chunk, ck) equi-join of batch chunk rows
+    // against the base's plus the intra-batch self-join, exact
+    // xor-popcount verified (Dedup.incrementalHammingPairs — the
+    // pigeonhole keeps recall perfect, so the output is provably the
+    // full join restricted to non-base-only pairs, which is exactly
+    // what the DuckDB oracle states). Per-increment cost ∝ batch ×
+    // bucket occupancy; the base corpus is never self-joined.
+    Entry(
+      "mm_dedup_image_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = graft.operators.Curation
+          .hashKeep(col("doc_id"), "mmi", 12)
+        def variants(d: org.apache.spark.sql.DataFrame) = Multimodal
+          .syntheticPatternImages(s, d, 8)
+          .select((col("doc_id") * 2).as("doc_id"), col("payload"))
+          .unionByName(Multimodal
+            .syntheticPatternImages(s, d, 16)
+            .select((col("doc_id") * 2 + 1).as("doc_id"), col("payload")))
+        val baseSigs = Multimodal
+          .imageSignature(s, variants(docs.filter(keep)))
+        val batchSigs = Multimodal
+          .imageSignature(s, variants(docs.filter(!keep)))
+        graft.operators.Dedup
+          .incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              t AS (
+                SELECT d.doc_id, ys.y AS y, xs.x AS x,
+                       xs.x + 8*ys.y + 3 AS tl,
+                       (xs.x + 1) + 8*ys.y + 3 AS tr
+                FROM documents d CROSS JOIN xs CROSS JOIN ys),
+              g AS (
+                SELECT doc_id, y, x,
+                       ((doc_id + 1) * (tl + 1) * 40503
+                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (tr + 1) * 40503
+                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
+                FROM t),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg,
+                       substring(md5('mmi:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS keep
+                FROM g GROUP BY doc_id),
+              vids AS (
+                SELECT doc_id*2 AS vid, sg, keep FROM sig
+                UNION ALL
+                SELECT doc_id*2 + 1 AS vid, sg, keep FROM sig)
+              SELECT vid_a, vid_b, hamming FROM (
+                SELECT a.vid AS vid_a, b.vid AS vid_b,
+                       CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming,
+                       a.keep AS ka, b.keep AS kb
+                FROM vids a JOIN vids b ON a.vid < b.vid)
+              WHERE hamming <= 3 AND NOT (ka AND kb)
               ORDER BY vid_a, vid_b"""))
   )
 }

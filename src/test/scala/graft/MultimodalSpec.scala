@@ -260,5 +260,26 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("not a multiple") ||
       Option(e2.getCause).exists(_.getMessage.contains("not a multiple")))
+    // the incremental probe law: pairs touching the batch ≡ the full
+    // banded join over the union restricted to non-base-only pairs —
+    // the fold a daily image crawl runs against its persisted chunk
+    // state (and doc 300's planted twin is a CROSS pair here: its 8×8
+    // original sits in the base, the 16×16 re-encode in the batch)
+    val baseIds = Set(1L, 2L, 42L)
+    val vidsAll = variant(8, 0).unionByName(variant(16, 1))
+    val sigsAll = Multimodal.imageSignature(spark, vidsAll)
+    val crossSplit: Long => Boolean = v =>
+      baseIds.contains(v / 2) || (v == 600L) // 300's orig (vid 600) in base
+    val baseSigs = sigsAll.filter(
+      udf((v: Long) => crossSplit(v)).apply(col("doc_id")))
+    val batchSigs = sigsAll.filter(
+      udf((v: Long) => !crossSplit(v)).apply(col("doc_id")))
+    val inc = Dedup.incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.hammingPairsFromSigs(sigsAll, "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filterNot(p => crossSplit(p._1) && crossSplit(p._2)).toSet
+    assert(inc === full)
+    assert(inc.contains((600L, 601L, 0))) // the cross base↔batch twin
   }
 }
