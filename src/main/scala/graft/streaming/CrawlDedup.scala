@@ -71,6 +71,17 @@ object CrawlDedup {
   final case class SemanticStage(embCol: String,
       centroids: Array[Array[Float]], threshold: Double)
 
+  /** Optional perceptual IMAGE stage: the crawl stream carries a binary
+    * image payload column; each batch decodes to a 56-bit difference
+    * hash ([[graft.operators.Multimodal.imageSignature]] — pixels never
+    * leave their decode partition), probes the accumulated signature
+    * state through the pigeonhole Hamming join
+    * ([[graft.operators.Dedup.incrementalHammingPairs]]), and folds the
+    * pairs into a persisted image-cluster label state — the
+    * re-encoded/resized-duplicate matrix kept current per batch, with
+    * per-batch cost ∝ batch images × bucket occupancy. */
+  final case class ImageStage(payloadCol: String, maxHamming: Int = 3)
+
   /** Accumulated state strictly BEFORE `beforeBatch` for an append-only
     * per-batch directory (`docs`/`bands`/`subwins`/`semassigned`); None
     * when no prior batch has committed. Compaction-aware: the newest
@@ -195,6 +206,7 @@ object CrawlDedup {
                  keepVersions: Int = 3,
                  substr: Option[SubstrStage] = None,
                  semantic: Option[SemanticStage] = None,
+                 image: Option[ImageStage] = None,
                  compactEvery: Int = 0)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
@@ -206,7 +218,7 @@ object CrawlDedup {
     // the probe below reads the compacted view — ≡ the per-batch view
     // by construction (suite pins probe-after ≡ probe-before)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      Seq("docs", "bands", "subwins", "semassigned")
+      Seq("docs", "bands", "subwins", "semassigned", "imgsigs")
         .foreach(d => compactAppendOnly(spark, s"$stateDir/$d", batchId))
     // materialize the batch once: it feeds the sketch, the verification
     // re-shingle, the label fold, AND the state append
@@ -308,6 +320,37 @@ object CrawlDedup {
       writeVersioned(spark, s"$stateDir/semsurv", surv, batchId,
         keepVersions)
     }
+
+    // ---- optional perceptual IMAGE stage: decode → dHash map-side,
+    // probe the accumulated signature state (pigeonhole Hamming join),
+    // fold the pairs into the persisted image-cluster labels. Signature
+    // data partition first, versioned label state last (commit mark).
+    image.foreach { st =>
+      val batchSigs = graft.operators.Multimodal.imageSignature(spark,
+          batchDf.select(col("doc_id"),
+            col(st.payloadCol).as("payload")))
+        .localCheckpoint(true) // feeds probe, label fold, state append
+      val pairs = priorBatches(spark, s"$stateDir/imgsigs", batchId) match {
+        case None =>
+          Dedup.hammingPairsFromSigs(batchSigs, "sig", st.maxHamming)
+        case Some(ps) =>
+          Dedup.incrementalHammingPairs(ps, batchSigs, "sig",
+            st.maxHamming)
+      }
+      val labels = StreamingIvm.readState(spark, s"$stateDir/imglabels",
+          Some(batchId)) match {
+        case None =>
+          Dedup.connectedComponents(batchSigs.select("doc_id"), "doc_id",
+            pairs)
+        case Some(pl) =>
+          Dedup.incrementalConnectedComponents(pl,
+            batchSigs.select("doc_id"), "doc_id", pairs)
+      }
+      batchSigs.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/imgsigs/batch=$batchId")
+      writeVersioned(spark, s"$stateDir/imglabels", labels, batchId,
+        keepVersions)
+    }
   }
 
   /** Current cluster labels (doc_id, cluster_id) — the latest committed
@@ -349,6 +392,13 @@ object CrawlDedup {
     StreamingIvm.readState(spark, s"$stateDir/semsurv", None).getOrElse(
       sys.error(s"CrawlDedup: no committed semantic state under $stateDir"))
 
+  /** Current perceptual image-cluster labels (doc_id, cluster_id) —
+    * requires [[ImageStage]]; survivors are the self-labeled rows,
+    * exactly as [[survivors]]. */
+  def imageLabels(spark: SparkSession, stateDir: String): DataFrame =
+    StreamingIvm.readState(spark, s"$stateDir/imglabels", None).getOrElse(
+      sys.error(s"CrawlDedup: no committed image-label state under $stateDir"))
+
   /** The DEDUPLICATED corpus as of the latest fold: every crawled
     * document whose id survives near-dup clustering (one per cluster —
     * the min member), with the full document payload — the relation a
@@ -368,12 +418,13 @@ object CrawlDedup {
              maxBandBucketSize: Long = Long.MaxValue,
              substr: Option[SubstrStage] = None,
              semantic: Option[SemanticStage] = None,
+             image: Option[ImageStage] = None,
              compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(b.sparkSession, stateDir, n, threshold, bands, rows,
           maxBandBucketSize, substr = substr, semantic = semantic,
-          compactEvery = compactEvery)(b.toDF(), id)
+          image = image, compactEvery = compactEvery)(b.toDF(), id)
     }
 }

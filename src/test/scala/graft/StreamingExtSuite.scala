@@ -946,6 +946,56 @@ class StreamingExtSuite extends SparkSuite {
     assert(spanSet() === spansExpect10)
   }
 
+  test("crawl image stage: perceptual signatures probe across batches and a compaction; labels ≡ one-shot recompute; re-delivery idempotent") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.CrawlDedup
+    val state = tmpDir("crawlimg-state")
+    // a pattern rendered at any block-aligned scale hashes identically
+    // — cross-batch "resized re-encodes" are the planted duplicates
+    def pat(patternId: Long, px: Int): Array[Byte] = Multimodal
+      .syntheticPatternImages(spark, Seq(patternId).toDF("doc_id"), px)
+      .collect().head.getAs[Array[Byte]]("payload")
+    // (doc, patternId, px): 4↔1 and 5↔2 are cross-batch twins; 7↔3
+    // crosses the b=2 COMPACTION of the signature state
+    val batches: Seq[Seq[(Long, Long, Int)]] = Seq(
+      Seq((1L, 1L, 8), (2L, 2L, 8)),
+      Seq((3L, 3L, 8), (4L, 1L, 16)),
+      Seq((5L, 2L, 32), (6L, 6L, 8)),
+      Seq((7L, 3L, 16)))
+    def df(rows: Seq[(Long, Long, Int)]) = rows
+      .map { case (id, p, px) => (id, s"unique text u${id}a u${id}b", pat(p, px)) }
+      .toDF("doc_id", "text", "payload")
+    def fold(b: Long): Unit =
+      CrawlDedup.applyBatch(spark, state, 3, 0.9, keepVersions = 2,
+        image = Some(CrawlDedup.ImageStage("payload")), compactEvery = 2)(
+        df(batches(b.toInt)), b)
+    (0L until 4L).foreach(fold)
+
+    def labelMap() = CrawlDedup.imageLabels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L,
+      3L -> 3L, 7L -> 3L, 6L -> 6L)
+    assert(labelMap() === expect)
+    // ≡ one-shot recompute over all seven payloads
+    val all = df(batches.flatten)
+    val sigsAll = Multimodal.imageSignature(spark,
+      all.select(col("doc_id"), col("payload")))
+    val recompute = Dedup.connectedComponents(sigsAll.select("doc_id"),
+        "doc_id", Dedup.hammingPairsFromSigs(sigsAll, "sig", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === recompute)
+    // the b=2 compaction folded the signature partitions
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/imgsigs")).toSeq
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("compact=")) === 1, names)
+    // re-delivery of the final batch changes nothing
+    fold(3L)
+    assert(labelMap() === expect, "re-delivered image batch corrupted state")
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm
