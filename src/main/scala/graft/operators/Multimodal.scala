@@ -427,6 +427,123 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic PATTERNED audio payloads — the perceptual audio-dedup
+    * test corpus ([[syntheticAudio]]'s constant tone would hash every
+    * document into one bucket, exactly like a solid image): 16-bit mono
+    * little-endian WAV of `segments` constant-amplitude segments,
+    * `perSegment` frames each,
+    *
+    *   a(k) = ((doc_id+1)·(k+2)·40503 + (doc_id div 256 + 1)·(k²+7)·97) mod 32768
+    *
+    * Two id bytes drive the coefficients (see
+    * [[syntheticPatternImages]]'s rationale). Rendering the SAME doc at
+    * perSegment and 2·perSegment produces byte-different WAVs (a crude
+    * 2× time stretch + re-encode) whose [[audioSignature]]s are
+    * BIT-IDENTICAL. */
+  def syntheticPatternAudio(spark: SparkSession, docs: DataFrame,
+                            segments: Int = 57,
+                            perSegment: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(segments >= 2 && perSegment >= 1,
+      s"need >= 2 segments and >= 1 frame each, got $segments x $perSegment")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val n = segments * perSegment
+          val pcm = new Array[Byte](n * 2)
+          var f = 0
+          while (f < n) {
+            val k = f / perSegment
+            val a = (((id + 1) * (k + 2L) * 40503L +
+              (id / 256 + 1) * (k.toLong * k + 7) * 97L) % 32768).toInt
+            pcm(2 * f) = (a & 0xFF).toByte
+            pcm(2 * f + 1) = ((a >> 8) & 0xFF).toByte
+            f += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual audio signature — [[imageSignature]]'s envelope twin:
+    * REAL javax.sound decode (16-bit and unsigned-8-bit PCM, first
+    * channel, integer |amplitude| — [[WavCodec]]'s sample math) →
+    * mean amplitude per `segments` equal time slices (exact for
+    * constant segments, which makes a block-aligned time stretch or
+    * re-encode hash bit-identically) → gradient bits,
+    *
+    *   bit k = 1  iff  mean(k+1) > mean(k),  k < segments−1
+    *
+    * packed into one long (56 bits at the default 57 segments). Frame
+    * count must divide evenly into segments (fail loudly). Pair
+    * generation rides the same pigeonhole machinery
+    * ([[graft.operators.Dedup.hammingPairsFromSigs]] /
+    * [[graft.operators.Dedup.incrementalHammingPairs]]): the shuffle
+    * carries (8-byte signature, id) rows only, never samples. */
+  def audioSignature(spark: SparkSession, media: DataFrame,
+                     segments: Int = 57): DataFrame = {
+    import spark.implicits._
+    require(segments >= 2 && segments <= 57,
+      s"segments must be in [2, 57] so the signature packs into a long, got $segments")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"audioSignature: payload (${bytes.length} bytes) is not " +
+                  "a decodable audio container", e)
+          }
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          require(bits == 16 || bits == 8,
+            s"audioSignature: only 8/16-bit PCM supported, got $bits-bit " +
+              s"${fmt.getEncoding}")
+          val frameSize = fmt.getFrameSize
+          val data = in.readAllBytes()
+          require(frameSize > 0 && data.length % frameSize == 0,
+            s"audioSignature: truncated frame (len ${data.length}, " +
+              s"frame $frameSize)")
+          val n = data.length / frameSize
+          require(n % segments == 0,
+            s"audioSignature: $n frames do not divide into the " +
+              s"$segments-segment grid")
+          val per = n / segments
+          val means = new Array[Long](segments)
+          var f = 0
+          while (f < n) {
+            val off = f * frameSize
+            val amp =
+              if (bits == 16) {
+                val s = if (fmt.isBigEndian)
+                  (data(off) << 8) | (data(off + 1) & 0xFF)
+                else (data(off + 1) << 8) | (data(off) & 0xFF)
+                math.min(math.abs(s), 32767)
+              } else math.abs(((data(off) & 0xFF) - 128)) * 256
+            means(f / per) += amp
+            f += 1
+          }
+          var sig = 0L
+          var k = 0
+          while (k < segments - 1) {
+            if (means(k + 1) / per > means(k) / per) sig |= 1L << k
+            k += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
+
   /** Decode stage: payload → features through the pluggable codec seam.
     * Default is the deterministic [[ByteHistogramCodec]] (the
     * oracle-gated path); pass [[ImageIoCodec]] for real image payloads —

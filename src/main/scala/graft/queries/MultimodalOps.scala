@@ -308,6 +308,55 @@ object MultimodalOps {
                        a.keep AS ka, b.keep AS kb
                 FROM vids a JOIN vids b ON a.vid < b.vid)
               WHERE hamming <= 3 AND NOT (ka AND kb)
+              ORDER BY vid_a, vid_b""")),
+
+    // ⊕ PERCEPTUAL audio dedup — the envelope twin of mm_dedup_image,
+    // oracle-gated on REAL samples: every document renders twice as a
+    // 57-segment patterned WAV (32 frames per segment, and a
+    // byte-different 64-frame "time-stretched re-encode");
+    // Multimodal.audioSignature decodes each container (javax.sound),
+    // means the amplitude per segment, packs the 56-bit gradient hash,
+    // and the same pigeonhole machinery joins. The segment amplitudes
+    // are pure integer math on (doc_id, k), so DuckDB restates the
+    // signatures and brute-joins — the gate certifies WAV encode →
+    // decode → envelope → dHash → banded Hamming join end to end, with
+    // every planted stretched re-encode found at Hamming 0.
+    Entry(
+      "mm_dedup_audio",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def variant(per: Int, off: Int) = Multimodal
+          .syntheticPatternAudio(s, docs, 57, per)
+          .select((col("doc_id") * 2 + off).as("doc_id"), col("payload"))
+        val sigs = Multimodal.audioSignature(s,
+          variant(32, 0).unionByName(variant(64, 1)))
+        graft.operators.Dedup.hammingPairsFromSigs(sigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH ks AS (SELECT unnest(range(0, 56)) AS k),
+              a AS (
+                SELECT d.doc_id, ks.k AS k,
+                       ((d.doc_id + 1) * (ks.k + 2) * 40503
+                        + (d.doc_id // 256 + 1) * (ks.k*ks.k + 7) * 97) % 32768 AS al,
+                       ((d.doc_id + 1) * ((ks.k + 1) + 2) * 40503
+                        + (d.doc_id // 256 + 1) * ((ks.k + 1)*(ks.k + 1) + 7) * 97) % 32768 AS ar
+                FROM documents d CROSS JOIN ks),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN ar > al
+                                THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM a GROUP BY doc_id),
+              vids AS (
+                SELECT doc_id*2 AS vid, sg FROM sig
+                UNION ALL
+                SELECT doc_id*2 + 1 AS vid, sg FROM sig)
+              SELECT a.vid AS vid_a, b.vid AS vid_b,
+                     CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+              FROM vids a JOIN vids b ON a.vid < b.vid
+              WHERE bit_count(xor(a.sg, b.sg)) <= 3
               ORDER BY vid_a, vid_b"""))
   )
 }

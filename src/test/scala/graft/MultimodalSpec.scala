@@ -282,4 +282,33 @@ class MultimodalSpec extends SparkSuite {
     assert(inc === full)
     assert(inc.contains((600L, 601L, 0))) // the cross base↔batch twin
   }
+
+  test("audioSignature: time-stretched re-encodes hash bit-identically; distinct envelopes differ; off-grid frames fail loudly") {
+    val ids = Seq(1L, 2L, 42L, 255L, 300L).toDF("doc_id")
+    def sigs(per: Int) = Multimodal
+      .audioSignature(spark,
+        Multimodal.syntheticPatternAudio(spark, ids, 57, per))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (s32, s64, s96) = (sigs(32), sigs(64), sigs(96))
+    // 2× and 3× time stretches decode to the SAME envelope signature…
+    assert(s32 === s64); assert(s32 === s96)
+    // …from byte-DIFFERENT WAVs
+    val b32 = Multimodal.syntheticPatternAudio(spark, ids, 57, 32)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b64 = Multimodal.syntheticPatternAudio(spark, ids, 57, 64)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.collect().map(_.getLong(0)).forall(i => b32(i) != b64(i)))
+    // distinct documents → distinct envelopes
+    assert(s32.values.toSet.size === 5)
+    // frames that do not divide into the segment grid fail loudly
+    val odd = Multimodal.syntheticAudio(spark,
+      Seq((7L, 100L)).toDF("doc_id", "n_chars"), 58)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioSignature(spark, odd, 57).collect()
+    }
+    assert(e.getMessage.contains("do not divide") ||
+      Option(e.getCause).exists(_.getMessage.contains("do not divide")))
+  }
 }
