@@ -963,6 +963,64 @@ object CurationOps {
               SELECT p.doc_id, p.bucket,
                      CAST(p.pos + o.off AS BIGINT) AS global_pos
               FROM p JOIN o USING (bucket)
-              ORDER BY global_pos"""))
+              ORDER BY global_pos""")),
+
+    // ⊕ the MULTIMODAL curation chain, composed and verified as ONE
+    // query: decode the corpus's (patterned) image payloads → perceptual
+    // dHash (real ImageIO round trip) → signature-exact dedup keepers
+    // (min doc_id per hash — the phash-bucket policy on real pixels) →
+    // deterministic hash-sample of the survivors → per-doc token stats.
+    // Every stage is an already-gated operator; the composed oracle
+    // restates the integer-pattern signatures, the keeper GROUP BY, the
+    // md5 sample, and the token count in one SQL chain. Plan shape: the
+    // decode is one mapPartitions over (doc_id, payload); the dedup
+    // shuffles (8-byte sig, id) rows; survivorship and sampling are a
+    // semi join + a map-side filter — no product anywhere (swept).
+    Entry(
+      "pipeline_curate_multimodal",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        import graft.functions.TextFunctions
+        val docs = Tables(s, dir, "documents")
+        val sigs = Multimodal.imageSignature(s,
+          Multimodal.syntheticPatternImages(s, docs, 8))
+        val keepers = sigs.groupBy("sig")
+          .agg(min(col("doc_id")).as("doc_id"))
+        val survivors = docs
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        Curation.hashSample(survivors, "doc_id", "pmm", 8)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast(LongType)
+              .as("n_tokens"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              t AS (
+                SELECT d.doc_id, ys.y AS y, xs.x AS x,
+                       xs.x + 8*ys.y + 3 AS tl,
+                       (xs.x + 1) + 8*ys.y + 3 AS tr
+                FROM documents d CROSS JOIN xs CROSS JOIN ys),
+              g AS (
+                SELECT doc_id, y, x,
+                       ((doc_id + 1) * (tl + 1) * 40503
+                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (tr + 1) * 40503
+                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
+                FROM t),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id),
+              keep AS (SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY sg)
+              SELECT d.doc_id,
+                     len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+                     d.n_chars
+              FROM documents d JOIN keep USING (doc_id)
+              WHERE substring(md5('pmm:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
+              ORDER BY d.doc_id"""))
   )
 }
