@@ -918,6 +918,17 @@ class StreamingExtSuite extends SparkSuite {
       assert(subdirs(d).filter(_.startsWith("batch=")).isEmpty,
         s"$d: ${subdirs(d)}")
     }
+    // crash window between the compact commit and the subdir prune: a
+    // STALE batch subdir the newest compact already covers must be
+    // IGNORED by every reader, never double-read — plant one containing
+    // garbage rows and assert nothing changes
+    (0L until 9L).map(day).take(1)
+      .map { case (id, tx, _) => (id + 9000L, "garbage " + tx) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$state/docs/batch=0")
+    assert((labelMap(), docSet()) === ((before._1, before._4)),
+      "a compact-covered stale subdir leaked into reader results")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/docs/batch=0"), true)
 
     // batch 9 lands a compaction trigger (9 % 3 == 0) AND new content;
     // re-delivering it re-runs compaction + fold — nothing may change

@@ -1159,6 +1159,53 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("refreshSummary on a COMPOSITE grain: extremes repair per (g1, g2) cell through the dirty-key rescan and stay routed") {
+    import graft.pipeline.IncrementalFinal
+    val base = tmpDir("mvmm2-base"); val mv = tmpDir("mvmm2-sum")
+    // two-column grain; only (a, 1)'s max and (b, 2)'s min are deleted —
+    // every other cell must keep its folded extremes untouched
+    Seq(("a", 1L, 1L), ("a", 1L, 9L), ("a", 2L, 5L),
+      ("b", 1L, 3L), ("b", 2L, 2L), ("b", 2L, 8L))
+      .toDF("g1", "g2", "v_micro")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy("g1", "g2")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+        sum("v_micro").as("sum_micro"), min("v_micro").as("min_v"),
+        max("v_micro").as("max_v"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("g1", "g2"), "cnt",
+      sums = Map("v_micro" -> "sum_micro"),
+      nns = Map("v_micro" -> "n_nonnull"),
+      mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
+    try {
+      Seq(("a", 1L, 1L), ("a", 2L, 5L), ("b", 1L, 3L), ("b", 2L, 8L))
+        .toDF("g1", "g2", "v_micro")
+        .write.mode("overwrite").parquet(base)
+      val delta = Seq(("a", 1L, 9L, -1L), ("b", 2L, 2L, -1L))
+        .toDF("g1", "g2", "v_micro", "sign")
+      val next = IncrementalFinal.refreshSummary(spark, "file:" + base,
+        mv, delta, Seq("g1", "g2"))
+      val q = () => spark.read.parquet(base).groupBy("g1", "g2")
+        .agg(count(lit(1)).as("n"), min("v_micro").as("lo"),
+          max("v_micro").as("hi"))
+        .orderBy("g1", "g2")
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(next)) &&
+        !paths.exists(_.contains(base)), s"$paths")
+      val got = routed.collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      assert(got(("a", 1L)) === ((1L, 1L))) // max 9 repaired away
+      assert(got(("b", 2L)) === ((8L, 8L))) // min 2 repaired away
+      assert(got(("a", 2L)) === ((5L, 5L)))
+      assert(got(("b", 1L)) === ((3L, 3L)))
+      MvRegistry.clear()
+      assert(routed.collect() === q().collect()) // ≡ recompute
+    } finally MvRegistry.clear()
+  }
+
   test("refreshSummary chains from the REGISTERED version — a second refresh passing the original path never drops the first delta; a same-token re-run is a no-op") {
     // ADVICE r14 (medium): the fold's previous state must be reg.mv(),
     // not the caller-supplied path — otherwise refresh₂(originalPath)
