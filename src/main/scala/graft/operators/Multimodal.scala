@@ -536,7 +536,11 @@ object Multimodal {
           var sig = 0L
           var k = 0
           while (k < segments - 1) {
-            if (means(k + 1) / per > means(k) / per) sig |= 1L << k
+            // compare raw segment SUMS: per is identical for every
+            // segment, so sum comparison ≡ true-mean comparison and
+            // avoids the integer division that collapses close-but-
+            // different means into equal floors (ADVICE r15)
+            if (means(k + 1) > means(k)) sig |= 1L << k
             k += 1
           }
           (id, sig)

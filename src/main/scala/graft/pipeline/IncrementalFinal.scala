@@ -267,14 +267,37 @@ object IncrementalFinal {
       }
     next.write.mode(SaveMode.Overwrite).parquet(nextPath)
     // re-stamp the cost-model row count alongside the token: rollup
-    // cardinality feeds SummaryRewrite's cheapest-server choice
-    val nRows = spark.read.parquet(nextPath).count()
+    // cardinality feeds SummaryRewrite's cheapest-server choice. Read
+    // it from the parquet FOOTERS of the files just written — a
+    // driver-side metadata walk, not the full extra scan job that
+    // spark.read.parquet(nextPath).count() costs per refresh (ADVICE
+    // r15).
+    val nRows = parquetRowCount(spark, nextPath)
     graft.plans.MvRegistry.register(basePath, reg.copy(
       mv = () => spark.read.parquet(nextPath), baseToken = Some(tok),
       rows = Some(nRows),
       mins = if (keepMm) reg.mins else Map.empty,
       maxs = if (keepMm) reg.maxs else Map.empty))
     nextPath
+  }
+
+  /** Total row count of a just-written parquet directory from file
+    * FOOTERS only: a driver-side metadata walk (one footer read per
+    * file, no executor job, no data pages touched) — the cheap way to
+    * stamp a cost statistic on a freshly written summary. */
+  private[graft] def parquetRowCount(spark: SparkSession,
+                                     path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rd.getRecordCount finally rd.close()
+      }.sum
   }
 
   /** MIN/MAX IVM with the honest dirty-key protocol. Extremes are NOT

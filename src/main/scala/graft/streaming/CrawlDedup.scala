@@ -90,6 +90,14 @@ object CrawlDedup {
     * subdir with x < c, whether or not those subdirs were already
     * deleted — a crash between the compact commit and the subdir prune
     * leaves stale subdirs that are simply IGNORED, never double-read. */
+  /** `batch=<n>`-style numeric suffix, or None for foreign/hand-made
+    * subdirs (`batch=tmp`) — those are IGNORED by every fold and prune
+    * instead of aborting it with a NumberFormatException (ADVICE r15). */
+  private def numSuffix(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix))
+      scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+    else None
+
   private def priorBatches(spark: SparkSession, dir: String,
                            beforeBatch: Long): Option[DataFrame] = {
     val p = new Path(dir)
@@ -97,9 +105,8 @@ object CrawlDedup {
     if (!fs.exists(p)) return None
     val children = fs.listStatus(p).toSeq
     def committedIds(prefix: String): Seq[Long] = children
-      .filter(st => st.getPath.getName.startsWith(prefix) &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => numSuffix(st.getPath.getName, prefix))
     val cStar = committedIds("compact=").filter(_ <= beforeBatch)
       .sorted.lastOption
     val batches = committedIds("batch=")
@@ -150,13 +157,8 @@ object CrawlDedup {
     def prune(): Unit =
       fs.listStatus(new Path(dir)).toSeq.foreach { st =>
         val name = st.getPath.getName
-        val stale =
-          (name.startsWith("batch=") &&
-            name.stripPrefix("batch=").toLong < uptoBatch) ||
-            (name.startsWith("compact=") &&
-              name.stripPrefix("compact=").toLong < uptoBatch) ||
-            (name.startsWith("_compacting=") &&
-              name.stripPrefix("_compacting=").toLong < uptoBatch)
+        val stale = Seq("batch=", "compact=", "_compacting=")
+          .flatMap(numSuffix(name, _)).exists(_ < uptoBatch)
         if (stale) fs.delete(st.getPath, true)
       }
     if (fs.exists(new Path(dest, "_SUCCESS"))) { prune(); return }
@@ -189,10 +191,9 @@ object CrawlDedup {
     val keep = StreamingIvm.versions(spark, dir)
       .takeRight(keepVersions).toSet
     fs.listStatus(new Path(dir)).toSeq
-      .filter(_.getPath.getName.startsWith("v="))
       .filter { st =>
-        val v = st.getPath.getName.stripPrefix("v=").toLong
-        !keep(v) && v < batchId
+        numSuffix(st.getPath.getName, "v=")
+          .exists(v => !keep(v) && v < batchId)
       }
       .foreach(st => fs.delete(st.getPath, true))
   }
@@ -240,35 +241,43 @@ object CrawlDedup {
           priorBatches(spark, s"$stateDir/bands", batchId).get, None,
           batchBands, pd, batch, n, threshold, maxBandBucketSize)
     }
-    val prevLabels =
-      StreamingIvm.readState(spark, s"$stateDir/labels", Some(batchId))
-    val labels = prevLabels match {
-      case None =>
-        Dedup.connectedComponents(batch.select("doc_id"), "doc_id",
-          pairs)
-      case Some(pl) =>
-        Dedup.incrementalConnectedComponents(pl, batch.select("doc_id"),
-          "doc_id", pairs)
+    // releasePairs() runs in a FINALLY (ADVICE r15): a throw anywhere
+    // between the probe and the versioned label commit must still drop
+    // this trigger's cache pins — re-delivery caches fresh plan
+    // objects, so a leak here compounds once per failed delivery.
+    try {
+      val prevLabels =
+        StreamingIvm.readState(spark, s"$stateDir/labels", Some(batchId))
+      val labels = prevLabels match {
+        case None =>
+          Dedup.connectedComponents(batch.select("doc_id"), "doc_id",
+            pairs)
+        case Some(pl) =>
+          Dedup.incrementalConnectedComponents(pl, batch.select("doc_id"),
+            "doc_id", pairs)
+      }
+      // COMMIT ORDER (ADVICE r14): the append-only DATA partitions land
+      // FIRST, the versioned label state LAST — the versioned write is
+      // the batch's commit mark. A crash in between leaves readers on the
+      // previous label version with at worst an extra (ignored-until-
+      // labeled) doc partition — conservative; the reverse order let
+      // survivorDocs drop survivor ids whose doc partition never landed.
+      batch.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/docs/batch=$batchId")
+      batchBands.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/bands/batch=$batchId")
+      writeVersioned(spark, s"$stateDir/labels", labels, batchId,
+        keepVersions)
+    } finally {
+      // the fold is on disk (or failed) — release this batch's cache
+      // pins (batch buckets, candidates, candidate shingles):
+      // per-trigger plans never repeat, so without the targeted release
+      // a long-running crawl accumulates one batch's pins per trigger.
+      // Targeted, NOT spark.catalog.clearCache() — a session-wide clear
+      // wipes every cached relation of whoever shares the session
+      // (ADVICE r14).
+      releasePairs()
     }
-    // COMMIT ORDER (ADVICE r14): the append-only DATA partitions land
-    // FIRST, the versioned label state LAST — the versioned write is
-    // the batch's commit mark. A crash in between leaves readers on the
-    // previous label version with at worst an extra (ignored-until-
-    // labeled) doc partition — conservative; the reverse order let
-    // survivorDocs drop survivor ids whose doc partition never landed.
-    batch.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/docs/batch=$batchId")
-    batchBands.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/bands/batch=$batchId")
-    writeVersioned(spark, s"$stateDir/labels", labels, batchId,
-      keepVersions)
-    // the fold is on disk — release this batch's cache pins (batch
-    // buckets, candidates, candidate shingles): per-trigger plans never
-    // repeat, so without the targeted release a long-running crawl
-    // accumulates one batch's pins per trigger. Targeted, NOT
-    // spark.catalog.clearCache() — a session-wide clear wipes every
-    // cached relation of whoever shares the session (ADVICE r14).
-    releasePairs()
 
     // ---- optional ExactSubstr stage: fold the batch's window
     // fingerprints into the merged per-fp stats (counts add, survivor =

@@ -42,9 +42,11 @@ object StreamingIvm {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(st => st.getPath.getName.startsWith("v=") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => // foreign `v=scratch` subdirs are ignored, not a
+        scala.util.Try( // NumberFormatException abort (ADVICE r15)
+          st.getPath.getName.stripPrefix("v=").toLong).toOption
+          .filter(_ => st.getPath.getName.startsWith("v=")))
       .sorted
   }
 
@@ -116,10 +118,11 @@ object StreamingIvm {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val keep = versions(spark, stateDir).takeRight(keepVersions).toSet
     fs.listStatus(p).toSeq
-      .filter(_.getPath.getName.startsWith("v="))
       .filter { st =>
-        val v = st.getPath.getName.stripPrefix("v=").toLong
-        !keep(v) && v < batchId
+        val name = st.getPath.getName
+        name.startsWith("v=") &&
+          scala.util.Try(name.stripPrefix("v=").toLong).toOption
+            .exists(v => !keep(v) && v < batchId)
       }
       .foreach(st => fs.delete(st.getPath, true))
   }

@@ -930,6 +930,22 @@ class StreamingExtSuite extends SparkSuite {
       "a compact-covered stale subdir leaked into reader results")
     fs.delete(new org.apache.hadoop.fs.Path(s"$state/docs/batch=0"), true)
 
+    // foreign/hand-made subdirs (ADVICE r15): a non-numeric `batch=tmp`
+    // under a state dir must be IGNORED by readers AND by the
+    // compaction prune — not abort the fold with NumberFormatException
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/docs/batch=tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$state/labels/v=scratch"))
+    assert((labelMap(), docSet()) === ((before._1, before._4)),
+      "a foreign non-numeric subdir changed reader results")
+    CrawlDedup.compactAppendOnly(spark, s"$state/docs", 9L)
+    assert(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$state/docs/batch=tmp")),
+      "compaction pruned a foreign non-numeric subdir")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/docs/batch=tmp"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/labels/v=scratch"),
+      true)
+
     // batch 9 lands a compaction trigger (9 % 3 == 0) AND new content;
     // re-delivering it re-runs compaction + fold — nothing may change
     fold(9L, day(9L))
