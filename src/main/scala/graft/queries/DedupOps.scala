@@ -18,6 +18,13 @@ import graft.operators.{Curation, Dedup, FuzzyMatch, SemanticDedup}
   */
 object DedupOps {
 
+  /** The 48-bit token-hash integer of hex column `hh` — the SAME
+    * polynomial [[graft.operators.Curation.hexIntSql]] the Spark side
+    * evaluates in [[graft.operators.Dedup.simhashSignatures]], so the
+    * two engines can never disagree on a token hash. */
+  private val simhashHexInt: String =
+    graft.operators.Curation.hexIntSql("hh")
+
   /** Shared CTE chain over base relation `base` (must expose doc_id +
     * text): distinct word-3-gram shingles per doc + the common-shingle
     * counts — the building blocks of every Jaccard oracle below.
@@ -747,22 +754,45 @@ object DedupOps {
       },
       Some(DedupOps.clustersSql)),
 
-    // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk blocking).
-    // Signature depends on xxhash64 bit patterns — not expressible in
-    // ANSI SQL, so this takes the rows-only check; SimHashSpec asserts
-    // the semantics (planted dups found, hamming bound respected).
-    // A "pair set ⊆ loose exact-Jaccard candidates" oracle was measured
-    // and rejected: 3-gram Jaccard ≥ 0.2 misses real simhash pairs
-    // (simhash scores token BAGS, shingles score adjacency — 6/27
-    // outside at sf0.001), and token-set Jaccard ≥ 0.5 admits ~72% of
-    // ALL pairs on this small-vocabulary synthetic corpus — a vacuous
-    // containment. Rows-only + spec-asserted semantics is the honest
-    // check here.
+    // SimHash near-dup pairs (Hamming ≤ 3, perfect-recall chunk
+    // blocking), FULLY oracle-checked since round 16: the token-hash
+    // family is the 48-bit md5 polynomial (Curation.hexIntSql), so
+    // DuckDB replays the entire pipeline — tokenize → tf → token hash →
+    // 48 signed bit-sums → packed signature → Hamming-≤3 pairs — and a
+    // hash match certifies blocking ≡ the brute pair walk on real text
+    // (the r15 rows-only gate closed by the same md5-restatement
+    // pattern mm_dedup_image shipped). The oracle brute-joins (fine at
+    // gate scale); the Spark side keeps the 4-chunk pigeonhole join.
     Entry(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables(s, dir, "documents"), 3)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH tf AS (
+                SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok),
+              th AS (
+                SELECT doc_id, tf, ${simhashHexInt} AS th
+                FROM (SELECT doc_id, tf, md5(tok) AS hh FROM tf)),
+              bits AS (SELECT unnest(range(0, 48)) AS b),
+              bs AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (th // (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) % 2 = 1
+                                THEN tf ELSE -tf END) AS s
+                FROM th CROSS JOIN bits GROUP BY doc_id, b),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM bs GROUP BY doc_id)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sg, b.sg)) <= 3
+              ORDER BY doc_a, doc_b""")),
 
     // embedding-cosine near-dup pairs (brute force at test scale). The
     // GATED slice is a deterministic 4/16 md5 sample of the vectors

@@ -53,7 +53,7 @@ class InventorySuite extends AnyFunSuite {
       "SURVEY hardcodes a suite count — it WILL drift")
     // the CURRENT round-state paragraph must agree with Inventory (older
     // rounds' paragraphs are history and keep their frozen numbers)
-    val m = raw"Round-15 state: (\d+) declared queries — (\d+) oracle-checked".r
+    val m = raw"Round-16 state: (\d+) declared queries — (\d+) oracle-checked".r
       .findFirstMatchIn(text)
       .getOrElse(fail("SURVEY round-state phrasing changed — update this guard"))
     assert(m.group(1).toInt === Inventory.all.size)
