@@ -584,6 +584,50 @@ object CdcOps {
                      AVG(v_micro) AS avg_micro
               FROM base GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ the dashboard TOP-K shape routed (VERDICT r15 task 4): the
+    // reference's flagship panel — top-5 groups by count
+    // (SaveDelta.scala:236-242, A2/O1) — is an aggregate + ORDER BY
+    // aggregate output + LIMIT. SummaryRewrite rewrites the inner
+    // Aggregate onto the |keys|-row summary (exprIds preserved, so the
+    // Sort/Limit above re-resolve untouched) and the physical plan
+    // stays TakeOrderedAndProject — per-partition k + a k-row driver
+    // merge, now over |keys| summary rows instead of the corpus
+    // (PlanSpec asserts both). Deterministic total order: cnt DESC then
+    // event_type — the grain key breaks count ties.
+    Entry(
+      "cdc_mv_routed_topk",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvtopk_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v_micro")).as("sum_micro"))
+          .orderBy(col("cnt").desc, col("event_type"))
+          .limit(5)
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+              FROM events GROUP BY 1
+              ORDER BY cnt DESC, event_type LIMIT 5""")),
+
     // ⊕ star-join routing: the dashboard shape one notch wider than
     // cdc_mv_routed — a plain aggregate over `base ⋈ dim` (join key =
     // the summary grain) grouped by a DIM attribute. SummaryRewrite

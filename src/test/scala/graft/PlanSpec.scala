@@ -510,6 +510,27 @@ class PlanSpec extends SparkSuite {
       s"base corpus still scanned after routing: $paths")
   }
 
+  test("top-k routing: TakeOrderedAndProject sits over the summary scan, never the base (cdc_mv_routed_topk)") {
+    val df = Inventory.byName("cdc_mv_routed_topk").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after top-k routing: $paths")
+    // Sort+Limit must compile to the top-k operator (per-partition k +
+    // k-row driver merge), not a global sort — now over |keys| rows
+    assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("star-join routing: summary replaces the base side, the dim join survives (cdc_mv_routed_star)") {
     val df = Inventory.byName("cdc_mv_routed_star").run(spark, sfDir)
     val paths = df.queryExecution.optimizedPlan.collect {

@@ -69,6 +69,29 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("top-k dashboard shape: ORDER BY agg output + LIMIT above the aggregate routes; TakeOrderedAndProject sits over the summary scan") {
+    val (base, mv) = fixture()
+    def q() = spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(3)
+    val expect = q().collect()
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      // the Sort+Limit must stay the top-k physical form (per-partition
+      // k + k-row driver merge), now over |keys| summary rows
+      assert(routed.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject"),
+        routed.queryExecution.executedPlan.toString)
+      assert(routed.collect() === expect)
+    } finally MvRegistry.clear()
+  }
+
   test("composite grain: exact, reordered, SUBSET, and global groupings all route") {
     // summary at the (event_type, junk) grain — every served function
     // is a re-aggregation, so any subset of the grain (any order, down
