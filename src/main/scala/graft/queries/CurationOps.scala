@@ -615,14 +615,15 @@ object CurationOps {
     // cluster-survivor → chunk chain over `cleaned`).
     Entry(
       "pipeline_curate_substr",
-      // the removal front-end reads the SHARED materialized
-      // duplicated-window table (DedupOps.windowFps) instead of
-      // re-fingerprinting the corpus — the same per-(JVM, sfDir)
-      // share the cluster-label table uses; dedup_substr_spans stays
-      // the live-computed canonical fingerprint-pass entry
+      // the removal front-end reads the SHARED materialized CLEANED
+      // corpus (DedupOps.cleanedDocs, r16 — previously only the
+      // duplicated-window table was shared and the tokenize → window
+      // join → reassembly chain re-ran here AND in
+      // dedup_substr_removed); dedup_substr_spans stays the
+      // live-computed canonical fingerprint-pass entry, and this
+      // oracle still replays removal from raw text end-to-end
       (s, dir) => Curation.curate(
-          Dedup.removeSubstringsFromWindows(
-            Tables(s, dir, "documents"), DedupOps.windowFps(s, dir), 8),
+          DedupOps.cleanedDocs(s, dir),
           TextOps.Stopwords, minQuality = 0.5,
           shingleN = 3, jaccardThreshold = 0.8, chunkWords = 64)
         .orderBy("doc_id", "chunk_id"),
