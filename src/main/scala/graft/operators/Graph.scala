@@ -67,13 +67,42 @@ object Graph {
       nodes: DataFrame,
       edges: DataFrame,
       iterations: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      tolerance: Option[Long] = None): DataFrame = {
     val n = nodes.count() // scalar driver action over the tiny node set
     require(n > 0, "pageRank needs a non-empty node set")
     val seeded = nodes.select(col("node"),
       lit(scale / n).as("__r0"),
       lit((15L * scale) / (100L * n)).as("__tele"))
-    prIterate(seeded, edges, iterations)
+    prIterate(seeded, edges, iterations, tolerance)._1
+  }
+
+  /** [[pageRank]] with convergence early-exit, returning
+    * `(ranks, roundsExecuted)`. Stops as soon as one round changes no
+    * node's rank by more than `tolerance` rank-mass units. At the
+    * default tolerance 0 the result is BIT-IDENTICAL to running all
+    * `maxIterations` rounds: ranks are exact fixed-point integers, so
+    * rₖ₊₁ == rₖ for every node makes every later round a no-op — the
+    * exit only skips provably-identical work (this is why the exact
+    * integer formulation buys more than cross-engine determinism).
+    * Each round materializes via localCheckpoint: the delta check
+    * forces a job anyway, and the checkpoint truncates the
+    * join-per-round lineage that deep iteration counts would otherwise
+    * stack into one giant plan. Costs one extra scalar aggregate per
+    * round — worth it from ~4 rounds up or whenever convergence is
+    * plausible; for a fixed shallow unroll use [[pageRank]]. */
+  def pageRankConverged(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIterations: Int,
+      scale: Long = 1000000000000L,
+      tolerance: Long = 0L): (DataFrame, Int) = {
+    val n = nodes.count()
+    require(n > 0, "pageRankConverged needs a non-empty node set")
+    val seeded = nodes.select(col("node"),
+      lit(scale / n).as("__r0"),
+      lit((15L * scale) / (100L * n)).as("__tele"))
+    prIterate(seeded, edges, maxIterations, Some(tolerance))
   }
 
   /** Personalized (topic-sensitive) PageRank: teleport mass returns only
@@ -97,7 +126,7 @@ object Graph {
         when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("__r0"),
         when(col("__seed"), lit((15L * scale) / (100L * nSeeds)))
           .otherwise(lit(0L)).as("__tele"))
-    prIterate(seeded, edges, iterations)
+    prIterate(seeded, edges, iterations, None)._1
   }
 
   /** The shared rank iteration over `(node, __r0, __tele)`: per round,
@@ -112,12 +141,21 @@ object Graph {
   private def prIterate(
       seeded: DataFrame,
       edges: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int,
+      tolerance: Option[Long]): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    tolerance.foreach(t =>
+      require(t >= 0, s"tolerance must be >= 0, got $t"))
     val out = edges.groupBy("src").agg(sum(col("cnt")).cast(LongType).as("out_cnt"))
+    // the unrolled multi-round plan repeats this join per round, but
+    // ReusedExchange already shares the underlying scan/shuffle across
+    // rounds — an eager localCheckpoint here was MEASURED SLOWER at
+    // sf0.1 (materialization cost > savings), so the relation stays lazy
     val e = edges.join(out, "src")
     var ranks = seeded.select(col("node"), col("__r0").as("pr"))
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val sums = e
         .join(ranks, e("src") === ranks("node"))
         .select(col("dst"),
@@ -125,13 +163,31 @@ object Graph {
             " DIV out_cnt").cast(LongType).as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).cast(LongType).as("s"))
-      ranks = seeded
+      val next = seeded
         .join(sums, seeded("node") === sums("dst"), "left")
         .select(seeded("node"),
           (col("__tele") + expr("(85 * coalesce(s, 0L)) DIV 100"))
             .cast(LongType).as("pr"))
+      ranks = tolerance match {
+        case None => next
+        case Some(tol) =>
+          // materialize the round (the delta check forces a job anyway;
+          // the checkpoint truncates the join-per-round lineage), then
+          // one scalar aggregate: the largest per-node rank move. At
+          // tol = 0 a zero delta proves the integer fixed point — every
+          // remaining round would be bit-identical, so skipping them is
+          // exact, not approximate.
+          val mat = next.localCheckpoint(true)
+          val delta = mat.as("a")
+            .join(ranks.as("b"), col("a.node") === col("b.node"))
+            .agg(max(abs(col("a.pr") - col("b.pr"))).as("d"))
+            .collect()(0)
+          converged = delta.isNullAt(0) || delta.getLong(0) <= tol
+          mat
+      }
+      round += 1
     }
-    ranks
+    (ranks, round)
   }
 
   /** Per-node triangle counts over the undirected simple graph induced

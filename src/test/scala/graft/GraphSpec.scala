@@ -56,6 +56,36 @@ class GraphSpec extends SparkSuite {
     assert(got(4L) === (15L * 1000000000000L) / (100L * 4L))
   }
 
+  test("pageRankConverged: early exit at the integer fixed point is bit-identical to fixed-round, in fewer rounds") {
+    // a→b chain: a's rank is pure teleport from round 1, so b's rank
+    // stops moving after round 3 — an exact integer fixed point the
+    // delta check must detect (round 4's delta is 0), well before the
+    // 12-round budget
+    val edgeList = Seq((1L, 2L, 1L))
+    val nodes = Seq(1L, 2L)
+    val fixedRound = Graph.pageRank(
+        nodes.toDF("node"), edgeList.toDF("src", "dst", "cnt"),
+        iterations = 12)
+      .as[(Long, Long)].collect().toMap
+    val (ranksDf, rounds) = Graph.pageRankConverged(
+      nodes.toDF("node"), edgeList.toDF("src", "dst", "cnt"),
+      maxIterations = 12)
+    val ranks = ranksDf.as[(Long, Long)].collect().toMap
+    assert(ranks === fixedRound,
+      "early-exit ranks diverged from the fixed-round ranks")
+    assert(rounds < 12, s"no early exit: ran all $rounds rounds")
+    assert(rounds >= 3, s"exited before the fixed point: $rounds rounds")
+    // a non-converging budget (maxIterations below the fixed point)
+    // still matches the same-depth fixed-round run exactly
+    val (shallow, r2) = Graph.pageRankConverged(
+      nodes.toDF("node"), edgeList.toDF("src", "dst", "cnt"),
+      maxIterations = 2)
+    assert(r2 === 2)
+    assert(shallow.as[(Long, Long)].collect().toMap ===
+      Graph.pageRank(nodes.toDF("node"), edgeList.toDF("src", "dst", "cnt"),
+        iterations = 2).as[(Long, Long)].collect().toMap)
+  }
+
   test("personalized PageRank: seeded replay matches; unreachable non-seeds hold zero") {
     val edgeList = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
     val nodes = Seq(1L, 2L, 3L, 4L)
