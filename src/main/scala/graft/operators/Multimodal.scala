@@ -351,47 +351,55 @@ object Multimodal {
           require(img != null,
             s"imageSignature: payload (${bytes.length} bytes) is not a " +
               "decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          require(w % grid == 0 && h % grid == 0,
-            s"imageSignature: image ${w}x$h is not a multiple of the " +
-              s"$grid-cell grid")
-          val (bw, bh) = (w / grid, h / grid)
-          val cells = Array.ofDim[Long](grid, grid)
-          var cy = 0
-          while (cy < grid) {
-            var cx = 0
-            while (cx < grid) {
-              var sum = 0L
-              var y = cy * bh
-              while (y < (cy + 1) * bh) {
-                var x = cx * bw
-                while (x < (cx + 1) * bw) {
-                  val rgb = img.getRGB(x, y)
-                  sum += (299 * ((rgb >> 16) & 0xFF) +
-                    587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
-                  x += 1
-                }
-                y += 1
-              }
-              cells(cy)(cx) = sum / (bw.toLong * bh)
-              cx += 1
-            }
-            cy += 1
-          }
-          var sig = 0L
-          cy = 0
-          while (cy < grid) {
-            var cx = 0
-            while (cx < grid - 1) {
-              if (cells(cy)(cx + 1) > cells(cy)(cx))
-                sig |= 1L << (cy * (grid - 1) + cx)
-              cx += 1
-            }
-            cy += 1
-          }
-          (id, sig)
+          (id, dHashOf(img, grid, "imageSignature"))
         }
       }.toDF("doc_id", "sig")
+  }
+
+  /** The dHash core shared by [[imageSignature]] and [[videoSignature]]:
+    * BT.601 integer luminance → area-mean `grid`×`grid` cells →
+    * horizontal gradient bits packed into one long. */
+  private def dHashOf(img: java.awt.image.BufferedImage, grid: Int,
+                      caller: String): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % grid == 0 && h % grid == 0,
+      s"$caller: image ${w}x$h is not a multiple of the " +
+        s"$grid-cell grid")
+    val (bw, bh) = (w / grid, h / grid)
+    val cells = Array.ofDim[Long](grid, grid)
+    var cy = 0
+    while (cy < grid) {
+      var cx = 0
+      while (cx < grid) {
+        var sum = 0L
+        var y = cy * bh
+        while (y < (cy + 1) * bh) {
+          var x = cx * bw
+          while (x < (cx + 1) * bw) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xFF) +
+              587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy)(cx) = sum / (bw.toLong * bh)
+        cx += 1
+      }
+      cy += 1
+    }
+    var sig = 0L
+    cy = 0
+    while (cy < grid) {
+      var cx = 0
+      while (cx < grid - 1) {
+        if (cells(cy)(cx + 1) > cells(cy)(cx))
+          sig |= 1L << (cy * (grid - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
   }
 
   /** Deterministic WAV payloads, same idea as [[syntheticImages]]: 16-bit
@@ -542,6 +550,129 @@ object Multimodal {
             // different means into equal floors (ADVICE r15)
             if (means(k + 1) > means(k)) sig |= 1L << k
             k += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Minimal length-prefixed frame container for the video family:
+    * `GVID` magic + BE int32 frame count + per frame (BE int32 length +
+    * PNG bytes). The video codecs themselves aren't in this
+    * environment, but everything a video pipeline exercises on the
+    * Spark side — opaque binary payloads, byte-level container parsing,
+    * per-frame image decode, bounded per-row work inside mapPartitions
+    * — is real; a production build swaps the frame iterator for an
+    * ffmpeg-style demuxer behind the same signature. */
+  private def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def unpackFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID",
+      s"not a GVID container (${bytes.length} bytes)")
+    val n = in.readInt()
+    require(n >= 1, s"GVID container with $n frames")
+    Iterator.tabulate(n) { _ =>
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      frame
+    }
+  }
+
+  /** Deterministic patterned VIDEOS — [[syntheticPatternImages]]
+    * extended with a time axis: `frames` PNG frames per document packed
+    * into a [[packFrames]] container, frame `f`'s cell `t` carrying the
+    * same two-id-byte integer pattern evaluated at `u = t + 64·(f+1)`
+    * (so every (doc, frame) pair draws a distinct pattern and the
+    * DuckDB oracle can restate each frame's signature in pure integer
+    * SQL). Same doubling trick as the image family: a `px`-doubled
+    * render is a byte-different RE-ENCODE whose per-frame dHash is
+    * bit-identical. */
+  def syntheticPatternVideos(spark: SparkSession, docs: DataFrame,
+                             px: Int, frames: Int): DataFrame = {
+    import spark.implicits._
+    require(px >= 8 && px % 8 == 0,
+      s"px must be a positive multiple of 8, got $px")
+    require(frames >= 1 && frames <= 64, s"frames must be in [1, 64], got $frames")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { rows =>
+        val k = px / 8
+        rows.map { id =>
+          val fs = (0 until frames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              px, px, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < px) {
+              var x = 0
+              while (x < px) {
+                val t = (x / k) + 8L * (y / k) + 3
+                val u = t + 64L * (f + 1)
+                val g = (((id + 1) * (u + 1) * 40503L +
+                  (id / 256 + 1) * (u * u + 7) * 97L) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          (id, packFrames(fs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual VIDEO signature: parse the frame container, decode
+    * every `stride`-th frame (REAL ImageIO work per frame), dHash each
+    * sampled frame through the shared [[imageSignature]] core, and
+    * compose min-wise — the video's signature is the MINIMUM of its
+    * sampled frame signatures (one-permutation MinHash over the frame
+    * set). Invariances this buys: re-encoding and block-aligned
+    * per-frame resizing (frame dHashes identical → min identical), and
+    * trailing-trim whenever the minimal frame survives the trim — the
+    * min changes only if the argmin frame itself is cut. Pair
+    * generation rides [[graft.operators.Dedup.hammingPairsFromSigs]]
+    * unchanged: the shuffle carries (8-byte signature, id) rows, never
+    * frames. At 100 TB the decode is the dominant cost and stays
+    * map-side, ∝ sampled frames per video. */
+  def videoSignature(spark: SparkSession, media: DataFrame,
+                     grid: Int = 8, stride: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(grid >= 2 && (grid - 1) * grid <= 64,
+      s"grid must be in [2, 8] so the signature packs into a long, got $grid")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var sig = Long.MaxValue
+          var idx = 0
+          unpackFrames(bytes).foreach { frame =>
+            if (idx % stride == 0) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              require(img != null,
+                s"videoSignature: frame $idx (${frame.length} bytes) " +
+                  "is not a decodable image")
+              val s = dHashOf(img, grid, "videoSignature")
+              if (s < sig) sig = s
+            }
+            idx += 1
           }
           (id, sig)
         }

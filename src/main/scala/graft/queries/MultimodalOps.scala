@@ -357,6 +357,70 @@ object MultimodalOps {
                      CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
               FROM vids a JOIN vids b ON a.vid < b.vid
               WHERE bit_count(xor(a.sg, b.sg)) <= 3
+              ORDER BY vid_a, vid_b""")),
+
+    // ⊕ PERCEPTUAL video dedup — the modality triad completed
+    // (VERDICT r15 task 6): every document renders THREE times as a
+    // GVID frame container of patterned PNGs — 4 frames at 8 px, the
+    // pixel-doubled 16 px RE-ENCODE (byte-different, per-frame dHash
+    // bit-identical), and a 3-frame TRAILING TRIM.
+    // Multimodal.videoSignature parses the container, ImageIO-decodes
+    // every sampled frame, dHashes each through the shared image core,
+    // and composes MIN-WISE (one-permutation MinHash over the frame
+    // set) — so the re-encode pairs at Hamming 0 always, and the trim
+    // pairs exactly when the argmin frame survives the cut, which the
+    // oracle restates in pure integer SQL (per-frame signature → MIN
+    // over each variant's frame set → brute Hamming join). At 100 TB
+    // the per-frame decode stays map-side ∝ sampled frames; the
+    // shuffle carries one 8-byte signature per video.
+    Entry(
+      "mm_dedup_video",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def variant(px: Int, frames: Int, off: Int) = Multimodal
+          .syntheticPatternVideos(s, docs, px, frames)
+          .select((col("doc_id") * 3 + off).as("doc_id"), col("payload"))
+        val sigs = Multimodal.videoSignature(s,
+          variant(8, 4, 0)
+            .unionByName(variant(16, 4, 1))
+            .unionByName(variant(8, 3, 2)))
+        graft.operators.Dedup.hammingPairsFromSigs(sigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              fr AS (SELECT unnest(range(0, 4)) AS f),
+              t AS (
+                SELECT d.doc_id, fr.f AS f, ys.y AS y, xs.x AS x,
+                       (xs.x + 8*ys.y + 3) + 64*(fr.f + 1) AS ul,
+                       ((xs.x + 1) + 8*ys.y + 3) + 64*(fr.f + 1) AS ur
+                FROM documents d CROSS JOIN xs CROSS JOIN ys CROSS JOIN fr),
+              g AS (
+                SELECT doc_id, f, y, x,
+                       ((doc_id + 1) * (ul + 1) * 40503
+                        + (doc_id // 256 + 1) * (ul*ul + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (ur + 1) * 40503
+                        + (doc_id // 256 + 1) * (ur*ur + 7) * 97) % 256 AS gr
+                FROM t),
+              fsig AS (
+                SELECT doc_id, f,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id, f),
+              vids AS (
+                SELECT doc_id*3 AS vid, MIN(sg) AS sg FROM fsig GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id*3 + 1 AS vid, MIN(sg) AS sg FROM fsig GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id*3 + 2 AS vid, MIN(sg) AS sg FROM fsig
+                WHERE f < 3 GROUP BY doc_id)
+              SELECT a.vid AS vid_a, b.vid AS vid_b,
+                     CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming
+              FROM vids a JOIN vids b ON a.vid < b.vid
+              WHERE bit_count(xor(a.sg, b.sg)) <= 3
               ORDER BY vid_a, vid_b"""))
   )
 }

@@ -311,4 +311,85 @@ class MultimodalSpec extends SparkSuite {
     assert(e.getMessage.contains("do not divide") ||
       Option(e.getCause).exists(_.getMessage.contains("do not divide")))
   }
+
+  test("videoSignature: re-encoded twins hash bit-identically; trims pair when the argmin frame survives; stride samples; bad containers fail loudly") {
+    import graft.operators.Dedup
+    val ids = Seq(1L, 2L, 42L, 255L, 300L).toDF("doc_id")
+    def sigs(px: Int, frames: Int) = Multimodal
+      .videoSignature(spark,
+        Multimodal.syntheticPatternVideos(spark, ids, px, frames))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pixel-doubled re-encode: byte-different container, identical sig
+    val (v8, v16) = (sigs(8, 4), sigs(16, 4))
+    assert(v8 === v16)
+    val b8 = Multimodal.syntheticPatternVideos(spark, ids, 8, 4)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b16 = Multimodal.syntheticPatternVideos(spark, ids, 16, 4)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.collect().map(_.getLong(0)).forall(i => b8(i) != b16(i)))
+    // min-wise trim law, checked against the per-frame ground truth:
+    // the 3-frame trim's signature equals the min over frames 0..2, and
+    // it PAIRS with the full video exactly when frame 3 was not the
+    // argmin — both directions asserted, so the invariance claim is
+    // pinned rather than assumed
+    // ground truth via prefix minima: a (f+1)-frame container's sig is
+    // by definition min(frame sigs 0..f) — frameSig(id, 0) is frame 0's
+    // exact dHash, frameSig(id, f) the running min through frame f
+    def frameSig(id: Long, f: Int): Long = {
+      val one = Seq(id).toDF("doc_id")
+      Multimodal.videoSignature(spark,
+          Multimodal.syntheticPatternVideos(spark, one, 8, f + 1))
+        .collect()(0).getLong(1)
+    }
+    val v3 = sigs(8, 3)
+    for (i <- Seq(1L, 2L, 42L, 255L, 300L)) {
+      val mins = (0 to 3).map(f => frameSig(i, f)) // prefix minima
+      assert(v3(i) === mins(2), "3-frame sig != min over frames 0..2")
+      assert(v8(i) === mins(3), "4-frame sig != min over frames 0..3")
+      if (mins(2) === mins(3)) assert(v3(i) === v8(i))
+    }
+    // at least one id in the corpus must exercise the survives-trim
+    // case, else the pairing claim is vacuous here
+    assert(Seq(1L, 2L, 42L, 255L, 300L)
+      .exists(i => v3(i) === v8(i)), "no trim-invariant twin planted")
+    // the banded join finds every re-encode twin at Hamming 0 and the
+    // trim twins where the min survived
+    def variant(px: Int, frames: Int, off: Int) = Multimodal
+      .syntheticPatternVideos(spark, ids, px, frames)
+      .select((col("doc_id") * 3 + off).as("doc_id"), col("payload"))
+    val all = Multimodal.videoSignature(spark,
+      variant(8, 4, 0).unionByName(variant(16, 4, 1))
+        .unionByName(variant(8, 3, 2)))
+    val pairs = Dedup.hammingPairsFromSigs(all, "sig", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    for (i <- Seq(1L, 2L, 42L, 255L, 300L)) {
+      assert(pairs.get((i * 3, i * 3 + 1)).contains(0),
+        s"re-encode twin of $i not found at Hamming 0")
+      if (v3(i) === v8(i))
+        assert(pairs.get((i * 3, i * 3 + 2)).contains(0),
+          s"trim twin of $i (argmin survived) not found")
+    }
+    // stride 2 samples frames {0, 2} ⊂ {0..3}: a subset min can only
+    // RISE, and frame 0 is always sampled so it upper-bounds the sig —
+    // both exact laws of the min-wise composition
+    val strided = Multimodal.videoSignature(spark,
+        Multimodal.syntheticPatternVideos(spark, ids, 8, 4), stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- Seq(1L, 2L, 42L, 255L, 300L)) {
+      assert(strided(i) >= v8(i),
+        s"subset-sampled min below the full min for $i")
+      assert(strided(i) <= frameSig(i, 0),
+        s"strided sig above the always-sampled frame 0 for $i")
+    }
+    // a non-GVID payload fails loudly
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
+      .toDF("doc_id", "payload")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoSignature(spark, junk).collect()
+    }
+    assert(e2.getMessage.contains("GVID") ||
+      Option(e2.getCause).exists(_.getMessage.contains("GVID")))
+  }
 }
