@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.core.Tables
 import graft.pipeline.IncrementalFinal
-import graft.streaming.CdcApply
+import graft.streaming.{CdcApply, StreamingMv}
 
 /** CDC-apply inventory: the gate-expressible face of
   * [[graft.streaming.CdcApply]]. The `events` table stands in for an
@@ -583,6 +583,47 @@ object CdcOps {
                      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
                      AVG(v_micro) AS avg_micro
               FROM base GROUP BY 1 ORDER BY 1""")),
+
+    // ⊕ the MV loop STREAMED end-to-end (VERDICT r15 task 3): the
+    // events corpus arrives as three deterministic micro-batches
+    // through StreamingMv.foldBatch — per batch the rows land as a
+    // corpus partition, the +1 changelog folds into the
+    // batchId-versioned summary (StreamingIvm's at-least-once-safe
+    // protocol), and the summary re-registers with a fresh token. The
+    // returned dashboard is a PLAIN aggregate over the corpus dir that
+    // SummaryRewrite serves from the stream-maintained summary
+    // (PlanSpec-asserted). The oracle recomputes from raw events, so
+    // this one gate proves 3-batch fold ≡ recompute AND routed ≡
+    // recompute over the streaming state. Re-running the entry
+    // re-delivers every batch — idempotent by the versioned protocol,
+    // which the gate therefore also exercises. At 100 TB: per batch
+    // cost ∝ batch + |Δ keys|, dashboard cost |keys| — the corpus is
+    // scanned by nobody.
+    Entry(
+      "cdc_mv_streamed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val state = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_smv_$tag").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type").as("k"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"),
+            col("event_id"))
+        val cfg = StreamingMv.Config(Seq("k"))
+        (0L until 3L).foreach { b =>
+          StreamingMv.foldBatch(s, state, cfg)(
+            ev.filter(col("event_id") % 3 === b).drop("event_id"), b)
+        }
+        StreamingMv.dashboard(s, state, cfg).orderBy("k")
+      },
+      Some("""SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro
+              FROM (SELECT event_type,
+                           CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                    FROM events)
+              GROUP BY 1 ORDER BY 1""")),
 
     // ⊕ the dashboard TOP-K shape routed (VERDICT r15 task 4): the
     // reference's flagship panel — top-5 groups by count

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRegistry
+
+/** The MV loop streamed end-to-end (VERDICT r15 task 3): one
+  * `foreachBatch` job that keeps a ROUTED dashboard fresh over a live
+  * insert stream — the reference's E1 streaming append
+  * (`SaveDelta.scala:157-163`) joined to its E3 analytics, except the
+  * dashboard query never rescans the corpus: each micro-batch
+  *
+  *   1. lands its rows as the corpus partition `docs/batch=<b>`
+  *      (overwrite-own-subdir, so at-least-once re-delivery is
+  *      idempotent — [[CrawlDedup]]'s append-only discipline),
+  *   2. folds the batch's +1 changelog into the per-key summary under
+  *      [[StreamingIvm.applyBatch]]'s batchId-versioned protocol
+  *      (re-delivery re-folds from the same predecessor version —
+  *      never from its own half-written output),
+  *   3. re-registers the summary for the corpus path with a FRESH
+  *      base-version token, so [[graft.plans.SummaryRewrite]] resumes
+  *      routing plain aggregates over the corpus onto the |keys|-row
+  *      summary.
+  *
+  * COMMIT ORDER is data-first (the versioned summary write is the
+  * batch's commit mark, registration strictly after): a crash anywhere
+  * leaves either a stale token or an unregistered summary, and both
+  * make every candidate rewrite bail to the corpus scan — conservative,
+  * never stale-serving. A restart loses the in-memory registry
+  * entirely; queries scan the corpus until the first post-restart fold
+  * re-registers. Deletes are not part of this loop by design: the
+  * reference's CDC routes deletes to a tombstone table
+  * ([[CdcIngest]]), and retraction-bearing summary repair is the batch
+  * [[graft.pipeline.IncrementalFinal.refreshSummary]] path (gated
+  * `cdc_mv_refresh_retraction`).
+  *
+  * At 100 TB: per batch the corpus write is ∝ batch, the fold is
+  * |Δ keys|-proportional against |keys|-row state, and the dashboard
+  * pays |keys| rows instead of the corpus — the whole point. The
+  * plain-parquet corpus dir stands in for a lakehouse table (the
+  * [[graft.core.Sinks]] Delta seam); snapshot isolation on the bail
+  * path is what the Delta jar would add.
+  */
+object StreamingMv {
+
+  /** The summary grain + maintained columns this loop serves:
+    * count / non-null count / sum over `valueCol` at `keyCols` — the
+    * [[graft.pipeline.IncrementalFinal.maintainAggregate]] contract. */
+  final case class Config(keyCols: Seq[String], valueCol: String = "v_micro",
+                          keepVersions: Int = 3)
+
+  def docsDir(stateDir: String): String = s"$stateDir/docs"
+  def summaryDir(stateDir: String): String = s"$stateDir/summary"
+
+  /** The registered base path (registration and the routed query must
+    * agree on it byte-for-byte). */
+  def basePath(stateDir: String): String = "file:" + docsDir(stateDir)
+
+  /** The latest committed summary state, if any batch has folded. */
+  def summary(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    StreamingIvm.readState(spark, summaryDir(stateDir))
+
+  /** The foreachBatch body — public so tests can drive re-delivery and
+    * crash windows explicitly. `batch` carries `keyCols` + `valueCol`
+    * insert rows. */
+  def foldBatch(spark: SparkSession, stateDir: String, cfg: Config)
+               (batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch
+      .select((cfg.keyCols.map(col) :+ col(cfg.valueCol)): _*)
+      // decouple from the streaming source AND pin one evaluation: the
+      // corpus write and the fold must see the same rows
+      .localCheckpoint(true)
+    // 1. corpus partition first (re-delivery overwrites its own subdir;
+    //    readers of the whole dir see at worst an extra not-yet-folded
+    //    partition, which only matters on the bail path)
+    rows.write.mode(SaveMode.Overwrite)
+      .parquet(s"${docsDir(stateDir)}/batch=$batchId")
+    // 2. versioned summary fold — the commit mark
+    StreamingIvm.applyBatch(spark, summaryDir(stateDir), cfg.keyCols,
+      cfg.keepVersions)(rows.withColumn("sign", lit(1L)), batchId)
+    // 3. routing resumes: register the folded summary for the corpus
+    //    path with the CURRENT token (stamped from the files just
+    //    written — any later corpus write bails routing until the next
+    //    fold re-registers)
+    MvRegistry.registerFresh(spark, basePath(stateDir),
+      MvRegistry.Summary(
+        () => summary(spark, stateDir).getOrElse(
+          sys.error(s"StreamingMv: no committed summary under $stateDir")),
+        cfg.keyCols, "cnt",
+        sums = Map(cfg.valueCol -> "sum_micro"),
+        nns = Map(cfg.valueCol -> "n_nonnull")))
+  }
+
+  /** Wire an insert stream into the loop. Caller starts the returned
+    * writer with a checkpoint dir. */
+  def attach(inserts: DataFrame, stateDir: String, cfg: Config)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    inserts.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        foldBatch(b.sparkSession, stateDir, cfg)(b.toDF(), id)
+    }
+
+  /** The dashboard query shape this loop keeps fresh: a PLAIN aggregate
+    * over the corpus directory — [[graft.plans.SummaryRewrite]] decides
+    * per query whether it serves from the summary (fresh) or the corpus
+    * (stale/unregistered). */
+  def dashboard(spark: SparkSession, stateDir: String, cfg: Config)
+  : DataFrame =
+    spark.read.parquet(docsDir(stateDir))
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        count(col(cfg.valueCol)).as("n_nonnull"),
+        sum(col(cfg.valueCol)).as("sum_micro"),
+        avg(col(cfg.valueCol)).as("avg_micro"))
+}

@@ -531,6 +531,22 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed)") {
+    val df = Inventory.byName("cdc_mv_streamed").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.contains("/summary/v=")),
+      s"stream-maintained summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/docs")),
+      s"corpus still scanned after streamed-MV routing: $paths")
+  }
+
   test("star-join routing: summary replaces the base side, the dim join survives (cdc_mv_routed_star)") {
     val df = Inventory.byName("cdc_mv_routed_star").run(spark, sfDir)
     val paths = df.queryExecution.optimizedPlan.collect {

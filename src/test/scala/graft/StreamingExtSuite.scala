@@ -673,6 +673,114 @@ class StreamingExtSuite extends SparkSuite {
     assert(StreamingIvm.versions(spark, state) === Seq(0L, 1L, 2L))
   }
 
+  test("StreamingMv: routed dashboard stays fresh over the live stream; foreign base writes bail; kill/restart + re-delivery idempotent; routed ≡ recompute after every batch") {
+    import graft.streaming.StreamingMv
+    import graft.plans.MvRegistry
+    val in = tmpDir("smv-in"); val state = tmpDir("smv-state")
+    val cp = tmpDir("smv-cp")
+    val cfg = StreamingMv.Config(Seq("k"))
+    def src = spark.readStream.schema("k string, v_micro long").json(in)
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    // the test's own ledger of fed rows — the independent recompute
+    val ledger = scala.collection.mutable.ArrayBuffer[(String, Option[Long])]()
+    def expected: Map[String, (Long, Long, Option[Long])] =
+      ledger.groupBy(_._1).map { case (k, rs) =>
+        val vs = rs.flatMap(_._2)
+        k -> ((rs.size.toLong, vs.size.toLong,
+          if (vs.isEmpty) None else Some(vs.sum)))
+      }
+    def dashMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    def assertRouted(): Unit = {
+      val df = StreamingMv.dashboard(spark, state, cfg)
+        .select("k", "cnt", "n_nonnull", "sum_micro")
+      val paths = scanned(df)
+      assert(paths.exists(_.contains("smv-state") &&
+        paths.exists(_.contains("/summary/"))),
+        s"dashboard not served from the summary: $paths")
+      assert(!paths.exists(_.endsWith("/docs")),
+        s"dashboard still scans the corpus: $paths")
+      assert(dashMap(df) === expected, "routed dashboard != ledger")
+    }
+    try {
+      val q = StreamingMv.attach(src, state, cfg)
+        .option("checkpointLocation", cp).start()
+      try {
+        feed(in, q, Seq(
+          """{"k":"a","v_micro":10}""",
+          """{"k":"a","v_micro":20}""",
+          """{"k":"b","v_micro":5}"""))
+        ledger ++= Seq("a" -> Some(10L), "a" -> Some(20L), "b" -> Some(5L))
+        assertRouted()
+        feed(in, q, Seq(
+          """{"k":"b","v_micro":null}""",
+          """{"k":"c","v_micro":7}"""))
+        ledger ++= Seq("b" -> None, "c" -> Some(7L))
+        assertRouted()
+      } finally q.stop()
+
+      // a FOREIGN base write (outside the loop) must bail routing to
+      // the corpus scan — never stale-serve the summary
+      Seq(("z", Some(99L))).toDF("k", "v_micro")
+        .write.mode("overwrite")
+        .parquet(s"${StreamingMv.docsDir(state)}/batch=999")
+      val stale = StreamingMv.dashboard(spark, state, cfg)
+        .select("k", "cnt", "n_nonnull", "sum_micro")
+      assert(scanned(stale).exists(_.endsWith("/docs")),
+        s"foreign base write did not bail routing: ${scanned(stale)}")
+      val withZ = dashMap(stale)
+      assert(withZ("z") === ((1L, 1L, Some(99L))),
+        "corpus-scan fallback missed the foreign row")
+      // removing the foreign partition restores the exact registered
+      // file listing — the token matches again and routing resumes
+      // WITHOUT any re-registration (the bail is reversible, not
+      // sticky). The operational reconcile for a write that should
+      // stay is the batch refreshSummary path.
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${StreamingMv.docsDir(state)}/batch=999"), true)
+      assertRouted()
+
+      // AT-LEAST-ONCE re-delivery of the last stream batch (same id,
+      // same data): corpus overwrite of its own subdir + versioned
+      // re-fold from the same predecessor — the answer must not change
+      // and routing must come back up (re-registration re-stamps)
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("b", None: Option[Long]), ("c", Some(7L)))
+          .toDF("k", "v_micro"), 1L)
+      assertRouted()
+
+      // kill/restart on the same checkpoint: the registry died with
+      // the "process" (cleared below), so the dashboard conservatively
+      // scans the corpus until the first post-restart fold re-registers
+      MvRegistry.clear()
+      val cold = StreamingMv.dashboard(spark, state, cfg)
+        .select("k", "cnt", "n_nonnull", "sum_micro")
+      assert(scanned(cold).exists(_.endsWith("/docs")),
+        "unregistered dashboard must scan the corpus")
+      assert(dashMap(cold) === expected,
+        "corpus scan diverged from the ledger")
+      val q2 = StreamingMv.attach(src, state, cfg)
+        .option("checkpointLocation", cp).start()
+      try {
+        feed(in, q2, Seq("""{"k":"a","v_micro":1}"""))
+        ledger += ("a" -> Some(1L))
+        assertRouted()
+      } finally q2.stop()
+    } finally MvRegistry.clear()
+  }
+
   test("crawl pipeline: LSH probe → label fold → survivors compose end-to-end; " +
     "kill-and-restart resumes mid-crawl; re-delivery is idempotent") {
     import graft.operators.Dedup
