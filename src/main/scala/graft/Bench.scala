@@ -12,7 +12,7 @@ object Bench {
     * timing, a contaminated run carries its own explanation and the
     * reader never has to re-measure to adjudicate. */
   final case class QueryRuns(name: String, secs: Seq[Double],
-                             loads: Seq[Double])
+                             loads: Seq[Double], extras: Int = 0)
 
   /** 1-minute load average from /proc/loadavg; -1 when unreadable
     * (non-Linux dev box) — a sentinel, never a fake-zero "idle". */
@@ -89,16 +89,82 @@ object Bench {
   def best(timings: Seq[Double]): Double =
     if (timings.exists(_ < 0)) -1.0 else timings.min
 
-  /** Queries whose run spread says "ambient load, go read the loads
-    * column": max/min > `ratio` across successful runs. The min is
-    * still the reported number — this list just marks where a single
-    * pass would have lied. */
-  def suspects(results: Seq[QueryRuns], ratio: Double = 3.0): Seq[String] =
+  /** The min is CONFIRMED when a second independent run lands within
+    * `settleRatio` of it: the two smallest runs agreeing is the classic
+    * stability criterion for the min estimator — one clean run could be
+    * a fluke window, two agreeing clean runs are the query's floor.
+    * (Sustained uniform load can confirm an inflated floor; the
+    * per-run `loads` column stays in the artifact precisely so that
+    * case remains adjudicable.) */
+  def minConfirmed(ts: Seq[Double], settleRatio: Double = 1.25): Boolean = {
+    val ok = ts.filter(_ >= 0).sorted
+    ok.size >= 2 && (ok(0) == 0.0 || ok(1) <= ok(0) * settleRatio)
+  }
+
+  /** Queries whose run history does NOT pin their cost: max/min spread
+    * above `ratio` (ambient load touched some run) AND the min
+    * unconfirmed (no second run corroborates the floor — r16: a spread
+    * whose min two runs agree on is evidence, not suspicion, so it no
+    * longer flags). The min is still the reported number — this list
+    * marks where it rests on a single sample. */
+  def suspects(results: Seq[QueryRuns], ratio: Double = 3.0,
+               settleRatio: Double = 1.25): Seq[String] =
     results.collect {
-      case QueryRuns(name, ts, _)
+      case QueryRuns(name, ts, _, _)
         if ts.forall(_ >= 0) && ts.nonEmpty && ts.min > 0 &&
-          ts.max / ts.min > ratio => name
+          ts.max / ts.min > ratio && !minConfirmed(ts, settleRatio) => name
     }
+
+  /** Self-healing under load (VERDICT r15 task 5): give every
+    * still-suspect query up to `maxExtra` additional timed runs until
+    * its min is confirmed (or the spread drops below the flag ratio, or
+    * the cap is hit). Extra runs append to the query's history — raw
+    * timings and loads stay complete — and the count is recorded per
+    * query, so the artifact says exactly how much re-measurement each
+    * number needed. Rounds iterate across the suspect SET (one extra
+    * run each, re-classify, repeat): a load spike spanning one round
+    * lands on different queries in the next, the same interleaving
+    * argument as [[timeQueries]]' rotated passes. */
+  def settleSuspects(spark: SparkSession, sfDir: String,
+                     queries: Seq[(String, (SparkSession, String) => DataFrame)],
+                     results: Seq[QueryRuns], maxExtra: Int = 3,
+                     ratio: Double = 3.0, settleRatio: Double = 1.25)
+  : Seq[QueryRuns] = {
+    val fns = queries.toMap
+    val state = scala.collection.mutable.LinkedHashMap(
+      results.map(r => r.name -> r): _*)
+    var round = 0
+    var open = suspects(state.values.toSeq, ratio, settleRatio)
+      .filter(fns.contains)
+    while (round < maxExtra && open.nonEmpty) {
+      open.foreach { name =>
+        val r = state(name)
+        spark.catalog.clearCache()
+        val load = readLoadAvg()
+        val t0 = System.nanoTime()
+        // a failed settle run must NOT poison a query whose gating
+        // passes all succeeded (best() treats any -1 as query failure)
+        // — drop the sample, keep the attempt count; the query stays
+        // suspect and retries until the cap
+        try {
+          fns(name)(spark, sfDir).write.format("noop")
+            .mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          state(name) = r.copy(secs = r.secs :+ sec,
+            loads = r.loads :+ load, extras = r.extras + 1)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench: settle run of '$name' FAILED: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            state(name) = r.copy(extras = r.extras + 1)
+        }
+      }
+      round += 1
+      open = suspects(state.values.toSeq, ratio, settleRatio)
+        .filter(fns.contains)
+    }
+    state.values.toSeq
+  }
 
   /** The driver's one-line JSON contract: `queries` carries the
     * per-query MIN across runs, `runs` the raw timings behind it,
@@ -125,11 +191,14 @@ object Bench {
       "\"" + r.name + "\":" + r.loads.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val sus = suspects(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val extras = results.filter(_.extras > 0)
+      .map(r => "\"" + r.name + "\":" + r.extras).mkString("{", ",", "}")
     val failed = mins.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$raw,"loads":$ld,"load_suspect":$sus,""" +
+      s""""settle_extras":$extras,""" +
       s""""warmup_sec":$warmupSec,"errors":$failed,"sf":"$sfDir"}"""
   }
 
@@ -191,7 +260,17 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = timeQueries(spark, sfDir, selected, runs)
+    val measured = timeQueries(spark, sfDir, selected, runs)
+    // self-healing settle pass: still-suspect queries get bounded extra
+    // runs until their min is confirmed — the artifact converges toward
+    // idle-run mins even on a loaded box, no manual confirmation run
+    val maxExtraRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "3")
+    val maxExtra = maxExtraRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_SETTLE must be an integer, got " +
+        s"'$maxExtraRaw'"))
+    val results =
+      if (maxExtra <= 0) measured
+      else settleSuspects(spark, sfDir, selected, measured, maxExtra)
     val full = toJson(results, sfDir, warmupSec)
     // full artifact → committed file (survives regardless of stdout
     // truncation); overridable for tests

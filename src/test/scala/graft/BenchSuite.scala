@@ -93,20 +93,81 @@ class BenchSuite extends SparkSuite {
       s"all passes ran in the same order: $passes")
   }
 
-  test("load-suspect flagging: a >3x spread is named in the artifact, min still reported") {
+  test("load-suspect flagging: a >3x spread with an UNCONFIRMED min is named; two agreeing mins clear the flag") {
     val quiet = Bench.QueryRuns("q_quiet", Seq(1.0, 1.1, 0.9), Seq(0.1, 0.2, 0.1))
-    val loaded = Bench.QueryRuns("q_loaded", Seq(0.5, 12.3, 0.6), Seq(0.1, 31.0, 0.2))
+    // one spike but the two smallest runs agree within 25% — the min is
+    // corroborated, so the spread is evidence of a spike, not suspicion
+    // about the number (r16 confirmation semantics)
+    val confirmed = Bench.QueryRuns("q_confirmed",
+      Seq(0.5, 12.3, 0.6), Seq(0.1, 31.0, 0.2))
+    // spread AND no second run near the min — the reported number
+    // rests on a single sample: flagged
+    val loaded = Bench.QueryRuns("q_loaded",
+      Seq(0.5, 12.3, 2.0), Seq(0.1, 31.0, 18.0))
     val dead = Bench.QueryRuns("q_dead", Seq(-1.0), Seq(0.1))
-    assert(Bench.suspects(Seq(quiet, loaded, dead)) === Seq("q_loaded"))
-    val json = Bench.toJson(Seq(quiet, loaded, dead), "/tmp/unused")
+    assert(Bench.suspects(Seq(quiet, confirmed, loaded, dead))
+      === Seq("q_loaded"))
+    val json = Bench.toJson(Seq(quiet, confirmed, loaded, dead), "/tmp/unused")
     assert(json.contains(""""load_suspect":["q_loaded"]"""))
     // the suspect's reported number is still the noise-resistant min
     assert(json.contains(""""q_loaded":0.5"""))
     // the contaminated run's load is right there in the artifact —
     // the reader adjudicates without re-measuring
-    assert(json.contains(""""q_loaded":[0.1,31.0,0.2]"""))
+    assert(json.contains(""""q_loaded":[0.1,31.0,18.0]"""))
     // a failed query is an error, never a "suspect"
     assert(json.contains(""""errors":["q_dead"]"""))
+  }
+
+  test("settle pass: induced load-like spread converges without a manual confirmation run; a never-stable query hits the cap and stays flagged") {
+    // q_spiky: the first two runs land in a simulated load window (2 s),
+    // later runs see the idle floor (0.2 s) — after timeQueries it is
+    // suspect (spread 10x, min unconfirmed); settleSuspects must re-run
+    // it until a second ~0.2 s sample confirms the min
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spiky = (s: SparkSession, _: String) => {
+      val n = calls.incrementAndGet()
+      Thread.sleep(if (n <= 2) 600 else 60)
+      import s.implicits._
+      Seq(1).toDF("x")
+    }
+    val qs = Seq("q_spiky" -> spiky)
+    val measured = Bench.timeQueries(spark, "/tmp/unused", qs, runs = 2)
+    assert(Bench.suspects(measured).nonEmpty === false ||
+      Bench.suspects(measured) === Seq("q_spiky"))
+    // force the suspect state deterministically (both timed runs inside
+    // the "load window")
+    val forced = measured.map(r => r.copy(secs = Seq(0.6, 6.2),
+      loads = Seq(9.0, 9.0)))
+    assert(Bench.suspects(forced) === Seq("q_spiky"))
+    val settled = Bench.settleSuspects(spark, "/tmp/unused", qs, forced,
+      maxExtra = 4)
+    val r = settled.head
+    assert(Bench.suspects(settled).isEmpty,
+      s"settle did not converge: ${r.secs}")
+    assert(r.extras >= 1 && r.extras <= 4)
+    assert(Bench.best(r.secs) < 0.6, s"min did not reach the idle floor: ${r.secs}")
+    val json = Bench.toJson(settled, "/tmp/unused")
+    assert(json.contains(s""""settle_extras":{"q_spiky":${r.extras}}"""))
+
+    // a query whose every run draws a fresh random-ish cost never
+    // confirms: the cap bounds the extra work and the flag SURVIVES —
+    // honest non-convergence, not a silent clear
+    val bump = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unstable = (s: SparkSession, _: String) => {
+      // strictly decreasing by >25% per call: no two runs ever agree
+      val n = bump.incrementAndGet()
+      Thread.sleep(math.max(3000 / (1 << math.min(n, 8)), 1))
+      import s.implicits._
+      Seq(1).toDF("x")
+    }
+    val qs2 = Seq("q_unstable" -> unstable)
+    val forced2 = Seq(Bench.QueryRuns("q_unstable", Seq(2.0, 30.0),
+      Seq(9.0, 9.0)))
+    val settled2 = Bench.settleSuspects(spark, "/tmp/unused", qs2, forced2,
+      maxExtra = 3)
+    assert(settled2.head.extras === 3, "cap not honored")
+    assert(Bench.suspects(settled2) === Seq("q_unstable"),
+      "non-converged query was silently cleared")
   }
 
   test("summary line stays tail-sized for a 200-query inventory and carries the totals") {
