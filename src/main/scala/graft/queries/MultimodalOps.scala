@@ -310,6 +310,81 @@ object MultimodalOps {
               WHERE hamming <= 3 AND NOT (ka AND kb)
               ORDER BY vid_a, vid_b""")),
 
+    // ⊕ the DAILY-CRAWL form of the video dedup — completes the
+    // incremental symmetry (image has one since r15): 12/16 of the
+    // corpus is the persisted BASE whose per-video signatures are the
+    // kept state (four thin chunk rows per video — frames never
+    // re-decoded), the rest arrives as the batch; one (chunk, ck)
+    // equi-join + the intra-batch self-join yields exactly the full
+    // banded join restricted to pairs touching the batch, which is
+    // what the oracle states (same per-frame integer restatement +
+    // per-variant MIN as mm_dedup_video, base×base pairs excluded).
+    Entry(
+      "mm_dedup_video_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = graft.operators.Curation
+          .hashKeep(col("doc_id"), "mmv", 12)
+        def variants(d: org.apache.spark.sql.DataFrame) = Multimodal
+          .syntheticPatternVideos(s, d, 8, 4)
+          .select((col("doc_id") * 3).as("doc_id"), col("payload"))
+          .unionByName(Multimodal
+            .syntheticPatternVideos(s, d, 16, 4)
+            .select((col("doc_id") * 3 + 1).as("doc_id"), col("payload")))
+          .unionByName(Multimodal
+            .syntheticPatternVideos(s, d, 8, 3)
+            .select((col("doc_id") * 3 + 2).as("doc_id"), col("payload")))
+        val baseSigs = Multimodal
+          .videoSignature(s, variants(docs.filter(keep)))
+        val batchSigs = Multimodal
+          .videoSignature(s, variants(docs.filter(!keep)))
+        graft.operators.Dedup
+          .incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              fr AS (SELECT unnest(range(0, 4)) AS f),
+              t AS (
+                SELECT d.doc_id, fr.f AS f, ys.y AS y, xs.x AS x,
+                       (xs.x + 8*ys.y + 3) + 64*(fr.f + 1) AS ul,
+                       ((xs.x + 1) + 8*ys.y + 3) + 64*(fr.f + 1) AS ur
+                FROM documents d CROSS JOIN xs CROSS JOIN ys CROSS JOIN fr),
+              g AS (
+                SELECT doc_id, f, y, x,
+                       ((doc_id + 1) * (ul + 1) * 40503
+                        + (doc_id // 256 + 1) * (ul*ul + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (ur + 1) * 40503
+                        + (doc_id // 256 + 1) * (ur*ur + 7) * 97) % 256 AS gr
+                FROM t),
+              fsig AS (
+                SELECT doc_id, f,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id, f),
+              vids AS (
+                SELECT doc_id*3 AS vid, MIN(sg) AS sg,
+                       substring(md5('mmv:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS keep
+                FROM fsig GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id*3 + 1 AS vid, MIN(sg) AS sg,
+                       substring(md5('mmv:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS keep
+                FROM fsig GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id*3 + 2 AS vid, MIN(sg) AS sg,
+                       substring(md5('mmv:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS keep
+                FROM fsig WHERE f < 3 GROUP BY doc_id)
+              SELECT vid_a, vid_b, hamming FROM (
+                SELECT a.vid AS vid_a, b.vid AS vid_b,
+                       CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming,
+                       a.keep AS ka, b.keep AS kb
+                FROM vids a JOIN vids b ON a.vid < b.vid)
+              WHERE hamming <= 3 AND NOT (ka AND kb)
+              ORDER BY vid_a, vid_b""")),
+
     // ⊕ PERCEPTUAL audio dedup — the envelope twin of mm_dedup_image,
     // oracle-gated on REAL samples: every document renders twice as a
     // 57-segment patterned WAV (32 frames per segment, and a

@@ -371,6 +371,20 @@ class MultimodalSpec extends SparkSuite {
         assert(pairs.get((i * 3, i * 3 + 2)).contains(0),
           s"trim twin of $i (argmin survived) not found")
     }
+    // the incremental probe law on VIDEO signatures (mirrors the image
+    // family): pairs touching the batch ≡ the full banded join over the
+    // union restricted to non-base-only pairs — and 42's re-encode twin
+    // is a CROSS pair (original in the base, 16×16 twin in the batch)
+    val vBase: Long => Boolean = v => Set(1L, 2L).contains(v / 3) || v == 126L
+    val vBaseSigs = all.filter(udf((v: Long) => vBase(v)).apply(col("doc_id")))
+    val vBatchSigs = all.filter(udf((v: Long) => !vBase(v)).apply(col("doc_id")))
+    val vInc = Dedup.incrementalHammingPairs(vBaseSigs, vBatchSigs, "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val vFull = Dedup.hammingPairsFromSigs(all, "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filterNot(p => vBase(p._1) && vBase(p._2)).toSet
+    assert(vInc === vFull)
+    assert(vInc.contains((126L, 127L, 0))) // 42's cross base↔batch twin
     // stride 2 samples frames {0, 2} ⊂ {0..3}: a subset min can only
     // RISE, and frame 0 is always sampled so it upper-bounds the sig —
     // both exact laws of the min-wise composition
