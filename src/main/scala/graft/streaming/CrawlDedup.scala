@@ -82,6 +82,17 @@ object CrawlDedup {
     * per-batch cost ∝ batch images × bucket occupancy. */
   final case class ImageStage(payloadCol: String, maxHamming: Int = 3)
 
+  /** Optional perceptual VIDEO stage: same probe-and-fold protocol as
+    * [[ImageStage]] over [[graft.operators.Multimodal.videoSignature]]
+    * — each batch's frame containers decode map-side (every `stride`-th
+    * frame), compose min-wise into one 56-bit signature per video, and
+    * probe the accumulated signature state; re-encoded and
+    * block-resized re-uploads land at Hamming 0, trailing trims
+    * whenever the argmin frame survives. Per-batch cost ∝ batch videos
+    * × sampled frames (decode) + batch × bucket occupancy (probe). */
+  final case class VideoStage(payloadCol: String, maxHamming: Int = 3,
+      stride: Int = 1)
+
   /** Accumulated state strictly BEFORE `beforeBatch` for an append-only
     * per-batch directory (`docs`/`bands`/`subwins`/`semassigned`); None
     * when no prior batch has committed. Compaction-aware: the newest
@@ -208,6 +219,7 @@ object CrawlDedup {
                  substr: Option[SubstrStage] = None,
                  semantic: Option[SemanticStage] = None,
                  image: Option[ImageStage] = None,
+                 video: Option[VideoStage] = None,
                  compactEvery: Int = 0)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
@@ -219,7 +231,7 @@ object CrawlDedup {
     // the probe below reads the compacted view — ≡ the per-batch view
     // by construction (suite pins probe-after ≡ probe-before)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      Seq("docs", "bands", "subwins", "semassigned", "imgsigs")
+      Seq("docs", "bands", "subwins", "semassigned", "imgsigs", "vidsigs")
         .foreach(d => compactAppendOnly(spark, s"$stateDir/$d", batchId))
     // materialize the batch once: it feeds the sketch, the verification
     // re-shingle, the label fold, AND the state append
@@ -335,31 +347,57 @@ object CrawlDedup {
     // fold the pairs into the persisted image-cluster labels. Signature
     // data partition first, versioned label state last (commit mark).
     image.foreach { st =>
-      val batchSigs = graft.operators.Multimodal.imageSignature(spark,
+      foldPerceptual(spark, stateDir, "imgsigs", "imglabels",
+        graft.operators.Multimodal.imageSignature(spark,
           batchDf.select(col("doc_id"),
-            col(st.payloadCol).as("payload")))
-        .localCheckpoint(true) // feeds probe, label fold, state append
-      val pairs = priorBatches(spark, s"$stateDir/imgsigs", batchId) match {
-        case None =>
-          Dedup.hammingPairsFromSigs(batchSigs, "sig", st.maxHamming)
-        case Some(ps) =>
-          Dedup.incrementalHammingPairs(ps, batchSigs, "sig",
-            st.maxHamming)
-      }
-      val labels = StreamingIvm.readState(spark, s"$stateDir/imglabels",
-          Some(batchId)) match {
-        case None =>
-          Dedup.connectedComponents(batchSigs.select("doc_id"), "doc_id",
-            pairs)
-        case Some(pl) =>
-          Dedup.incrementalConnectedComponents(pl,
-            batchSigs.select("doc_id"), "doc_id", pairs)
-      }
-      batchSigs.write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/imgsigs/batch=$batchId")
-      writeVersioned(spark, s"$stateDir/imglabels", labels, batchId,
-        keepVersions)
+            col(st.payloadCol).as("payload"))),
+        st.maxHamming, batchId, keepVersions)
     }
+
+    // ---- optional perceptual VIDEO stage: identical protocol over the
+    // min-wise frame-dHash signature (frames never leave their decode
+    // partition; only the 8-byte per-video signature enters state).
+    video.foreach { st =>
+      foldPerceptual(spark, stateDir, "vidsigs", "vidlabels",
+        graft.operators.Multimodal.videoSignature(spark,
+          batchDf.select(col("doc_id"),
+            col(st.payloadCol).as("payload")),
+          stride = st.stride),
+        st.maxHamming, batchId, keepVersions)
+    }
+  }
+
+  /** Shared perceptual fold (image + video stages): checkpoint the
+    * batch signatures once, probe the accumulated signature state via
+    * the pigeonhole Hamming join, fold pairs into the versioned
+    * per-modality cluster labels. Signature data partition first,
+    * versioned label state last (commit mark), exactly as the text
+    * fold. */
+  private def foldPerceptual(spark: SparkSession, stateDir: String,
+                             sigSub: String, labelSub: String,
+                             sigsDf: DataFrame, maxHamming: Int,
+                             batchId: Long, keepVersions: Int): Unit = {
+    val batchSigs = sigsDf
+      .localCheckpoint(true) // feeds probe, label fold, state append
+    val pairs = priorBatches(spark, s"$stateDir/$sigSub", batchId) match {
+      case None =>
+        Dedup.hammingPairsFromSigs(batchSigs, "sig", maxHamming)
+      case Some(ps) =>
+        Dedup.incrementalHammingPairs(ps, batchSigs, "sig", maxHamming)
+    }
+    val labels = StreamingIvm.readState(spark, s"$stateDir/$labelSub",
+        Some(batchId)) match {
+      case None =>
+        Dedup.connectedComponents(batchSigs.select("doc_id"), "doc_id",
+          pairs)
+      case Some(pl) =>
+        Dedup.incrementalConnectedComponents(pl,
+          batchSigs.select("doc_id"), "doc_id", pairs)
+    }
+    batchSigs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/$sigSub/batch=$batchId")
+    writeVersioned(spark, s"$stateDir/$labelSub", labels, batchId,
+      keepVersions)
   }
 
   /** Current cluster labels (doc_id, cluster_id) — the latest committed
@@ -408,6 +446,13 @@ object CrawlDedup {
     StreamingIvm.readState(spark, s"$stateDir/imglabels", None).getOrElse(
       sys.error(s"CrawlDedup: no committed image-label state under $stateDir"))
 
+  /** Current perceptual video-cluster labels (doc_id, cluster_id) —
+    * requires [[VideoStage]]; survivors are the self-labeled rows,
+    * exactly as [[survivors]]. */
+  def videoLabels(spark: SparkSession, stateDir: String): DataFrame =
+    StreamingIvm.readState(spark, s"$stateDir/vidlabels", None).getOrElse(
+      sys.error(s"CrawlDedup: no committed video-label state under $stateDir"))
+
   /** The DEDUPLICATED corpus as of the latest fold: every crawled
     * document whose id survives near-dup clustering (one per cluster —
     * the min member), with the full document payload — the relation a
@@ -428,12 +473,14 @@ object CrawlDedup {
              substr: Option[SubstrStage] = None,
              semantic: Option[SemanticStage] = None,
              image: Option[ImageStage] = None,
+             video: Option[VideoStage] = None,
              compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(b.sparkSession, stateDir, n, threshold, bands, rows,
           maxBandBucketSize, substr = substr, semantic = semantic,
-          image = image, compactEvery = compactEvery)(b.toDF(), id)
+          image = image, video = video, compactEvery = compactEvery)(
+          b.toDF(), id)
     }
 }

@@ -1131,6 +1131,59 @@ class StreamingExtSuite extends SparkSuite {
     assert(labelMap() === expect, "re-delivered image batch corrupted state")
   }
 
+  test("crawl video stage: min-wise frame signatures probe across batches and a compaction; labels ≡ one-shot recompute; re-delivery idempotent") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.CrawlDedup
+    val state = tmpDir("crawlvid-state")
+    // a pattern rendered at any block-aligned scale (and any trailing
+    // trim that keeps the argmin frame) hashes identically — the
+    // cross-batch "re-uploaded / trimmed" planted duplicates
+    def pat(patternId: Long, px: Int, frames: Int): Array[Byte] = Multimodal
+      .syntheticPatternVideos(spark, Seq(patternId).toDF("doc_id"), px, frames)
+      .collect().head.getAs[Array[Byte]]("payload")
+    // (doc, patternId, px, frames): 4↔1 is a resized re-encode twin,
+    // 5↔2 a pixel-doubled one; 7↔3 crosses the b=2 COMPACTION of the
+    // signature state. All full-length so the min-wise law is exact.
+    val batches: Seq[Seq[(Long, Long, Int, Int)]] = Seq(
+      Seq((1L, 1L, 8, 4), (2L, 2L, 8, 4)),
+      Seq((3L, 3L, 8, 4), (4L, 1L, 16, 4)),
+      Seq((5L, 2L, 32, 4), (6L, 6L, 8, 4)),
+      Seq((7L, 3L, 16, 4)))
+    def df(rows: Seq[(Long, Long, Int, Int)]) = rows
+      .map { case (id, p, px, fr) =>
+        (id, s"unique text u${id}a u${id}b", pat(p, px, fr)) }
+      .toDF("doc_id", "text", "payload")
+    def fold(b: Long): Unit =
+      CrawlDedup.applyBatch(spark, state, 3, 0.9, keepVersions = 2,
+        video = Some(CrawlDedup.VideoStage("payload")), compactEvery = 2)(
+        df(batches(b.toInt)), b)
+    (0L until 4L).foreach(fold)
+
+    def labelMap() = CrawlDedup.videoLabels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L,
+      3L -> 3L, 7L -> 3L, 6L -> 6L)
+    assert(labelMap() === expect)
+    // ≡ one-shot recompute over all seven containers
+    val all = df(batches.flatten)
+    val sigsAll = Multimodal.videoSignature(spark,
+      all.select(col("doc_id"), col("payload")))
+    val recompute = Dedup.connectedComponents(sigsAll.select("doc_id"),
+        "doc_id", Dedup.hammingPairsFromSigs(sigsAll, "sig", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === recompute)
+    // the b=2 compaction folded the signature partitions
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/vidsigs")).toSeq
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("compact=")) === 1, names)
+    // re-delivery of the final batch changes nothing
+    fold(3L)
+    assert(labelMap() === expect, "re-delivered video batch corrupted state")
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm
