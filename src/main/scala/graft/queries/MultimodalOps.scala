@@ -434,6 +434,64 @@ object MultimodalOps {
               WHERE bit_count(xor(a.sg, b.sg)) <= 3
               ORDER BY vid_a, vid_b""")),
 
+    // ⊕ the DAILY-CRAWL form of the audio dedup — completes the
+    // incremental symmetry across the full modality triad (image r15,
+    // video this round): 12/16 of the corpus is the persisted BASE
+    // whose envelope signatures are the kept state (four thin chunk
+    // rows per track — samples never re-decoded), the rest arrives as
+    // the batch; one (chunk, ck) equi-join + the intra-batch self-join
+    // is exactly the full banded join restricted to batch-touching
+    // pairs, which the oracle states (same integer restatement as
+    // mm_dedup_audio, base×base pairs excluded).
+    Entry(
+      "mm_dedup_audio_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = graft.operators.Curation
+          .hashKeep(col("doc_id"), "mma", 12)
+        def variants(d: org.apache.spark.sql.DataFrame) = Multimodal
+          .syntheticPatternAudio(s, d, 57, 32)
+          .select((col("doc_id") * 2).as("doc_id"), col("payload"))
+          .unionByName(Multimodal
+            .syntheticPatternAudio(s, d, 57, 64)
+            .select((col("doc_id") * 2 + 1).as("doc_id"), col("payload")))
+        val baseSigs = Multimodal
+          .audioSignature(s, variants(docs.filter(keep)))
+        val batchSigs = Multimodal
+          .audioSignature(s, variants(docs.filter(!keep)))
+        graft.operators.Dedup
+          .incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
+          .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH ks AS (SELECT unnest(range(0, 56)) AS k),
+              a AS (
+                SELECT d.doc_id, ks.k AS k,
+                       ((d.doc_id + 1) * (ks.k + 2) * 40503
+                        + (d.doc_id // 256 + 1) * (ks.k*ks.k + 7) * 97) % 32768 AS al,
+                       ((d.doc_id + 1) * ((ks.k + 1) + 2) * 40503
+                        + (d.doc_id // 256 + 1) * ((ks.k + 1)*(ks.k + 1) + 7) * 97) % 32768 AS ar
+                FROM documents d CROSS JOIN ks),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN ar > al
+                                THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg,
+                       substring(md5('mma:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS keep
+                FROM a GROUP BY doc_id),
+              vids AS (
+                SELECT doc_id*2 AS vid, sg, keep FROM sig
+                UNION ALL
+                SELECT doc_id*2 + 1 AS vid, sg, keep FROM sig)
+              SELECT vid_a, vid_b, hamming FROM (
+                SELECT a.vid AS vid_a, b.vid AS vid_b,
+                       CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming,
+                       a.keep AS ka, b.keep AS kb
+                FROM vids a JOIN vids b ON a.vid < b.vid)
+              WHERE hamming <= 3 AND NOT (ka AND kb)
+              ORDER BY vid_a, vid_b""")),
+
     // ⊕ PERCEPTUAL video dedup — the modality triad completed
     // (VERDICT r15 task 6): every document renders THREE times as a
     // GVID frame container of patterned PNGs — 4 frames at 8 px, the
