@@ -669,6 +669,92 @@ object CdcOps {
               FROM events GROUP BY 1
               ORDER BY cnt DESC, event_type LIMIT 5""")),
 
+    // ⊕ the HAVING dashboard shape routed: aggregate + Filter on the
+    // AGGREGATE OUTPUT (SQL HAVING). SummaryRewrite rewrites the inner
+    // Aggregate onto the |keys|-row summary with exprIds preserved, so
+    // the Filter above re-resolves untouched and evaluates per summary
+    // row — zero base I/O (PlanSpec pins summary-only scan). The
+    // predicate is pure integer arithmetic on the served count, so the
+    // oracle replays it bit-exactly and it splits the groups
+    // non-vacuously at any corpus size (mod-7 band, spec-pinned
+    // non-vacuity on the fixture).
+    Entry(
+      "cdc_mv_routed_having",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvhav_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v_micro")).as("sum_micro"))
+          .filter(col("cnt") % 7 < 4)
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+              FROM events GROUP BY 1
+              HAVING (COUNT(*) % 7) < 4 ORDER BY event_type""")),
+
+    // ⊕ the SHARE-OF-TOTAL dashboard shape routed: an unpartitioned
+    // window above the aggregate (share = cnt·10⁶ ÷ Σcnt, integer
+    // division both engines evaluate identically). The window is pure
+    // post-processing over the aggregate OUTPUT — after routing it runs
+    // over |keys| summary rows, not the corpus, which is why this is
+    // the one place an empty partitionSpec is scale-safe (PlanSpec
+    // allowlists it as aggregate-bounded and pins the summary-only
+    // scan).
+    Entry(
+      "cdc_mv_routed_share",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvshare_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("share_ppm",
+            expr("(cnt * 1000000) DIV SUM(cnt) OVER ()"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, cnt,
+                     (cnt * 1000000) // SUM(cnt) OVER () AS share_ppm
+              FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1)
+              ORDER BY event_type""")),
+
     // ⊕ star-join routing: the dashboard shape one notch wider than
     // cdc_mv_routed — a plain aggregate over `base ⋈ dim` (join key =
     // the summary grain) grouped by a DIM attribute. SummaryRewrite

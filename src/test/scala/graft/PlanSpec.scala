@@ -56,7 +56,10 @@ class PlanSpec extends SparkSuite {
       "t6_change_point" -> "change-point scan over the daily series",
       "cdc_backfill_plan" -> "gaps-and-islands over distinct days",
       // fixed 16-bucket grid whatever the corpus (width from max doc_id)
-      "text_vocab_growth" -> "cumulative over the fixed 16-bucket grid")
+      "text_vocab_growth" -> "cumulative over the fixed 16-bucket grid",
+      // share-of-total above a ROUTED aggregate: the window input is
+      // the |keys|-row summary re-aggregation, never the corpus
+      "cdc_mv_routed_share" -> "total over the routed |keys|-row aggregate")
     val offenders = Inventory.all.flatMap { e =>
       val lp = e.run(spark, sfDir).queryExecution.optimizedPlan
       val bad = lp.collect {
@@ -545,6 +548,24 @@ class PlanSpec extends SparkSuite {
       s"stream-maintained summary not scanned: $paths")
     assert(!paths.exists(_.endsWith("/docs")),
       s"corpus still scanned after streamed-MV routing: $paths")
+  }
+
+  test("having/share routing: post-aggregate Filter and window run over the summary scan, never the base") {
+    for (name <- Seq("cdc_mv_routed_having", "cdc_mv_routed_share")) {
+      val df = Inventory.byName(name).run(spark, sfDir)
+      val paths = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(paths.exists(_.endsWith("/summary")),
+        s"$name: summary not scanned: $paths")
+      assert(!paths.exists(_.endsWith("/base")),
+        s"$name: base corpus still scanned after routing: $paths")
+    }
   }
 
   test("star-join routing: summary replaces the base side, the dim join survives (cdc_mv_routed_star)") {

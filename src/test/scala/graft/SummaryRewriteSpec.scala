@@ -92,6 +92,46 @@ class SummaryRewriteSpec extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("HAVING shape: a Filter on aggregate output routes and splits the groups non-vacuously") {
+    val (base, mv) = fixture()
+    def q() = spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_micro").as("s"))
+      .filter(col("s") % 5 === 0) // HAVING on the served SUM
+      .orderBy("event_type")
+    val expect = q().collect()
+    // the predicate must actually split (1 of 5 fixture sums ≡ 0 mod 5)
+    assert(expect.nonEmpty && expect.length < 5,
+      s"vacuous HAVING fixture: ${expect.length} of 5 groups kept")
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === expect)
+    } finally MvRegistry.clear()
+  }
+
+  test("share-of-total shape: an unpartitioned window above the aggregate routes onto the |keys|-row summary") {
+    val (base, mv) = fixture()
+    def q() = spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", expr("(n * 1000000) DIV SUM(n) OVER ()"))
+      .orderBy("event_type")
+    val expect = q().collect()
+    assert(expect.map(_.getLong(2)).sum === 1000000L) // exact ppm total
+    register(base, mv)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === expect)
+    } finally MvRegistry.clear()
+  }
+
   test("composite grain: exact, reordered, SUBSET, and global groupings all route") {
     // summary at the (event_type, junk) grain — every served function
     // is a re-aggregation, so any subset of the grain (any order, down
