@@ -49,6 +49,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors whose `label` DIFFERS from the
+    * query's — the near-miss negatives a contrastive or reranker
+    * trainer pairs against each anchor. Exact (brute) scoring over the
+    * label-mismatch candidate set with the same deterministic total
+    * order as [[knnBrute]] (cos DESC, neighbor_id ASC). The broadcast
+    * side is the bounded query set; at 100 TB prune candidates first
+    * (e.g. [[knnIvfMultiProbe]]'s cell ranking with the query's own
+    * cell dropped) and rescore exactly — same recall dial as top-k. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(withNorm(queries
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb")),
+      "q_emb", "q_nrm"))
+    val d = withNorm(emb, "embedding", "nrm")
+    val scored = d.join(q, col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** IVF-style pruned top-k: only score vectors in the query's own cell
     * (`label`). One-probe IVF: recall trades against the 1/cells scan. */
   def knnIvf(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {

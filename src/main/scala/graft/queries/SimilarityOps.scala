@@ -50,6 +50,34 @@ object SimilarityOps {
         .orderBy("query_id", "rank"),
       Some(bruteSql)),
 
+    // ⊕ hard-negative mining — the contrastive-training counterpart of
+    // top-k: per anchor query, the 5 most-similar vectors of a
+    // DIFFERENT class (near-miss negatives). Exact scoring over the
+    // label-mismatch candidate set, deterministic total order (cos
+    // DESC, neighbor_id). The broadcast side is the bounded anchor
+    // set; the 100 TB path prunes candidates by ranked IVF cells
+    // (query's own cell dropped) before the exact rescore — the same
+    // recall dial the knn family pins.
+    Entry(
+      "sim_hard_negatives",
+      (s, dir) => Similarity
+        .hardNegatives(Tables(s, dir, "embeddings"), queries(s, dir), 5)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               q AS (SELECT vec_id AS query_id, label AS q_label, e
+                     FROM d WHERE vec_id < 10),
+               scored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q JOIN d ON d.label <> q.q_label),
+               r AS (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, rank, cos
+               FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // IVF-style one-probe ANN: scan only the query's own cell (label);
     // the 100 TB path scans 1/cells of the data via partition pruning.
     Entry(

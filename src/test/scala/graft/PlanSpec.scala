@@ -107,6 +107,7 @@ class PlanSpec extends SparkSuite {
       "a28_equidepth_bins" -> "one-row min/max/count stats row",
       "dedup_embed_cosine" -> "declared brute baseline: broadcast-tiny query set",
       "sim_knn_brute" -> "declared brute baseline: broadcast-tiny query set",
+      "sim_hard_negatives" -> "declared brute baseline: broadcast-tiny anchor set",
       "sim_knn_jl_rerank" -> "JL candidate pass: broadcast-tiny query set",
       "sim_jl_distortion" -> "JL audit pair pass: broadcast-tiny query set",
       "sim_range_search" -> "declared brute baseline: broadcast-tiny query set",

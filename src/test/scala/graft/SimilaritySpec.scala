@@ -71,6 +71,26 @@ class SimilaritySpec extends SparkSuite {
     assert(!knn.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("hardNegatives: only other-label candidates, ranked by cosine desc") {
+    // anchor 0 (label 0): candidates are 3 and 4 (label 1) only —
+    // same-label 1, 2 and the anchor itself are excluded by the
+    // label-mismatch condition
+    val hn = Similarity.hardNegatives(vectors,
+        vectors.filter($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(hn.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(4L, 3L),
+      hn.mkString(", ")) // cos ≈ 0.994 before cos = -1
+    assert(hn.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    // the hardest negative ranks ABOVE the same-label knn pick 2:
+    // exactly the near-miss a contrastive trainer wants surfaced
+    assert(hn(0).getAs[Double]("cos") > 0.99)
+    // and an anchor of the other class mines only label-0 vectors
+    val hn3 = Similarity.hardNegatives(vectors,
+        vectors.filter($"vec_id" === 3), 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(hn3 === Set(0L, 1L, 2L))
+  }
+
   test("knnIvf only searches the query's own cell") {
     val knn = Similarity.knnIvf(vectors, vectors.filter($"vec_id" === 0), 5)
       .collect()
