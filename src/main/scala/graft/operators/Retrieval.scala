@@ -124,4 +124,38 @@ object Retrieval {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Exact PHRASE search over a positional inverted index: documents
+    * containing `phrase` as consecutive whitespace tokens, with
+    * occurrence count and first match position (0-based). Emits
+    * (doc_id, n_occ, first_pos).
+    *
+    * Shape: postings (doc, pos, term) are FILTERED to the phrase's own
+    * terms before anything shuffles — the classic inverted-index probe,
+    * so cost ∝ the phrase terms' posting lists, never |corpus tokens|.
+    * Position intersection is a chain of (doc, pos−i) equi-joins, one
+    * per phrase term past the first: each join is posting-list-sized
+    * and co-partitions on doc_id, exactly the merge a monolithic
+    * search engine does per posting cursor — expressed as joins so
+    * Catalyst plans, reorders, and (for rare terms) broadcasts them. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phraseSearch: each phrase term must be one whitespace-free " +
+        s"token, got ${phrase.mkString("[", ", ", "]")}")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+    def postings(t: String) = toks.filter(col("term") === lit(t))
+    val first = postings(phrase.head).select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        val next = postings(t)
+          .select(col("doc_id").as("_d"), (col("pos") - lit(i)).as("_p"))
+        acc.join(next, col("doc_id") === col("_d") && col("pos") === col("_p"))
+          .select(col("doc_id"), col("pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("pos").cast(LongType)).as("first_pos"))
+  }
 }

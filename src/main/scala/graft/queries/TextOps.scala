@@ -270,6 +270,38 @@ object TextOps {
                      CAST(sc AS DOUBLE) / 1000000.0 AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // ⊕ exact phrase search over a positional inverted index — the
+    // lexical primitive BM25 can't express (term ADJACENCY): which
+    // documents contain the exact phrase "hash join", how often, and
+    // where it first appears. Postings filter to the phrase's own
+    // terms BEFORE any shuffle (the inverted-index probe), the
+    // position intersection is a (doc, pos−i) equi-join chain — cost ∝
+    // the two terms' posting lists at any corpus size. The oracle
+    // rebuilds the same positional index via DuckDB's zipped unnest
+    // and replays the intersection verbatim.
+    Entry(
+      "text_phrase_search",
+      (s, dir) => graft.operators.Retrieval
+        .phraseSearch(Tables(s, dir, "documents"), Seq("hash", "join"))
+        .orderBy("doc_id"),
+      Some("""WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+              toks AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, len(a)+1)) AS BIGINT) - 1 AS pos,
+                       unnest(a) AS term
+                FROM arr),
+              m0 AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+              m1 AS (SELECT doc_id, pos FROM toks WHERE term = 'join'),
+              hits AS (
+                SELECT m0.doc_id, m0.pos
+                FROM m0 JOIN m1
+                  ON m1.doc_id = m0.doc_id AND m1.pos = m0.pos + 1)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                     MIN(pos) AS first_pos
+              FROM hits GROUP BY 1 ORDER BY doc_id""")),
+
     // document fingerprinting (md5 of normalized text = the dedup key).
     Entry(
       "text_fingerprint",

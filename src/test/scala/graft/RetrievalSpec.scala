@@ -83,4 +83,29 @@ class RetrievalSpec extends SparkSuite {
       assert(rs.map(_._6).sorted.toList === (1L to rs.length).toList)
     }
   }
+
+  test("phraseSearch: consecutive-token matches only, overlaps counted, positions exact") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),       // "a b c" at 0 and 3; "a b" also at 6
+      (2L, "a c b a b"),             // "a b" at 3 only; no "a b c"
+      (3L, "b c a"),                 // neither
+      (4L, "a a a a")                // "a a" OVERLAPS: positions 0,1,2
+    ).toDF("doc_id", "text")
+    def got(p: String*) = Retrieval.phraseSearch(docs, p)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got("a", "b") ===
+      List((1L, 3L, 0L), (2L, 1L, 3L)))
+    assert(got("a", "b", "c") === List((1L, 2L, 0L)))
+    assert(got("a", "a") === List((4L, 3L, 0L))) // overlapping occurrences
+    assert(got("z") === Nil)                     // absent term: empty, no error
+    // single-term phrase degenerates to the posting list itself
+    assert(got("c") === List((1L, 2L, 2L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    // malformed phrases fail loudly
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, Seq("a b"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(docs, Nil)
+    }
+  }
 }
