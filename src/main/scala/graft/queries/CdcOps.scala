@@ -625,6 +625,43 @@ object CdcOps {
                     FROM events)
               GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ the streamed MV loop maintaining the FULL aggregate surface:
+    // same 3-batch fold as cdc_mv_streamed with extremes enabled —
+    // MIN/MAX fold monotone under the loop's insert-only signs (a
+    // retraction fails the fold loudly; delete-bearing extreme repair
+    // is the batch refreshSummary path, gated separately). The routed
+    // dashboard serves count/sum/avg AND min/max from the
+    // stream-maintained |keys|-row summary; the oracle recomputes all
+    // six from raw events, so one hash certifies fold ≡ recompute ≡
+    // routed across the whole surface.
+    Entry(
+      "cdc_mv_streamed_minmax",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val state = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_smvmm_$tag").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type").as("k"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"),
+            col("event_id"))
+        val cfg = StreamingMv.Config(Seq("k"), extremes = true)
+        (0L until 3L).foreach { b =>
+          StreamingMv.foldBatch(s, state, cfg)(
+            ev.filter(col("event_id") % 3 === b).drop("event_id"), b)
+        }
+        StreamingMv.dashboard(s, state, cfg).orderBy("k")
+      },
+      Some("""SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro,
+                     MIN(v_micro) AS min_micro,
+                     MAX(v_micro) AS max_micro
+              FROM (SELECT event_type,
+                           CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                    FROM events)
+              GROUP BY 1 ORDER BY 1""")),
+
     // ⊕ the dashboard TOP-K shape routed (VERDICT r15 task 4): the
     // reference's flagship panel — top-5 groups by count
     // (SaveDelta.scala:236-242, A2/O1) — is an aggregate + ORDER BY

@@ -73,7 +73,8 @@ object StreamingIvm {
     * version strictly below b — pruning it would break the
     * idempotence the whole protocol exists for. */
   def applyBatch(spark: SparkSession, stateDir: String,
-                 keyCols: Seq[String], keepVersions: Int = 3)
+                 keyCols: Seq[String], keepVersions: Int = 3,
+                 extremes: Boolean = false)
                 (batch: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
       s"keepVersions must be >= 2 (re-delivery folds from the " +
@@ -85,14 +86,54 @@ object StreamingIvm {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(
           batch.select(keyCols.map(col): _*).schema.fields ++
-            Seq(org.apache.spark.sql.types.StructField("cnt",
+            (Seq(org.apache.spark.sql.types.StructField("cnt",
               org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("n_nonnull",
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("sum_micro",
-                org.apache.spark.sql.types.LongType))))
+                org.apache.spark.sql.types.LongType)) ++
+              (if (extremes) Seq(
+                org.apache.spark.sql.types.StructField("min_micro",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("max_micro",
+                  org.apache.spark.sql.types.LongType))
+              else Nil))))
     }
-    IncrementalFinal.maintainAggregate(base, batch, keyCols)
+    val folded0 = IncrementalFinal.maintainAggregate(base, batch, keyCols)
+    val folded =
+      if (!extremes) folded0
+      else {
+        // INSERT-ONLY extremes: min/max fold monotone under +1 signs
+        // (least/greatest of the surviving state and the batch's own
+        // extremes — nulls skipped, so all-null batches and brand-new
+        // keys both fold exactly). A retraction CANNOT be folded this
+        // way (a deleted extreme needs the dirty-grain rescan
+        // IncrementalFinal.refreshSummary runs) — any negative sign
+        // fails the fold LOUDLY via assert_true rather than serving a
+        // silently-wrong extreme.
+        val dmm = batch.groupBy(keyCols.map(col): _*).agg(
+          min(when(col("sign") > 0, col("v_micro"))).as("_d_min"),
+          max(when(col("sign") > 0, col("v_micro"))).as("_d_max"),
+          sum(when(col("sign") < 0, lit(1L)).otherwise(lit(0L)))
+            .as("_d_dels"))
+        val mmBase = base.select(
+          (keyCols.map(col) :+ col("min_micro") :+ col("max_micro")): _*)
+        val guard = assert_true(
+          coalesce(col("_d_dels"), lit(0L)) === 0L,
+          lit("StreamingIvm: extremes maintenance is insert-only — " +
+            "retraction-bearing summaries repair through " +
+            "IncrementalFinal.refreshSummary, not the streaming fold"))
+        folded0
+          .join(mmBase, keyCols, "left_outer")
+          .join(dmm, keyCols, "left_outer")
+          .select((keyCols.map(col) ++ Seq(
+            col("cnt"), col("n_nonnull"), col("sum_micro"),
+            when(guard.isNull,
+              least(col("min_micro"), col("_d_min"))).as("min_micro"),
+            when(guard.isNull,
+              greatest(col("max_micro"), col("_d_max"))).as("max_micro"))): _*)
+      }
+    folded
       // materialize BEFORE writing: the fold's lineage reads the
       // predecessor version, never the directory being overwritten,
       // but localCheckpoint also decouples from the streaming batch

@@ -47,9 +47,14 @@ object StreamingMv {
 
   /** The summary grain + maintained columns this loop serves:
     * count / non-null count / sum over `valueCol` at `keyCols` — the
-    * [[graft.pipeline.IncrementalFinal.maintainAggregate]] contract. */
+    * [[graft.pipeline.IncrementalFinal.maintainAggregate]] contract —
+    * plus MIN/MAX when `extremes` is set: monotone under the loop's
+    * insert-only signs (a retraction fails the fold loudly — extreme
+    * repair under deletes is the batch
+    * [[graft.pipeline.IncrementalFinal.refreshSummary]] path). */
   final case class Config(keyCols: Seq[String], valueCol: String = "v_micro",
-                          keepVersions: Int = 3)
+                          keepVersions: Int = 3,
+                          extremes: Boolean = false)
 
   def docsDir(stateDir: String): String = s"$stateDir/docs"
   def summaryDir(stateDir: String): String = s"$stateDir/summary"
@@ -79,7 +84,8 @@ object StreamingMv {
       .parquet(s"${docsDir(stateDir)}/batch=$batchId")
     // 2. versioned summary fold — the commit mark
     StreamingIvm.applyBatch(spark, summaryDir(stateDir), cfg.keyCols,
-      cfg.keepVersions)(rows.withColumn("sign", lit(1L)), batchId)
+      cfg.keepVersions, extremes = cfg.extremes)(
+      rows.withColumn("sign", lit(1L)), batchId)
     // 3. routing resumes: register the folded summary for the corpus
     //    path with the CURRENT token (stamped from the files just
     //    written — any later corpus write bails routing until the next
@@ -90,7 +96,11 @@ object StreamingMv {
           sys.error(s"StreamingMv: no committed summary under $stateDir")),
         cfg.keyCols, "cnt",
         sums = Map(cfg.valueCol -> "sum_micro"),
-        nns = Map(cfg.valueCol -> "n_nonnull")))
+        nns = Map(cfg.valueCol -> "n_nonnull"),
+        mins = if (cfg.extremes) Map(cfg.valueCol -> "min_micro")
+               else Map.empty,
+        maxs = if (cfg.extremes) Map(cfg.valueCol -> "max_micro")
+               else Map.empty))
   }
 
   /** Wire an insert stream into the loop. Caller starts the returned
@@ -107,11 +117,17 @@ object StreamingMv {
     * per query whether it serves from the summary (fresh) or the corpus
     * (stale/unregistered). */
   def dashboard(spark: SparkSession, stateDir: String, cfg: Config)
-  : DataFrame =
+  : DataFrame = {
+    val aggs = Seq(count(lit(1)).as("cnt"),
+      count(col(cfg.valueCol)).as("n_nonnull"),
+      sum(col(cfg.valueCol)).as("sum_micro"),
+      avg(col(cfg.valueCol)).as("avg_micro")) ++
+      (if (cfg.extremes)
+        Seq(min(col(cfg.valueCol)).as("min_micro"),
+          max(col(cfg.valueCol)).as("max_micro"))
+      else Nil)
     spark.read.parquet(docsDir(stateDir))
       .groupBy(cfg.keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        count(col(cfg.valueCol)).as("n_nonnull"),
-        sum(col(cfg.valueCol)).as("sum_micro"),
-        avg(col(cfg.valueCol)).as("avg_micro"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

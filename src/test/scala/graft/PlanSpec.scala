@@ -535,20 +535,22 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.executedPlan.toString)
   }
 
-  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed)") {
-    val df = Inventory.byName("cdc_mv_streamed").run(spark, sfDir)
-    val paths = df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-    }.flatten
-    assert(paths.exists(_.contains("/summary/v=")),
-      s"stream-maintained summary not scanned: $paths")
-    assert(!paths.exists(_.endsWith("/docs")),
-      s"corpus still scanned after streamed-MV routing: $paths")
+  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed, _minmax)") {
+    for (name <- Seq("cdc_mv_streamed", "cdc_mv_streamed_minmax")) {
+      val df = Inventory.byName(name).run(spark, sfDir)
+      val paths = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(paths.exists(_.contains("/summary/v=")),
+        s"$name: stream-maintained summary not scanned: $paths")
+      assert(!paths.exists(_.endsWith("/docs")),
+        s"$name: corpus still scanned after streamed-MV routing: $paths")
+    }
   }
 
   test("having/share routing: post-aggregate Filter and window run over the summary scan, never the base") {

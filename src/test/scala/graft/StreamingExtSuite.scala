@@ -781,6 +781,64 @@ class StreamingExtSuite extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("StreamingMv extremes: min/max fold monotone over insert batches; routed ≡ recompute; a retraction fails the fold loudly") {
+    import graft.streaming.{StreamingIvm, StreamingMv}
+    import graft.plans.MvRegistry
+    val state = tmpDir("smv-mm")
+    val cfg = StreamingMv.Config(Seq("k"), extremes = true)
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    try {
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(5L)), ("a", Some(9L)), ("b", Some(2L)))
+          .toDF("k", "v_micro"), 0L)
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(1L)), ("b", None: Option[Long]), ("b", Some(7L)),
+          ("c", Some(4L))).toDF("k", "v_micro"), 1L)
+      def mm(df: org.apache.spark.sql.DataFrame) = df.orderBy("k")
+        .select("k", "min_micro", "max_micro").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      val dash = StreamingMv.dashboard(spark, state, cfg)
+      // cross-batch extremes exact; nulls skipped; singleton min==max
+      assert(mm(dash) ===
+        List(("a", 1L, 9L), ("b", 2L, 7L), ("c", 4L, 4L)))
+      // and the extremes are SERVED from the stream-maintained summary
+      val paths = scanned(dash)
+      assert(paths.exists(_.contains("/summary/")),
+        s"extremes dashboard not served from the summary: $paths")
+      assert(!paths.exists(_.endsWith("/docs")),
+        s"extremes dashboard still scans the corpus: $paths")
+      // re-delivery of batch 1 changes nothing (monotone fold from the
+      // same predecessor version)
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(1L)), ("b", None: Option[Long]), ("b", Some(7L)),
+          ("c", Some(4L))).toDF("k", "v_micro"), 1L)
+      assert(mm(StreamingMv.dashboard(spark, state, cfg)) ===
+        List(("a", 1L, 9L), ("b", 2L, 7L), ("c", 4L, 4L)))
+      // a retraction cannot fold monotone extremes — loud failure, not
+      // a silently-wrong extreme
+      val e = intercept[Exception] {
+        StreamingIvm.applyBatch(spark,
+          StreamingMv.summaryDir(state), Seq("k"), extremes = true)(
+          Seq(("a", 9L, -1L)).toDF("k", "v_micro", "sign"), 5L)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("insert-only")), msgs(e).mkString)
+      // the failed fold left no committed v=5 state
+      assert(!StreamingIvm.versions(spark,
+        StreamingMv.summaryDir(state)).contains(5L))
+    } finally MvRegistry.clear()
+  }
+
   test("crawl pipeline: LSH probe → label fold → survivors compose end-to-end; " +
     "kill-and-restart resumes mid-crawl; re-delivery is idempotent") {
     import graft.operators.Dedup
