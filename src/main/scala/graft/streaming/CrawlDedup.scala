@@ -93,6 +93,14 @@ object CrawlDedup {
   final case class VideoStage(payloadCol: String, maxHamming: Int = 3,
       stride: Int = 1)
 
+  /** Optional perceptual AUDIO stage: the same probe-and-fold protocol
+    * over [[graft.operators.Multimodal.audioSignature]] — each batch's
+    * WAV payloads decode map-side into the 56-bit envelope-gradient
+    * hash (time-stretched re-encodes hash identically), probe the
+    * accumulated signature state, fold into versioned audio-cluster
+    * labels. */
+  final case class AudioStage(payloadCol: String, maxHamming: Int = 3)
+
   /** Accumulated state strictly BEFORE `beforeBatch` for an append-only
     * per-batch directory (`docs`/`bands`/`subwins`/`semassigned`); None
     * when no prior batch has committed. Compaction-aware: the newest
@@ -220,6 +228,7 @@ object CrawlDedup {
                  semantic: Option[SemanticStage] = None,
                  image: Option[ImageStage] = None,
                  video: Option[VideoStage] = None,
+                 audio: Option[AudioStage] = None,
                  compactEvery: Int = 0)
                 (batchDf: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2,
@@ -231,7 +240,8 @@ object CrawlDedup {
     // the probe below reads the compacted view — ≡ the per-batch view
     // by construction (suite pins probe-after ≡ probe-before)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      Seq("docs", "bands", "subwins", "semassigned", "imgsigs", "vidsigs")
+      Seq("docs", "bands", "subwins", "semassigned", "imgsigs", "vidsigs",
+          "audsigs")
         .foreach(d => compactAppendOnly(spark, s"$stateDir/$d", batchId))
     // materialize the batch once: it feeds the sketch, the verification
     // re-shingle, the label fold, AND the state append
@@ -365,6 +375,16 @@ object CrawlDedup {
           stride = st.stride),
         st.maxHamming, batchId, keepVersions)
     }
+
+    // ---- optional perceptual AUDIO stage: the triad's third modality
+    // through the same shared fold.
+    audio.foreach { st =>
+      foldPerceptual(spark, stateDir, "audsigs", "audlabels",
+        graft.operators.Multimodal.audioSignature(spark,
+          batchDf.select(col("doc_id"),
+            col(st.payloadCol).as("payload"))),
+        st.maxHamming, batchId, keepVersions)
+    }
   }
 
   /** Shared perceptual fold (image + video stages): checkpoint the
@@ -453,6 +473,12 @@ object CrawlDedup {
     StreamingIvm.readState(spark, s"$stateDir/vidlabels", None).getOrElse(
       sys.error(s"CrawlDedup: no committed video-label state under $stateDir"))
 
+  /** Current perceptual audio-cluster labels (doc_id, cluster_id) —
+    * requires [[AudioStage]]. */
+  def audioLabels(spark: SparkSession, stateDir: String): DataFrame =
+    StreamingIvm.readState(spark, s"$stateDir/audlabels", None).getOrElse(
+      sys.error(s"CrawlDedup: no committed audio-label state under $stateDir"))
+
   /** The DEDUPLICATED corpus as of the latest fold: every crawled
     * document whose id survives near-dup clustering (one per cluster —
     * the min member), with the full document payload — the relation a
@@ -474,13 +500,14 @@ object CrawlDedup {
              semantic: Option[SemanticStage] = None,
              image: Option[ImageStage] = None,
              video: Option[VideoStage] = None,
+             audio: Option[AudioStage] = None,
              compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(b.sparkSession, stateDir, n, threshold, bands, rows,
           maxBandBucketSize, substr = substr, semantic = semantic,
-          image = image, video = video, compactEvery = compactEvery)(
-          b.toDF(), id)
+          image = image, video = video, audio = audio,
+          compactEvery = compactEvery)(b.toDF(), id)
     }
 }

@@ -1242,6 +1242,57 @@ class StreamingExtSuite extends SparkSuite {
     assert(labelMap() === expect, "re-delivered video batch corrupted state")
   }
 
+  test("crawl audio stage: envelope signatures probe across batches and a compaction; labels ≡ one-shot recompute; re-delivery idempotent") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.CrawlDedup
+    val state = tmpDir("crawlaud-state")
+    // a pattern rendered at any frames-per-segment is the SAME envelope
+    // — cross-batch "time-stretched re-encodes" are the planted dups
+    def pat(patternId: Long, per: Int): Array[Byte] = Multimodal
+      .syntheticPatternAudio(spark, Seq(patternId).toDF("doc_id"), 57, per)
+      .collect().head.getAs[Array[Byte]]("payload")
+    // (doc, patternId, per): 4↔1 and 5↔2 are cross-batch stretched
+    // twins; 7↔3 crosses the b=2 COMPACTION of the signature state
+    val batches: Seq[Seq[(Long, Long, Int)]] = Seq(
+      Seq((1L, 1L, 32), (2L, 2L, 32)),
+      Seq((3L, 3L, 32), (4L, 1L, 64)),
+      Seq((5L, 2L, 96), (6L, 6L, 32)),
+      Seq((7L, 3L, 64)))
+    def df(rows: Seq[(Long, Long, Int)]) = rows
+      .map { case (id, p, per) =>
+        (id, s"unique text u${id}a u${id}b", pat(p, per)) }
+      .toDF("doc_id", "text", "payload")
+    def fold(b: Long): Unit =
+      CrawlDedup.applyBatch(spark, state, 3, 0.9, keepVersions = 2,
+        audio = Some(CrawlDedup.AudioStage("payload")), compactEvery = 2)(
+        df(batches(b.toInt)), b)
+    (0L until 4L).foreach(fold)
+
+    def labelMap() = CrawlDedup.audioLabels(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L,
+      3L -> 3L, 7L -> 3L, 6L -> 6L)
+    assert(labelMap() === expect)
+    // ≡ one-shot recompute over all seven payloads
+    val all = df(batches.flatten)
+    val sigsAll = Multimodal.audioSignature(spark,
+      all.select(col("doc_id"), col("payload")))
+    val recompute = Dedup.connectedComponents(sigsAll.select("doc_id"),
+        "doc_id", Dedup.hammingPairsFromSigs(sigsAll, "sig", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap() === recompute)
+    // the b=2 compaction folded the signature partitions
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/audsigs")).toSeq
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("compact=")) === 1, names)
+    // re-delivery of the final batch changes nothing
+    fold(3L)
+    assert(labelMap() === expect, "re-delivered audio batch corrupted state")
+  }
+
   test("StreamingIvm retention: long runs keep <= keepVersions dirs; " +
     "re-delivery still folds after pruning; half-written versions are invisible") {
     import graft.streaming.StreamingIvm
