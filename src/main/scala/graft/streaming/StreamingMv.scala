@@ -83,9 +83,13 @@ object StreamingMv {
     rows.write.mode(SaveMode.Overwrite)
       .parquet(s"${docsDir(stateDir)}/batch=$batchId")
     // 2. versioned summary fold — the commit mark
+    // the IVM fold's maintenance schema is fixed (v_micro/sign); the
+    // corpus partition above keeps the caller's column name — the
+    // rename is a no-op for the default config
     StreamingIvm.applyBatch(spark, summaryDir(stateDir), cfg.keyCols,
       cfg.keepVersions, extremes = cfg.extremes)(
-      rows.withColumn("sign", lit(1L)), batchId)
+      rows.withColumnRenamed(cfg.valueCol, "v_micro")
+        .withColumn("sign", lit(1L)), batchId)
     // 3. routing resumes: register the folded summary for the corpus
     //    path with the CURRENT token (stamped from the files just
     //    written — any later corpus write bails routing until the next

@@ -836,6 +836,19 @@ class StreamingExtSuite extends SparkSuite {
       // the failed fold left no committed v=5 state
       assert(!StreamingIvm.versions(spark,
         StreamingMv.summaryDir(state)).contains(5L))
+      // a NON-DEFAULT valueCol folds and routes identically — the IVM
+      // maintenance schema (v_micro) is internal to the fold
+      val state2 = tmpDir("smv-vc")
+      val cfg2 = StreamingMv.Config(Seq("k"), valueCol = "amount",
+        extremes = true)
+      StreamingMv.foldBatch(spark, state2, cfg2)(
+        Seq(("a", Some(3L)), ("a", Some(8L))).toDF("k", "amount"), 0L)
+      val d2 = StreamingMv.dashboard(spark, state2, cfg2)
+      assert(d2.collect().map(r => (r.getString(0),
+        r.getAs[Long]("min_micro"), r.getAs[Long]("max_micro"))).toList
+        === List(("a", 3L, 8L)))
+      assert(scanned(d2).exists(_.contains("/summary/")),
+        s"non-default valueCol not routed: ${scanned(d2)}")
     } finally MvRegistry.clear()
   }
 
