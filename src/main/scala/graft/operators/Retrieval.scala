@@ -158,4 +158,35 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occ"),
         min(col("pos").cast(LongType)).as("first_pos"))
   }
+
+  /** PROXIMITY search over the same positional index: documents where
+    * `a` and `b` occur within `window` tokens of each other — the
+    * "terms near each other" relevance primitive between bag-of-words
+    * (BM25) and exact adjacency ([[phraseSearch]]). Emits (doc_id,
+    * n_pairs, min_dist): co-occurring position pairs and the closest
+    * distance.
+    *
+    * Shape: both posting lists filter BEFORE the shuffle; the
+    * proximity join is an equi-join on doc_id with the |Δpos| ≤ window
+    * band as a post-join filter — never a cross product, and the
+    * per-document pair fan-out is bounded by the two terms' in-document
+    * frequencies (tiny for any real query term). */
+  def nearSearch(docs: DataFrame, a: String, b: String,
+                 window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(a != b, "nearSearch: use phraseSearch/postings for a = b")
+    require(Seq(a, b).forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"nearSearch: terms must be whitespace-free tokens, got '$a', '$b'")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+    val pa = toks.filter(col("term") === lit(a))
+      .select(col("doc_id"), col("pos").as("_pa"))
+    val pb = toks.filter(col("term") === lit(b))
+      .select(col("doc_id").as("_d"), col("pos").as("_pb"))
+    pa.join(pb, col("doc_id") === col("_d") &&
+        abs(col("_pa") - col("_pb")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("_pa") - col("_pb")).cast(LongType)).as("min_dist"))
+  }
 }

@@ -855,6 +855,65 @@ object CdcOps {
               FROM base b JOIN dim d ON b.event_type = d.k
               GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ the FULL dashboard stack composed over one routed aggregate:
+    // base ⋈ dim (star), GROUP BY dim attribute, HAVING on the count,
+    // ORDER BY the count, LIMIT — every post-aggregate shape this
+    // round and the star rewrite in a single plan. SummaryRewrite
+    // replaces only the base side; the dim join, the Filter, the Sort
+    // and the Limit all re-resolve over the |keys|-row rewrite
+    // (PlanSpec pins summary-scanned + base-unscanned + the top-k
+    // physical operator). This is the query a BI tool actually emits.
+    Entry(
+      "cdc_mv_routed_dashboard",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvdash_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val dimPath = new java.io.File(root, "dim").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"))
+          .write.mode("overwrite").parquet(mvPath)
+        ev.select(col("event_type").as("k")).distinct()
+          .select(col("k"),
+            length(col("k")).cast(IntegerType).as("type_len"))
+          .write.mode("overwrite").parquet(dimPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull")))
+        s.read.parquet(basePath)
+          .join(s.read.parquet(dimPath), col("event_type") === col("k"))
+          .groupBy("type_len")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v_micro")).as("sum_micro"))
+          .filter(col("cnt") % 5 < 3)
+          .orderBy(col("cnt").desc, col("type_len"))
+          .limit(3)
+      },
+      Some("""WITH base AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events),
+              dim AS (
+                SELECT DISTINCT event_type AS k,
+                       CAST(length(event_type) AS INTEGER) AS type_len
+                FROM base)
+              SELECT d.type_len, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(b.v_micro) AS BIGINT) AS sum_micro
+              FROM base b JOIN dim d ON b.event_type = d.k
+              GROUP BY 1
+              HAVING (COUNT(*) % 5) < 3
+              ORDER BY cnt DESC, type_len LIMIT 3""")),
+
     // ⊕ rollup routing: GROUP BY f(grain) through the summary — the
     // time-series dashboard shape. The summary is maintained at DAY
     // grain; the query groups the BASE corpus by MONTH (substring of

@@ -302,6 +302,36 @@ object TextOps {
                      MIN(pos) AS first_pos
               FROM hits GROUP BY 1 ORDER BY doc_id""")),
 
+    // ⊕ proximity search — the relevance shape between bag-of-words
+    // and exact adjacency: documents where "hash" and "scan" fall
+    // within 3 tokens of each other, with the co-occurrence count and
+    // closest distance. Both posting lists filter before the shuffle;
+    // the proximity condition is a post-equi-join band filter, never a
+    // cross product.
+    Entry(
+      "text_near_search",
+      (s, dir) => graft.operators.Retrieval
+        .nearSearch(Tables(s, dir, "documents"), "hash", "scan", 3)
+        .orderBy("doc_id"),
+      Some("""WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents),
+              toks AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, len(a)+1)) AS BIGINT) - 1 AS pos,
+                       unnest(a) AS term
+                FROM arr),
+              pa AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+              pb AS (SELECT doc_id, pos FROM toks WHERE term = 'scan'),
+              hits AS (
+                SELECT pa.doc_id, abs(pa.pos - pb.pos) AS dist
+                FROM pa JOIN pb
+                  ON pb.doc_id = pa.doc_id
+                 AND abs(pa.pos - pb.pos) <= 3)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     MIN(dist) AS min_dist
+              FROM hits GROUP BY 1 ORDER BY doc_id""")),
+
     // document fingerprinting (md5 of normalized text = the dedup key).
     Entry(
       "text_fingerprint",

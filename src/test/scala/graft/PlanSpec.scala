@@ -553,8 +553,9 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("having/share routing: post-aggregate Filter and window run over the summary scan, never the base") {
-    for (name <- Seq("cdc_mv_routed_having", "cdc_mv_routed_share")) {
+  test("having/share/dashboard routing: post-aggregate shapes run over the summary scan, never the base") {
+    for (name <- Seq("cdc_mv_routed_having", "cdc_mv_routed_share",
+        "cdc_mv_routed_dashboard")) {
       val df = Inventory.byName(name).run(spark, sfDir)
       val paths = df.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -568,6 +569,15 @@ class PlanSpec extends SparkSuite {
         s"$name: summary not scanned: $paths")
       assert(!paths.exists(_.endsWith("/base")),
         s"$name: base corpus still scanned after routing: $paths")
+      if (name == "cdc_mv_routed_dashboard") {
+        // the dim join survives the rewrite and Sort+Limit stays the
+        // top-k physical form over the |keys|-row rewrite
+        assert(paths.exists(_.endsWith("/dim")),
+          s"$name: dim table lost in the rewrite: $paths")
+        assert(df.queryExecution.executedPlan.toString
+            .contains("TakeOrderedAndProject"),
+          df.queryExecution.executedPlan.toString)
+      }
     }
   }
 

@@ -108,4 +108,26 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.phraseSearch(docs, Nil)
     }
   }
+
+  test("nearSearch: banded co-occurrence, exact distances, symmetric in its terms") {
+    val docs = Seq(
+      (1L, "x a y y b x a"), // a@{1,6}, b@4 → dists {3,2} at window 3
+      (2L, "a x x x x b"),   // dist 5 — outside window 3, inside 5
+      (3L, "b a")            // adjacent, dist 1
+    ).toDF("doc_id", "text")
+    def got(a: String, b: String, w: Int) = Retrieval
+      .nearSearch(docs, a, b, w)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got("a", "b", 3) === List((1L, 2L, 2L), (3L, 1L, 1L)))
+    assert(got("b", "a", 3) === got("a", "b", 3)) // symmetric
+    assert(got("a", "b", 5) ===
+      List((1L, 2L, 2L), (2L, 1L, 5L), (3L, 1L, 1L)))
+    assert(got("a", "z", 3) === Nil) // absent term: empty, no error
+    intercept[IllegalArgumentException] {
+      Retrieval.nearSearch(docs, "a", "a", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.nearSearch(docs, "a", "b", 0)
+    }
+  }
 }
