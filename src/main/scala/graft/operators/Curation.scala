@@ -441,6 +441,42 @@ object Curation {
         (col("off") + col("pos")).cast(LongType).as("global_pos"))
   }
 
+  /** Temperature-scaled sampling mixture (the multilingual-LM data-mix
+    * scheme: sample group g with probability ∝ n_g^α, α < 1 flattening
+    * the natural distribution so small groups are upsampled and huge
+    * ones capped — α here is FIXED at 1/2 because sqrt is the one
+    * power IEEE 754 requires correctly rounded, so both engines produce
+    * the identical double and the floor-scaled integer weights agree
+    * bit-for-bit; a pow(x, 0.7) weight would be libm-implementation-
+    * defined at the floor boundary).
+    *
+    * Per group: `n_docs` (exact), `share_ppm` = its temperature share in
+    * parts-per-million, `target_docs` = its allocation out of `budget`
+    * rows, `factor_ppm` = the realized up/down-sampling rate vs the
+    * natural distribution (target/n in ppm). All outputs are floor
+    * divisions of exact integers — order-insensitive, engine-exact.
+    * Shape: one partial-agg count (group-sized), a 1-row total broadcast
+    * back; nothing corpus-sized shuffles twice.
+    */
+  def temperatureMixture(docs: DataFrame, groupCol: String,
+                         budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val d38 = "DECIMAL(38,0)"
+    val w = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .withColumn("__w",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast(LongType))
+    val tot = w.agg(sum(col("__w")).cast(LongType).as("__tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        expr(s"(CAST(__w AS $d38) * 1000000) DIV __tot")
+          .cast(LongType).as("share_ppm"),
+        expr(s"(CAST(__w AS $d38) * $budget) DIV __tot")
+          .cast(LongType).as("target_docs"),
+        expr(s"(((CAST(__w AS $d38) * $budget) DIV __tot) * 1000000)" +
+          " DIV n_docs").cast(LongType).as("factor_ppm"))
+  }
+
   /** The core curation pipeline: quality-filter → near-dup cluster
     * survivors → fixed context windows. Each stage is the individually
     * gated operator; [[graft.queries.CurationOps]] verifies the whole

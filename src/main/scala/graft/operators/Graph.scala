@@ -355,4 +355,120 @@ object Graph {
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).cast(LongType).as("n_users"))
   }
+
+  /** k-core of the undirected simple graph induced by `(src, dst)` pairs
+    * (direction, weights, self-loops ignored — same graph as
+    * [[triangleCounts]]): `rounds` SYNCHRONOUS peel rounds, each removing
+    * every node whose degree in the current induced subgraph is < `k`.
+    * Returns the surviving nodes with their degree in the FINAL induced
+    * subgraph. Run to a fixed point this is exactly the classic k-core
+    * (the densest-region extractor behind web-graph curation: keep the
+    * well-linked core, shed the peripheral spam/orphan fringe); the fixed
+    * `rounds` bound makes the result a deterministic function of
+    * (graph, k, rounds) that an unrolled-CTE oracle can restate.
+    *
+    * `earlyExit = true` stops as soon as a round removes nothing — the
+    * peel set is monotone decreasing, so a no-op round proves the fixed
+    * point and every remaining round is IDENTICAL (bit-exact skip, the
+    * same argument as [[pageRankConverged]] at tolerance 0). Each round
+    * materializes via localCheckpoint (the exit check forces a job
+    * anyway; the checkpoint truncates the join-per-round lineage).
+    *
+    * Shape per round: the symmetrized edge list semi-joins the alive set
+    * on BOTH endpoints (alive is node-sized — AQE broadcasts it once it
+    * shrinks), then one partial-agg degree count. Work is edge-sized per
+    * round and only shrinks; nothing is ever log-sized.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      earlyExit: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = simple.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(simple.select(col("b").as("u"), col("a").as("v")))
+    def inducedDegrees(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("node").as("u")), Seq("u"))
+      .join(alive.select(col("node").as("v")), Seq("v"))
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).cast(LongType).as("deg"))
+    var alive = sym.select(col("u").as("node")).distinct()
+    var aliveCount = if (earlyExit) alive.count() else -1L
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val next = inducedDegrees(alive)
+        .filter(col("deg") >= k)
+        .select("node")
+        .localCheckpoint(true)
+      if (earlyExit) {
+        val n = next.count()
+        converged = n == aliveCount // peel only shrinks: equal ⇒ fixed point
+        aliveCount = n
+      }
+      alive = next
+      round += 1
+    }
+    inducedDegrees(alive)
+  }
+
+  /** HITS hub/authority scores over directed weighted `(src, dst, cnt)`
+    * edges: `iterations` synchronous rounds of the mutual-reinforcement
+    * recurrence in EXACT scaled-integer arithmetic —
+    *
+    *   auth₀(v) = scale
+    *   hubᵢ(u)  = norm( Σ_{u→v} authᵢ₋₁(v)·cnt )
+    *   authᵢ(v) = norm( Σ_{u→v} hubᵢ(u)·cnt )
+    *
+    * with norm(x) = (x·scale) DIV max(x) — max-normalization instead of
+    * the textbook L² norm, because it keeps every value a positive
+    * integer (floor division over positives agrees exactly between
+    * engines; the score RANKING is identical under any monotone
+    * normalization, which is all hub/authority scores mean). Products
+    * form in DECIMAL(38,0) — Σ auth·cnt reaches scale·Σcnt, past a Long
+    * for heavy graphs — and the normalized scores fall back into Longs
+    * (≤ scale by construction). Returns every node of `nodes` with
+    * `hub`/`auth` (0 for nodes with no out-/in-edges). Shape per round:
+    * two edge⋈score joins + two partial-agg sums + two 1-row max
+    * aggregates broadcast back — graph-sized, never log-sized.
+    */
+  def hits(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val d38 = "DECIMAL(38,0)"
+    val e = edges.select(col("src"), col("dst"), col("cnt"))
+    // (score · cnt) summed per endpoint, then max-normalized to `scale`
+    def halfRound(scores: DataFrame, joinOn: String, groupAs: String): DataFrame = {
+      val raw = e
+        .join(scores.withColumnRenamed("node", joinOn)
+          .withColumnRenamed("s", "__s"), Seq(joinOn))
+        .groupBy(col(groupAs).as("node"))
+        .agg(sum(expr(s"CAST(__s AS $d38) * CAST(cnt AS $d38)")).as("r"))
+      val m = raw.agg(max(col("r")).as("__m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"(r * CAST($scale AS $d38)) DIV __m").cast(LongType).as("s"))
+    }
+    var auth = nodes.select(col("node"), lit(scale).as("s"))
+    var hub: DataFrame = null
+    for (_ <- 1 to iterations) {
+      hub = halfRound(auth, "dst", "src")   // hub(u) ← Σ auth(v)·cnt
+      auth = halfRound(hub, "src", "dst")   // auth(v) ← Σ hub(u)·cnt
+    }
+    nodes
+      .join(hub.withColumnRenamed("s", "hub"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("s", "auth"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
 }

@@ -354,8 +354,20 @@ object Similarity {
     * n ≈ 2·10⁹ vectors; beyond that shard the corpus (moments merge
     * exactly) and emit through a wider split. */
   def embedCovariance(emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
     import graft.queries.Exact
+    covarianceMoments(emb)
+      .select(col("i"), col("j"), col("n"),
+        (Exact.bigColToDouble("numv") / Exact.bigColToDouble("n2") /
+          lit(1e12)).as("cov"))
+  }
+
+  /** The shared exact-moment core of [[embedCovariance]] /
+    * [[covarianceFixed]]: (i, j, n, numv, n2) with
+    * numv = n·Σµxµy − Σµx·Σµy and n2 = n² in DECIMAL(38,0) — so
+    * numv/n2/1e12 is the population covariance. See [[embedCovariance]]
+    * for the scale shape and envelope. */
+  private def covarianceMoments(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
     val d38 = DecimalType(38, 0)
     val mu = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6)).cast(LongType)
     val pairs = graft.core.Tables.spread(emb)
@@ -379,9 +391,65 @@ object Similarity {
       .withColumn("numv", col("n").cast(d38) * col("sp") -
         col("sxi").cast(d38) * col("sxj").cast(d38))
       .withColumn("n2", col("n").cast(d38) * col("n").cast(d38))
-      .select(col("i"), col("j"), col("n"),
-        (Exact.bigColToDouble("numv") / Exact.bigColToDouble("n2") /
-          lit(1e12)).as("cov"))
+  }
+
+  /** [[embedCovariance]] restated as EXACT fixed-point integers at 1e12
+    * scale: c(i,j) = sign(numv)·(|numv| DIV n²) ≈ cov·10¹² — the form
+    * iterative linear algebra can consume without a single double
+    * (sign-through-abs so Spark's truncating DIV and DuckDB's flooring
+    * `//` agree on negatives). */
+  def covarianceFixed(emb: DataFrame): DataFrame =
+    covarianceMoments(emb).select(col("i"), col("j"),
+      expr("""(CASE WHEN numv < 0 THEN -1L ELSE 1L END) *
+              ((abs(numv)) DIV n2)""").cast(
+        org.apache.spark.sql.types.LongType).as("c"))
+
+  /** Leading principal component by power iteration over the EXACT
+    * integer covariance [[covarianceFixed]]: `rounds` rounds of
+    *
+    *   u = C·v   (exact DECIMAL(38,0) mat-vec)
+    *   v ← sign(u)·(|u|·scale DIV max|u|)   (∞-norm normalization)
+    *
+    * from v₀ = scale·𝟙. Every value stays an exact integer (the ∞-norm
+    * replaces the textbook L² norm — same fixed direction up to the
+    * monotone rescale, but no sqrt of a sum whose double rounding
+    * differs across engines), so the unrolled-CTE oracle matches
+    * hash-for-hash — the same discipline as [[graft.operators.Graph]]'s
+    * PageRank. Returns (i, v): the ∞-normalized direction, |v| ≤ scale.
+    *
+    * Scale shape: ONE corpus pass builds the d² covariance (the
+    * dominant cost, see [[embedCovariance]]); each round is then a
+    * d²-row join against a d-row vector — AQE broadcasts the vector —
+    * so iteration cost is dimension-sized, never corpus-sized.
+    * Envelope: |c| ≤ 4·10¹², |v| ≤ 10⁶ ⇒ |u| ≤ d·4·10¹⁸ and the
+    * normalization product |u|·scale ≤ d·4·10²⁴ — inside DECIMAL(38,0)
+    * to d ≈ 10¹³.
+    */
+  def pcaPower(emb: DataFrame, rounds: Int,
+               scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // materialize the d²-row matrix ONCE: the corpus-sized fan-out pass
+    // must not re-run per round (ReusedExchange would usually save it,
+    // but an explicit 4096-row checkpoint makes the single-pass shape a
+    // guarantee, not an optimizer outcome, and truncates the per-round
+    // join lineage as the other iterative operators do)
+    val c = covarianceFixed(emb).localCheckpoint(true)
+    var v = c.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(scale).as("x"))
+    for (_ <- 1 to rounds) {
+      val u = c.join(v, Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+          .as("u"))
+      val m = u.agg(max(abs(col("u"))).as("__m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr(s"""(CASE WHEN u < 0 THEN -1L ELSE 1L END) *
+                   ((abs(u) * CAST($scale AS DECIMAL(38,0))) DIV __m)""")
+            .cast(LongType).as("x"))
+    }
+    v.select(col("j").as("i"), col("x").as("v"))
   }
 
   // ------------------------------------------- JL random projection

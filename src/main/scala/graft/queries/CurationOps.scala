@@ -1022,6 +1022,36 @@ object CurationOps {
                      d.n_chars
               FROM documents d JOIN keep USING (doc_id)
               WHERE substring(md5('pmm:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // ⊕ temperature-scaled sampling mixture (α = 1/2): the multilingual
+    // data-mix scheme — per-language budget allocation ∝ √n, flattening
+    // the natural skew so low-resource languages are upsampled. sqrt is
+    // the one power IEEE requires correctly rounded, so the floor-scaled
+    // integer weights agree bit-for-bit across engines; every share is a
+    // floor division of exact integers. See Curation.temperatureMixture.
+    Entry(
+      "cur_temperature_mixture",
+      (s, dir) => Curation.temperatureMixture(
+          Tables(s, dir, "documents"), "lang", budget = 10000L)
+        .orderBy("lang"),
+      Some("""WITH c AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+              w AS (
+                SELECT lang, n_docs,
+                       CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1e6)
+                         AS BIGINT) AS wt
+                FROM c),
+              t AS (SELECT CAST(SUM(wt) AS HUGEINT) AS tot FROM w)
+              SELECT lang, n_docs,
+                     CAST((CAST(wt AS HUGEINT) * 1000000)
+                       // (SELECT tot FROM t) AS BIGINT) AS share_ppm,
+                     CAST((CAST(wt AS HUGEINT) * 10000)
+                       // (SELECT tot FROM t) AS BIGINT) AS target_docs,
+                     CAST(((CAST(wt AS HUGEINT) * 10000)
+                       // (SELECT tot FROM t) * 1000000) // n_docs
+                       AS BIGINT) AS factor_ppm
+              FROM w ORDER BY lang"""))
   )
 }

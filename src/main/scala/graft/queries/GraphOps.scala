@@ -694,6 +694,116 @@ object GraphOps {
               SELECT CAST(LENGTH(BIN(d)) AS BIGINT) AS bucket,
                      CAST(COUNT(*) AS BIGINT) AS n_nodes,
                      MAX(d) AS max_degree
-              FROM deg GROUP BY 1 ORDER BY bucket"""))
+              FROM deg GROUP BY 1 ORDER BY bucket""")),
+
+    // ⊕ k-core extraction: 8 synchronous peel rounds at k=8 over the
+    // support-filtered (cnt ≥ 3) undirected transition graph — the
+    // densest-region extractor behind web-graph curation (keep the
+    // well-linked core, shed the peripheral fringe). The operator
+    // early-exits at the fixed point, which is BIT-IDENTICAL to running
+    // all 8 rounds (a no-op peel round proves every later round
+    // identical), so the oracle can unroll exactly 8 rounds of the same
+    // recurrence. Output: surviving nodes with their degree in the final
+    // induced subgraph.
+    Entry(
+      "g12_kcore",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+          .filter(col("cnt") >= 3)
+        Graph.kCorePeel(edges, k = 8, rounds = 8).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 8).map { r =>
+          s"""d$r AS (
+                SELECT s.u AS node, COUNT(*) AS deg
+                FROM sym s JOIN n${r - 1} x ON s.u = x.node
+                           JOIN n${r - 1} y ON s.v = y.node
+                GROUP BY 1),
+              n$r AS (SELECT node FROM d$r WHERE deg >= 8)"""
+        }.mkString(",\n              ")
+        s"""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              edges AS (
+                SELECT prev AS src, item AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+              ed AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst AND cnt >= 3),
+              sym AS (SELECT a AS u, b AS v FROM ed
+                      UNION ALL SELECT b, a FROM ed),
+              n0 AS (SELECT DISTINCT u AS node FROM sym),
+              $rounds
+              SELECT s.u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM sym s JOIN n8 x ON s.u = x.node
+                         JOIN n8 y ON s.v = y.node
+              GROUP BY 1 ORDER BY node"""
+      }),
+
+    // ⊕ HITS hub/authority scores: 2 rounds of the mutual-reinforcement
+    // recurrence over the directed weighted transition graph, exact
+    // max-normalized integer arithmetic (see Graph.hits — the ranking is
+    // identical under any monotone normalization, and integer scores
+    // make the unrolled oracle hash-exact). Hubs are "items that lead to
+    // important items"; authorities are "items important items lead to".
+    Entry(
+      "g13_hits",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        val nodes = ev.select(col("item").as("node")).distinct()
+        Graph.hits(nodes, edges, iterations = 2, scale = 1000000L)
+          .orderBy("node")
+      },
+      Some {
+        val half = (src: String, dst: String, prev: String, out: String) =>
+          s"""${out}r AS (
+                SELECT e.$src AS node, SUM(p.s * e.cnt) AS r
+                FROM edges e JOIN $prev p ON p.node = e.$dst GROUP BY 1),
+              $out AS (
+                SELECT node,
+                       (r * 1000000) // (SELECT MAX(r) FROM ${out}r) AS s
+                FROM ${out}r)"""
+        val iter = Seq(
+          half("src", "dst", "a0", "h1"), half("dst", "src", "h1", "a1"),
+          half("src", "dst", "a1", "h2"), half("dst", "src", "h2", "a2"))
+          .mkString(",\n              ")
+        s"""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              edges AS (
+                SELECT prev AS src, item AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+              nodes AS (SELECT DISTINCT item AS node FROM ev),
+              a0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM nodes),
+              $iter
+              SELECT n.node, CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub,
+                     CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth
+              FROM nodes n
+                LEFT JOIN h2 ON n.node = h2.node
+                LEFT JOIN a2 ON n.node = a2.node
+              ORDER BY n.node"""
+      })
   )
 }

@@ -648,6 +648,67 @@ object SimilarityOps {
                         ${Exact.bigSqlToDouble("n2")} / 1e12 AS cov
                FROM c ORDER BY i, j""")),
 
+    // ⊕ leading principal component by power iteration over the EXACT
+    // integer covariance (3 rounds, ∞-norm normalization — every value
+    // an exact integer, so the unrolled oracle is hash-exact; the same
+    // fixed-point discipline as PageRank). One corpus pass builds the
+    // d² matrix; each round is a d²×d mat-vec with the vector broadcast
+    // — iteration cost is dimension-sized, never corpus-sized. The
+    // direction behind whitening/OPQ rotations and drift monitoring.
+    Entry(
+      "sim_pca_power",
+      (s, dir) => Similarity
+        .pcaPower(Tables(s, dir, "embeddings"), rounds = 3)
+        .orderBy("i"),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""u$r AS (
+                 SELECT c.i, SUM(c.c * v.x) AS u
+                 FROM c JOIN v${r - 1} v ON v.j = c.j
+                 GROUP BY 1),
+               v$r AS (
+                 SELECT i AS j,
+                        (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                          * ((abs(u) * 1000000)
+                             // (SELECT MAX(abs(u)) FROM u$r)) AS x
+                 FROM u$r)"""
+        }.mkString(",\n               ")
+        s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+               pm AS (
+                 SELECT CAST(a.range AS INTEGER) AS i,
+                        CAST(b.range AS INTEGER) AS j,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        SUM(CAST(CAST(FLOOR(e[a.range+1] * 1e6) AS BIGINT)
+                              AS HUGEINT)
+                            * CAST(FLOOR(e[b.range+1] * 1e6) AS BIGINT)) AS sp
+                 FROM d, range(0,64) a, range(0,64) b
+                 GROUP BY 1, 2),
+               dm AS (
+                 SELECT CAST(a.range AS INTEGER) AS i,
+                        CAST(SUM(CAST(FLOOR(e[a.range+1] * 1e6) AS BIGINT))
+                          AS BIGINT) AS sx
+                 FROM d, range(0,64) a GROUP BY 1),
+               cm AS (
+                 SELECT pm.i, pm.j,
+                        CAST(pm.n AS HUGEINT) * pm.sp
+                          - CAST(di.sx AS HUGEINT) * dj.sx AS numv,
+                        CAST(pm.n AS HUGEINT) * pm.n AS n2
+                 FROM pm JOIN dm di ON di.i = pm.i JOIN dm dj ON dj.i = pm.j),
+               c AS (
+                 SELECT i, j,
+                        (CASE WHEN numv < 0 THEN -1 ELSE 1 END)
+                          * (abs(numv) // n2) AS c
+                 FROM cm),
+               v0 AS (
+                 SELECT CAST(range AS INTEGER) AS j,
+                        CAST(1000000 AS HUGEINT) AS x
+                 FROM range(0, 64)),
+               $rounds
+               SELECT j AS i, CAST(x AS BIGINT) AS v
+               FROM v3 ORDER BY i"""
+      }),
+
     // ⊕ two-stage PQ serving: ADC top-20 shortlist from codes, exact
     // re-rank of only those floats to top-5 — the production read
     // pattern (codes prune the corpus; floats are touched for R·|q|

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Curation
 
 /** Text-analysis inventory (LLM-pipeline surface) over `documents`.
   * All built-ins, all codegen'd, all one scan — no UDFs, no shuffle
@@ -822,6 +823,51 @@ object TextOps {
                      CAST(COUNT(*) AS BIGINT) AS n_words,
                      CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe_tokens
               FROM tok t JOIN enc e USING (tok)
-              GROUP BY t.doc_id ORDER BY t.doc_id"""))
+              GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ⊕ hashing-trick text features: word uni+bigrams hashed into 256
+    // signed buckets (bucket from the 48-bit md5 integer, sign from an
+    // independent hex digit — the fastText/Vowpal feature map that
+    // gives quality/topic classifiers a FIXED-WIDTH input whatever the
+    // vocabulary). Map-side explode → codegen'd md5 → one partial-agg
+    // fold; the feature space is 256 buckets however large the corpus.
+    // Same md5-derived integer family as the curation samplers, so the
+    // oracle replays every bucket and sign exactly.
+    Entry(
+      "text_hash_features",
+      (s, dir) => {
+        val toks = Tables.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        toks
+          .select(col("doc_id"), explode(concat(
+            shinglesFromTokens(col("toks"), 1),
+            shinglesFromTokens(col("toks"), 2))).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("h"))
+          .select(col("doc_id"),
+            expr(s"${Curation.hexIntSql("h")} % 256").as("bucket"),
+            expr("CASE WHEN substring(h, 13, 1) <= '7' THEN 1L ELSE -1L END")
+              .as("sgn"))
+          .groupBy("doc_id", "bucket")
+          .agg(sum(col("sgn")).cast(LongType).as("feature"),
+            count(lit(1)).cast(LongType).as("n_grams"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(raw"""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents),
+              g AS (
+                SELECT doc_id, unnest(w) AS g FROM t
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])) AS g
+                FROM t WHERE len(w) >= 2),
+              h AS (SELECT doc_id, md5(g) AS h FROM g)
+              SELECT doc_id,
+                     ${Curation.hexIntSql("h")} % 256 AS bucket,
+                     CAST(SUM(CASE WHEN substring(h, 13, 1) <= '7'
+                              THEN 1 ELSE -1 END) AS BIGINT) AS feature,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""))
   )
 }

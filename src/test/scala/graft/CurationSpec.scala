@@ -343,4 +343,30 @@ class CurationSpec extends SparkSuite {
     assert(root(e).getMessage.contains("must be >= 1"),
       root(e).getMessage)
   }
+
+  test("temperatureMixture: exact integer replay; √-flattening downsamples big groups, upsamples small") {
+    // 100 'big' docs vs 4 'small': w = 10e6 vs 2e6, tot = 12e6
+    val docs = (Seq.fill(100)("big") ++ Seq.fill(4)("small")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "grp")
+    val got = Curation.temperatureMixture(docs, "grp", budget = 52L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // shares: 10/12 and 2/12 in ppm (floored); targets: 52·w DIV tot
+    assert(got("big") === ((100L, 833333L, 43L, 430000L)))
+    assert(got("small") === ((4L, 166666L, 8L, 2000000L)))
+    // the temperature law: big is downsampled (< 1×), small upsampled,
+    // and the flattened share sits between natural (4/104) and uniform
+    assert(got("big")._4 < 1000000L && got("small")._4 > 1000000L)
+    val naturalSmallPpm = 4L * 1000000L / 104L
+    assert(got("small")._2 > naturalSmallPpm && got("small")._2 < 500000L)
+  }
+
+  test("temperatureMixture on uniform groups allocates equal shares") {
+    val docs = (0 until 60).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("doc_id", "grp")
+    val got = Curation.temperatureMixture(docs, "grp", budget = 300L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).distinct.length === 1) // equal share_ppm
+    assert(got.forall(_._4 === 100L))           // equal 1/3 of budget
+  }
 }

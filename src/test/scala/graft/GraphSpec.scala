@@ -212,4 +212,83 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
+
+  // K4 on {1..4} with a pendant chain 4–5–6: the 2-core is exactly K4,
+  // and reaching it needs a CASCADE (6 falls in round 1, exposing 5).
+  private val k4Chain = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L))
+
+  test("kCorePeel: cascading peel reaches the true 2-core; final degrees are in-core") {
+    val edges = k4Chain.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val got = Graph.kCorePeel(edges, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // synchronous semantics: ONE round only peels 6 (5 still sees 4 and 6)
+    val oneRound = Graph.kCorePeel(edges, k = 2, rounds = 1, earlyExit = false)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(oneRound(5L) === 1L) // 6 gone, so 5's induced degree dropped to 1
+  }
+
+  test("kCorePeel: early exit is bit-identical to the fixed-round unroll") {
+    val edges = k4Chain.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val fast = Graph.kCorePeel(edges, k = 2, rounds = 8, earlyExit = true)
+      .as[(Long, Long)].collect().toSet
+    val full = Graph.kCorePeel(edges, k = 2, rounds = 8, earlyExit = false)
+      .as[(Long, Long)].collect().toSet
+    assert(fast === full)
+  }
+
+  test("kCorePeel ignores direction, duplicate edges, weights, and self-loops") {
+    val noisy = (k4Chain ++ Seq((2L, 1L), (3L, 3L), (1L, 2L)))
+      .map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "cnt")
+    val clean = k4Chain.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    assert(Graph.kCorePeel(noisy, 2, 8).as[(Long, Long)].collect().toSet ===
+      Graph.kCorePeel(clean, 2, 8).as[(Long, Long)].collect().toSet)
+  }
+
+  test("kCorePeel at k above the max core empties the graph") {
+    val edges = k4Chain.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    assert(Graph.kCorePeel(edges, k = 4, rounds = 8).count() === 0L)
+  }
+
+  /** Single-threaded replay of the documented HITS recurrence. */
+  private def referenceHits(
+      nodes: Seq[Long], edges: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    def norm(raw: Map[Long, BigInt]): Map[Long, Long] = {
+      val m = raw.values.max
+      raw.view.mapValues(r => ((r * scale) / m).toLong).toMap
+    }
+    var auth = nodes.map(_ -> scale).toMap
+    var hub = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      hub = norm(edges.groupBy(_._1).view.mapValues(_.map {
+        case (_, v, c) => BigInt(auth.getOrElse(v, 0L)) * c }.sum).toMap)
+      auth = norm(edges.groupBy(_._2).view.mapValues(_.map {
+        case (u, _, c) => BigInt(hub.getOrElse(u, 0L)) * c }.sum).toMap)
+    }
+    nodes.map(n => n -> (hub.getOrElse(n, 0L), auth.getOrElse(n, 0L))).toMap
+  }
+
+  test("hits matches the single-threaded replay; normalization tops at scale; no-edge sides are zero") {
+    // hub-shaped: 1 points at everything; 5 is pointed at by everything
+    val edgeList = Seq((1L, 2L, 2L), (1L, 3L, 1L), (1L, 5L, 1L),
+      (2L, 5L, 3L), (3L, 5L, 1L), (4L, 5L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val got = Graph.hits(nodes.toDF("node"),
+        edgeList.toDF("src", "dst", "cnt"), iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(got === referenceHits(nodes, edgeList, 2, 1000000L))
+    assert(got.values.map(_._1).max === 1000000L)
+    assert(got.values.map(_._2).max === 1000000L)
+    assert(got(5L)._1 === 0L) // sink: no out-edges → zero hub
+    assert(got(1L)._2 === 0L) // source: no in-edges → zero auth
+    // round 2 promotes node 2 to top hub: its weight-3 edge feeds the
+    // top authority, outweighing 1's fan-out — mutual reinforcement at work
+    assert(got(2L)._1 === 1000000L)
+    assert(got(5L)._2 === 1000000L) // the star sink is the top authority
+  }
 }

@@ -103,6 +103,9 @@ class PlanSpec extends SparkSuite {
       "text_bm25_topk" -> "one-row corpus stats (N, avgdl)",
       "text_freq_cm" -> "one-row sketch-total row",
       "text_vocab_growth" -> "one-row max-doc-id width row",
+      "cur_temperature_mixture" -> "one-row Σ√n weight-total row",
+      "g13_hits" -> "one-row max-score normalizer per half-round",
+      "sim_pca_power" -> "one-row ∞-norm normalizer per round",
       "a27_exact_quartiles" -> "one-row min/max/count stats row",
       "a28_equidepth_bins" -> "one-row min/max/count stats row",
       "dedup_embed_cosine" -> "declared brute baseline: broadcast-tiny query set",

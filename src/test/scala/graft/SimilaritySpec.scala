@@ -356,4 +356,27 @@ class SimilaritySpec extends SparkSuite {
       rs.map(r => math.abs(r - 1.0)).sum / rs.size
     assert(spread(r32) < spread(r8), s"${spread(r32)} !< ${spread(r8)}")
   }
+
+  test("pcaPower ≡ single-threaded integer replay; the dominant axis takes the ∞-norm max") {
+    // variance concentrated on dim 0 (alternating ±1); dims 2/3 constant
+    val emb = (0 until 12).map(i => (i.toLong,
+      Seq(if (i % 2 == 0) 1.0f else -1.0f, 0.05f * i, 0.3f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val dim = 4
+    val m = Array.ofDim[BigInt](dim, dim)
+    Similarity.covarianceFixed(emb).as[(Int, Int, Long)].collect()
+      .foreach { case (i, j, v) => m(i)(j) = BigInt(v) }
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      v = u.map(x =>
+        (if (x < 0) BigInt(-1) else BigInt(1)) * ((x.abs * 1000000) / mx))
+    }
+    val got = Similarity.pcaPower(emb, rounds = 3)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq === v.map(_.toLong).toSeq)
+    assert(math.abs(got(0)) === 1000000L, got.mkString(","))
+    assert(math.abs(got(2)) < 500000L) // constant dim carries no variance
+  }
 }

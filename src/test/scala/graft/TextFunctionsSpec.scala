@@ -116,4 +116,23 @@ class TextFunctionsSpec extends SparkSuite {
     // and actually disperse (not all in one bucket)
     assert(buckets.distinct.length > 50)
   }
+
+  test("text_hash_features: buckets in [0,256), |feature| ≤ n_grams, per-doc grams tile 2n−1") {
+    val rows = graft.queries.Inventory.byName("text_hash_features")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256))
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= r.getLong(3)))
+    assert(rows.map(_.getLong(1)).distinct.length > 100) // disperses
+    // uni+bigrams of an n-token doc total 2n−1 — the feature fold must
+    // account for every gram exactly once
+    val gramTotals = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (2L * r.getLong(1) - 1L)).toMap
+    assert(gramTotals === expected.filter(_._2 > 0))
+  }
 }
