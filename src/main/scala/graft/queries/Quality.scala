@@ -457,6 +457,72 @@ object Quality {
                       FROM lineitem GROUP BY 1))
               SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
               UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
-              ORDER BY fd"""))
+              ORDER BY fd""")),
+
+    // ⊕ Benford first-digit audit over order totals — the classic
+    // fabricated-data / unit-mixup screen (organic multiplicative
+    // amounts follow log10(1+1/d); a flat or spiked profile flags
+    // synthetic injection or a currency/unit bug). The leading digit
+    // comes from BOUNDED integer range-CASE division — no libm log at
+    // row scope — and the expectation constants are fixed ppm literals
+    // shared verbatim with the oracle. One conditional-agg scan + a
+    // 1-row total broadcast; 9 output rows whatever the table size.
+    Entry(
+      "q15_benford_profile",
+      (s, dir) => {
+        // CASE texts shared verbatim between engines (DIV ↔ //)
+        def digitCase(div: String): String =
+          s"""CASE WHEN c >= 100000 THEN c $div 100000
+                   WHEN c >= 10000  THEN c $div 10000
+                   WHEN c >= 1000   THEN c $div 1000
+                   WHEN c >= 100    THEN c $div 100
+                   WHEN c >= 10     THEN c $div 10
+                   ELSE c END"""
+        Tables(s, dir, "orders")
+          .select(floor(col("o_totalprice")).cast(LongType).as("c"))
+          .select(expr(digitCase("DIV")).as("digit"))
+          .groupBy("digit")
+          .agg(count(lit(1)).cast(LongType).as("n_orders"))
+          .crossJoin(broadcast(
+            Tables(s, dir, "orders").agg(count(lit(1)).as("__n"))))
+          .select(col("digit"), col("n_orders"),
+            expr("(n_orders * 1000000L) DIV __n").as("observed_ppm"),
+            expr(BenfordPpmCase).cast(LongType).as("expected_ppm"))
+          .withColumn("dev_ppm", col("observed_ppm") - col("expected_ppm"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH c AS (
+                SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS c FROM orders),
+              d AS (
+                SELECT CASE WHEN c >= 100000 THEN c // 100000
+                            WHEN c >= 10000  THEN c // 10000
+                            WHEN c >= 1000   THEN c // 1000
+                            WHEN c >= 100    THEN c // 100
+                            WHEN c >= 10     THEN c // 10
+                            ELSE c END AS digit
+                FROM c),
+              g AS (
+                SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM d GROUP BY 1),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+              SELECT digit, n_orders,
+                     CAST((n_orders * 1000000) // (SELECT n FROM t)
+                       AS BIGINT) AS observed_ppm,
+                     CAST($BenfordPpmCase AS BIGINT) AS expected_ppm,
+                     CAST((n_orders * 1000000) // (SELECT n FROM t)
+                       - $BenfordPpmCase AS BIGINT) AS dev_ppm
+              FROM g ORDER BY digit"""))
   )
+
+  /** ⌊log10(1+1/d)·10⁶⌋ for d = 1..9 — fixed ppm literals (NOT computed
+    * at runtime: libm log10 is not correctly-rounded, the literals are).
+    * Shared verbatim by the Spark expression and the DuckDB oracle.
+    * A `def`, not a `val`: `entries` interpolates it during object init,
+    * and a val declared below would still be null at that point. */
+  private def BenfordPpmCase: String =
+    """CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                  WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                  WHEN 5 THEN 79181  WHEN 6 THEN 66946
+                  WHEN 7 THEN 57991  WHEN 8 THEN 51152
+                  ELSE 45757 END"""
 }

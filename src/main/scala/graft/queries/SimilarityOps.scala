@@ -287,6 +287,61 @@ object SimilarityOps {
                FROM ks, j WHERE j.true_rank <= ks.k
                GROUP BY ks.k ORDER BY ks.k""")),
 
+    // ⊕ Matryoshka truncation audit: recall@k of top-5 retrieval using
+    // only the FIRST 16 of 64 dims vs the full-dim exact ranking — the
+    // measurement behind serving truncated (MRL-style) embeddings at a
+    // quarter of the memory/FLOPs. Rank sets only, so the report is
+    // float-robust by construction; both arms brute over the tiny
+    // allowlisted query set (at scale the truncated arm feeds IVF and
+    // this report stays the acceptance gate for the truncation).
+    Entry(
+      "sim_matryoshka_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val trunc = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("embedding", slice(col("embedding"), 1, 16))
+        Similarity.recallReport(
+          ann = Similarity.knnBrute(trunc(emb), trunc(queries(s, dir)), 5),
+          exact = Similarity.knnBrute(emb, queries(s, dir), 5),
+          maxK = 5)
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                        list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS t
+                 FROM embeddings),
+               q AS (SELECT vec_id AS query_id, e, t FROM d WHERE vec_id < 10),
+               bscored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id, $cosineSql AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id),
+               brute AS (
+                 SELECT query_id, neighbor_id, rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM bscored) WHERE rank <= 5),
+               tscored AS (
+                 SELECT q.query_id, d.vec_id AS neighbor_id,
+                        list_dot_product(q.t, d.t)
+                          / (sqrt(list_dot_product(q.t, q.t))
+                             * sqrt(list_dot_product(d.t, d.t))) AS cos
+                 FROM q, d WHERE d.vec_id <> q.query_id),
+               tr AS (
+                 SELECT query_id, neighbor_id, rank FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM tscored) WHERE rank <= 5),
+               j AS (
+                 SELECT b.rank AS true_rank, t.rank AS ann_rank
+                 FROM brute b LEFT JOIN tr t
+                   ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id),
+               ks AS (SELECT unnest(generate_series(1, 5)) AS k)
+               SELECT ks.k,
+                      CAST(COUNT(*) AS BIGINT) AS n_true,
+                      CAST(COALESCE(SUM(CASE WHEN j.ann_rank <= ks.k THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+                      CAST(COALESCE(SUM(CASE WHEN j.ann_rank <= ks.k THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) AS recall
+               FROM ks, j WHERE j.true_rank <= ks.k
+               GROUP BY ks.k ORDER BY ks.k""")),
+
     // radius search — the threshold dual of top-k ("all within ε", the
     // dedup/recall-sweep primitive). No rank window at all: broadcast
     // queries, map-side cosine filter, nothing shuffles until the final

@@ -115,7 +115,9 @@ class PlanSpec extends SparkSuite {
       "sim_jl_distortion" -> "JL audit pair pass: broadcast-tiny query set",
       "sim_range_search" -> "declared brute baseline: broadcast-tiny query set",
       "sim_recall_report" -> "brute arm of the recall audit: tiny query set",
-      "sim_hybrid_search" -> "brute re-rank arm over the tiny query set")
+      "sim_hybrid_search" -> "brute re-rank arm over the tiny query set",
+      "sim_matryoshka_recall" -> "both brute arms: broadcast-tiny query set",
+      "q15_benford_profile" -> "one-row table-total row")
     val cart = scala.collection.mutable.ArrayBuffer[String]()
     val bnlj = scala.collection.mutable.ArrayBuffer[String]()
     Inventory.all.foreach { e =>
