@@ -391,8 +391,15 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+    // materialize the graph-sized edge list ONCE: unlike the pure-lazy
+    // PageRank unroll (where ReusedExchange shares the scan inside one
+    // job), the peel loop runs an ACTION per round — without this
+    // checkpoint every round's two semi-joins would re-derive the edge
+    // list from the corpus-sized upstream (measured 3.75 s → the edge
+    // derivation dominating a 100-node peel at sf0.1)
     val sym = simple.select(col("a").as("u"), col("b").as("v"))
       .unionByName(simple.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
     def inducedDegrees(alive: DataFrame): DataFrame = sym
       .join(alive.select(col("node").as("u")), Seq("u"))
       .join(alive.select(col("node").as("v")), Seq("v"))
