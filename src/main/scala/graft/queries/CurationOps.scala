@@ -339,6 +339,43 @@ object CurationOps {
                 FROM documents)
               ORDER BY doc_id""")),
 
+    // ⊕ packing-efficiency report: per pack group, how many 4096-token
+    // context windows the docs fill and at what fill rate — the
+    // telemetry that says whether the packer wastes paid context
+    // (fill ≪ 10⁶ ppm: too many short sequences) or straddles
+    // boundaries (> 10⁶: the last doc of a window spills into the
+    // next). Group-sized output from one aggregate over the packer's
+    // own assignment — the report and the packer can never disagree.
+    Entry(
+      "cur_pack_stats",
+      (s, dir) => Curation
+        .packSequences(Tables(s, dir, "documents"), budget = 4096L)
+        .groupBy("pack_group")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          (max(col("seq_in_group")) + lit(1L)).as("n_seqs"),
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"))
+        .withColumn("fill_ppm",
+          expr("(total_tokens * 1000000L) DIV (n_seqs * 4096L)"))
+        .orderBy("pack_group"),
+      Some("""WITH p AS (
+                SELECT doc_id, doc_id // 100 AS pack_group,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
+                         PARTITION BY doc_id // 100 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+                FROM documents),
+              g AS (
+                SELECT pack_group,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(MAX(CAST(FLOOR(cum_prev / 4096.0) AS BIGINT)) + 1
+                         AS BIGINT) AS n_seqs,
+                       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+                FROM p GROUP BY 1)
+              SELECT pack_group, n_docs, n_seqs, total_tokens,
+                     CAST((total_tokens * 1000000) // (n_seqs * 4096)
+                       AS BIGINT) AS fill_ppm
+              FROM g ORDER BY pack_group""")),
+
     // benchmark decontamination: a deterministic 2/16 hash sample of the
     // corpus plays the benchmark (probe) set; any doc sharing a word
     // 8-gram with a probe is dropped — probes drop themselves (every doc

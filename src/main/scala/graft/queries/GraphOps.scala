@@ -804,6 +804,98 @@ object GraphOps {
                 LEFT JOIN h2 ON n.node = h2.node
                 LEFT JOIN a2 ON n.node = a2.node
               ORDER BY n.node"""
-      })
+      }),
+
+    // ⊕ degree assortativity: Pearson correlation of endpoint degrees
+    // over the symmetrized stubs of the undirected transition graph —
+    // THE one-number topology probe (assortative: hubs link hubs,
+    // social-graph-like; disassortative: hubs link leaves, web/crawl-
+    // like — decides whether hub-salting or leaf-pruning is the right
+    // skew treatment downstream). Exact integer moments in
+    // DECIMAL(38,0), rule-6 emit — the a22_corr discipline on graph
+    // structure. Two graph-sized joins + one scalar aggregate.
+    Entry(
+      "g14_assortativity",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
+        val simple = edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val stubs = simple.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(simple.select(col("b").as("u"), col("a").as("v")))
+        val deg = stubs.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).cast(LongType).as("d"))
+        val x = col("du")
+        val y = col("dv")
+        stubs
+          .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+          .agg(
+            count(lit(1)).as("n_stubs"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x.cast(d38) * y.cast(d38)).as("sxy"),
+            sum(x.cast(d38) * x.cast(d38)).as("sxx"),
+            sum(y.cast(d38) * y.cast(d38)).as("syy"))
+          .withColumn("numv", col("n_stubs").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38))
+          .withColumn("dx", col("n_stubs").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx").cast(d38))
+          .withColumn("dy", col("n_stubs").cast(d38) * col("syy") -
+            col("sy").cast(d38) * col("sy").cast(d38))
+          .select(col("n_stubs"),
+            (Exact.bigColToDouble("numv") /
+              sqrt(Exact.bigColToDouble("dx") * Exact.bigColToDouble("dy")))
+              .as("assortativity"))
+      },
+      Some(s"""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ed AS (
+                SELECT DISTINCT LEAST(prev, item) AS a,
+                       GREATEST(prev, item) AS b
+                FROM tr WHERE prev IS NOT NULL AND prev <> item),
+              stubs AS (SELECT a AS u, b AS v FROM ed
+                        UNION ALL SELECT b, a FROM ed),
+              deg AS (
+                SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM stubs GROUP BY 1),
+              m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_stubs,
+                       CAST(SUM(da.d) AS BIGINT) AS sx,
+                       CAST(SUM(db.d) AS BIGINT) AS sy,
+                       SUM(CAST(da.d AS HUGEINT) * db.d) AS sxy,
+                       SUM(CAST(da.d AS HUGEINT) * da.d) AS sxx,
+                       SUM(CAST(db.d AS HUGEINT) * db.d) AS syy
+                FROM stubs
+                  JOIN deg da ON stubs.u = da.node
+                  JOIN deg db ON stubs.v = db.node),
+              f AS (
+                SELECT n_stubs,
+                       CAST(n_stubs AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy AS numv,
+                       CAST(n_stubs AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx AS dx,
+                       CAST(n_stubs AS HUGEINT) * syy
+                         - CAST(sy AS HUGEINT) * sy AS dy
+                FROM m)
+              SELECT n_stubs,
+                     ${Exact.bigSqlToDouble("numv")} /
+                       sqrt(${Exact.bigSqlToDouble("dx")}
+                            * ${Exact.bigSqlToDouble("dy")}) AS assortativity
+              FROM f"""))
   )
 }

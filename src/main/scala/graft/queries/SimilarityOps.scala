@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{SemanticDedup, Similarity}
 import graft.operators.{ProductQuantizer => Pq}
 
 /** Similarity-search inventory over `embeddings` (64-dim float vectors).
@@ -286,6 +286,52 @@ object SimilarityOps {
                         / CAST(COUNT(*) AS DOUBLE) AS recall
                FROM ks, j WHERE j.true_rank <= ks.k
                GROUP BY ks.k ORDER BY ks.k""")),
+
+    // ⊕ IVF cell-balance report: per-cell population, corpus share, and
+    // balance factor (n·k·10⁶ ÷ N ppm; 10⁶ = perfectly balanced) over
+    // the deterministic 8-centroid assignment — the pre-flight that
+    // decides whether the quantizer needs retraining before cell-skew
+    // turns probe cost quadratic on a hot cell. One assignment pass
+    // (map-side argmax against the broadcast codebook) + a k-row agg.
+    Entry(
+      "sim_ivf_balance",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        val asg = SemanticDedup.assignCells(emb, codebook)
+        asg.groupBy("cell")
+          .agg(count(lit(1)).cast(LongType).as("n_vecs"))
+          .crossJoin(broadcast(asg.agg(count(lit(1)).as("__n"))))
+          .select(col("cell"), col("n_vecs"),
+            expr("(n_vecs * 1000000L) DIV __n").as("share_ppm"),
+            expr("(n_vecs * 8000000L) DIV __n").as("balance_ppm"))
+          .orderBy("cell")
+      },
+      Some("""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+              g AS (
+                SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                FROM asg GROUP BY 1),
+              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg)
+              SELECT cell, n_vecs,
+                     CAST((n_vecs * 1000000) // (SELECT n FROM t) AS BIGINT)
+                       AS share_ppm,
+                     CAST((n_vecs * 8000000) // (SELECT n FROM t) AS BIGINT)
+                       AS balance_ppm
+              FROM g ORDER BY cell""")),
 
     // ⊕ Matryoshka truncation audit: recall@k of top-5 retrieval using
     // only the FIRST 16 of 64 dims vs the full-dim exact ranking — the

@@ -117,6 +117,7 @@ class PlanSpec extends SparkSuite {
       "sim_recall_report" -> "brute arm of the recall audit: tiny query set",
       "sim_hybrid_search" -> "brute re-rank arm over the tiny query set",
       "sim_matryoshka_recall" -> "both brute arms: broadcast-tiny query set",
+      "sim_ivf_balance" -> "one-row corpus-total row",
       "q15_benford_profile" -> "one-row table-total row")
     val cart = scala.collection.mutable.ArrayBuffer[String]()
     val bnlj = scala.collection.mutable.ArrayBuffer[String]()
