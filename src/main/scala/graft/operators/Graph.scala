@@ -190,6 +190,19 @@ object Graph {
     (ranks, round)
   }
 
+  /** The undirected SIMPLE graph induced by `(src, dst)` pairs: one
+    * `(a ≤ b)` row per unordered endpoint pair — direction, weights,
+    * duplicates, nulls, and self-loops dropped. The shared first step
+    * of [[triangleCounts]], [[kCorePeel]], and the GraphOps stub
+    * queries (review r16: five inlined copies had started to drift on
+    * the null filter). */
+  def simpleUndirected(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+
   /** Per-node triangle counts over the undirected simple graph induced
     * by `(src, dst)` pairs (direction, weights, and self-loops ignored).
     * Returns EVERY node of the simple graph with its exact triangle
@@ -213,11 +226,7 @@ object Graph {
     * never on raw events.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val simple = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    val simple = simpleUndirected(edges)
     val deg = simple.select(col("a").as("node"))
       .unionByName(simple.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
@@ -386,11 +395,7 @@ object Graph {
       earlyExit: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val simple = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    val simple = simpleUndirected(edges)
     // materialize the graph-sized edge list ONCE: unlike the pure-lazy
     // PageRank unroll (where ReusedExchange shares the scan inside one
     // job), the peel loop runs an ACTION per round — without this

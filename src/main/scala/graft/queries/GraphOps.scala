@@ -471,10 +471,7 @@ object GraphOps {
             get_json_object(col("props"), "$.k").cast(LongType).as("item"))
           .filter(col("item").isNotNull)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
-        val simple = edges
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .filter(col("a") =!= col("b")).distinct()
+        val simple = Graph.simpleUndirected(edges)
         simple.select(col("a").as("node"))
           .unionByName(simple.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -619,10 +616,7 @@ object GraphOps {
             get_json_object(col("props"), "$.k").cast(LongType).as("item"))
           .filter(col("item").isNotNull)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
-        val simple = edges
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .filter(col("a") =!= col("b")).distinct()
+        val simple = Graph.simpleUndirected(edges)
         val adj = simple.select(col("a").as("node"), col("b").as("nbr"))
           .unionByName(simple.select(col("b").as("node"), col("a").as("nbr")))
         val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -824,10 +818,7 @@ object GraphOps {
             get_json_object(col("props"), "$.k").cast(LongType).as("item"))
           .filter(col("item").isNotNull)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
-        val simple = edges
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .filter(col("a") =!= col("b")).distinct()
+        val simple = Graph.simpleUndirected(edges)
         val stubs = simple.select(col("a").as("u"), col("b").as("v"))
           .unionByName(simple.select(col("b").as("u"), col("a").as("v")))
         val deg = stubs.groupBy(col("u").as("node"))

@@ -470,14 +470,6 @@ object Quality {
     Entry(
       "q15_benford_profile",
       (s, dir) => {
-        // CASE texts shared verbatim between engines (DIV ↔ //)
-        def digitCase(div: String): String =
-          s"""CASE WHEN c >= 100000 THEN c $div 100000
-                   WHEN c >= 10000  THEN c $div 10000
-                   WHEN c >= 1000   THEN c $div 1000
-                   WHEN c >= 100    THEN c $div 100
-                   WHEN c >= 10     THEN c $div 10
-                   ELSE c END"""
         Tables(s, dir, "orders")
           .select(floor(col("o_totalprice")).cast(LongType).as("c"))
           .select(expr(digitCase("DIV")).as("digit"))
@@ -494,12 +486,7 @@ object Quality {
       Some(s"""WITH c AS (
                 SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS c FROM orders),
               d AS (
-                SELECT CASE WHEN c >= 100000 THEN c // 100000
-                            WHEN c >= 10000  THEN c // 10000
-                            WHEN c >= 1000   THEN c // 1000
-                            WHEN c >= 100    THEN c // 100
-                            WHEN c >= 10     THEN c // 10
-                            ELSE c END AS digit
+                SELECT ${digitCase("//")} AS digit
                 FROM c),
               g AS (
                 SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -513,6 +500,21 @@ object Quality {
                        - $BenfordPpmCase AS BIGINT) AS dev_ppm
               FROM g ORDER BY digit"""))
   )
+
+  /** Leading decimal digit of the positive BIGINT `c` — a range-CASE
+    * whose branch texts are shared verbatim between engines (`div` =
+    * Spark `DIV` / DuckDB `//`). Branches cover 10¹⁸ down to 10¹, the
+    * FULL positive Long range (review r16: the original 10⁵ cutoff
+    * silently emitted two-digit "digits" for totals ≥ 10⁶ — latent on
+    * TPC-H's ≤ 6-digit prices, unguarded anywhere else). */
+  private def digitCase(div: String): String = {
+    val branches = (18 to 1 by -1).map { p =>
+      val pow = "1" + "0" * p
+      s"WHEN c >= $pow THEN c $div $pow"
+    }.mkString("\n                            ")
+    s"""CASE $branches
+                            ELSE c END"""
+  }
 
   /** ⌊log10(1+1/d)·10⁶⌋ for d = 1..9 — fixed ppm literals (NOT computed
     * at runtime: libm log10 is not correctly-rounded, the literals are).

@@ -302,7 +302,10 @@ object SimilarityOps {
         val asg = SemanticDedup.assignCells(emb, codebook)
         asg.groupBy("cell")
           .agg(count(lit(1)).cast(LongType).as("n_vecs"))
-          .crossJoin(broadcast(asg.agg(count(lit(1)).as("__n"))))
+          // total = bare corpus count (every vector gets exactly one
+          // cell) — counting `asg` instead would re-run the full argmax
+          // assignment pass just to produce the same number
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n"))))
           .select(col("cell"), col("n_vecs"),
             expr("(n_vecs * 1000000L) DIV __n").as("share_ppm"),
             expr("(n_vecs * 8000000L) DIV __n").as("balance_ppm"))
