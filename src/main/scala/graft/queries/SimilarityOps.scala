@@ -336,6 +336,92 @@ object SimilarityOps {
                        AS balance_ppm
               FROM g ORDER BY cell""")),
 
+    // ⊕ per-cell centroid drift between two corpus snapshots (here: the
+    // vec_id parity halves standing in for crawl N vs crawl N+1): L1
+    // distance of per-cell mean vectors — the embedding-drift monitor
+    // that says WHICH region of the space moved before anyone re-trains
+    // a quantizer or re-runs semantic dedup. All moments exact micro
+    // integers on the common denominator n_a·n_b (means are never
+    // subtracted as doubles — summation order could flip a bit); one
+    // rule-6 emit per cell. Cells missing either snapshot are filtered
+    // (drift is undefined there), stated on both sides.
+    Entry(
+      "sim_centroid_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = emb.orderBy("vec_id").limit(8).select("embedding")
+          .collect().map(_.getSeq[Float](0).toArray)
+        val asg = SemanticDedup.assignCells(emb, codebook)
+        val isA = col("vec_id") % 2 === 0
+        val counts = asg.groupBy("cell").agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(isA, 0L).otherwise(1L)).as("n_b"))
+        val mu = floor(col("x") * lit(1e6)).cast(LongType)
+        val dims = asg
+          .select(col("cell"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum(when(isA, mu).otherwise(0L)).cast(d38).as("sa"),
+            sum(when(isA, 0L).otherwise(mu)).cast(d38).as("sb"))
+        val num = dims.join(counts, "cell")
+          .select(col("cell"),
+            abs(col("sa") * col("n_b").cast(d38) -
+              col("sb") * col("n_a").cast(d38)).as("term"))
+          .groupBy("cell").agg(sum(col("term")).as("numv"))
+        num.join(counts, "cell")
+          .filter(col("n_a") > 0 && col("n_b") > 0)
+          .withColumn("nab", (col("n_a").cast(d38) * col("n_b").cast(d38)))
+          .select(col("cell"), col("n_a"), col("n_b"),
+            (Exact.bigColToDouble("numv") / Exact.bigColToDouble("nab") /
+              lit(1e6)).as("l1_drift"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH c AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                       CAST(embedding AS DOUBLE[]) AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sc AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(v.e, c.ce) / sqrt(list_dot_product(c.ce, c.ce)) AS s
+                FROM v CROSS JOIN c),
+              asg AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+              counts AS (
+                SELECT cell,
+                       CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                FROM asg GROUP BY 1),
+              dims AS (
+                SELECT asg.cell, CAST(a.range AS INTEGER) AS dim,
+                       SUM(CASE WHEN asg.vec_id % 2 = 0
+                           THEN CAST(FLOOR(v.e[a.range+1] * 1e6) AS HUGEINT)
+                           ELSE 0 END) AS sa,
+                       SUM(CASE WHEN asg.vec_id % 2 = 0 THEN 0
+                           ELSE CAST(FLOOR(v.e[a.range+1] * 1e6) AS HUGEINT)
+                           END) AS sb
+                FROM asg JOIN v USING (vec_id), range(0,64) a
+                GROUP BY 1, 2),
+              num AS (
+                SELECT d.cell,
+                       SUM(abs(d.sa * ct.n_b - d.sb * ct.n_a)) AS numv
+                FROM dims d JOIN counts ct USING (cell)
+                GROUP BY 1),
+              f AS (
+                SELECT num.cell, ct.n_a, ct.n_b, num.numv,
+                       CAST(ct.n_a AS HUGEINT) * ct.n_b AS nab
+                FROM num JOIN counts ct USING (cell)
+                WHERE ct.n_a > 0 AND ct.n_b > 0)
+              SELECT cell, n_a, n_b,
+                     ${Exact.bigSqlToDouble("numv")} /
+                       ${Exact.bigSqlToDouble("nab")} / 1e6 AS l1_drift
+              FROM f ORDER BY cell""")),
+
     // ⊕ Matryoshka truncation audit: recall@k of top-5 retrieval using
     // only the FIRST 16 of 64 dims vs the full-dim exact ranking — the
     // measurement behind serving truncated (MRL-style) embeddings at a
