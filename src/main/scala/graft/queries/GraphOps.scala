@@ -841,8 +841,13 @@ object GraphOps {
           .withColumn("dy", col("n_stubs").cast(d38) * col("syy") -
             col("sy").cast(d38) * col("sy").cast(d38))
           .select(col("n_stubs"),
-            (Exact.bigColToDouble("numv") /
-              sqrt(Exact.bigColToDouble("dx") * Exact.bigColToDouble("dy")))
+            // a REGULAR graph (all degrees equal, dx = dy = 0) has no
+            // defined assortativity — emit NULL, mirrored in the
+            // oracle; ANSI's double division would otherwise abort
+            when(col("dx") === 0 || col("dy") === 0,
+              lit(null).cast(DoubleType))
+              .otherwise(Exact.bigColToDouble("numv") /
+                sqrt(Exact.bigColToDouble("dx") * Exact.bigColToDouble("dy")))
               .as("assortativity"))
       },
       Some(s"""WITH ev AS (
@@ -884,9 +889,11 @@ object GraphOps {
                          - CAST(sy AS HUGEINT) * sy AS dy
                 FROM m)
               SELECT n_stubs,
-                     ${Exact.bigSqlToDouble("numv")} /
-                       sqrt(${Exact.bigSqlToDouble("dx")}
-                            * ${Exact.bigSqlToDouble("dy")}) AS assortativity
+                     CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                          ELSE ${Exact.bigSqlToDouble("numv")} /
+                            sqrt(${Exact.bigSqlToDouble("dx")}
+                                 * ${Exact.bigSqlToDouble("dy")}) END
+                       AS assortativity
               FROM f"""))
   )
 }
