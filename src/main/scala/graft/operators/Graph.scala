@@ -445,7 +445,13 @@ object Graph {
     * normalization, which is all hub/authority scores mean). Products
     * form in DECIMAL(38,0) — Σ auth·cnt reaches scale·Σcnt, past a Long
     * for heavy graphs — and the normalized scores fall back into Longs
-    * (≤ scale by construction). Returns every node of `nodes` with
+    * (≤ scale by construction). The max normalizer can never be 0 on a
+    * non-empty edge set (review r16): each half-round's max-score node
+    * holds exactly `scale`, is by construction an edge endpoint on the
+    * side the next half-round joins, and cnt ≥ 1 — so every subsequent
+    * raw-sum relation contains a row ≥ scale and its max is positive;
+    * with no edges at all the sum relations are empty and no division
+    * is ever evaluated. Returns every node of `nodes` with
     * `hub`/`auth` (0 for nodes with no out-/in-edges). Shape per round:
     * two edge⋈score joins + two partial-agg sums + two 1-row max
     * aggregates broadcast back — graph-sized, never log-sized.
