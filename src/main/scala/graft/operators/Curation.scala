@@ -455,6 +455,15 @@ object Curation {
     * rows, `factor_ppm` = the realized up/down-sampling rate vs the
     * natural distribution (target/n in ppm). All outputs are floor
     * divisions of exact integers — order-insensitive, engine-exact.
+    * FLOOR-UNDERSHOOT note (ADVICE r16): because each `target_docs` is
+    * floored independently, Σ target_docs ≤ budget with a shortfall of
+    * up to (#groups − 1) rows, and Σ share_ppm ≤ 10⁶ likewise — the
+    * outputs are an allocation PLAN (telemetry + sampling rates), not a
+    * guaranteed exact budget fill. A caller that must land exactly on
+    * `budget` should redistribute the remainder by largest fractional
+    * part (largest-remainder method) over these floors; that step is
+    * deliberately left out here because it needs a tie order, and any
+    * engine-neutral tie order belongs to the caller's id space.
     * Shape: one partial-agg count (group-sized), a 1-row total broadcast
     * back; nothing corpus-sized shuffles twice.
     */

@@ -463,7 +463,14 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val d38 = "DECIMAL(38,0)"
+    // the non-zero-normalizer proof above rests on cnt ≥ 1 — ENFORCE it
+    // rather than assume it (ADVICE r16): a zero/negative weight would
+    // make the max normalizer zero or negative, aborting under ANSI or
+    // silently diverging from the recurrence the scaladoc states. Rows
+    // with cnt < 1 have no meaning in a positive-weight mutual-
+    // reinforcement model, so they are dropped at the edge projection.
     val e = edges.select(col("src"), col("dst"), col("cnt"))
+      .filter(col("cnt") >= 1)
     // (score · cnt) summed per endpoint, then max-normalized to `scale`
     def halfRound(scores: DataFrame, joinOn: String, groupAs: String): DataFrame = {
       val raw = e

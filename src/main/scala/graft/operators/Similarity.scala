@@ -417,6 +417,18 @@ object Similarity {
     * hash-for-hash — the same discipline as [[graft.operators.Graph]]'s
     * PageRank. Returns (i, v): the ∞-normalized direction, |v| ≤ scale.
     *
+    * Degenerate input (ADVICE r16): the ∞-norm normalizer max|u| CAN
+    * be zero mid-iteration — C·v lands exactly on the zero vector
+    * whenever v ∈ ker C (e.g. v₀ = scale·𝟙 on compositional embeddings
+    * whose per-row dim sums are constant, so C·𝟙 = 0). Unlike
+    * [[graft.operators.Graph.hits]], whose positive-weight recurrence
+    * provably keeps the normalizer ≥ scale, no such invariant exists
+    * here — so the normalization guards __m = 0 explicitly and emits
+    * the zero vector (a fixed point: every later round stays zero),
+    * instead of an engine-dependent division-by-zero abort. A zero
+    * result vector therefore MEANS "the iterate hit ker C" — callers
+    * wanting a principal component of such a matrix should re-seed.
+    *
     * Scale shape: ONE corpus pass builds the d² covariance (the
     * dominant cost, see [[embedCovariance]]); each round is then a
     * d²-row join against a d-row vector — AQE broadcasts the vector —
@@ -445,8 +457,9 @@ object Similarity {
       val m = u.agg(max(abs(col("u"))).as("__m"))
       v = u.crossJoin(broadcast(m))
         .select(col("i").as("j"),
-          expr(s"""(CASE WHEN u < 0 THEN -1L ELSE 1L END) *
-                   ((abs(u) * CAST($scale AS DECIMAL(38,0))) DIV __m)""")
+          expr(s"""CASE WHEN __m = 0 THEN 0L ELSE
+                   (CASE WHEN u < 0 THEN -1L ELSE 1L END) *
+                   ((abs(u) * CAST($scale AS DECIMAL(38,0))) DIV __m) END""")
             .cast(LongType).as("x"))
     }
     v.select(col("j").as("i"), col("x").as("v"))

@@ -783,11 +783,14 @@ object CdcOps {
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("share_ppm",
-            expr("(cnt * 1000000) DIV SUM(cnt) OVER ()"))
+            expr("(cnt * 1000000) DIV SUM(cnt) OVER ()").cast(LongType))
           .orderBy("event_type")
       },
+      // rule-6 cast discipline: SUM(BIGINT) widens to HUGEINT in DuckDB
+      // and `//` inherits it; an uncast emit hash-diverges on harnesses
+      // that render HUGEINT via decimal128. CAST pins int64 both sides.
       Some("""SELECT event_type, cnt,
-                     (cnt * 1000000) // SUM(cnt) OVER () AS share_ppm
+                     CAST((cnt * 1000000) // SUM(cnt) OVER () AS BIGINT) AS share_ppm
               FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM events GROUP BY 1)
               ORDER BY event_type""")),

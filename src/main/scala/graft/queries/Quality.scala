@@ -470,13 +470,19 @@ object Quality {
     Entry(
       "q15_benford_profile",
       (s, dir) => {
-        Tables(s, dir, "orders")
+        // digitCase is documented for positive BIGINT only — enforce the
+        // precondition instead of assuming it (ADVICE r16): a zero or
+        // negative total would otherwise emit a non-digit 'digit' row
+        // whose expected_ppm silently lands in the digit-9 ELSE branch.
+        // The total is counted over the SAME filtered relation so the
+        // ppm denominator matches the numerators.
+        val c = Tables(s, dir, "orders")
           .select(floor(col("o_totalprice")).cast(LongType).as("c"))
-          .select(expr(digitCase("DIV")).as("digit"))
+          .filter(col("c") >= 1)
+        c.select(expr(digitCase("DIV")).as("digit"))
           .groupBy("digit")
           .agg(count(lit(1)).cast(LongType).as("n_orders"))
-          .crossJoin(broadcast(
-            Tables(s, dir, "orders").agg(count(lit(1)).as("__n"))))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("__n"))))
           .select(col("digit"), col("n_orders"),
             expr("(n_orders * 1000000L) DIV __n").as("observed_ppm"),
             expr(BenfordPpmCase).cast(LongType).as("expected_ppm"))
@@ -484,7 +490,8 @@ object Quality {
           .orderBy("digit")
       },
       Some(s"""WITH c AS (
-                SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS c FROM orders),
+                SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS c FROM orders
+                WHERE FLOOR(o_totalprice) >= 1),
               d AS (
                 SELECT ${digitCase("//")} AS digit
                 FROM c),

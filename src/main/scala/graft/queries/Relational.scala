@@ -508,6 +508,55 @@ object Relational {
         .orderBy("event_type"),
       None),
 
+    // ⊕ the FULLY-ORACLED twin of a24: the same per-(group, day)
+    // sketch → merge → estimate pipeline, carried by a KMV sketch over
+    // the replayable 48-bit md5 family instead of HLL — every step
+    // (hash, k-smallest, union-merge, floor-division estimate) is exact
+    // integer arithmetic both engines replay bit-for-bit, so the gate
+    // hashes even the APPROXIMATE value (closing the class a9/a24 were
+    // rows-only for; VERDICT r16 item 4). k = 64 deliberately SMALL so
+    // the saturated (k−1)·2⁴⁸ DIV h₍ₖ₎ estimator branch actually fires
+    // at gate scale (events has ~150 distinct users per type at
+    // sf0.01); KmvSpec pins the exact-regime branch and the
+    // merge-closure law separately, and APPROX_BOUNDS.md carries the
+    // measured error envelope (RSE ≈ 1/√(k−2) ≈ 12.7%). At 100 TB the
+    // shape is a24's: daily builds touch one day's partition, any
+    // rollup is a |sketches|-row merge, per-group state is ≤ k longs.
+    Entry(
+      "a29_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val h = graft.functions.Kmv.withHash(
+          Tables(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_type"), to_date(col("ts")).as("day"),
+              col("user_id")),
+          "user_id", "h")
+        h.groupBy("event_type", "day")
+          .agg(expr(graft.functions.Kmv.sketchSparkSql("h", k)).as("sk"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_daily_sketches"),
+            expr(graft.functions.Kmv.mergeSparkSql("sk", k)).as("m"))
+          .select(col("event_type"), col("n_daily_sketches"),
+            expr(graft.functions.Kmv.estimateSparkSql("m", k)).as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+                 SELECT event_type, CAST(ts AS DATE) AS day,
+                        ${graft.functions.Kmv.hashDuckSql("user_id")} AS h
+                 FROM events WHERE user_id IS NOT NULL),
+               sk AS (
+                 SELECT event_type, day,
+                        ${graft.functions.Kmv.sketchDuckSql("h", 64)} AS sk
+                 FROM h GROUP BY 1, 2),
+               mg AS (
+                 SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n_daily_sketches,
+                        ${graft.functions.Kmv.mergeDuckSql("sk", 64)} AS m
+                 FROM sk GROUP BY 1)
+               SELECT event_type, n_daily_sketches,
+                      ${graft.functions.Kmv.estimateDuckSql("m", 64)} AS approx_users
+               FROM mg ORDER BY event_type""")),
+
     // Salted two-phase aggregate (SURVEY §7.5 skew path): result must be
     // identical to the plain GROUP BY — the salt only re-partitions.
     Entry(

@@ -80,6 +80,17 @@ def main(sf_dir, out_dir):
     for k, v in sorted(results.items()):
         print(f"{k:<{width}}  {v}")
     print(f"\n{n_ok}/{len(results)} passing")
+    # The dtype audit is PART of the gate (r17): r16 shipped an uncast
+    # HUGEINT emit (cdc_mv_routed_share) that passed value-comparison on
+    # the local DuckDB but hash-failed the driver's pandas render — the
+    # audit catches that class statically, so a gate run that skips it is
+    # not a gate run. Hazards fail the gate like value mismatches do.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import dtype_audit
+    hazards = dtype_audit.collect_hazards(sf_dir, out_dir)
+    for h in hazards:
+        print("DTYPE-HAZARD", h)
+    print(f"{len(hazards)} dtype hazards")
     # Machine-readable gate record: the ONLY licensed source for any
     # "passing" claim in SURVEY.md/README.md (tools/claim_check.py
     # enforces this — added r9 after VERDICT r8 §wrong-2, where the
@@ -96,13 +107,14 @@ def main(sf_dir, out_dir):
                             if v.startswith("rows-only (")),
         "failures": sorted(k for k, v in results.items()
                            if not v.startswith(("OK", "rows-only ("))),
+        "dtype_hazards": hazards,
     }
     gate_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", ".gate")
     os.makedirs(gate_dir, exist_ok=True)
     with open(os.path.join(gate_dir, "local_gate.json"), "w") as f:
         json.dump(gate, f, indent=1, sort_keys=True)
-    return 0 if n_ok == len(results) else 1
+    return 0 if n_ok == len(results) and not hazards else 1
 
 
 if __name__ == "__main__":

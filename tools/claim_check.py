@@ -55,6 +55,14 @@ def main():
     if gate["failures"]:
         errs.append(f"gate records failures {gate['failures']} — no passing "
                     "claim is licensed until the gate is clean")
+    # dtype hazards are gate failures too (r17): an uncast wide-integer
+    # emit passes the local value compare but hash-fails the driver's
+    # pandas render — r16's one red row. An old gate record without the
+    # key is unlicensed (forces a re-run with the audited gate).
+    if gate.get("dtype_hazards", ["gate record predates the dtype audit — "
+                                  "re-run tools/check.py"]):
+        errs.append(f"gate records dtype hazards "
+                    f"{gate.get('dtype_hazards')} — driver-hash risk")
     if declared != gate["n_total"]:
         errs.append(f"claim says {declared} declared queries, gate measured "
                     f"{gate['n_total']}")

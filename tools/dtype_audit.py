@@ -125,7 +125,11 @@ def decimal_cast_hazards(name, sql, double_cols):
     return out
 
 
-def main(sf_dir, out_dir):
+def collect_hazards(sf_dir, out_dir):
+    """The audit core, importable by tools/check.py (the gate runs this
+    unconditionally since r17 — r16's cdc_mv_routed_share slipped through
+    precisely because the audit existed but was not part of the gate).
+    Returns the hazard lines; empty list = clean."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     double_cols = set()
@@ -165,9 +169,14 @@ def main(sf_dir, out_dir):
                 hazards.append(
                     f"{name}.{c}: family mismatch oracle={a} spark={b}"
                     " (renders differently under the driver's hash)")
+    return hazards
+
+
+def main(sf_dir, out_dir):
+    hazards = collect_hazards(sf_dir, out_dir)
     for h in hazards:
         print("FLAG", h)
-    print(f"{len(oracle)} oracles audited, {len(hazards)} hazards")
+    print(f"{len(hazards)} hazards")
     return 1 if hazards else 0
 
 
