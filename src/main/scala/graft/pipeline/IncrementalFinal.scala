@@ -344,6 +344,94 @@ object IncrementalFinal {
         col("dirty")): _*)
   }
 
+  /** The EXACT-license check behind [[graft.plans.MvRegistry.Summary]]'s
+    * `distincts` registration — run at summary BUILD time (the build
+    * already scans the base, so the two verification aggregates ride
+    * the same data): a distinct-sketch column may serve
+    * COUNT(DISTINCT `valueCol`) exactly iff
+    *
+    *   (a) UNSATURATED: every grain's distinct-hash count ≤ k, so each
+    *       sketch array is its grain's COMPLETE distinct-hash set
+    *       (unions at any coarser grain are then complete too), and
+    *   (b) INJECTIVE: the 48-bit md5 family is collision-free on the
+    *       OBSERVED value set — count of distinct hashes equals count
+    *       of distinct values globally (global, not per-grain: coarser
+    *       rollups union hashes ACROSS grains, so cross-grain
+    *       collisions must be ruled out as well).
+    *
+    * This is the sketch-then-verify discipline (`a26_ams_f2` /
+    * `text_freq_cm` precedent): the sketch serves, the exact check
+    * licenses. Returns false → do NOT register the distincts entry;
+    * distinct queries then bail to the base scan, never serve a wrong
+    * count. Collision odds make (b) fail ~never (n²/2⁴⁹), but "~never"
+    * is not a correctness argument — the check is. */
+  def verifiedDistinctLicense(base: DataFrame, keyCols: Seq[String],
+                              valueCol: String, k: Int): Boolean = {
+    val hashed = graft.functions.Kmv.withHash(
+      base.select((keyCols :+ valueCol).map(col): _*)
+        .filter(col(valueCol).isNotNull),
+      valueCol, "__h")
+    val perGrain = hashed.groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col("__h")).as("__ndh"))
+      .agg(max(col("__ndh")).as("m")).collect()
+    val maxPerGrain =
+      if (perGrain.isEmpty || perGrain(0).isNullAt(0)) 0L
+      else perGrain(0).getLong(0)
+    val inj = hashed.agg(countDistinct(col("__h")).as("h"),
+      countDistinct(col(valueCol)).as("v")).head()
+    maxPerGrain <= k && inj.getLong(0) == inj.getLong(1)
+  }
+
+  /** Distinct-sketch IVM with the dirty-key protocol
+    * ([[maintainMinMax]]'s shape — distinct sets, like extremes, are
+    * NOT self-maintainable under retraction: the sketch carries no
+    * multiplicities, so "did this delete remove the LAST copy of its
+    * value?" is undecidable from state alone):
+    *
+    *   inserts  : sketch(grain) ← sketch ∪ {hashes of inserted values}
+    *              — exact, set union commutes with recomputation
+    *   deletes  : the grain goes DIRTY (conservative: under the
+    *              changelog contract every retraction targets a
+    *              base-counted row, so its hash IS in the sketch and
+    *              might be the value's last copy)
+    *   new keys : sketch of their inserts, never dirty
+    *
+    * Output: (keys…, `sketchCol`, dirty) — dirty rows carry NULL
+    * sketches; the caller rescans base rows on those keys only (the
+    * gated `cdc_ivm_distinct` composes maintenance + targeted rescan
+    * and proves the result ≡ full recompute). The union is kept WHOLE
+    * (no k-slice): a clean fold that grows a grain past its build-time
+    * k has outgrown the exact license — the caller re-verifies via
+    * [[verifiedDistinctLicense]] before re-registering, exactly as
+    * [[refreshSummary]] re-stamps tokens. Residual honesty: a fold
+    * preserves license (b) modulo hash collisions BETWEEN increments
+    * (old values are gone; only their hashes remain), the same
+    * n²/2⁴⁹ envelope the build check closed — a strict deployment
+    * re-runs the license check on its periodic compaction pass. */
+  def maintainDistinct(baseSk: DataFrame, delta: DataFrame,
+                       keyCols: Seq[String],
+                       sketchCol: String = "kmv",
+                       signCol: String = "sign",
+                       valueCol: String = "v"): DataFrame = {
+    val dAgg = graft.functions.Kmv
+      .withHash(delta, valueCol, "__h")
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        expr(s"array_sort(collect_set(CASE WHEN $signCol > 0 " +
+          "THEN __h END))").as("__ins_sk"),
+        (sum(when(col(signCol) < 0, lit(1L)).otherwise(lit(0L))) > 0)
+          .as("__any_del"))
+    val empty = "CAST(array() AS ARRAY<BIGINT>)"
+    baseSk.join(dAgg, keyCols, "full_outer")
+      .withColumn("dirty", coalesce(col("__any_del"), lit(false)))
+      .select(keyCols.map(col) ++ Seq(
+        when(!col("dirty"), expr(
+          s"""array_sort(array_distinct(concat(
+              coalesce($sketchCol, $empty),
+              coalesce(__ins_sk, $empty))))""")).as(sketchCol),
+        col("dirty")): _*)
+  }
+
   /** Incremental VIEW maintenance for an inner equi-JOIN — the join
     * half of the IVM pair ([[maintainAggregate]] is the aggregate
     * half): keep V = A ⋈ B current under signed changelogs of BOTH

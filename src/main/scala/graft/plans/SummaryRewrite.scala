@@ -28,14 +28,30 @@ object MvRegistry {
     * MAX. A base column present in BOTH `sums` and `nns` additionally
     * licenses the AVG rewrite (avg = Σsum / Σnn — avg ignores nulls,
     * so the row count is the WRONG denominator; the nn column is
-    * maintainAggregate's nnCol). */
+    * maintainAggregate's nnCol).
+    *
+    * `distincts`: base column → summary ARRAY<BIGINT> column holding
+    * that column's COMPLETE distinct-hash set within the grain (an
+    * UNSATURATED [[graft.functions.Kmv]] sketch — every distinct
+    * 48-bit md5 hash of the column's non-null values, sorted).
+    * Registering here is the caller's claim — VERIFIED, never assumed:
+    * [[graft.pipeline.IncrementalFinal.verifiedDistinctLicense]] checks
+    * at build time that (a) no grain saturated its sketch, so each
+    * array IS the complete set, and (b) the hash is injective on the
+    * observed value set — under which COUNT(DISTINCT col) over the base
+    * equals the size of the union of the grain sketches at ANY grain
+    * coarsening, exactly. A saturated or collision-bearing build must
+    * not register the column (route would be approximate); the KMV
+    * ESTIMATE regime stays available through explicit queries
+    * (`a29_kmv_distinct`), never through transparent routing. */
   final case class Summary(mv: () => DataFrame, groupCols: Seq[String],
                            cntCol: String, sums: Map[String, String],
                            nns: Map[String, String] = Map.empty,
                            mins: Map[String, String] = Map.empty,
                            maxs: Map[String, String] = Map.empty,
                            baseToken: Option[String] = None,
-                           rows: Option[Long] = None) {
+                           rows: Option[Long] = None,
+                           distincts: Map[String, String] = Map.empty) {
     require(groupCols.nonEmpty && groupCols.distinct.size == groupCols.size,
       s"summary grain must be non-empty distinct columns, got $groupCols")
   }
@@ -830,6 +846,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               if args.nonEmpty && args.forall(grainOnlyExpr) =>
               Some(Count(args.map(remapGrain))
                 .toAggregateExpression(isDistinct = true))
+            // COUNT(DISTINCT x) over a VALUE column backed by a
+            // registered distinct-sketch column (the verified-license
+            // contract, see Summary.distincts): each summary row
+            // carries the COMPLETE distinct-hash set of x within its
+            // grain, so |∪ sketches| over any group of summary rows IS
+            // the group's distinct count — collect the arrays, flatten,
+            // dedup, size. Multiplicity-INVARIANT like MIN/MAX: in the
+            // star shape a dim fan-out replicates whole arrays and
+            // array_distinct collapses them, and m(g) = 0 grains drop
+            // from both plans alike — so the same fold serves direct,
+            // rollup-to-coarser-grain, and star/left-star routing. At
+            // 100 TB this turns the one dashboard shape that still
+            // re-opened the corpus (distinct users) into a |keys|-row
+            // array union.
+            case (Count(Seq(a: AttributeReference)), true)
+              if isBase(a) && s.distincts.contains(a.name) &&
+                al.dataType == LongType &&
+                mvAttr(s.distincts(a.name)).exists(m => m.dataType match {
+                  case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+                  case _ => false
+                }) =>
+              Some(Coalesce(Seq(
+                Cast(
+                  org.apache.spark.sql.catalyst.expressions.Size(
+                    org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
+                      org.apache.spark.sql.catalyst.expressions.Flatten(
+                        org.apache.spark.sql.catalyst.expressions.aggregate
+                          .CollectList(mvAttr(s.distincts(a.name)).get)
+                          .toAggregateExpression()))),
+                  LongType),
+                Literal(0L))))
             // COUNT(col): non-null count ≡ Σ summary.nn (coalesced:
             // COUNT is non-nullable)
             case (Count(Seq(a: AttributeReference)), false)

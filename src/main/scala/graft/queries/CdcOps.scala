@@ -427,6 +427,66 @@ object CdcOps {
               GROUP BY p.event_type, dirty.was_dirty
               ORDER BY p.event_type""")),
 
+    // ⊕ DISTINCT-set IVM — the other aggregate that is NOT
+    // self-maintainable under retraction (a distinct set carries no
+    // multiplicities, so "was that the value's last copy?" is
+    // undecidable from state), gated as its full dirty-key protocol
+    // like cdc_ivm_minmax: insert-only grains fold their hash-set
+    // union EXACTLY (set union commutes with recomputation); grains
+    // with any retraction go dirty and rescan base rows for those keys
+    // only. Deletes deliberately target TWO of the five types, so both
+    // the clean fold path and the dirty rescan path are exercised and
+    // the oracle pins WHICH keys took which path. Counts are distinct
+    // 48-bit md5 hashes ≡ distinct values on this data (the license
+    // cdc_mv_routed_distinct verifies); the oracle counts raw values.
+    Entry(
+      "cdc_ivm_distinct",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("user_id"))
+        val base = ev.filter(col("event_id") % 10 =!= 9)
+        val baseSk = graft.functions.Kmv.withHash(base, "user_id", "__h")
+          .groupBy("event_type")
+          .agg(expr("array_sort(collect_set(__h))").as("kmv"))
+        val del = base.filter(col("event_id") % 7 === 0 &&
+          col("event_type").isin("click", "error"))
+        val delta = ev.filter(col("event_id") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(del.withColumn("sign", lit(-1L)))
+        val m = IncrementalFinal.maintainDistinct(baseSk, delta,
+          Seq("event_type"), sketchCol = "kmv", valueCol = "user_id")
+        val post = ev.filter((col("event_id") % 10 === 9) ||
+          (col("event_id") % 10 =!= 9 &&
+            !(col("event_id") % 7 === 0 &&
+              col("event_type").isin("click", "error"))))
+        val clean = m.filter(!col("dirty"))
+          .select(col("event_type"),
+            size(col("kmv")).cast(LongType).as("n_users"),
+            col("dirty").as("was_dirty"))
+        val rescan = graft.functions.Kmv.withHash(post, "user_id", "__h")
+          .join(m.filter(col("dirty")).select("event_type"),
+            Seq("event_type"), "left_semi")
+          .groupBy("event_type")
+          .agg(countDistinct(col("__h")).cast(LongType).as("n_users"))
+          .withColumn("was_dirty", lit(true))
+        clean.unionByName(rescan).orderBy("event_type")
+      },
+      Some("""WITH post AS (
+                SELECT event_type, user_id FROM events
+                WHERE (event_id % 10 = 9)
+                   OR (event_id % 10 != 9 AND NOT (event_id % 7 = 0
+                       AND event_type IN ('click', 'error')))),
+              dels AS (
+                SELECT DISTINCT event_type FROM events
+                WHERE event_id % 10 != 9 AND event_id % 7 = 0
+                  AND event_type IN ('click', 'error'))
+              SELECT p.event_type,
+                     CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+                     (d.event_type IS NOT NULL) AS was_dirty
+              FROM post p LEFT JOIN dels d USING (event_type)
+              GROUP BY p.event_type, d.event_type
+              ORDER BY p.event_type""")),
+
     // ⊕ LEFT-join IVM — the transition case the inner rule can't
     // express: customers for a slice of orders are MISSING from the
     // base (null-extended rows), the batch inserts some of them (first
@@ -794,6 +854,59 @@ object CdcOps {
               FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM events GROUP BY 1)
               ORDER BY event_type""")),
+
+    // ⊕ COUNT(DISTINCT) routing — the one dashboard aggregate that
+    // still re-opened the corpus (VERDICT r16 item 3): the summary is
+    // extended with a VERIFIED distinct-sketch column (the complete
+    // distinct-hash set of user_id per grain — an unsaturated
+    // functions.Kmv sketch) and SummaryRewrite serves
+    // COUNT(DISTINCT user_id) as |∪ sketches|. The license is CHECKED
+    // at build (IncrementalFinal.verifiedDistinctLicense: no grain
+    // saturated + md5₄₈ injective on the observed values), never
+    // assumed — an unlicensed build registers no distincts entry and
+    // the query bails to the corpus scan rather than serve a wrong
+    // count. The oracle is the PLAIN COUNT(DISTINCT) over raw rows, so
+    // this one gate proves sketch-build ≡ routed-serve ≡ recompute.
+    // At 100 TB the routed plan reads |keys| rows × (≤ k)-long arrays;
+    // PlanSpec pins the summary-only scan.
+    Entry(
+      "cdc_mv_routed_distinct",
+      (s, dir) => {
+        val k = 16384
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvdistinct_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"))
+        ev.write.mode("overwrite").parquet(basePath)
+        graft.functions.Kmv.withHash(ev, "user_id", "__h")
+          .groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(col("v_micro")).as("n_nonnull"),
+            sum(col("v_micro")).as("sum_micro"),
+            expr(graft.functions.Kmv.sketchSparkSql("__h", k)).as("kmv_user"))
+          .write.mode("overwrite").parquet(mvPath)
+        val licensed = IncrementalFinal.verifiedDistinctLicense(
+          ev, Seq("event_type"), "user_id", k)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type"), "cnt",
+            sums = Map("v_micro" -> "sum_micro"),
+            nns = Map("v_micro" -> "n_nonnull"),
+            distincts =
+              if (licensed) Map("user_id" -> "kmv_user") else Map.empty))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY 1 ORDER BY event_type""")),
 
     // ⊕ star-join routing: the dashboard shape one notch wider than
     // cdc_mv_routed — a plain aggregate over `base ⋈ dim` (join key =

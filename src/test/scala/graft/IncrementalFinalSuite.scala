@@ -362,4 +362,50 @@ class IncrementalFinalSuite extends SparkSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rescanned === Map("b" -> ((8L, 8L)), "c" -> ((3L, 7L))))
   }
+
+  test("maintainDistinct: insert-only grains fold the hash-set union exactly; any retraction goes dirty; new keys born clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, expr}
+    val base = Seq(
+      ("a", Some("u1")), ("a", Some("u2")), ("a", None), // null never counted
+      ("b", Some("u1")), ("b", Some("u3")),
+      ("c", Some("u4")))                                 // untouched key
+      .toDF("k", "uid")
+    val baseSk = graft.functions.Kmv.withHash(base, "uid", "__h")
+      .groupBy("k").agg(expr("array_sort(collect_set(__h))").as("kmv"))
+    val delta = Seq(
+      ("a", Some("u2"), 1L),  // re-insert of a PRESENT value: no growth
+      ("a", Some("u9"), 1L),  // genuinely new value
+      ("a", None, 1L),        // null insert: never enters the set
+      ("b", Some("u1"), -1L), // retraction → dirty (last copy undecidable)
+      ("d", Some("u7"), 1L))  // key born from the delta alone
+      .toDF("k", "uid", "sign")
+    val m = IncrementalFinal.maintainDistinct(baseSk, delta, Seq("k"),
+      sketchCol = "kmv", valueCol = "uid")
+    val got = m.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).size),
+        r.getBoolean(2))).toMap
+    assert(got("a") === ((Some(3), false))) // {u1,u2,u9} — dup + null absorbed
+    assert(got("b") === ((None, true)))     // retraction: rescan required
+    assert(got("c") === ((Some(1), false))) // untouched
+    assert(got("d") === ((Some(1), false))) // new key: sketch of its inserts
+    // the composed protocol ≡ recompute over the post-change multiset
+    // (clean folds counted from state, dirty keys rescanned from post)
+    val post = Seq( // base minus b's u1, plus the inserts
+      ("a", "u1"), ("a", "u2"), ("a", "u2"), ("a", "u9"),
+      ("b", "u3"), ("c", "u4"), ("d", "u7")).toDF("k", "uid")
+    val rescan = post.join(m.filter(col("dirty")).select("k"),
+        Seq("k"), "left_semi")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("uid")).as("nd"))
+    val clean = m.filter(!col("dirty"))
+      .select(col("k"), org.apache.spark.sql.functions.size(col("kmv"))
+        .cast("long").as("nd"))
+    val composed = clean.unionByName(rescan)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val re = post.groupBy("k")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("uid")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(composed === re)
+  }
 }

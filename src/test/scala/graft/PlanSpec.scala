@@ -587,6 +587,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("distinct routing: COUNT(DISTINCT) serves from the sketch column over the summary scan, never the base (cdc_mv_routed_distinct)") {
+    val df = Inventory.byName("cdc_mv_routed_distinct").run(spark, sfDir)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(paths.exists(_.endsWith("/summary")),
+      s"summary not scanned: $paths")
+    assert(!paths.exists(_.endsWith("/base")),
+      s"base corpus still scanned after distinct routing: $paths")
+  }
+
   test("star-join routing: summary replaces the base side, the dim join survives (cdc_mv_routed_star)") {
     val df = Inventory.byName("cdc_mv_routed_star").run(spark, sfDir)
     val paths = df.queryExecution.optimizedPlan.collect {

@@ -1424,4 +1424,98 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(cgot === cnt().collect())
     } finally MvRegistry.clear()
   }
+
+  // ------------------------------------------- distinct-sketch routing
+
+  /** Base with a value column `uid` whose per-grain distinct-hash sets
+    * fit a k = 64 sketch (37 distinct uids per type), plus the summary
+    * extended with that VERIFIED sketch column. */
+  private def distinctFixture(): (String, String) = {
+    val base = tmpDir("mvd-base"); val mv = tmpDir("mvd-sum")
+    (0L until 1000L)
+      .map(i => (s"t${i % 5}",
+        if (i % 11 == 0) null else java.lang.Long.valueOf(i % 7),
+        if (i % 13 == 0) null else java.lang.Long.valueOf(i % 37)))
+      .toDF("event_type", "v_micro", "uid")
+      .write.mode("overwrite").parquet(base)
+    graft.functions.Kmv.withHash(spark.read.parquet(base), "uid", "__h")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("v_micro").as("sum_v"),
+        count("v_micro").as("nn_v"),
+        expr(graft.functions.Kmv.sketchSparkSql("__h", 64)).as("kmv_uid"))
+      .write.mode("overwrite").parquet(mv)
+    (base, mv)
+  }
+
+  private def registerDistinct(base: String, mv: String,
+                               licensed: Boolean): Unit =
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
+      distincts = if (licensed) Map("uid" -> "kmv_uid") else Map.empty))
+
+  test("COUNT(DISTINCT value-col) routes through the verified sketch at the grain and globally; the license check gates k") {
+    val (base, mv) = distinctFixture()
+    // the build-time license: k = 64 holds (37 distinct per grain),
+    // k = 8 saturates and must refuse
+    assert(graft.pipeline.IncrementalFinal.verifiedDistinctLicense(
+      spark.read.parquet(base), Seq("event_type"), "uid", 64))
+    assert(!graft.pipeline.IncrementalFinal.verifiedDistinctLicense(
+      spark.read.parquet(base), Seq("event_type"), "uid", 8))
+    val qGrain = () => spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("nd"),
+        count(col("v_micro")).as("nn"))
+      .orderBy("event_type")
+    val qGlobal = () => spark.read.parquet(base)
+      .agg(countDistinct(col("uid")).as("nd"))
+    val eGrain = qGrain().collect(); val eGlobal = qGlobal().collect()
+    registerDistinct(base, mv, licensed = true)
+    try {
+      for ((q, e) <- Seq((qGrain, eGrain), (qGlobal, eGlobal))) {
+        val routed = q()
+        val paths = scannedPaths(routed)
+        assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+        assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+        assert(routed.collect() === e)
+      }
+    } finally MvRegistry.clear()
+  }
+
+  test("COUNT(DISTINCT) with no registered sketch column bails to the base — never a silent approximation") {
+    val (base, mv) = distinctFixture()
+    registerDistinct(base, mv, licensed = false)
+    try {
+      val q = spark.read.parquet(base).groupBy("event_type")
+        .agg(countDistinct(col("uid")).as("nd"))
+      assert(scannedPaths(q).exists(_.contains(base)),
+        s"unlicensed distinct must scan the base: ${scannedPaths(q)}")
+      // while the count/sum shapes on the SAME registration still route
+      val served = spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(served).exists(_.contains(mv)),
+        s"count must still route: ${scannedPaths(served)}")
+    } finally MvRegistry.clear()
+  }
+
+  test("star shape: COUNT(DISTINCT) through a duplicate-key dim join is multiplicity-invariant") {
+    val (base, mv) = distinctFixture()
+    // t1 matches TWO identical dim rows → its rows join with
+    // multiplicity 2 inside group B; array_distinct must collapse the
+    // replicated sketches while COUNT(*) doubles
+    val dim = Seq(("t0", "A"), ("t1", "B"), ("t1", "B"), ("t2", "C"),
+      ("t3", "D"), ("t4", "E")).toDF("event_type", "label")
+    def q() = spark.read.parquet(base).join(dim, Seq("event_type"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("nd"))
+      .orderBy("label")
+    val expect = q().collect()
+    registerDistinct(base, mv, licensed = true)
+    try {
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(mv)), s"summary not scanned: $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      assert(routed.collect() === expect)
+    } finally MvRegistry.clear()
+  }
 }
