@@ -117,6 +117,56 @@ object Multimodal {
           lit("image/png").as("mime")).as("meta"))
   }
 
+  /** Cross-modal PAIR consistency — the curation stage the per-modality
+    * dedups above cannot express: a caption↔image training pair is junk
+    * when the two sides disagree, even if each side is individually
+    * clean (crawl misalignment, CDN substitution, watermark pages). The
+    * production form scores agreement between a text embedding and an
+    * image embedding (CLIP-style) and thresholds; this deterministic
+    * stand-in keeps the identical Spark plumbing — media features from
+    * a REAL ImageIO decode in `mapPartitions` (binary payloads never
+    * parsed by Catalyst), text features as a codegen'd Catalyst
+    * expression, one hash equi-join on `pair_id` — with exact integer
+    * feature algebra so the whole stage is oracle-gateable
+    * (`mm_pair_filter`).
+    *
+    * Features: media side = the DOMINANT luminance bin of the decoded
+    * payload (argmax of [[ImageIoCodec]]'s 16-bin histogram, lowest bin
+    * wins ties — deterministic); text side = the bin the pair's
+    * renderer would have used, (length(text) mod 256) DIV 16 (the
+    * [[syntheticImages]] construction). `consistent` = bin equality; a
+    * swapped or substituted image decodes to a different dominant bin
+    * and fails the flag.
+    *
+    * Scale shape: decode is map-side per-partition work on the media
+    * table only (payload column pruned everywhere else); the join
+    * shuffles two id+bin projections — never payloads; no
+    * all-pairs anything. At 100 TB this is one co-partitioned equi-join
+    * of two narrow relations. */
+  def pairConsistency(spark: SparkSession, texts: DataFrame,
+                      media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val mediaBins = media.select(col("pair_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val hist = ImageIoCodec.features(bytes)
+          var best = 0
+          var i = 1
+          while (i < hist.length) {
+            if (hist(i) > hist(best)) best = i
+            i += 1
+          }
+          (id, best.toLong)
+        }
+      }.toDF("pair_id", "media_bin")
+    val textBins = texts.select(col("pair_id"),
+      expr("((((length(text) % 256) + 256) % 256) DIV 16)")
+        .cast(LongType).as("text_bin"))
+    textBins.join(mediaBins, Seq("pair_id"))
+      .withColumn("consistent", col("text_bin") === col("media_bin"))
+  }
+
   /** Feature row produced by the decode stage. */
   final case class MediaFeatures(
       doc_id: Long, byte_len: Int, histogram: Array[Double])

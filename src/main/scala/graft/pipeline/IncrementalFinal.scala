@@ -193,7 +193,11 @@ object IncrementalFinal {
     * the summary does not carry both extreme columns for `valueCol`
     * (extremes of OTHER columns would need their deltas too) — then
     * MIN/MAX queries bail to the base scan rather than ever serving a
-    * wrong extreme. */
+    * wrong extreme. Registered DISTINCT-sketch columns follow the same
+    * protocol via [[maintainDistinct]]: insert-only grains fold their
+    * hash-set union exactly, grains with retractions rescan, and the
+    * registration drops (COUNT(DISTINCT) bails to the base) whenever
+    * the summary or the delta lacks a sketched column. */
   def refreshSummary(spark: SparkSession, basePath: String,
                      summaryPath: String, delta: DataFrame,
                      keyCols: Seq[String],
@@ -265,7 +269,51 @@ object IncrementalFinal {
             col("_mm_min").as(minColOpt.get) :+
             col("_mm_max").as(maxColOpt.get)): _*)
       }
-    next.write.mode(SaveMode.Overwrite).parquet(nextPath)
+    // Distinct sketches stay routed through refreshes via the SAME
+    // dirty-key protocol as the extremes: insert-only grains fold their
+    // hash-set union exactly ([[maintainDistinct]]), grains with any
+    // retraction rescan the base on those keys only. Kept only when the
+    // summary actually carries every registered sketch column and the
+    // delta carries every sketched base column — otherwise the
+    // registration drops its distincts and COUNT(DISTINCT) bails to the
+    // base scan rather than ever serving a stale set. (License residual
+    // documented at maintainDistinct: cross-increment hash collisions;
+    // the periodic compaction pass re-runs verifiedDistinctLicense.)
+    val keepDx = reg.distincts.nonEmpty &&
+      reg.distincts.values.forall(prev.columns.contains) &&
+      reg.distincts.keys.forall(delta.columns.contains)
+    val next2 =
+      if (!keepDx) next
+      else reg.distincts.foldLeft(next) { case (acc, (bCol, skCol)) =>
+        val state = prev.select(
+          (keyCols.map(col) :+ col(skCol).as("__dx_sk")): _*)
+        val m = maintainDistinct(state, delta, keyCols,
+            sketchCol = "__dx_sk", signCol = signCol, valueCol = bCol)
+          .localCheckpoint(true) // dirty probe AND fold both consume it
+        val dirtyKeys = m.filter(col("dirty")).select(keyCols.map(col): _*)
+        val resolved =
+          if (dirtyKeys.limit(1).count() == 0L)
+            m.select((keyCols.map(col) :+ col("__dx_sk")): _*)
+          else {
+            val rescan = graft.functions.Kmv.withHash(
+                spark.read.parquet(basePath)
+                  .join(dirtyKeys, keyCols, "left_semi")
+                  .filter(col(bCol).isNotNull), bCol, "__h")
+              .groupBy(keyCols.map(col): _*)
+              .agg(expr("array_sort(collect_set(__h))").as("__dx_sk"))
+            // a dirty grain whose remaining values are all null yields
+            // no rescan group — the left join below leaves its sketch
+            // NULL, which the routed fold reads as zero distincts
+            // (collect_list skips nulls): exactly COUNT(DISTINCT) = 0
+            m.filter(!col("dirty"))
+              .select((keyCols.map(col) :+ col("__dx_sk")): _*)
+              .unionByName(rescan)
+          }
+        acc.join(resolved, keyCols, "left")
+          .select((acc.columns.toIndexedSeq.map(col) :+
+            col("__dx_sk").as(skCol)): _*)
+      }
+    next2.write.mode(SaveMode.Overwrite).parquet(nextPath)
     // re-stamp the cost-model row count alongside the token: rollup
     // cardinality feeds SummaryRewrite's cheapest-server choice. Read
     // it from the parquet FOOTERS of the files just written — a
@@ -277,7 +325,8 @@ object IncrementalFinal {
       mv = () => spark.read.parquet(nextPath), baseToken = Some(tok),
       rows = Some(nRows),
       mins = if (keepMm) reg.mins else Map.empty,
-      maxs = if (keepMm) reg.maxs else Map.empty))
+      maxs = if (keepMm) reg.maxs else Map.empty,
+      distincts = if (keepDx) reg.distincts else Map.empty))
     nextPath
   }
 

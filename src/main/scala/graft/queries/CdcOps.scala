@@ -908,6 +908,53 @@ object CdcOps {
                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
               FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    // ⊕ distinct ROLLUP routing — the persisted-reality form of the
+    // sketch column: summaries live at a FINE grain (type × day, the
+    // grain the daily maintenance loop writes), dashboards ask at a
+    // COARSER one. COUNT(DISTINCT) cannot re-aggregate from per-cell
+    // counts (distinct is not additive — THE reason plain rollup MVs
+    // can't serve it); the sketch union CAN: the rewrite collects the
+    // type's day-cell hash sets, flattens, dedups, sizes — exact under
+    // the same verified license. This gate exercises the union-merge
+    // across cells in the driver's hash check (the plain
+    // cdc_mv_routed_distinct covers the single-cell case). At 100 TB:
+    // |type×day| summary rows scanned, corpus opened by nobody.
+    Entry(
+      "cdc_mv_routed_distinct_rollup",
+      (s, dir) => {
+        val k = 16384
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvdxroll_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"))
+        ev.write.mode("overwrite").parquet(basePath)
+        graft.functions.Kmv.withHash(ev, "user_id", "__h")
+          .groupBy("event_type", "day").agg(
+            count(lit(1)).as("cnt"),
+            expr(graft.functions.Kmv.sketchSparkSql("__h", k)).as("kmv_user"))
+          .write.mode("overwrite").parquet(mvPath)
+        val licensed = IncrementalFinal.verifiedDistinctLicense(
+          ev, Seq("event_type", "day"), "user_id", k)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath), Seq("event_type", "day"), "cnt",
+            sums = Map.empty,
+            distincts =
+              if (licensed) Map("user_id" -> "kmv_user") else Map.empty))
+        s.read.parquet(basePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // ⊕ star-join routing: the dashboard shape one notch wider than
     // cdc_mv_routed — a plain aggregate over `base ⋈ dim` (join key =
     // the summary grain) grouped by a DIM attribute. SummaryRewrite

@@ -168,6 +168,43 @@ object MultimodalOps {
                      CAST(1.0 AS DOUBLE) AS weight
               FROM documents ORDER BY doc_id""")),
 
+    // ⊕ cross-modal PAIR consistency, oracle-gated end-to-end: the
+    // caption↔image filter (Multimodal.pairConsistency). Pairs are
+    // documents × their rendered solid-gray PNGs, with every
+    // doc_id % 10 = 3 pair PLANTED mismatched (its image rendered from
+    // n_chars + 40 — a different dominant-luminance bin for every n,
+    // wrap included: +40 moves ≥ 2.5 bins, and a mod-256 wrap lands in
+    // bins {0,1,2} from {13,14,15}). The Spark side REALLY decodes the
+    // PNGs (ImageIO, mapPartitions) and joins on pair_id; the oracle
+    // restates both bins from n_chars in pure SQL — so the gate proves
+    // decode → argmax-bin → join → flag recovers exactly the planted
+    // truth. MultimodalSpec pins the filter semantics (consistent-only
+    // survivors = the unplanted ids).
+    Entry(
+      "mm_pair_filter",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val shifted = docs.withColumn("n_chars",
+          when(col("doc_id") % 10 === 3, col("n_chars") + 40)
+            .otherwise(col("n_chars")))
+        val media = Multimodal.syntheticImages(s, shifted, 4)
+          .withColumnRenamed("doc_id", "pair_id")
+        val texts = docs.select(col("doc_id").as("pair_id"), col("text"))
+        Multimodal.pairConsistency(s, texts, media)
+          .orderBy("pair_id")
+      },
+      Some("""SELECT doc_id AS pair_id,
+                     CAST((n_chars % 256) // 16 AS BIGINT) AS text_bin,
+                     CAST((CASE WHEN doc_id % 10 = 3
+                                THEN (n_chars + 40) % 256
+                                ELSE n_chars % 256 END) // 16
+                          AS BIGINT) AS media_bin,
+                     ((n_chars % 256) // 16) =
+                       ((CASE WHEN doc_id % 10 = 3
+                              THEN (n_chars + 40) % 256
+                              ELSE n_chars % 256 END) // 16) AS consistent
+              FROM documents ORDER BY pair_id""")),
+
     // ⊕ REAL audio decode, oracle-gated: 32-sample constant-amplitude
     // WAVs encoded from n_chars (javax.sound.sampled), decoded by
     // WavCodec — every sample lands in bin (n_chars % 32768) DIV 2048.

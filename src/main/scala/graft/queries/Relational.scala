@@ -557,6 +557,89 @@ object Relational {
                       ${graft.functions.Kmv.estimateDuckSql("m", 64)} AS approx_users
                FROM mg ORDER BY event_type""")),
 
+    // ⊕ re-aggregatable PERCENTILE store — the t-digest-class capability
+    // in its exactly-replayable form (VERDICT r16 item 6; GK precedent
+    // a21 is the one-pass sketch, this is the PERSISTED shape): keep
+    // per-(group, day) fixed-grid histograms — integer bucket = v_micro
+    // DIV 10⁷, the batch-side twin of streaming/StreamingQuantiles'
+    // state — and serve p50/p95 rollups by MERGING histograms (bucket
+    // count sums), never re-opening raw data. The query emits the
+    // merged readout AND the one-pass readout side by side, so ONE hash
+    // gate proves merge ≡ one-pass ≡ the DuckDB replay (the a24
+    // lossless-merge law, here fully oracle-checked because the grid is
+    // exact integers). Percentile rank math is integer-only:
+    // bucket b is the q-th percentile iff cum(b)·100 ≥ N·q — no ceil,
+    // no doubles. Readout grain: |types|×|buckets| rows through a
+    // PARTITIONED window (bounded per group). At 100 TB: daily builds
+    // touch one day's partition, any rollup (weekly, all-time) is a
+    // |histograms|-row merge, state is ≤ |buckets| longs per cell.
+    Entry(
+      "a30_histogram_reagg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+              .as("bucket"))
+        // the persisted shape: per-(group, day, bucket) counts
+        val daily = ev.groupBy("event_type", "day", "bucket")
+          .agg(count(lit(1)).as("n"))
+        def readout(hist: DataFrame, suffix: String): DataFrame = {
+          val cum = hist
+            .withColumn("cum", sum("n").over(
+              Window.partitionBy("event_type").orderBy("bucket")))
+            .withColumn("tot", sum("n").over(
+              Window.partitionBy("event_type")))
+          cum.groupBy("event_type").agg(
+            max(col("tot")).cast(LongType).as(s"n_values$suffix"),
+            (min(when(col("cum") * 100 >= col("tot") * 50,
+              col("bucket"))) * 10).cast(LongType).as(s"p50_lo$suffix"),
+            (min(when(col("cum") * 100 >= col("tot") * 95,
+              col("bucket"))) * 10).cast(LongType).as(s"p95_lo$suffix"))
+        }
+        val merged = readout(
+          daily.groupBy("event_type", "bucket")
+            .agg(sum("n").cast(LongType).as("n")), "")
+        val onePass = readout(
+          ev.groupBy("event_type", "bucket")
+            .agg(count(lit(1)).cast(LongType).as("n")), "_direct")
+          .drop("n_values_direct")
+        merged.join(onePass, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                         AS bucket
+                FROM events WHERE value IS NOT NULL),
+              daily AS (
+                SELECT event_type, day, bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1, 2, 3),
+              merged AS (
+                SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS n
+                FROM daily GROUP BY 1, 2),
+              cum AS (
+                SELECT event_type, bucket, n,
+                       SUM(n) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS tot
+                FROM merged),
+              p AS (
+                SELECT event_type,
+                       MIN(CASE WHEN cum * 100 >= tot * 50
+                                THEN bucket END) AS p50b,
+                       MIN(CASE WHEN cum * 100 >= tot * 95
+                                THEN bucket END) AS p95b,
+                       MAX(tot) AS nv
+                FROM cum GROUP BY 1)
+              SELECT event_type, CAST(nv AS BIGINT) AS n_values,
+                     CAST(p50b * 10 AS BIGINT) AS p50_lo,
+                     CAST(p95b * 10 AS BIGINT) AS p95_lo,
+                     CAST(p50b * 10 AS BIGINT) AS p50_lo_direct,
+                     CAST(p95b * 10 AS BIGINT) AS p95_lo_direct
+              FROM p ORDER BY event_type""")),
+
     // Salted two-phase aggregate (SURVEY §7.5 skew path): result must be
     // identical to the plain GROUP BY — the salt only re-partitions.
     Entry(

@@ -52,11 +52,21 @@ class InventorySuite extends AnyFunSuite {
     assert(!raw"across \d+ suites".r.findFirstIn(text).isDefined,
       "SURVEY hardcodes a suite count — it WILL drift")
     // the CURRENT round-state paragraph must agree with Inventory (older
-    // rounds' paragraphs are history and keep their frozen numbers)
-    val m = raw"Round-16 state: (\d+) declared queries — (\d+) oracle-checked".r
-      .findFirstMatchIn(text)
-      .getOrElse(fail("SURVEY round-state phrasing changed — update this guard"))
-    assert(m.group(1).toInt === Inventory.all.size)
-    assert(m.group(2).toInt === Inventory.all.count(_.oracle.isDefined))
+    // rounds' paragraphs are history and keep their frozen numbers).
+    // "Current" = the HIGHEST round number present — the guard itself
+    // hardcoded "Round-16" in r16 and silently rotted one round later
+    // (r17 full-suite run), which is exactly the drift class it exists
+    // to kill; claim_check.py's max-round parse is the precedent.
+    val ms = raw"Round-(\d+) state: (\d+) declared queries — (\d+) oracle-checked".r
+      .findAllMatchIn(text).toSeq
+    assert(ms.nonEmpty,
+      "SURVEY round-state phrasing changed — update this guard")
+    val m = ms.maxBy(_.group(1).toInt)
+    assert(m.group(2).toInt === Inventory.all.size,
+      s"SURVEY round-${m.group(1)} claims ${m.group(2)} declared; " +
+        s"Inventory has ${Inventory.all.size}")
+    assert(m.group(3).toInt === Inventory.all.count(_.oracle.isDefined),
+      s"SURVEY round-${m.group(1)} claims ${m.group(3)} oracle-checked; " +
+        s"Inventory has ${Inventory.all.count(_.oracle.isDefined)}")
   }
 }

@@ -406,4 +406,39 @@ class MultimodalSpec extends SparkSuite {
     assert(e2.getMessage.contains("GVID") ||
       Option(e2.getCause).exists(_.getMessage.contains("GVID")))
   }
+
+  test("pairConsistency: planted mismatched pairs fail the flag; the filter keeps exactly the aligned pairs") {
+    // 6 pairs; ids 2 and 5 get images rendered from a SHIFTED length
+    // (+40 chars — always a different dominant-luminance bin, wrap
+    // included), the cross-modal analogue of a swapped caption
+    val base = Seq(
+      (1L, "a" * 30), (2L, "b" * 75), (3L, "c" * 140),
+      (4L, "d" * 200), (5L, "e" * 250), (6L, "f" * 10))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val planted = Set(2L, 5L)
+    val shifted = base.withColumn("n_chars",
+      when(col("doc_id").isin(planted.toSeq: _*), col("n_chars") + 40)
+        .otherwise(col("n_chars")))
+    val media = Multimodal.syntheticImages(spark, shifted, 4)
+      .withColumnRenamed("doc_id", "pair_id")
+    val texts = base.select(col("doc_id").as("pair_id"), col("text"))
+    val scored = Multimodal.pairConsistency(spark, texts, media)
+    val rows = scored.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    for ((id, (tb, mb, ok)) <- rows) {
+      if (planted(id)) assert(!ok && tb != mb, s"pair $id must mismatch")
+      else assert(ok && tb == mb, s"pair $id must agree")
+    }
+    // the FILTER semantics: survivors are exactly the aligned pairs
+    val kept = scored.filter(col("consistent")).select("pair_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 6L))
+    // and the aligned pairs' media bin really came from a decode of the
+    // rendered gray, not from the text side: spot-check pair 3
+    // (140 chars -> gray 140 -> bin 8)
+    assert(rows(3L)._2 === 8L)
+  }
 }

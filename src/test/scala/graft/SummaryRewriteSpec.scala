@@ -1518,4 +1518,76 @@ class SummaryRewriteSpec extends SparkSuite {
       assert(routed.collect() === expect)
     } finally MvRegistry.clear()
   }
+
+  test("refreshSummary distincts: insert-only deltas keep COUNT(DISTINCT) routed exactly; a retraction repairs via the dirty rescan and STAYS routed") {
+    import graft.pipeline.IncrementalFinal
+    val base = tmpDir("mvdx-base"); val mv = tmpDir("mvdx-sum")
+    Seq(("a", 1L, 10L), ("a", 2L, 11L), ("a", 3L, 10L),
+      ("b", 4L, 20L), ("b", 5L, 21L))
+      .toDF("event_type", "v_micro", "uid")
+      .write.mode("overwrite").parquet(base)
+    graft.functions.Kmv.withHash(spark.read.parquet(base), "uid", "__h")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+        sum("v_micro").as("sum_micro"),
+        expr("array_sort(collect_set(__h))").as("kmv_uid"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("v_micro" -> "sum_micro"),
+      nns = Map("v_micro" -> "n_nonnull"),
+      distincts = Map("uid" -> "kmv_uid")))
+    def q() = spark.read.parquet(base).groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("nd"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // INSERT-ONLY: a gains a new uid, b a DUPLICATE uid (no distinct
+      // growth), c is born — the clean fold must stay routed and exact
+      val ins = Seq(("a", 6L, 12L), ("b", 7L, 20L), ("c", 8L, 30L))
+        .toDF("event_type", "v_micro", "uid")
+      ins.write.mode("append").parquet("file:" + base)
+      val next = IncrementalFinal.refreshSummary(spark, "file:" + base, mv,
+        ins.withColumn("sign", lit(1L)), Seq("event_type"))
+      val routed = q()
+      val paths = scannedPaths(routed)
+      assert(paths.exists(_.contains(next)),
+        s"refreshed summary not scanned for COUNT(DISTINCT): $paths")
+      assert(!paths.exists(_.contains(base)), s"base still scanned: $paths")
+      val got = asMap(routed.collect())
+      assert(got === Map("a" -> ((3L, 4L)), "b" -> ((2L, 3L)),
+        "c" -> ((1L, 1L))))
+      MvRegistry.clear()
+      assert(got === asMap(q().collect())) // ≡ recompute
+
+      // RETRACTION of uid 11's LAST copy in a: the grain goes dirty,
+      // the rescan reads ONLY a's post-change rows, and COUNT(DISTINCT)
+      // stays routed with the repaired set
+      MvRegistry.registerFresh(spark, "file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(next), Seq("event_type"), "cnt",
+        sums = Map("v_micro" -> "sum_micro"),
+        nns = Map("v_micro" -> "n_nonnull"),
+        distincts = Map("uid" -> "kmv_uid")))
+      Seq(("a", 1L, 10L), ("a", 3L, 10L), ("a", 6L, 12L),
+        ("b", 4L, 20L), ("b", 5L, 21L), ("b", 7L, 20L), ("c", 8L, 30L))
+        .toDF("event_type", "v_micro", "uid")
+        .write.mode("overwrite").parquet(base)
+      val delta = Seq(("a", 2L, 11L, -1L))
+        .toDF("event_type", "v_micro", "uid", "sign")
+      val next2 = IncrementalFinal.refreshSummary(spark, "file:" + base,
+        next, delta, Seq("event_type"))
+      val routed2 = q()
+      val paths2 = scannedPaths(routed2)
+      assert(paths2.exists(_.contains(next2)),
+        s"COUNT(DISTINCT) must stay routed through a retraction: $paths2")
+      assert(!paths2.exists(_.contains(base)),
+        s"base still scanned after the dirty repair: $paths2")
+      val got2 = asMap(routed2.collect())
+      assert(got2 === Map("a" -> ((2L, 3L)), "b" -> ((2L, 3L)),
+        "c" -> ((1L, 1L))))
+      MvRegistry.clear()
+      assert(got2 === asMap(q().collect())) // ≡ recompute
+    } finally MvRegistry.clear()
+  }
 }
