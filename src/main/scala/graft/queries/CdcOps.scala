@@ -722,6 +722,47 @@ object CdcOps {
                     FROM events)
               GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ the streamed MV loop maintaining a DISTINCT sketch: same
+    // 3-batch fold with `distinctCol` set — per batch the user_id
+    // hash-set union folds into the versioned summary (exact under the
+    // loop's insert-only signs: set union commutes with recompute; a
+    // retraction fails loudly, batch-local hash injectivity is
+    // asserted per fold), and the routed dashboard serves
+    // COUNT(DISTINCT user_id) alongside count/sum/avg from the
+    // |keys|-row stream-maintained summary. The oracle recomputes the
+    // distinct count from raw events, so one hash certifies
+    // stream-fold ≡ recompute ≡ routed for the aggregate plain
+    // summaries can never serve. At 100 TB: per batch cost ∝ batch
+    // hashes + |Δ keys| array unions; the dashboard's distinct-user
+    // panel — the classic corpus-rescanner — reads |keys| rows.
+    Entry(
+      "cdc_mv_streamed_distinct",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val state = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_smvdx_$tag").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type").as("k"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"),
+            col("user_id"), col("event_id"))
+        val cfg = StreamingMv.Config(Seq("k"),
+          distinctCol = Some("user_id"))
+        (0L until 3L).foreach { b =>
+          StreamingMv.foldBatch(s, state, cfg)(
+            ev.filter(col("event_id") % 3 === b).drop("event_id"), b)
+        }
+        StreamingMv.dashboard(s, state, cfg).orderBy("k")
+      },
+      Some("""SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(COUNT(v_micro) AS BIGINT) AS n_nonnull,
+                     CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+                     AVG(v_micro) AS avg_micro,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+              FROM (SELECT event_type, user_id,
+                           CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                    FROM events)
+              GROUP BY 1 ORDER BY 1""")),
+
     // ⊕ the dashboard TOP-K shape routed (VERDICT r15 task 4): the
     // reference's flagship panel — top-5 groups by count
     // (SaveDelta.scala:236-242, A2/O1) — is an aggregate + ORDER BY

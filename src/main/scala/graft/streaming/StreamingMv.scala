@@ -51,10 +51,17 @@ object StreamingMv {
     * plus MIN/MAX when `extremes` is set: monotone under the loop's
     * insert-only signs (a retraction fails the fold loudly — extreme
     * repair under deletes is the batch
-    * [[graft.pipeline.IncrementalFinal.refreshSummary]] path). */
+    * [[graft.pipeline.IncrementalFinal.refreshSummary]] path). With
+    * `distinctCol` set, the loop also maintains that column's distinct
+    * hash-set sketch (exact under insert-only signs — set union
+    * commutes with recompute) and registers it, so the routed dashboard
+    * serves COUNT(DISTINCT distinctCol) from the |keys|-row summary;
+    * retraction-bearing distinct repair is, like the extremes, the
+    * batch refreshSummary path. */
   final case class Config(keyCols: Seq[String], valueCol: String = "v_micro",
                           keepVersions: Int = 3,
-                          extremes: Boolean = false)
+                          extremes: Boolean = false,
+                          distinctCol: Option[String] = None)
 
   def docsDir(stateDir: String): String = s"$stateDir/docs"
   def summaryDir(stateDir: String): String = s"$stateDir/summary"
@@ -73,7 +80,8 @@ object StreamingMv {
   def foldBatch(spark: SparkSession, stateDir: String, cfg: Config)
                (batch: DataFrame, batchId: Long): Unit = {
     val rows = batch
-      .select((cfg.keyCols.map(col) :+ col(cfg.valueCol)): _*)
+      .select((cfg.keyCols.map(col) :+ col(cfg.valueCol)) ++
+        cfg.distinctCol.filterNot(_ == cfg.valueCol).map(col): _*)
       // decouple from the streaming source AND pin one evaluation: the
       // corpus write and the fold must see the same rows
       .localCheckpoint(true)
@@ -87,7 +95,9 @@ object StreamingMv {
     // corpus partition above keeps the caller's column name — the
     // rename is a no-op for the default config
     StreamingIvm.applyBatch(spark, summaryDir(stateDir), cfg.keyCols,
-      cfg.keepVersions, extremes = cfg.extremes)(
+      cfg.keepVersions, extremes = cfg.extremes,
+      distinctCol = cfg.distinctCol.map(c =>
+        if (c == cfg.valueCol) "v_micro" else c))(
       rows.withColumnRenamed(cfg.valueCol, "v_micro")
         .withColumn("sign", lit(1L)), batchId)
     // 3. routing resumes: register the folded summary for the corpus
@@ -104,7 +114,8 @@ object StreamingMv {
         mins = if (cfg.extremes) Map(cfg.valueCol -> "min_micro")
                else Map.empty,
         maxs = if (cfg.extremes) Map(cfg.valueCol -> "max_micro")
-               else Map.empty))
+               else Map.empty,
+        distincts = cfg.distinctCol.map(_ -> "kmv_distinct").toMap))
   }
 
   /** Wire an insert stream into the loop. Caller starts the returned
@@ -129,7 +140,8 @@ object StreamingMv {
       (if (cfg.extremes)
         Seq(min(col(cfg.valueCol)).as("min_micro"),
           max(col(cfg.valueCol)).as("max_micro"))
-      else Nil)
+      else Nil) ++
+      cfg.distinctCol.map(c => countDistinct(col(c)).as("n_distinct"))
     spark.read.parquet(docsDir(stateDir))
       .groupBy(cfg.keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

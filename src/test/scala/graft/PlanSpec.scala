@@ -541,8 +541,9 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.executedPlan.toString)
   }
 
-  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed, _minmax)") {
-    for (name <- Seq("cdc_mv_streamed", "cdc_mv_streamed_minmax")) {
+  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed, _minmax, _distinct)") {
+    for (name <- Seq("cdc_mv_streamed", "cdc_mv_streamed_minmax",
+        "cdc_mv_streamed_distinct")) {
       val df = Inventory.byName(name).run(spark, sfDir)
       val paths = df.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>

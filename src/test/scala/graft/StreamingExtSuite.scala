@@ -852,6 +852,71 @@ class StreamingExtSuite extends SparkSuite {
     } finally MvRegistry.clear()
   }
 
+  test("StreamingMv distinct: hash-set union folds exactly over insert batches (dups and nulls absorbed); routed ≡ recompute; a retraction fails the fold loudly") {
+    import graft.streaming.{StreamingIvm, StreamingMv}
+    import graft.plans.MvRegistry
+    val state = tmpDir("smv-dx")
+    val cfg = StreamingMv.Config(Seq("k"), distinctCol = Some("uid"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    def nd(df: org.apache.spark.sql.DataFrame) = df.orderBy("k")
+      .select("k", "n_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    try {
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(5L), Some("u1")), ("a", Some(9L), Some("u2")),
+          ("b", Some(2L), Some("u1")))
+          .toDF("k", "v_micro", "uid"), 0L)
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(1L), Some("u2")), // cross-batch DUP: no growth
+          ("b", None: Option[Long], None: Option[String]), // null uid
+          ("b", Some(7L), Some("u9")), ("c", Some(4L), Some("u1")))
+          .toDF("k", "v_micro", "uid"), 1L)
+      val dash = StreamingMv.dashboard(spark, state, cfg)
+      assert(nd(dash) === List(("a", 2L), ("b", 2L), ("c", 1L)))
+      // COUNT(DISTINCT) is SERVED from the stream-maintained summary
+      val paths = scanned(dash)
+      assert(paths.exists(_.contains("/summary/")),
+        s"distinct dashboard not served from the summary: $paths")
+      assert(!paths.exists(_.endsWith("/docs")),
+        s"distinct dashboard still scans the corpus: $paths")
+      // re-delivery of batch 1 changes nothing (set union from the
+      // same predecessor version)
+      StreamingMv.foldBatch(spark, state, cfg)(
+        Seq(("a", Some(1L), Some("u2")),
+          ("b", None: Option[Long], None: Option[String]),
+          ("b", Some(7L), Some("u9")), ("c", Some(4L), Some("u1")))
+          .toDF("k", "v_micro", "uid"), 1L)
+      assert(nd(StreamingMv.dashboard(spark, state, cfg)) ===
+        List(("a", 2L), ("b", 2L), ("c", 1L)))
+      // and ≡ recompute off the corpus dir once routing is cleared
+      MvRegistry.clear()
+      assert(nd(StreamingMv.dashboard(spark, state, cfg)) ===
+        List(("a", 2L), ("b", 2L), ("c", 1L)))
+      // a retraction cannot fold a distinct set — loud failure, not a
+      // silently-stale count (repair is the batch refreshSummary path)
+      val e = intercept[Exception] {
+        StreamingIvm.applyBatch(spark,
+          StreamingMv.summaryDir(state), Seq("k"),
+          distinctCol = Some("uid"))(
+          Seq(("a", 9L, "u2", -1L)).toDF("k", "v_micro", "uid", "sign"), 5L)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("insert-only")), msgs(e).mkString)
+      assert(!StreamingIvm.versions(spark,
+        StreamingMv.summaryDir(state)).contains(5L))
+    } finally MvRegistry.clear()
+  }
+
   test("crawl pipeline: LSH probe → label fold → survivors compose end-to-end; " +
     "kill-and-restart resumes mid-crawl; re-delivery is idempotent") {
     import graft.operators.Dedup
