@@ -487,6 +487,79 @@ object CdcOps {
               GROUP BY p.event_type, d.event_type
               ORDER BY p.event_type""")),
 
+    // ⊕ HISTOGRAM IVM — the percentile store (a30) maintained through a
+    // signed changelog, completing the capability triptych: count/sum
+    // (cdc_ivm_agg) and bucket-count histograms are SELF-maintainable
+    // (a bucket count is just a count at the (key, bucket) grain, so
+    // retractions fold exactly — no dirty protocol), while extremes
+    // (cdc_ivm_minmax) and distinct sets (cdc_ivm_distinct) need the
+    // dirty-key rescan. The fold reuses maintainAggregate verbatim at
+    // the finer grain; the percentile readout (integer rank math,
+    // cum·100 ≥ N·q) runs over the MAINTAINED state and the oracle
+    // recomputes from the post-change rows — one hash proves
+    // fold ≡ recompute through the whole histogram → percentile chain.
+    // At 100 TB: refresh cost |Δ| + a |keys×buckets| join; percentile
+    // serving never reopens raw data.
+    Entry(
+      "cdc_ivm_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+              .as("bucket"))
+        val base = ev.filter(col("event_id") % 10 =!= 9)
+        val baseHist = base.groupBy("event_type", "bucket").agg(
+          count(lit(1)).as("cnt"),
+          count(col("bucket")).as("n_nonnull"),
+          sum(col("bucket")).as("sum_micro"))
+        val delta = ev.filter(col("event_id") % 10 === 9)
+          .withColumn("sign", lit(1L))
+          .unionByName(base.filter(col("event_id") % 7 === 0)
+            .withColumn("sign", lit(-1L)))
+          .withColumn("v_micro", col("bucket"))
+        val maintained = IncrementalFinal.maintainAggregate(
+          baseHist, delta, Seq("event_type", "bucket"))
+        val cum = maintained
+          .withColumn("cum", sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("bucket")))
+          .withColumn("tot", sum("cnt").over(
+            Window.partitionBy("event_type")))
+        cum.groupBy("event_type").agg(
+            max(col("tot")).cast(LongType).as("n_values"),
+            (min(when(col("cum") * 100 >= col("tot") * 50,
+              col("bucket"))) * 10).cast(LongType).as("p50_lo"),
+            (min(when(col("cum") * 100 >= col("tot") * 95,
+              col("bucket"))) * 10).cast(LongType).as("p95_lo"))
+          .orderBy("event_type")
+      },
+      Some("""WITH post AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                         AS bucket
+                FROM events
+                WHERE value IS NOT NULL
+                  AND ((event_id % 10 = 9)
+                    OR (event_id % 10 != 9 AND event_id % 7 != 0))),
+              hist AS (
+                SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                FROM post GROUP BY 1, 2),
+              cum AS (
+                SELECT event_type, bucket, n,
+                       SUM(n) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS tot
+                FROM hist)
+              SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_values,
+                     CAST(MIN(CASE WHEN cum * 100 >= tot * 50
+                                   THEN bucket END) * 10 AS BIGINT)
+                       AS p50_lo,
+                     CAST(MIN(CASE WHEN cum * 100 >= tot * 95
+                                   THEN bucket END) * 10 AS BIGINT)
+                       AS p95_lo
+              FROM cum GROUP BY event_type
+              ORDER BY event_type""")),
+
     // ⊕ LEFT-join IVM — the transition case the inner rule can't
     // express: customers for a slice of orders are MISSING from the
     // base (null-extended rows), the batch inserts some of them (first
