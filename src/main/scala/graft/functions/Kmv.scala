@@ -99,4 +99,40 @@ object Kmv {
   def estimateDuckSql(sketchCol: String, k: Int): String =
     s"CAST(CASE WHEN len($sketchCol) < $k THEN len($sketchCol) " +
       s"ELSE ${(k - 1) * Domain} // list_extract($sketchCol, $k) END AS BIGINT)"
+
+  /** Scalar: the θ threshold of a sketch — the k-th smallest hash once
+    * saturated, the FULL domain while the sketch is still complete
+    * (every hash is known, so the sampled region is everything). The
+    * theta-sketch set-operation algebra (Dasgupta et al., "Theta
+    * sketches") runs on this: hashes below min(θ_A, θ_B) are a uniform
+    * sample of the union both sides fully observed. */
+  def thetaSparkSql(sketchCol: String, k: Int): String =
+    s"CASE WHEN size($sketchCol) < $k THEN ${Domain}L " +
+      s"ELSE element_at($sketchCol, $k) END"
+
+  def thetaDuckSql(sketchCol: String, k: Int): String =
+    s"CAST(CASE WHEN len($sketchCol) < $k THEN $Domain " +
+      s"ELSE list_extract($sketchCol, $k) END AS BIGINT)"
+
+  /** Scalar: common hashes of two sketches below a shared θ column —
+    * the theta-sketch intersection numerator. O(k²) membership scan
+    * over two ≤k sorted arrays; both engines evaluate the identical
+    * lambda. */
+  def commonBelowSparkSql(a: String, b: String, theta: String): String =
+    s"size(filter($a, x -> x < $theta AND array_contains($b, x)))"
+
+  def commonBelowDuckSql(a: String, b: String, theta: String): String =
+    s"len(list_filter($a, x -> x < $theta AND list_contains($b, x)))"
+
+  /** Scalar: the intersection estimate c·2⁴⁸ DIV θ — exact when both
+    * sketches were complete (θ = 2⁴⁸ makes the division an identity,
+    * property-2 regime), the standard unbiased θ-scale-up otherwise.
+    * c ≤ k ⇒ the product stays ≤ k·2⁴⁸ < 2⁶³. θ ≥ 1 always (hashes are
+    * distinct non-negatives, so a saturated k-th minimum is ≥ k−1 ≥ 1
+    * for k ≥ 2; the complete regime uses 2⁴⁸). */
+  def intersectEstimateSparkSql(common: String, theta: String): String =
+    s"CAST(($common * ${Domain}L) DIV $theta AS BIGINT)"
+
+  def intersectEstimateDuckSql(common: String, theta: String): String =
+    s"CAST(($common * $Domain) // $theta AS BIGINT)"
 }

@@ -43,9 +43,9 @@ object Bpe {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(split(col("tok"), "").as("syms"), col("freq"))
 
-  /** The most frequent adjacent symbol pair of a vocab table, with its
-    * weighted count — None when no word has two symbols left. */
-  def topPair(vocab: DataFrame): Option[(String, String, Long)] =
+  /** Weighted adjacent-pair counts of a vocab table: (l, r, n), every
+    * adjacency counted ("aaa" contributes (a,a) twice). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
     vocab
       .filter(size(col("syms")) >= 2)
       .select(explode(transform(
@@ -54,9 +54,27 @@ object Bpe {
           element_at(col("syms"), i + 1).as("r")))).as("p"), col("freq"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("n"))
+
+  private def argmaxPair(pairs: DataFrame): Option[(String, String, Long)] =
+    pairs
       .orderBy(desc("n"), asc("l"), asc("r"))
       .limit(1).collect()
       .headOption.map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+
+  /** The most frequent adjacent symbol pair of a vocab table, with its
+    * weighted count — None when no word has two symbols left. */
+  def topPair(vocab: DataFrame): Option[(String, String, Long)] =
+    argmaxPair(pairCounts(vocab))
+
+  /** [[topPair]] restricted to non-self pairs (l ≠ r) — the candidate
+    * set of the REPLAY-CHECKABLE trainer ([[trainReplayable]]): the
+    * replace∘replace ≡ fold equivalence ([[replaceFoldSql]]) holds only
+    * for l ≠ r, so a trainer whose every selected merge is provably
+    * non-self is the largest variant a plain-SQL oracle can replay
+    * round-for-round. Counts are unchanged — only the argmax candidate
+    * set shrinks. */
+  def topPairNonSelf(vocab: DataFrame): Option[(String, String, Long)] =
+    argmaxPair(pairCounts(vocab).filter(col("l") =!= col("r")))
 
   /** Greedy left-to-right application of one merge to a symbol array
     * column. `get(acc, size-1)` is the null-safe last-element read: on
@@ -125,6 +143,85 @@ object Bpe {
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** Train `k` merges with self-pairs EXCLUDED from the candidate set —
+    * the replay-checkable constrained trainer behind the
+    * `text_bpe_train` gate. Identical to [[train]] except each round's
+    * argmax runs over l ≠ r pairs only (counts unchanged), which is
+    * exactly the constraint under which [[replaceFoldSql]]'s
+    * replace∘replace ≡ fold equivalence lets a plain-SQL oracle replay
+    * the WHOLE training loop round-for-round ([[trainReplaySql]]).
+    * Production tokenizers that want self-merges use the unconstrained
+    * [[train]] (spec-covered); on natural-language corpora the argmax
+    * is virtually never a self-pair, so the two trainers coincide.
+    *
+    * Scale shape is [[train]]'s: per round one aggregate over the
+    * DISTINCT vocabulary, a 1-row driver readout, a map-side fold, and
+    * a localCheckpoint to keep k rounds from nesting k HOF folds in one
+    * expression tree. */
+  def trainReplayable(docs: DataFrame, k: Int): Seq[Merge] = {
+    require(k >= 1, s"need at least one merge round, got $k")
+    var vocab = symbolVocab(docs).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
+      topPairNonSelf(vocab) match {
+        case None => dry = true
+        case Some((l, r, n)) =>
+          merges += Merge(l, r, n, round)
+          vocab = vocab
+            .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+            .localCheckpoint(true)
+          round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** DuckDB oracle replaying [[trainReplayable]] end-to-end: k unrolled
+    * round blocks, each (a) counting adjacent non-self pairs of the
+    * space-bracketed string vocabulary, (b) selecting the argmax with
+    * the same (n desc, l asc, r asc) tie-break, and (c) applying the
+    * merge via the two-pass string replace that [[replaceFoldSql]]
+    * proves ≡ the greedy fold for l ≠ r. Output: one (round, lhs, rhs,
+    * n) row per trained merge, so the gate hash certifies the full
+    * merge TABLE — selection order, tie-breaks, and counts — not just a
+    * final encoding. A round that runs dry yields an empty t_i and
+    * every later block stays empty, matching the Scala loop's early
+    * stop. */
+  def trainReplaySql(k: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+         |    SELECT a[j] AS l, a[j+1] AS r, SUM(freq) AS n
+         |    FROM (SELECT str_split(seq, ' ') AS a, freq FROM $prev),
+         |         LATERAL unnest(generate_series(2, len(a)-2)) AS t(j)
+         |    WHERE len(a) >= 4 AND a[j] <> a[j+1]
+         |    GROUP BY 1, 2),
+         |  t$i AS (
+         |    SELECT $i AS round, l, r, CAST(n AS BIGINT) AS n
+         |    FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |  v$i AS (
+         |    SELECT replace(replace(v.seq,
+         |             ' '||t.l||' '||t.r||' ', ' '||t.l||t.r||' '),
+         |             ' '||t.l||' '||t.r||' ', ' '||t.l||t.r||' ') AS seq,
+         |           v.freq
+         |    FROM $prev v CROSS JOIN t$i t)""".stripMargin
+    }
+    val rounds = (1 to k).map(round).mkString(",\n  ")
+    val union = (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    raw"""WITH v0 AS (
+         |    SELECT (' ' || regexp_replace(tok, '(.)', '\1 ', 'g')) AS seq,
+         |           CAST(COUNT(*) AS BIGINT) AS freq
+         |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+         |          FROM documents WHERE trim(text) <> '')
+         |    GROUP BY 1),
+         |  $rounds
+         |  SELECT CAST(round AS BIGINT) AS round, l AS lhs, r AS rhs, n
+         |  FROM ($union)
+         |  ORDER BY round""".stripMargin
   }
 
   /** Fixed merge table for the oracle-checked tokenizer-APPLY gate

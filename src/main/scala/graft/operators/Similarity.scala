@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -463,6 +463,152 @@ object Similarity {
             .cast(LongType).as("x"))
     }
     v.select(col("j").as("i"), col("x").as("v"))
+  }
+
+  // ------------------------------------------- k-means (Lloyd) training
+
+  /** Full Lloyd training loop for the IVF coarse quantizer, EXACT on an
+    * integer micro-grid — the multi-round completion of the single
+    * refinement step `sim_kmeans_step` gates. Per round:
+    *
+    *   assign:    cell(v) = argmin_j Σ_i (vm_i − cm_{j,i})²   (ties → min cell)
+    *   recompute: cm_{j,i} ← Σ_{v∈j} vm_i DIV n_j             (floor mean)
+    *
+    * where vm = floor(x·10⁶) + `shift` — the shift (> max|floor(x·10⁶)|)
+    * keeps every coordinate, sum, and mean POSITIVE, so Spark's
+    * truncating `DIV` and DuckDB's flooring `//` agree and the whole
+    * loop — distances, argmins, tie-breaks, means — is exact integer
+    * arithmetic both engines replay bit-for-bit (the unrolled-CTE
+    * oracle of `sim_kmeans_train`). Re-flooring the centroid to the
+    * micro-grid each round is the standard quantized-codebook move
+    * (the same grid SQ8/PQ codes live on) and is what keeps round r+1's
+    * argmin exact instead of comparing engine-rounded rationals.
+    *
+    * Scale shape: the centroid state is k·d longs, collected per round
+    * under the bounded-readout contract (k·d ≈ 512 rows here — the
+    * QualityModel 256-row precedent) and re-broadcast as LITERALS, so
+    * ASSIGNMENT IS PURE MAP-SIDE — zero shuffle, exactly
+    * [[SemanticDedup.assignCells]]'s shape — and each round costs one
+    * corpus scan plus one (cell, dim)-keyed aggregate with k·d rows
+    * out. rounds R ⇒ R scans; no corpus-sized state, no corpus×k
+    * shuffle ever. An emptied cell drops out of the codebook (standard
+    * Lloyd) and later rounds run with fewer cells, identically in the
+    * oracle. Envelope: |x| ≤ 2 ⇒ vm ≤ 2·shift = 4·10⁶, per-dim square
+    * ≤ 1.6·10¹³, d ≤ 64 ⇒ d2 ≤ 10¹⁵ — comfortably BIGINT.
+    *
+    * Returns the final codebook: (cell, dim, n_members, centroid_micro)
+    * with centroid_micro back on the unshifted micro grid.
+    */
+  /** The shifted micro-grid coordinate array of `embedding` — the exact
+    * integer domain every k-means distance/argmin lives on. */
+  private def microArr(shift: Long): Column =
+    transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6)).cast(
+        org.apache.spark.sql.types.LongType) + lit(shift))
+
+  /** argmin-cell column over a literal micro-grid codebook: exact
+    * integer L2 distances via a zip_with fold, ties to the lowest cell
+    * id via the lexicographic (d2, cell) struct min. Pure map-side —
+    * the codebook enters as literals, so assignment never shuffles. */
+  private def argminCellMicro(vmCol: Column,
+                              codebook: Seq[(Long, Array[Long])]): Column =
+    array_min(array(codebook.map { case (cellId, c) =>
+      struct(
+        aggregate(
+          zip_with(vmCol, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(cellId).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Assign every vector to its nearest micro-grid codebook cell (the
+    * TRAINED counterpart of [[SemanticDedup.assignCells]]'s cosine
+    * assignment): (input columns…, cell). Codebook rows are
+    * (cell, coords-on-the-SHIFTED-grid) as [[kmeansTrainMicro]]'s
+    * readout produces; distances are exact integers, so the oracle
+    * replays every assignment bit-for-bit. Map-side only. */
+  def assignCellsMicro(emb: DataFrame, codebook: Seq[(Long, Array[Long])],
+                       shift: Long = 2000000L): DataFrame = {
+    require(codebook.nonEmpty, "need at least one codebook cell")
+    emb.withColumn("cell", argminCellMicro(microArr(shift), codebook))
+  }
+
+  /** Collect a [[kmeansTrainMicro]]-shaped codebook DataFrame
+    * ((cell, dim, …, centroid_micro) on the UNshifted grid) back to the
+    * literal form [[assignCellsMicro]] consumes — a k·d bounded readout. */
+  def readCodebookMicro(codebook: DataFrame,
+                        shift: Long = 2000000L): Seq[(Long, Array[Long])] =
+    codebook.select(col("cell"), col("dim"), col("centroid_micro"))
+      .orderBy("cell", "dim").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cellId, rws) =>
+        (cellId,
+          rws.sortBy(_.getLong(1)).map(_.getLong(2) + shift).toArray)
+      }
+
+  /** Top-k exact-cosine neighbors within each query's OWN assigned cell
+    * — the serve path of a trained IVF index. `assigned` and `queries`
+    * both carry (vec_id, embedding, cell) ([[assignCellsMicro]] output;
+    * queries are typically a filtered slice of `assigned`). The query
+    * side broadcasts; the corpus side joins on its cell — with the
+    * corpus written partitionBy("cell") this is partition pruning at
+    * 100 TB, the same shape [[knnIvfMultiProbe]] pins. */
+  def knnAssignedCell(assigned: DataFrame, queries: DataFrame,
+                      k: Int): DataFrame = {
+    val q = broadcast(withNorm(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cell").as("q_cell")),
+        "q_emb", "q_nrm"))
+    val d = withNorm(assigned, "embedding", "nrm")
+    val scored = d.join(q, col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  def kmeansTrainMicro(emb: DataFrame, k: Int, rounds: Int,
+                       shift: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val pts = emb.select(col("vec_id"), microArr(shift).as("vm"))
+    // seed cells 0..k-1 from the first k vectors by vec_id (k-row
+    // TakeOrdered readout — deterministic, matches the oracle's
+    // ROW_NUMBER() OVER (ORDER BY vec_id) - 1)
+    var codebook: Seq[(Long, Array[Long])] =
+      pts.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Long](1).toArray).zipWithIndex
+        .map { case (c, j) => (j.toLong, c) }.toSeq
+    var cent: DataFrame = null
+    for (round <- 1 to rounds) {
+      val asg = pts.select(col("vec_id"),
+        argminCellMicro(col("vm"), codebook).as("cell"), col("vm"))
+      // k·d-row result checkpointed: the per-round readout AND the
+      // final emit read the materialized rows — exactly one corpus
+      // scan per round, and the codebook literals never stack lineage
+      cent = asg
+        .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "v")))
+        .select(col("cell"), (col("pos") + 1).cast(LongType).as("dim"),
+          col("v"))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          expr("sv DIV n").cast(LongType).as("cm"), col("n"))
+        .localCheckpoint(true)
+      if (round < rounds)
+        codebook = cent.orderBy("cell", "dim").collect()
+          .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .map { case (cellId, rws) =>
+            (cellId, rws.sortBy(_.getLong(1)).map(_.getLong(2)).toArray)
+          }
+    }
+    cent.select(col("cell"), col("dim"), col("n").as("n_members"),
+      (col("cm") - lit(shift)).cast(LongType).as("centroid_micro"))
   }
 
   // ------------------------------------------- JL random projection

@@ -681,6 +681,55 @@ object DedupOps {
       },
       Some(DedupOps.survivorsSql)),
 
+    // ⊕ QUALITY-AWARE canonical selection: keep the highest-quality
+    // document of each near-dup cluster (quality desc, doc_id asc) —
+    // the production keep-policy where dedup_survivors' min-id stand-in
+    // would throw away the best copy. Reuses the shared materialized
+    // label table; quality is the gated text_quality_score expression,
+    // bit-identical on both engines, so the argmax (a cluster-
+    // partitioned WindowGroupLimit, never a global window) replays
+    // exactly. At 100 TB: one labels⋈docs equi-join + a top-1 window
+    // per cluster key — the same cost class as dedup_survivors.
+    Entry(
+      "dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val comp = DedupOps.clusterLabels(s, dir) // shared materialized labels
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(desc("quality"), asc("doc_id"))
+        docs
+          .select(col("doc_id"),
+            graft.functions.TextFunctions
+              .qualityScore(col("text"), TextOps.Stopwords).as("quality"))
+          .join(comp, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id"), col("quality"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.reachCtes("documents")},
+               clusters AS (
+                 SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+               q AS (
+                 SELECT doc_id,
+                        LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                          * (1.0 - CAST(len(list_filter(toks,
+                                x -> x IN ('the', 'a'))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)) AS quality
+                 FROM (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS toks
+                       FROM documents)),
+               r AS (
+                 SELECT c.comp AS cluster_id, d.doc_id, q.quality,
+                        ROW_NUMBER() OVER (PARTITION BY c.comp
+                          ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+                 FROM documents d
+                   JOIN clusters c ON d.doc_id = c.id
+                   JOIN q ON q.doc_id = d.doc_id)
+               SELECT cluster_id, doc_id, quality
+               FROM r WHERE rn = 1 ORDER BY cluster_id""")),
+
     // per-source dedup-rate report: the audit artifact a curation run
     // publishes — how much of each domain is near-duplicate. Reuses the
     // clustering (docs vs distinct clusters per source); dup_rate rides

@@ -640,6 +640,81 @@ object Relational {
                      CAST(p95b * 10 AS BIGINT) AS p95_lo_direct
               FROM p ORDER BY event_type""")),
 
+    // ⊕ θ-sketch SET OPERATIONS over the KMV family: distinct-audience
+    // INTERSECTION between every event-type pair served from the
+    // per-type sketches alone — a25's exact overlap matrix re-derived
+    // without ever re-opening raw data (the audience-overlap question
+    // sketch stores exist for). θ = min of the two sketches' thresholds
+    // (full domain while complete), c = common hashes below θ, estimate
+    // = c·2⁴⁸ DIV θ — all integers, both engines replay the whole
+    // algebra bit-for-bit, so even the APPROXIMATE intersection is
+    // hash-gated (the a29 discipline extended from cardinality to set
+    // ops). Pairs form WITHOUT an inequality join: the ≤|types| sketch
+    // rows pack into ONE sorted array and ordered pairs explode
+    // map-side (a25's shape) — no BNLJ, no product, however many
+    // groups. k = 64 so the scaled-estimate branch fires at gate scale;
+    // KmvSpec pins the exact-regime branch (complete sketches → exact
+    // intersection) and the error envelope on planted overlaps.
+    Entry(
+      "a31_kmv_intersect",
+      (s, dir) => {
+        val k = 64
+        import graft.functions.Kmv
+        val h = Kmv.withHash(
+          Tables(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_type"), col("user_id")),
+          "user_id", "h")
+        val sk = h.groupBy("event_type")
+          .agg(expr(Kmv.sketchSparkSql("h", k)).as("sk"))
+        val pairs = sk
+          .agg(array_sort(collect_list(struct(col("event_type"), col("sk"))))
+            .as("all"))
+          .select(explode(expr(
+            """flatten(transform(all, (a, i) ->
+                 transform(slice(all, i + 2, size(all)),
+                           b -> named_struct('a', a, 'b', b))))""")).as("p"))
+          .select(col("p.a.event_type").as("type_a"),
+            col("p.b.event_type").as("type_b"),
+            col("p.a.sk").as("ska"), col("p.b.sk").as("skb"))
+        pairs
+          .withColumn("theta",
+            least(expr(Kmv.thetaSparkSql("ska", k)),
+              expr(Kmv.thetaSparkSql("skb", k))).cast(LongType))
+          .withColumn("n_common",
+            expr(Kmv.commonBelowSparkSql("ska", "skb", "theta"))
+              .cast(LongType))
+          .select(col("type_a"), col("type_b"), col("theta"), col("n_common"),
+            expr(Kmv.intersectEstimateSparkSql("n_common", "theta"))
+              .as("approx_both"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(s"""WITH h AS (
+                 SELECT event_type,
+                        ${graft.functions.Kmv.hashDuckSql("user_id")} AS h
+                 FROM events WHERE user_id IS NOT NULL),
+               sk AS (
+                 SELECT event_type,
+                        ${graft.functions.Kmv.sketchDuckSql("h", 64)} AS sk
+                 FROM h GROUP BY 1),
+               pr AS (
+                 SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        a.sk AS ska, b.sk AS skb,
+                        LEAST(${graft.functions.Kmv.thetaDuckSql("a.sk", 64)},
+                              ${graft.functions.Kmv.thetaDuckSql("b.sk", 64)})
+                          AS theta
+                 FROM sk a JOIN sk b ON a.event_type < b.event_type),
+               c AS (
+                 SELECT type_a, type_b, theta,
+                        CAST(${graft.functions.Kmv
+                          .commonBelowDuckSql("ska", "skb", "theta")}
+                          AS BIGINT) AS n_common
+                 FROM pr)
+               SELECT type_a, type_b, theta, n_common,
+                      ${graft.functions.Kmv
+                        .intersectEstimateDuckSql("n_common", "theta")}
+                        AS approx_both
+               FROM c ORDER BY type_a, type_b""")),
+
     // Salted two-phase aggregate (SURVEY §7.5 skew path): result must be
     // identical to the plain GROUP BY — the salt only re-partitions.
     Entry(

@@ -16,6 +16,92 @@ object SimilarityOps {
   private def queries(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
 
+  /** Unrolled-round DuckDB replay of [[Similarity.kmeansTrainMicro]]:
+    * pts on the shifted micro grid, c0 = first-k seed, then per round
+    * d_i (exact integer distances via a dim join), a_i (argmin with the
+    * d2-asc/cell-asc tie-break), c_i (floor-mean recompute, `//` ≡ DIV
+    * on the all-positive grid). Emits the final codebook unshifted. */
+  private def kmeansRoundSql(i: Int): String =
+    s"""d$i AS (
+       |    SELECT p.vec_id, c.cell, SUM((p.vm - c.cm)*(p.vm - c.cm)) AS d2
+       |    FROM pts p JOIN c${i - 1} c ON c.dim = p.dim
+       |    GROUP BY 1, 2),
+       |  a$i AS (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell, ROW_NUMBER() OVER (
+       |        PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |      FROM d$i) WHERE rn = 1),
+       |  c$i AS (
+       |    SELECT a.cell, p.dim,
+       |           CAST(SUM(p.vm) // COUNT(*) AS BIGINT) AS cm,
+       |           CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM a$i a JOIN pts p ON p.vec_id = a.vec_id
+       |    GROUP BY 1, 2)""".stripMargin
+
+  /** The shared CTE prefix of every trained-k-means oracle: shifted
+    * micro-grid points, the first-k seed codebook, and `rounds`
+    * unrolled assign/argmin/recompute blocks ending in c<rounds>. */
+  private def kmeansPrefixSql(k: Int, rounds: Int, shift: Long): String =
+    s"""WITH pts AS (
+       |    SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+       |           CAST(FLOOR(e[t.i] * 1e6) AS BIGINT) + $shift AS vm
+       |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |          FROM embeddings),
+       |         LATERAL unnest(generate_series(1, len(e))) AS t(i)),
+       |  c0 AS (
+       |    SELECT c.cell, p.dim, p.vm AS cm, CAST(1 AS BIGINT) AS n
+       |    FROM (SELECT vec_id,
+       |                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |                   AS cell
+       |          FROM (SELECT vec_id FROM embeddings
+       |                ORDER BY vec_id LIMIT $k)) c
+       |    JOIN pts p ON p.vec_id = c.vec_id),
+       |  ${(1 to rounds).map(kmeansRoundSql).mkString(",\n  ")}""".stripMargin
+
+  private def kmeansReplaySql(k: Int, rounds: Int, shift: Long): String =
+    s"""${kmeansPrefixSql(k, rounds, shift)}
+       |  SELECT cell, dim, n AS n_members,
+       |         CAST(cm - $shift AS BIGINT) AS centroid_micro
+       |  FROM c$rounds ORDER BY cell, dim""".stripMargin
+
+  /** Trained-IVF serve oracle: the k-means prefix, one more
+    * assign/argmin block over the FINAL codebook (the corpus index),
+    * then exact cosine top-k within each query's own cell — the same
+    * dot/(sqrt·sqrt) structure as [[bruteSql]]. */
+  private def kmeansServeSql(k: Int, rounds: Int, shift: Long,
+                             topK: Int): String = {
+    val idx = rounds + 1
+    s"""${kmeansPrefixSql(k, rounds, shift)},
+       |  d$idx AS (
+       |    SELECT p.vec_id, c.cell, SUM((p.vm - c.cm)*(p.vm - c.cm)) AS d2
+       |    FROM pts p JOIN c$rounds c ON c.dim = p.dim
+       |    GROUP BY 1, 2),
+       |  idx AS (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell, ROW_NUMBER() OVER (
+       |        PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |      FROM d$idx) WHERE rn = 1),
+       |  de AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |         FROM embeddings),
+       |  q AS (
+       |    SELECT i.vec_id AS query_id, i.cell, d.e
+       |    FROM idx i JOIN de d ON d.vec_id = i.vec_id
+       |    WHERE i.vec_id < 10),
+       |  scored AS (
+       |    SELECT q.query_id, i.vec_id AS neighbor_id,
+       |           list_dot_product(q.e, d.e)
+       |             / (sqrt(list_dot_product(q.e, q.e))
+       |                * sqrt(list_dot_product(d.e, d.e))) AS cos
+       |    FROM q JOIN idx i ON i.cell = q.cell AND i.vec_id <> q.query_id
+       |         JOIN de d ON d.vec_id = i.vec_id),
+       |  r AS (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  SELECT query_id, neighbor_id, rank, cos
+       |  FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val cosineSql =
     """list_dot_product(q.e, d.e)
        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(d.e, d.e)))"""
@@ -656,6 +742,49 @@ object SimilarityOps {
                        / CAST(COUNT(*) AS DOUBLE) / 1e6 AS centroid
               FROM pts GROUP BY 1, 2
               ORDER BY cell, dim""")),
+
+    // ⊕ the FULL Lloyd training loop (k = 8 cells, 3 rounds) on the
+    // exact integer micro-grid — the codebook-TRAINING completion of
+    // sim_kmeans_step's single refinement. Coordinates shift positive
+    // (vm = floor(x·1e6) + 2e6) so every distance, argmin tie-break,
+    // and floor-mean is exact integer arithmetic Spark's DIV and
+    // DuckDB's // agree on; the oracle UNROLLS ALL THREE ROUNDS
+    // (assign → argmin → recompute per CTE block), so one hash
+    // certifies the whole trajectory, not one step. Scale: per round
+    // the k·d-long codebook (512 values — bounded readout) re-enters
+    // as literals and assignment is pure map-side (assignCells' shape,
+    // zero shuffle); cost is R corpus scans + R (cell,dim) aggregates
+    // with k·d rows out. See Similarity.kmeansTrainMicro.
+    Entry(
+      "sim_kmeans_train",
+      (s, dir) => Similarity
+        .kmeansTrainMicro(Tables(s, dir, "embeddings"), 8, 3)
+        .orderBy("cell", "dim"),
+      Some(kmeansReplaySql(8, 3, 2000000L))),
+
+    // ⊕ the trained index SERVING queries — train → index → serve
+    // gated as one chain: the 3-round trained codebook assigns the
+    // whole corpus (map-side exact integer argmin, the codebook enters
+    // as 512 literals), queries probe their OWN cell, exact cosine
+    // ranks within it. One hash certifies that training, assignment,
+    // and the pruned search all agree with a full SQL replay — the
+    // recall/latency story the separate sim_recall_report audit then
+    // quantifies. At 100 TB: corpus written partitionBy("cell") makes
+    // the per-query read one cell's partition; nothing here scales
+    // with corpus × queries.
+    Entry(
+      "sim_knn_ivf_trained",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = Similarity.readCodebookMicro(
+          Similarity.kmeansTrainMicro(emb, 8, 3))
+        val assigned = Similarity.assignCellsMicro(
+          emb.select("vec_id", "embedding"), codebook)
+        Similarity.knnAssignedCell(
+          assigned, assigned.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(kmeansServeSql(8, 3, 2000000L, 5))),
 
     // ⊕ product quantization ADC top-k (IVF-PQ's compression half):
     // encode every vector as m=8 codewords (8 subspaces × 32 codes from

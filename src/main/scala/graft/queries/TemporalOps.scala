@@ -763,6 +763,70 @@ object TemporalOps {
                               slope * ${Exact.bigSqlToDouble("sx")})
                              / CAST(n AS DOUBLE)
                       END AS intercept
-               FROM s ORDER BY event_type"""))
+               FROM s ORDER BY event_type""")),
+
+    // ⊕ frequent-sequence mining: top-10 within-session event-type
+    // TRIGRAMS by support — the sequential-pattern step past
+    // t8_markov_transitions' bigram matrix (behavioral motifs,
+    // curriculum/funnel hypotheses come from exactly this readout).
+    // Scale: ONE user-keyed window shuffle does everything — session
+    // ids fold from the same lag/cumsum pass w2 uses, and the trigram
+    // is two LEADs over the SAME window carrying (sid, type) structs,
+    // with session membership enforced by comparing the led sids (so
+    // no second (user, sid)-keyed exchange exists at any size). The
+    // aggregate output is ≤ |types|³ rows; top-10 is
+    // TakeOrderedAndProject with a total (n desc, s1, s2, s3)
+    // tie-break. Gap threshold 30 min, exact µs integer arithmetic.
+    Entry(
+      "t19_top_sequences",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wRun = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("new_sess",
+            when(lag(col("ts"), 1).over(wU).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU))
+                >= lit(1800000000L), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_sess")).over(wRun))
+          .withColumn("t2", lead(struct(col("sid"), col("event_type")), 1).over(wU))
+          .withColumn("t3", lead(struct(col("sid"), col("event_type")), 2).over(wU))
+          .filter(col("t2.sid") === col("sid") && col("t3.sid") === col("sid"))
+          .groupBy(col("event_type").as("s1"),
+            col("t2.event_type").as("s2"), col("t3.event_type").as("s3"))
+          .agg(count(lit(1)).cast(LongType).as("n"))
+          .orderBy(desc("n"), asc("s1"), asc("s2"), asc("s3"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              marks AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sids AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS sid
+                FROM marks),
+              tri AS (
+                SELECT sid, event_type AS s1,
+                       LEAD(sid, 1) OVER w AS sid2,
+                       LEAD(event_type, 1) OVER w AS s2,
+                       LEAD(sid, 2) OVER w AS sid3,
+                       LEAD(event_type, 2) OVER w AS s3
+                FROM sids
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tri WHERE sid2 = sid AND sid3 = sid
+              GROUP BY 1, 2, 3
+              ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 10"""))
   )
 }

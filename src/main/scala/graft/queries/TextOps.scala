@@ -825,6 +825,34 @@ object TextOps {
               FROM tok t JOIN enc e USING (tok)
               GROUP BY t.doc_id ORDER BY t.doc_id""")),
 
+    // ⊕ corpus-trained BPE merge TABLE, gated end-to-end: 6 rounds of
+    // the real training loop (pair-count over the distinct vocabulary →
+    // deterministic argmax → greedy merge fold), emitted as one row per
+    // learned merge. The oracle REPLAYS TRAINING — six unrolled rounds
+    // of pair-count/argmax/two-pass-replace in plain SQL — so the hash
+    // certifies selection order, tie-breaks, and weighted counts, not
+    // just a final encoding (the apply half text_bpe_encode already
+    // gates). Candidates are restricted to non-self pairs, the exact
+    // constraint under which Bpe.replaceFoldSql's replace∘replace ≡
+    // fold proof licenses the string-form replay; the unconstrained
+    // trainer stays spec-covered (BpeSpec). Learned merges compose
+    // across rounds (round 6 at sf0.01 merges 'm'+'er', consuming
+    // round 1's product). Scale: per round one aggregate over Σ|word|
+    // symbol pairs of the DISTINCT vocab — never the corpus — a 1-row
+    // readout, and a map-side fold (the HeavyHitters bounded-readout
+    // contract); k rounds cost k vocab scans however large the corpus.
+    Entry(
+      "text_bpe_train",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .filter(trim(col("text")) =!= "")
+        val merges = graft.operators.Bpe.trainReplayable(docs, 6)
+        import s.implicits._
+        merges.map(m => (m.round.toLong, m.left, m.right, m.n))
+          .toDF("round", "lhs", "rhs", "n").orderBy("round")
+      },
+      Some(graft.operators.Bpe.trainReplaySql(6))),
+
     // ⊕ hashing-trick text features: word uni+bigrams hashed into 256
     // signed buckets (bucket from the 48-bit md5 integer, sign from an
     // independent hex digit — the fastText/Vowpal feature map that

@@ -82,4 +82,35 @@ class BpeSpec extends SparkSuite {
     assert(viaTrain._1 + viaTrain._2 === viaSubstr.getString(0))
     assert(viaTrain._3 === viaSubstr.getLong(1))
   }
+
+  test("trainReplayable excludes self-pairs from candidates and stops when only self-pairs remain") {
+    // unconstrained train picks (a,b) then the SELF-pair (a,a); the
+    // replayable trainer takes (a,b), then finds only self-pair
+    // candidates ((ab,ab), (a,a)) and stops — counts unchanged
+    val docs = Seq((1L, "abab abab ab aaa")).toDF("doc_id", "text")
+    val merges = Bpe.trainReplayable(docs, k = 3)
+    assert(merges.map(m => (m.left, m.right, m.n, m.round)) ===
+      Seq(("a", "b", 5L, 1)))
+  }
+
+  test("trainReplayable ≡ train when no round's argmax is a self-pair") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "abcd ab")).toDF("doc_id", "text")
+    val (viaTrain, _) = Bpe.train(docs, k = 4)
+    val viaReplayable = Bpe.trainReplayable(docs, k = 4)
+    assert(viaTrain.nonEmpty && viaTrain.forall(m => m.left != m.right))
+    assert(viaReplayable === viaTrain)
+  }
+
+  test("trainReplaySql unrolls one block per round with the tie-break and two-pass replace") {
+    val sql = Bpe.trainReplaySql(4)
+    (1 to 4).foreach { i =>
+      assert(sql.contains(s"t$i AS"), s"missing round-$i argmax block")
+      assert(sql.contains(s"v$i AS"), s"missing round-$i vocab block")
+    }
+    assert(sql.contains("ORDER BY n DESC, l ASC, r ASC LIMIT 1"))
+    // the l ≠ r restriction that licenses the string-replace replay
+    assert(sql.contains("a[j] <> a[j+1]"))
+    // two replace passes per merge (replaceFoldEquivalence)
+    assert("replace\\(replace\\(".r.findAllIn(sql).size === 4)
+  }
 }

@@ -379,4 +379,78 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(got(0)) === 1000000L, got.mkString(","))
     assert(math.abs(got(2)) < 500000L) // constant dim carries no variance
   }
+
+  test("kmeansTrainMicro separates planted blobs; centroids are exact floor-means") {
+    // blob A around (1, 0), blob B around (-1, 0); seeds (first two by
+    // vec_id) land one in each blob
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(-1.0f, -0.1f)),
+      (3L, Array(0.9f, 0.2f)), (4L, Array(-0.8f, 0.1f)),
+      (5L, Array(1.1f, -0.3f)), (6L, Array(-1.2f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansTrainMicro(emb, k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (cell, dim, n, cm) => (cell, dim) -> (n, cm) }.toMap
+    // each blob is its own cell, 3 members each
+    assert(got.values.forall(_._1 === 3L))
+    // exact floor-mean on the micro grid, hand-computed: the mean of
+    // floor(float→double(x)·1e6) over each blob, floor-divided
+    // (all-positive shift cancels exactly because 3 | 3·shift)
+    def fm(xs: Seq[Float]): Long = {
+      val s = xs.map(x => math.floor(x.toDouble * 1e6).toLong + 2000000L).sum
+      s / 3 - 2000000L // all terms positive: / is floor division here
+    }
+    assert(got((0L, 1L))._2 === fm(Seq(1.0f, 0.9f, 1.1f)))
+    assert(got((0L, 2L))._2 === fm(Seq(0.1f, 0.2f, -0.3f)))
+    assert(got((1L, 1L))._2 === fm(Seq(-1.0f, -0.8f, -1.2f)))
+    assert(got((1L, 2L))._2 === fm(Seq(-0.1f, 0.1f, 0.2f)))
+  }
+
+  test("kmeansTrainMicro drops an emptied cell (duplicate seed, tie → lower cell)") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    // seeds are both (0,0): every vector ties across the two cells and
+    // the tie-break assigns cell 0 — cell 1 empties and is dropped
+    val got = Similarity.kmeansTrainMicro(emb, k = 2, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set(0L))
+    assert(got.forall(_._3 === 3L))
+  }
+
+  test("trained-IVF serve: each planted query's neighbors are exactly its blob-mates") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(-1.0f, -0.1f)),
+      (3L, Array(0.9f, 0.2f)), (4L, Array(-0.8f, 0.1f)),
+      (5L, Array(1.1f, -0.3f)), (6L, Array(-1.2f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val codebook = Similarity.readCodebookMicro(
+      Similarity.kmeansTrainMicro(emb, k = 2, rounds = 2))
+    val assigned = Similarity.assignCellsMicro(emb, codebook)
+    val got = Similarity
+      .knnAssignedCell(assigned, assigned.filter(col("vec_id") <= 2L), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    // cells = blobs, so the served candidate set is the query's blob
+    assert(got(1L) === Set(3L, 5L))
+    assert(got(2L) === Set(4L, 6L))
+  }
+
+  test("kmeansTrainMicro cells partition the corpus on real data") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val got = Similarity.kmeansTrainMicro(emb, k = 4, rounds = 2)
+    // every dim of every cell carries the same member count; counts sum
+    // to the corpus across cells
+    val perCell = got.groupBy("cell")
+      .agg(countDistinct(col("n_members")).as("nc"),
+        max(col("n_members")).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perCell.forall(_._2 === 1L))
+    assert(perCell.map(_._3).sum === n)
+    // centroid stays on the unshifted micro grid within data range
+    val mx = got.agg(max(abs(col("centroid_micro")))).head().getLong(0)
+    assert(mx <= 2000000L)
+  }
 }
