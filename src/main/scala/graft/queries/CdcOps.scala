@@ -1022,6 +1022,82 @@ object CdcOps {
                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
               FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    // ⊕ PERCENTILE dashboard routing — the a30 histogram store made
+    // TRANSPARENT: the per-(type, day, bucket) count summary registers
+    // against the bucketed corpus, and the dashboard below is a PLAIN
+    // p50/p95 readout over the BASE — inner aggregate at the
+    // duplicate-free subset grain (type, bucket), cum/total windows
+    // partitioned by type, integer rank math on top. SummaryRewrite
+    // reroutes the inner aggregate onto the |cells|-row summary with
+    // exprIds preserved, so the whole window+readout tower above
+    // re-resolves untouched — the classic "percentile panels rescan
+    // the corpus" dashboard reads |type×day×bucket| rows instead (the
+    // windows are bounded per type by the fixed grid). The oracle
+    // recomputes from raw events, so one hash proves store-build ≡
+    // routed-readout ≡ recompute; PlanSpec pins the summary-only scan.
+    Entry(
+      "cdc_mv_routed_percentile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_mvpct_$tag")
+        val basePath = new java.io.File(root, "base").toString
+        val mvPath = new java.io.File(root, "summary").toString
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+              .as("bucket"))
+        ev.write.mode("overwrite").parquet(basePath)
+        ev.groupBy("event_type", "day", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(mvPath)
+        graft.plans.MvRegistry.registerFresh(
+          s, "file:" + basePath, graft.plans.MvRegistry.Summary(
+            () => s.read.parquet(mvPath),
+            Seq("event_type", "day", "bucket"), "cnt", sums = Map.empty))
+        val hist = s.read.parquet(basePath)
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val cum = hist
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy("event_type").orderBy("bucket")))
+          .withColumn("tot", sum("n").over(
+            Window.partitionBy("event_type")))
+        cum.groupBy("event_type").agg(
+            max(col("tot")).cast(LongType).as("n_values"),
+            (min(when(col("cum") * 100 >= col("tot") * 50,
+              col("bucket"))) * 10).cast(LongType).as("p50_lo"),
+            (min(when(col("cum") * 100 >= col("tot") * 95,
+              col("bucket"))) * 10).cast(LongType).as("p95_lo"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                         AS bucket
+                FROM events WHERE value IS NOT NULL),
+              h AS (
+                SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1, 2),
+              cum AS (
+                SELECT event_type, bucket, n,
+                       SUM(n) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS tot
+                FROM h),
+              p AS (
+                SELECT event_type, MAX(tot) AS nv,
+                       MIN(CASE WHEN cum * 100 >= tot * 50
+                                THEN bucket END) AS p50b,
+                       MIN(CASE WHEN cum * 100 >= tot * 95
+                                THEN bucket END) AS p95b
+                FROM cum GROUP BY 1)
+              SELECT event_type, CAST(nv AS BIGINT) AS n_values,
+                     CAST(p50b * 10 AS BIGINT) AS p50_lo,
+                     CAST(p95b * 10 AS BIGINT) AS p95_lo
+              FROM p ORDER BY event_type""")),
+
     // ⊕ distinct ROLLUP routing — the persisted-reality form of the
     // sketch column: summaries live at a FINE grain (type × day, the
     // grain the daily maintenance loop writes), dashboards ask at a

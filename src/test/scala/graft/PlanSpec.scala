@@ -562,7 +562,7 @@ class PlanSpec extends SparkSuite {
 
   test("having/share/dashboard routing: post-aggregate shapes run over the summary scan, never the base") {
     for (name <- Seq("cdc_mv_routed_having", "cdc_mv_routed_share",
-        "cdc_mv_routed_dashboard")) {
+        "cdc_mv_routed_dashboard", "cdc_mv_routed_percentile")) {
       val df = Inventory.byName(name).run(spark, sfDir)
       val paths = df.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
