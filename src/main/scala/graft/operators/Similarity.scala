@@ -571,6 +571,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Incremental codebook maintenance — the 100 TB reality between
+    * retrains: new embedding batches fold into per-(cell, dim)
+    * (Σ coordinate, count) state against a FROZEN quantizer, and the
+    * served centroid is the floor-mean of the merged state. Because
+    * assignment depends only on the frozen codebook and the folded
+    * moments are plain sums, fold-per-batch ≡ one-shot
+    * assign-and-aggregate over the union EXACTLY — the additivity the
+    * `sim_kmeans_incremental` gate proves by replaying the one-shot
+    * form in its oracle while this side folds the batches one at a
+    * time. Per batch: one map-side assignment (codebook literals, zero
+    * shuffle) + one (cell, dim) aggregate + a k·d-row state merge
+    * (localCheckpoint'd so B batches never stack lineage); state is
+    * ≤ k·d longs however large the corpus. Retraining (the Lloyd loop
+    * above) is the scheduled job this maintenance amortizes.
+    *
+    * Returns (cell, dim, n_members, centroid_micro) like
+    * [[kmeansTrainMicro]], over all batches' rows. */
+  def kmeansFoldBatches(batches: Seq[DataFrame],
+                        codebook: Seq[(Long, Array[Long])],
+                        shift: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(batches.nonEmpty, "need at least one batch")
+    var state: DataFrame = null
+    for (b <- batches) {
+      val delta = assignCellsMicro(b, codebook, shift)
+        .select(col("cell"), posexplode(microArr(shift)).as(Seq("pos", "v")))
+        .select(col("cell"), (col("pos") + 1).cast(LongType).as("dim"),
+          col("v"))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      state =
+        (if (state == null) delta else state.unionByName(delta))
+          .groupBy("cell", "dim")
+          .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+          .localCheckpoint(true)
+    }
+    state.select(col("cell"), col("dim"), col("n").as("n_members"),
+      (expr("sv DIV n") - lit(shift)).cast(LongType).as("centroid_micro"))
+  }
+
   def kmeansTrainMicro(emb: DataFrame, k: Int, rounds: Int,
                        shift: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.LongType

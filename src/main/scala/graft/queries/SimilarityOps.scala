@@ -786,6 +786,43 @@ object SimilarityOps {
       },
       Some(kmeansServeSql(8, 3, 2000000L, 5))),
 
+    // ⊕ incremental index maintenance — the loop BETWEEN retrains: three
+    // ingest batches (vec_id mod 3) fold per-(cell, dim) coordinate
+    // sums and counts against the FROZEN 2-round codebook, and the
+    // served centroids are floor-means of the merged state. The oracle
+    // computes the ONE-SHOT assign-and-aggregate over the whole corpus,
+    // so the hash proves the batch fold is exactly additive (assignment
+    // is codebook-only, moments are sums) — the sim_kmeans_train /
+    // dedup_*_incremental discipline applied to the ANN index. Per
+    // batch: map-side assignment + one (cell,dim) aggregate + a
+    // k·d-row state merge; state never exceeds k·d longs.
+    Entry(
+      "sim_kmeans_incremental",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = Similarity.readCodebookMicro(
+          Similarity.kmeansTrainMicro(emb, 8, 2))
+        val batches = (0L until 3L).map(b =>
+          emb.filter(col("vec_id") % 3 === b).select("vec_id", "embedding"))
+        Similarity.kmeansFoldBatches(batches, codebook)
+          .orderBy("cell", "dim")
+      },
+      Some(s"""${kmeansPrefixSql(8, 2, 2000000L)},
+              |  d3 AS (
+              |    SELECT p.vec_id, c.cell, SUM((p.vm - c.cm)*(p.vm - c.cm)) AS d2
+              |    FROM pts p JOIN c2 c ON c.dim = p.dim
+              |    GROUP BY 1, 2),
+              |  idx AS (
+              |    SELECT vec_id, cell FROM (
+              |      SELECT vec_id, cell, ROW_NUMBER() OVER (
+              |        PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+              |      FROM d3) WHERE rn = 1)
+              |  SELECT i.cell, p.dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+              |         CAST(SUM(p.vm) // COUNT(*) - 2000000 AS BIGINT)
+              |           AS centroid_micro
+              |  FROM idx i JOIN pts p ON p.vec_id = i.vec_id
+              |  GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin)),
+
     // ⊕ product quantization ADC top-k (IVF-PQ's compression half):
     // encode every vector as m=8 codewords (8 subspaces × 32 codes from
     // the deterministic vec_id<32 sample codebook), then answer

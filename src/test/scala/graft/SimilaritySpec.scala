@@ -437,6 +437,28 @@ class SimilaritySpec extends SparkSuite {
     assert(got(2L) === Set(4L, 6L))
   }
 
+  test("kmeansFoldBatches: any batch split folds to the one-shot state (additivity)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(-1.0f, -0.1f)),
+      (3L, Array(0.9f, 0.2f)), (4L, Array(-0.8f, 0.1f)),
+      (5L, Array(1.1f, -0.3f)), (6L, Array(-1.2f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.readCodebookMicro(
+      Similarity.kmeansTrainMicro(emb, k = 2, rounds = 1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val oneShot = rows(Similarity.kmeansFoldBatches(Seq(emb), cb))
+    val folded = rows(Similarity.kmeansFoldBatches(
+      Seq(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1)), cb))
+    assert(folded === oneShot)
+    // a skewed split (one batch nearly empty) folds identically too
+    val skewed = rows(Similarity.kmeansFoldBatches(
+      Seq(emb.filter(col("vec_id") === 1L),
+        emb.filter(col("vec_id") =!= 1L)), cb))
+    assert(skewed === oneShot)
+  }
+
   test("kmeansTrainMicro cells partition the corpus on real data") {
     val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val n = emb.count()
