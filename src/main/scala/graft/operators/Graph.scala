@@ -293,6 +293,47 @@ object Graph {
     reached
   }
 
+  /** Weighted single-source(-set) shortest paths by synchronous
+    * Bellman-Ford: `rounds` min-plus relaxations over `(src, dst,
+    * cost)` edges from a seed set at distance 0 —
+    *
+    *   d₀(v)   = 0 for seeds, unreached otherwise
+    *   dᵢ(v)   = min( dᵢ₋₁(v), min_{(u,v)} dᵢ₋₁(u) + cost(u, v) )
+    *
+    * After k rounds d(v) is EXACTLY the cheapest cost over paths of
+    * ≤ k edges (the bounded-horizon form — run to |V|−1 rounds for the
+    * unbounded classic). Costs must be non-negative integers, so every
+    * relaxation is exact min-plus arithmetic both engines replay — the
+    * unrolled-CTE oracle of `g15_sssp` matches hash-for-hash, the
+    * [[kHopReach]] discipline generalized from hop counts to weights.
+    *
+    * Shape per round: one dist⋈edges equi-join on src + a min
+    * aggregate — both graph-sized, never path-enumerating (min-plus
+    * collapses path explosion the way MIN does for [[labelPropagation]];
+    * duplicate edges are harmless for the same reason). Dist state is
+    * localCheckpoint'd per round so k rounds don't stack join lineage.
+    * Newly reached nodes enter the relation as relaxation finds them;
+    * unreached nodes stay absent (no ∞ sentinel to disagree on). */
+  def ssspRounds(edgesWithCost: DataFrame, seeds: DataFrame,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ec = edgesWithCost.select(col("src"), col("dst"), col("cost"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var d = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      // using-column join: after round 1 the dist lineage contains the
+      // edge relation, so qualified references would self-join-collide
+      val relax = d.select(col("node").as("src"), col("dist"))
+        .join(ec, Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      d = d.unionByName(relax)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
   /** Synchronous min-label propagation: `rounds` LPA rounds with the
     * deterministic min-label update. Every node starts labeled with its
     * own id; each round every node relabels to the MINIMUM label in its

@@ -1089,6 +1089,59 @@ object CurationOps {
                      CAST(((CAST(wt AS HUGEINT) * 10000)
                        // (SELECT tot FROM t) * 1000000) // n_docs
                        AS BIGINT) AS factor_ppm
-              FROM w ORDER BY lang"""))
+              FROM w ORDER BY lang""")),
+
+    // ⊕ dynamic quality thresholding: drop each LANGUAGE's bottom
+    // quality quartile — the per-group percentile cut real curation
+    // runs use instead of one global constant (a fixed minQuality
+    // over-prunes low-resource languages whose whole distribution sits
+    // lower; the cur_filter_attrition chain is the fixed-constant
+    // twin). The cut is RANK-based integer math (keep rn·4 > tot over
+    // the (quality, doc_id) total order), so no percentile
+    // interpolation and no double comparison decides membership — both
+    // engines replay the predicate exactly; quality rides along
+    // bit-identical (the text_quality_score expression). One
+    // lang-partitioned window + one aggregate; at 100 TB each
+    // language's rank pass is its own partition stream.
+    Entry(
+      "cur_quality_threshold",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions
+              .qualityScore(col("text"), TextOps.Stopwords).as("quality"))
+        val ranked = docs
+          .withColumn("rn", row_number().over(Window.partitionBy("lang")
+            .orderBy(asc("quality"), asc("doc_id"))))
+          .withColumn("tot",
+            count(lit(1)).over(Window.partitionBy("lang")))
+        ranked.filter(col("rn") * 4 > col("tot"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast(LongType).as("n_kept"),
+            max(col("tot")).cast(LongType).as("n_total"),
+            min(col("quality")).as("min_kept_quality"))
+          .orderBy("lang")
+      },
+      Some("""WITH q AS (
+                SELECT doc_id, lang,
+                       LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                         * (1.0 - CAST(len(list_filter(toks,
+                               x -> x IN ('the', 'a'))) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE)) AS quality
+                FROM (SELECT doc_id, lang,
+                             regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents)),
+              r AS (
+                SELECT lang, doc_id, quality,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY quality ASC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS tot
+                FROM q)
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     CAST(MAX(tot) AS BIGINT) AS n_total,
+                     MIN(quality) AS min_kept_quality
+              FROM r WHERE rn * 4 > tot
+              GROUP BY 1 ORDER BY lang"""))
   )
 }

@@ -894,6 +894,69 @@ object GraphOps {
                             sqrt(${Exact.bigSqlToDouble("dx")}
                                  * ${Exact.bigSqlToDouble("dy")}) END
                        AS assortativity
-              FROM f"""))
+              FROM f""")),
+
+    // ⊕ weighted shortest paths (bounded-horizon Bellman-Ford) — the
+    // min-plus completion of g5's hop-count BFS: edge cost
+    // 1 + 10⁶ DIV cnt makes well-trodden transitions cheap (cnt ≥ 1 by
+    // construction, so the floor division is over positives and DIV ≡
+    // //), seeds are the same deterministic item ≡ 0 mod 97 set, and
+    // three synchronous relaxations give the exact cheapest ≤3-edge
+    // path cost per reached node. Every value is an exact non-negative
+    // integer, so the oracle's three unrolled min-plus CTE rounds match
+    // hash-for-hash. Per round: one dist⋈edges equi-join + a min
+    // aggregate — graph-sized, never path-enumerating.
+    Entry(
+      "g15_sssp",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .filter(col("item").isNotNull)
+        val edges = Graph
+          .transitionEdges(ev, "user_id", "ts", "event_id", "item")
+          .select(col("src"), col("dst"),
+            (lit(1L) + expr("1000000L DIV cnt")).as("cost"))
+        val seeds = ev.select(col("item").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("node")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+                WHERE (props->>'$.k') IS NOT NULL),
+              tr AS (
+                SELECT item,
+                       LAG(item) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                FROM ev),
+              ec AS (
+                SELECT prev AS src, item AS dst,
+                       1 + 1000000 // COUNT(*) AS cost
+                FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+              d0 AS (
+                SELECT DISTINCT item AS node, CAST(0 AS BIGINT) AS dist
+                FROM ev WHERE item % 97 = 0),
+              d1 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d0
+                  UNION ALL
+                  SELECT e.dst AS node, d.dist + e.cost AS dist
+                  FROM d0 d JOIN ec e ON e.src = d.node) GROUP BY 1),
+              d2 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d1
+                  UNION ALL
+                  SELECT e.dst AS node, d.dist + e.cost AS dist
+                  FROM d1 d JOIN ec e ON e.src = d.node) GROUP BY 1),
+              d3 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d2
+                  UNION ALL
+                  SELECT e.dst AS node, d.dist + e.cost AS dist
+                  FROM d2 d JOIN ec e ON e.src = d.node) GROUP BY 1)
+              SELECT node, CAST(dist AS BIGINT) AS dist
+              FROM d3 ORDER BY node"""))
   )
 }

@@ -291,4 +291,23 @@ class GraphSpec extends SparkSuite {
     assert(got(2L)._1 === 1000000L)
     assert(got(5L)._2 === 1000000L) // the star sink is the top authority
   }
+
+  test("ssspRounds: min-plus relaxation finds the cheap 2-edge path; unreached nodes stay absent") {
+    import spark.implicits._
+    // 1→3 direct costs 10; 1→2→3 costs 2 — only a second relaxation
+    // sees it. 4→5 is disconnected from the seed.
+    val edges = Seq(
+      (1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (4L, 5L, 1L)
+    ).toDF("src", "dst", "cost")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int): Map[Long, Long] =
+      Graph.ssspRounds(edges, seeds, rounds)
+        .as[(Long, Long)].collect().toMap
+    val r1 = dists(1)
+    assert(r1 === Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    val r2 = dists(2)
+    assert(r2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // fixed point: a third round changes nothing; 4 and 5 never appear
+    assert(dists(3) === r2)
+  }
 }
