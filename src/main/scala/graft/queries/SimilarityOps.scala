@@ -102,6 +102,28 @@ object SimilarityOps {
        |  FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** One-shot assign-and-aggregate over the FROZEN 2-round codebook —
+    * the shared oracle of both index-maintenance gates
+    * (`sim_kmeans_incremental`, `sim_kmeans_streamed`): whatever
+    * batching or state protocol the Spark side folds through, the
+    * merged (cell, dim) moments must equal this single pass. */
+  private val kmeansOneShotFoldSql: String =
+    s"""${kmeansPrefixSql(8, 2, 2000000L)},
+       |  d3 AS (
+       |    SELECT p.vec_id, c.cell, SUM((p.vm - c.cm)*(p.vm - c.cm)) AS d2
+       |    FROM pts p JOIN c2 c ON c.dim = p.dim
+       |    GROUP BY 1, 2),
+       |  idx AS (
+       |    SELECT vec_id, cell FROM (
+       |      SELECT vec_id, cell, ROW_NUMBER() OVER (
+       |        PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+       |      FROM d3) WHERE rn = 1)
+       |  SELECT i.cell, p.dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |         CAST(SUM(p.vm) // COUNT(*) - 2000000 AS BIGINT)
+       |           AS centroid_micro
+       |  FROM idx i JOIN pts p ON p.vec_id = i.vec_id
+       |  GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
+
   private val cosineSql =
     """list_dot_product(q.e, d.e)
        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(d.e, d.e)))"""
@@ -807,21 +829,53 @@ object SimilarityOps {
         Similarity.kmeansFoldBatches(batches, codebook)
           .orderBy("cell", "dim")
       },
-      Some(s"""${kmeansPrefixSql(8, 2, 2000000L)},
-              |  d3 AS (
-              |    SELECT p.vec_id, c.cell, SUM((p.vm - c.cm)*(p.vm - c.cm)) AS d2
-              |    FROM pts p JOIN c2 c ON c.dim = p.dim
-              |    GROUP BY 1, 2),
-              |  idx AS (
-              |    SELECT vec_id, cell FROM (
-              |      SELECT vec_id, cell, ROW_NUMBER() OVER (
-              |        PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-              |      FROM d3) WHERE rn = 1)
-              |  SELECT i.cell, p.dim, CAST(COUNT(*) AS BIGINT) AS n_members,
-              |         CAST(SUM(p.vm) // COUNT(*) - 2000000 AS BIGINT)
-              |           AS centroid_micro
-              |  FROM idx i JOIN pts p ON p.vec_id = i.vec_id
-              |  GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin)),
+      Some(kmeansOneShotFoldSql)),
+
+    // ⊕ the ANN index maintained by the STREAMING MV loop: the same
+    // frozen-codebook fold as sim_kmeans_incremental, but driven
+    // through StreamingMv's versioned exactly-once state — per
+    // micro-batch the assigned coordinates fold into the persisted
+    // (cell, dim) summary, the corpus partition lands beside it, and
+    // the served codebook is a PLAIN aggregate over the corpus that
+    // SummaryRewrite reroutes onto the stream-maintained summary
+    // (PlanSpec pins the summary-only scan; re-delivery idempotence is
+    // the shared StreamingIvm protocol the cdc_mv_streamed family
+    // already exercises). The oracle is the ONE-SHOT
+    // assign-and-aggregate, so one hash proves stream-fold ≡ batch
+    // fold ≡ recompute for the index-maintenance loop itself. At
+    // 100 TB: per batch cost ∝ batch × d + |Δ cells|; the codebook
+    // readout reads k·d summary rows — the embedding corpus is scanned
+    // by nobody.
+    Entry(
+      "sim_kmeans_streamed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val state = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_skms_$tag").toString
+        val emb = Tables(s, dir, "embeddings")
+        val codebook = Similarity.readCodebookMicro(
+          Similarity.kmeansTrainMicro(emb, 8, 2))
+        val pts = Similarity
+          .assignCellsMicro(emb.select("vec_id", "embedding"), codebook)
+          .select(col("vec_id"), col("cell"), posexplode(
+            expr("""transform(embedding,
+                      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                           + 2000000L)""")).as(Seq("pos", "v_micro")))
+          .select(col("vec_id"), col("cell"),
+            (col("pos") + 1).cast(LongType).as("dim"), col("v_micro"))
+        val cfg = graft.streaming.StreamingMv.Config(Seq("cell", "dim"))
+        (0L until 3L).foreach { b =>
+          graft.streaming.StreamingMv.foldBatch(s, state, cfg)(
+            pts.filter(col("vec_id") % 3 === b).drop("vec_id"), b)
+        }
+        graft.streaming.StreamingMv.dashboard(s, state, cfg)
+          .select(col("cell"), col("dim"),
+            col("cnt").cast(LongType).as("n_members"),
+            (expr("sum_micro DIV cnt") - lit(2000000L)).cast(LongType)
+              .as("centroid_micro"))
+          .orderBy("cell", "dim")
+      },
+      Some(kmeansOneShotFoldSql)),
 
     // ⊕ product quantization ADC top-k (IVF-PQ's compression half):
     // encode every vector as m=8 codewords (8 subspaces × 32 codes from
