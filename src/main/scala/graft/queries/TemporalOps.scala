@@ -827,6 +827,77 @@ object TemporalOps {
               SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
               FROM tri WHERE sid2 = sid AND sid3 = sid
               GROUP BY 1, 2, 3
-              ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 10"""))
+              ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 10""")),
+
+    // ⊕ day-of-week seasonality profile + anomaly census — the
+    // decomposition behind "is Tuesday always like this": per
+    // (event_type, weekday) the day count, event mass, its ppm share
+    // of the type's total, and how many individual days deviate from
+    // their weekday's mean by more than 50%. EVERYTHING is integer
+    // arithmetic: the share is a DIV-ppm, and the deviation test
+    // |n·d − s|·2 > s is the cross-multiplied form of
+    // |n − s/d| > (s/d)/2, so no rational mean is ever materialized
+    // and both engines decide every flag identically (weekday = Spark
+    // weekday() ≡ DuckDB isodow − 1, Monday = 0). Shape: one
+    // (type, day)-grain aggregate over the corpus, then ≤ |types|·7-row
+    // joins — the daily relation is date-bounded whatever the corpus.
+    Entry(
+      "t20_seasonal_profile",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .filter(col("ts").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            expr("weekday(ts)").cast(LongType).as("dow"))
+          .groupBy("event_type", "day", "dow")
+          .agg(count(lit(1)).as("n"))
+        val dowAgg = daily.groupBy("event_type", "dow")
+          .agg(sum(col("n")).as("sv"), count(lit(1)).as("d"))
+        val typeTotal = daily.groupBy("event_type")
+          .agg(sum(col("n")).as("t"))
+        daily.join(dowAgg, Seq("event_type", "dow"))
+          .groupBy("event_type", "dow")
+          .agg(max(col("d")).cast(LongType).as("n_days"),
+            max(col("sv")).cast(LongType).as("n_events"),
+            sum(when(abs(col("n") * col("d") - col("sv")) * 2 > col("sv"),
+              1L).otherwise(0L)).cast(LongType).as("n_anomalous_days"))
+          .join(broadcast(typeTotal), "event_type")
+          .select(col("event_type"), col("dow"), col("n_days"),
+            col("n_events"),
+            expr("(n_events * 1000000L) DIV t").cast(LongType)
+              .as("share_ppm"),
+            col("n_anomalous_days"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY 1, 2, 3),
+              dw AS (
+                SELECT event_type, dow,
+                       CAST(SUM(n) AS BIGINT) AS sv,
+                       CAST(COUNT(*) AS BIGINT) AS d
+                FROM daily GROUP BY 1, 2),
+              tt AS (
+                SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+                FROM daily GROUP BY 1),
+              a AS (
+                SELECT daily.event_type, daily.dow,
+                       MAX(dw.d) AS n_days, MAX(dw.sv) AS n_events,
+                       CAST(SUM(CASE WHEN ABS(daily.n * dw.d - dw.sv) * 2
+                                          > dw.sv
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_anomalous_days
+                FROM daily JOIN dw USING (event_type, dow)
+                GROUP BY 1, 2)
+              SELECT a.event_type, a.dow,
+                     CAST(a.n_days AS BIGINT) AS n_days,
+                     CAST(a.n_events AS BIGINT) AS n_events,
+                     CAST((a.n_events * 1000000) // tt.t AS BIGINT)
+                       AS share_ppm,
+                     a.n_anomalous_days
+              FROM a JOIN tt USING (event_type)
+              ORDER BY a.event_type, a.dow"""))
   )
 }
