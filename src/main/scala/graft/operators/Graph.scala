@@ -318,7 +318,13 @@ object Graph {
                  rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val ec = edgesWithCost.select(col("src"), col("dst"), col("cost"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+      // cost must be non-null AND non-negative per the documented
+      // min-plus contract: a null cost would propagate NULL into dist
+      // sums (a node reachable only via such an edge would surface with
+      // dist NULL instead of being absent), and a negative cost silently
+      // breaks the ≤-k-edges optimality argument the oracle replays
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("cost").isNotNull && col("cost") >= 0)
     var d = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {

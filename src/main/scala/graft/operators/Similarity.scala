@@ -467,38 +467,6 @@ object Similarity {
 
   // ------------------------------------------- k-means (Lloyd) training
 
-  /** Full Lloyd training loop for the IVF coarse quantizer, EXACT on an
-    * integer micro-grid — the multi-round completion of the single
-    * refinement step `sim_kmeans_step` gates. Per round:
-    *
-    *   assign:    cell(v) = argmin_j Σ_i (vm_i − cm_{j,i})²   (ties → min cell)
-    *   recompute: cm_{j,i} ← Σ_{v∈j} vm_i DIV n_j             (floor mean)
-    *
-    * where vm = floor(x·10⁶) + `shift` — the shift (> max|floor(x·10⁶)|)
-    * keeps every coordinate, sum, and mean POSITIVE, so Spark's
-    * truncating `DIV` and DuckDB's flooring `//` agree and the whole
-    * loop — distances, argmins, tie-breaks, means — is exact integer
-    * arithmetic both engines replay bit-for-bit (the unrolled-CTE
-    * oracle of `sim_kmeans_train`). Re-flooring the centroid to the
-    * micro-grid each round is the standard quantized-codebook move
-    * (the same grid SQ8/PQ codes live on) and is what keeps round r+1's
-    * argmin exact instead of comparing engine-rounded rationals.
-    *
-    * Scale shape: the centroid state is k·d longs, collected per round
-    * under the bounded-readout contract (k·d ≈ 512 rows here — the
-    * QualityModel 256-row precedent) and re-broadcast as LITERALS, so
-    * ASSIGNMENT IS PURE MAP-SIDE — zero shuffle, exactly
-    * [[SemanticDedup.assignCells]]'s shape — and each round costs one
-    * corpus scan plus one (cell, dim)-keyed aggregate with k·d rows
-    * out. rounds R ⇒ R scans; no corpus-sized state, no corpus×k
-    * shuffle ever. An emptied cell drops out of the codebook (standard
-    * Lloyd) and later rounds run with fewer cells, identically in the
-    * oracle. Envelope: |x| ≤ 2 ⇒ vm ≤ 2·shift = 4·10⁶, per-dim square
-    * ≤ 1.6·10¹³, d ≤ 64 ⇒ d2 ≤ 10¹⁵ — comfortably BIGINT.
-    *
-    * Returns the final codebook: (cell, dim, n_members, centroid_micro)
-    * with centroid_micro back on the unshifted micro grid.
-    */
   /** The shifted micro-grid coordinate array of `embedding` — the exact
     * integer domain every k-means distance/argmin lives on. */
   private def microArr(shift: Long): Column =
@@ -611,6 +579,38 @@ object Similarity {
       (expr("sv DIV n") - lit(shift)).cast(LongType).as("centroid_micro"))
   }
 
+  /** Full Lloyd training loop for the IVF coarse quantizer, EXACT on an
+    * integer micro-grid — the multi-round completion of the single
+    * refinement step `sim_kmeans_step` gates. Per round:
+    *
+    *   assign:    cell(v) = argmin_j Σ_i (vm_i − cm_{j,i})²   (ties → min cell)
+    *   recompute: cm_{j,i} ← Σ_{v∈j} vm_i DIV n_j             (floor mean)
+    *
+    * where vm = floor(x·10⁶) + `shift` — the shift (> max|floor(x·10⁶)|)
+    * keeps every coordinate, sum, and mean POSITIVE, so Spark's
+    * truncating `DIV` and DuckDB's flooring `//` agree and the whole
+    * loop — distances, argmins, tie-breaks, means — is exact integer
+    * arithmetic both engines replay bit-for-bit (the unrolled-CTE
+    * oracle of `sim_kmeans_train`). Re-flooring the centroid to the
+    * micro-grid each round is the standard quantized-codebook move
+    * (the same grid SQ8/PQ codes live on) and is what keeps round r+1's
+    * argmin exact instead of comparing engine-rounded rationals.
+    *
+    * Scale shape: the centroid state is k·d longs, collected per round
+    * under the bounded-readout contract (k·d ≈ 512 rows here — the
+    * QualityModel 256-row precedent) and re-broadcast as LITERALS, so
+    * ASSIGNMENT IS PURE MAP-SIDE — zero shuffle, exactly
+    * [[SemanticDedup.assignCells]]'s shape — and each round costs one
+    * corpus scan plus one (cell, dim)-keyed aggregate with k·d rows
+    * out. rounds R ⇒ R scans; no corpus-sized state, no corpus×k
+    * shuffle ever. An emptied cell drops out of the codebook (standard
+    * Lloyd) and later rounds run with fewer cells, identically in the
+    * oracle. Envelope: |x| ≤ 2 ⇒ vm ≤ 2·shift = 4·10⁶, per-dim square
+    * ≤ 1.6·10¹³, d ≤ 64 ⇒ d2 ≤ 10¹⁵ — comfortably BIGINT.
+    *
+    * Returns the final codebook: (cell, dim, n_members, centroid_micro)
+    * with centroid_micro back on the unshifted micro grid.
+    */
   def kmeansTrainMicro(emb: DataFrame, k: Int, rounds: Int,
                        shift: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.LongType

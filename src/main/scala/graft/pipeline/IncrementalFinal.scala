@@ -431,6 +431,52 @@ object IncrementalFinal {
     maxPerGrain <= k && inj.getLong(0) == inj.getLong(1)
   }
 
+  /** Saturation telemetry for the distinct-sketch license (VERDICT r17
+    * item 5): [[verifiedDistinctLicense]] REFUSES registration when a
+    * grain saturates, but at 100 TB the operational risk is the license
+    * silently expiring between builds — nothing reported HOW CLOSE live
+    * grains were to the k boundary. This report publishes, per
+    * `reportCols` key: the number of sketch cells at the
+    * `reportCols ++ cellCols` sketch grain, the fullest cell's
+    * distinct-hash count (`max_fill`), its ppm fill of k, the minimum
+    * margin to the k boundary (negative ⇒ already over), whether any
+    * cell is saturated (license (a) broken — the next
+    * verifiedDistinctLicense run will refuse), and whether hashing
+    * stayed injective WITHIN each cell (a per-cell tripwire for license
+    * (b); the license check itself remains authoritative — it verifies
+    * injectivity globally, which per-cell equality does not imply).
+    * Everything is exact integer arithmetic over the replayable 48-bit
+    * md5 family, so the gate hash-checks the whole report. Cost: one
+    * base pass + a |cells|-row rollup — the same shape as the sketch
+    * build it audits, and at 100 TB it rides the build's scan. */
+  def distinctLicenseReport(base: DataFrame, reportCols: Seq[String],
+                            cellCols: Seq[String], valueCol: String,
+                            k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hashed = graft.functions.Kmv.withHash(
+      base.filter(col(valueCol).isNotNull), valueCol, "__h")
+    val cells = hashed
+      .groupBy((reportCols ++ cellCols).map(col): _*)
+      .agg(countDistinct(col("__h")).as("__ndh"),
+        countDistinct(col(valueCol)).as("__ndv"))
+    cells.groupBy(reportCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(LongType).as("n_cells"),
+        max(col("__ndh")).cast(LongType).as("max_fill"),
+        min(lit(k.toLong) - col("__ndh")).cast(LongType).as("min_margin"),
+        max(when(col("__ndh") > k, 1L).otherwise(0L)).as("__sat"),
+        min(when(col("__ndh") === col("__ndv"), 1L).otherwise(0L))
+          .as("__inj"))
+      .select((reportCols.map(col) ++ Seq(
+        col("n_cells"), col("max_fill"),
+        expr(s"(max_fill * 1000000L) DIV ${k}L").cast(LongType)
+          .as("max_fill_ppm"),
+        col("min_margin"),
+        (col("__sat") === 1L).as("saturated"),
+        (col("__inj") === 1L).as("injective_cells"))): _*)
+  }
+
   /** Distinct-sketch IVM with the dirty-key protocol
     * ([[maintainMinMax]]'s shape — distinct sets, like extremes, are
     * NOT self-maintainable under retraction: the sketch carries no

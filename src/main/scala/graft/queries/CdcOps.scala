@@ -427,6 +427,47 @@ object CdcOps {
               GROUP BY p.event_type, dirty.was_dirty
               ORDER BY p.event_type""")),
 
+    // ⊕ distinct-license SATURATION telemetry (VERDICT r17 item 5):
+    // verifiedDistinctLicense refuses registration when a grain
+    // saturates, but at 100 TB the operational risk is the license
+    // silently expiring BETWEEN builds — this report publishes, per
+    // report key over the a29 sketch grain (type × day, k = 64): cell
+    // count, the fullest cell's distinct-hash count, its ppm fill of
+    // k, the minimum margin to the k boundary, a saturated flag
+    // (license (a) tripwire) and a per-cell injectivity flag (license
+    // (b) tripwire). Exact integer arithmetic over the replayable
+    // 48-bit md5 family end-to-end, so the gate hashes the whole
+    // report; DistinctOverlapSpec drives the operator across the
+    // boundary itself with planted exactly-k / k+1 fixtures. Cost: one
+    // base pass + a |cells|-row rollup — rides the sketch build's scan.
+    Entry(
+      "cdc_distinct_license_report",
+      (s, dir) => IncrementalFinal.distinctLicenseReport(
+          Tables(s, dir, "events")
+            .select(col("event_type"), to_date(col("ts")).as("day"),
+              col("user_id")),
+          Seq("event_type"), Seq("day"), "user_id", 64)
+        .orderBy("event_type"),
+      Some(s"""WITH h AS (
+                 SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+                        ${graft.functions.Kmv.hashDuckSql("user_id")} AS __h
+                 FROM events WHERE user_id IS NOT NULL),
+               cells AS (
+                 SELECT event_type, day,
+                        CAST(COUNT(DISTINCT __h) AS BIGINT) AS ndh,
+                        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv
+                 FROM h GROUP BY 1, 2)
+               SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_cells,
+                      CAST(MAX(ndh) AS BIGINT) AS max_fill,
+                      CAST((MAX(ndh) * 1000000) // 64 AS BIGINT)
+                        AS max_fill_ppm,
+                      CAST(MIN(64 - ndh) AS BIGINT) AS min_margin,
+                      MAX(ndh) > 64 AS saturated,
+                      MIN(CASE WHEN ndh = ndv THEN 1 ELSE 0 END) = 1
+                        AS injective_cells
+               FROM cells GROUP BY 1 ORDER BY event_type""")),
+
     // ⊕ DISTINCT-set IVM — the other aggregate that is NOT
     // self-maintainable under retraction (a distinct set carries no
     // multiplicities, so "was that the value's last copy?" is
@@ -506,7 +547,7 @@ object CdcOps {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), col("event_id"),
-            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
               .as("bucket"))
         val base = ev.filter(col("event_id") % 10 =!= 9)
         val baseHist = base.groupBy("event_type", "bucket").agg(
@@ -535,7 +576,7 @@ object CdcOps {
       },
       Some("""WITH post AS (
                 SELECT event_type,
-                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
                          AS bucket
                 FROM events
                 WHERE value IS NOT NULL
@@ -836,6 +877,83 @@ object CdcOps {
                     FROM events)
               GROUP BY 1 ORDER BY 1""")),
 
+    // ⊕ the streamed MV loop maintaining the PERCENTILE store (VERDICT
+    // r17 item 3): the fixed-grid histogram is a COUNT summary at the
+    // bucket-augmented grain — bucket is just another key column — so
+    // the identical StreamingMv fold maintains it with zero new
+    // machinery: per batch the (k, bucket) counts fold under the
+    // batchId-versioned protocol and re-register for the corpus path.
+    // The dashboard below is a30's readout tower (cum/tot windows +
+    // integer rank math, cum·100 ≥ N·q) over a PLAIN (k, bucket) count
+    // aggregate on the corpus dir; SummaryRewrite reroutes that inner
+    // aggregate onto the |k×buckets|-row stream-maintained summary, so
+    // the whole percentile panel — the reference's repeated monitoring
+    // aggregate (SaveDelta.scala:236-242) — never reopens the stream's
+    // corpus (PlanSpec pins the summary-only scan). The oracle
+    // recomputes p50/p95 from raw events, so one hash proves 3-batch
+    // fold ≡ recompute ≡ routed through the whole histogram →
+    // percentile chain. Grid = a30's shifted v_micro DIV 10⁷ (positive
+    // operand ⇒ DIV ≡ //). At 100 TB: per batch cost ∝ batch +
+    // |Δ (k, bucket)| cells, dashboard cost |k×buckets| rows (bounded
+    // by the fixed grid), corpus scanned by nobody.
+    Entry(
+      "cdc_mv_streamed_percentile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val state = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_smvpct_$tag").toString
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type").as("k"),
+            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L)" +
+              " DIV 10000000L - 1000000L").as("bucket"),
+            floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"),
+            col("event_id"))
+        val cfg = StreamingMv.Config(Seq("k", "bucket"))
+        (0L until 3L).foreach { b =>
+          StreamingMv.foldBatch(s, state, cfg)(
+            ev.filter(col("event_id") % 3 === b).drop("event_id"), b)
+        }
+        val hist = s.read.parquet(StreamingMv.docsDir(state))
+          .groupBy("k", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val cum = hist
+          .withColumn("cum", sum("n").over(
+            Window.partitionBy("k").orderBy("bucket")))
+          .withColumn("tot", sum("n").over(Window.partitionBy("k")))
+        cum.groupBy("k").agg(
+            max(col("tot")).cast(LongType).as("n_values"),
+            (min(when(col("cum") * 100 >= col("tot") * 50,
+              col("bucket"))) * 10).cast(LongType).as("p50_lo"),
+            (min(when(col("cum") * 100 >= col("tot") * 95,
+              col("bucket"))) * 10).cast(LongType).as("p95_lo"))
+          .orderBy("k")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type AS k,
+                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000)
+                         // 10000000 - 1000000 AS bucket
+                FROM events WHERE value IS NOT NULL),
+              h AS (
+                SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1, 2),
+              cum AS (
+                SELECT k, bucket, n,
+                       SUM(n) OVER (PARTITION BY k ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY k) AS tot
+                FROM h),
+              p AS (
+                SELECT k, MAX(tot) AS nv,
+                       MIN(CASE WHEN cum * 100 >= tot * 50
+                                THEN bucket END) AS p50b,
+                       MIN(CASE WHEN cum * 100 >= tot * 95
+                                THEN bucket END) AS p95b
+                FROM cum GROUP BY 1)
+              SELECT k, CAST(nv AS BIGINT) AS n_values,
+                     CAST(p50b * 10 AS BIGINT) AS p50_lo,
+                     CAST(p95b * 10 AS BIGINT) AS p95_lo
+              FROM p ORDER BY k""")),
+
     // ⊕ the dashboard TOP-K shape routed (VERDICT r15 task 4): the
     // reference's flagship panel — top-5 groups by count
     // (SaveDelta.scala:236-242, A2/O1) — is an aggregate + ORDER BY
@@ -1046,7 +1164,7 @@ object CdcOps {
         val mvPath = new java.io.File(root, "summary").toString
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), to_date(col("ts")).as("day"),
-            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
               .as("bucket"))
         ev.write.mode("overwrite").parquet(basePath)
         ev.groupBy("event_type", "day", "bucket")
@@ -1074,7 +1192,7 @@ object CdcOps {
       },
       Some("""WITH ev AS (
                 SELECT event_type,
-                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
                          AS bucket
                 FROM events WHERE value IS NOT NULL),
               h AS (

@@ -1061,6 +1061,92 @@ object CurationOps {
               WHERE substring(md5('pmm:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
               ORDER BY d.doc_id""")),
 
+    // ⊕ the PAIRED multimodal curation chain (VERDICT r17 item 6):
+    // pipeline_curate_multimodal curates modalities independently —
+    // this entry threads Multimodal.pairConsistency UPSTREAM, the order
+    // a caption↔image training-set build requires: a misaligned pair is
+    // junk even when each side is individually clean, and dropping it
+    // FIRST keeps the dedup/sample stages from wasting work on (or
+    // electing as keeper) a doc whose pair is broken. Chain: render
+    // pairs with the planted doc_id % 10 = 3 mismatch (the
+    // mm_pair_filter corpus) → REAL ImageIO decode → consistency
+    // semi-join (the pair gate, visible in the plan upstream of the
+    // dedup shuffle) → perceptual-signature dedup keepers over the
+    // SURVIVING docs only → deterministic hash-sample → token stats.
+    // The oracle restates pair bins, the restricted signature GROUP BY,
+    // the md5 sample, and the token count in one SQL chain, so one hash
+    // certifies the whole composition including the stage ORDER (a
+    // post-dedup pair filter would elect different keepers: an
+    // inconsistent doc with a low doc_id would win its signature group
+    // and evict a consistent one — exactly the corruption this order
+    // prevents). Plan: decode is mapPartitions on (pair_id, payload);
+    // the gate and survivorship are semi joins on ids; no product.
+    Entry(
+      "pipeline_curate_pairs",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        import graft.functions.TextFunctions
+        val docs = Tables(s, dir, "documents")
+        val shifted = docs.withColumn("n_chars",
+          when(col("doc_id") % 10 === 3, col("n_chars") + 40)
+            .otherwise(col("n_chars")))
+        val media = Multimodal.syntheticImages(s, shifted, 4)
+          .withColumnRenamed("doc_id", "pair_id")
+        val texts = docs.select(col("doc_id").as("pair_id"), col("text"))
+        val consistentIds = Multimodal.pairConsistency(s, texts, media)
+          .filter(col("consistent"))
+          .select(col("pair_id").as("doc_id"))
+        val clean = docs.join(consistentIds, Seq("doc_id"), "left_semi")
+        val sigs = Multimodal.imageSignature(s,
+          Multimodal.syntheticPatternImages(s, clean, 8))
+        val keepers = sigs.groupBy("sig")
+          .agg(min(col("doc_id")).as("doc_id"))
+        val survivors = clean
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+        Curation.hashSample(survivors, "doc_id", "ppr", 8)
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast(LongType)
+              .as("n_tokens"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pc AS (
+                SELECT doc_id,
+                       (n_chars % 256) // 16 AS tb,
+                       (CASE WHEN doc_id % 10 = 3
+                             THEN (n_chars + 40) % 256
+                             ELSE n_chars % 256 END) // 16 AS mb
+                FROM documents),
+              cons AS (SELECT doc_id FROM pc WHERE tb = mb),
+              xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              t AS (
+                SELECT d.doc_id, ys.y AS y, xs.x AS x,
+                       xs.x + 8*ys.y + 3 AS tl,
+                       (xs.x + 1) + 8*ys.y + 3 AS tr
+                FROM documents d JOIN cons USING (doc_id)
+                CROSS JOIN xs CROSS JOIN ys),
+              g AS (
+                SELECT doc_id, y, x,
+                       ((doc_id + 1) * (tl + 1) * 40503
+                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (tr + 1) * 40503
+                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
+                FROM t),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id),
+              keep AS (SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY sg)
+              SELECT d.doc_id,
+                     len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+                     d.n_chars
+              FROM documents d JOIN keep USING (doc_id)
+              WHERE substring(md5('ppr:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
+              ORDER BY d.doc_id""")),
+
     // ⊕ temperature-scaled sampling mixture (α = 1/2): the multilingual
     // data-mix scheme — per-language budget allocation ∝ √n, flattening
     // the natural skew so low-resource languages are upsampled. sqrt is

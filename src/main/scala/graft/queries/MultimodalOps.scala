@@ -20,8 +20,10 @@ object MultimodalOps {
     * single-image/WAV fixtures are cheap); the video family — whose
     * 11-frame-per-document render dwarfs every operator it feeds —
     * shares one materialized corpus across its full and incremental
-    * entries. Every oracle recomputes from raw `documents`, so the
-    * materialization stays hash-certified on every gate. */
+    * entries, and since r18 the image decode/resize pair shares the
+    * rendered-PNG corpus the same way ([[imageCorpus]]). Every oracle
+    * recomputes from raw `documents`, so the materialization stays
+    * hash-certified on every gate. */
   private val variantTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -41,6 +43,24 @@ object MultimodalOps {
         .unionByName(Multimodal
           .syntheticPatternVideos(s, docs, 8, 3)
           .select((col("doc_id") * 3 + 2).as("doc_id"), col("payload")))
+    }
+
+  /** The image family's shared rendered-PNG corpus: one 4×4 solid-gray
+    * PNG per document (gray = n_chars mod 256). r17's bench adjudication
+    * showed `mm_decode_image` and `mm_resize_image` re-RENDERING this
+    * identical corpus independently as the two most expensive entries
+    * (4.29 + 4.67 s — VERDICT r17 item 2); the render is test-fixture
+    * work a crawler pipeline never does, so it materializes once per
+    * (JVM, sfDir) like the video family while the decode / resize →
+    * re-decode OPERATORS stay fully live per entry. `mm_pair_filter`
+    * keeps its own live render (its corpus is the planted-mismatch
+    * variant, not this one); `mm_dedup_image` stays live as the
+    * canonical render+decode cost signal. */
+  private def imageCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+  : org.apache.spark.sql.DataFrame =
+    materializedVariants(s, dir, "img") {
+      Multimodal.syntheticImages(s, Tables(s, dir, "documents"), 4)
     }
 
   private def materializedVariants(
@@ -130,9 +150,7 @@ object MultimodalOps {
     Entry(
       "mm_decode_image",
       (s, dir) => Multimodal
-        .decodeFeatures(s,
-          Multimodal.syntheticImages(s, Tables(s, dir, "documents"), 4),
-          Multimodal.ImageIoCodec)
+        .decodeFeatures(s, imageCorpus(s, dir), Multimodal.ImageIoCodec)
         .toDF()
         .select(col("doc_id"),
           posexplode(col("histogram")).as(Seq("bin", "weight")))
@@ -143,20 +161,18 @@ object MultimodalOps {
                      CAST(1.0 AS DOUBLE) AS weight
               FROM documents ORDER BY doc_id""")),
 
-    // ⊕ REAL image RESIZE, oracle-gated end-to-end: PNG-encode (4×4,
-    // gray = n_chars mod 256) → ImageIO decode → bilinear rescale to
-    // 2×2 → PNG re-encode → ImageIO decode → luminance features. A
-    // solid field is interpolation-invariant (bilinear of equal
-    // integer pixels is exact), so the decoded histogram is the same
-    // pure function of n_chars as mm_decode_image — the gate certifies
-    // the full transform round trip, not a byte rewrite.
+    // ⊕ REAL image RESIZE, oracle-gated end-to-end: the shared rendered
+    // corpus (4×4, gray = n_chars mod 256) → ImageIO decode → bilinear
+    // rescale to 2×2 → PNG re-encode → ImageIO decode → luminance
+    // features. A solid field is interpolation-invariant (bilinear of
+    // equal integer pixels is exact), so the decoded histogram is the
+    // same pure function of n_chars as mm_decode_image — the gate
+    // certifies the full transform round trip, not a byte rewrite.
     Entry(
       "mm_resize_image",
       (s, dir) => Multimodal
         .decodeFeatures(s,
-          Multimodal.resizeImage(s,
-            Multimodal.syntheticImages(s, Tables(s, dir, "documents"), 4),
-            2),
+          Multimodal.resizeImage(s, imageCorpus(s, dir), 2),
           Multimodal.ImageIoCodec)
         .toDF()
         .select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -475,38 +475,81 @@ object Relational {
 
     // Approximate distinct count (HLL++) — the 100 TB cardinality
     // estimator (fixed-size sketch per group, mergeable across
-    // partitions). Approximation differs across engines by design →
-    // rows-only gate; SaltingSpec asserts the ≤2% relative error bound
-    // against the exact count.
+    // partitions). The HLL++ estimate itself is engine-specific (DuckDB
+    // cannot replay Spark's sketch bits), so the HASHED projection is
+    // exact + verdict: the exact per-group distinct count beside a
+    // `within_bound` BOOLEAN asserting |approx − exact| ≤ 5%·exact in
+    // integer arithmetic (100·|Δ| ≤ 5·exact — the APPROX_BOUNDS.md
+    // envelope, measured ≤ 0.7% on this data). The oracle recomputes
+    // the exact side and states the verdict as TRUE — if the estimator
+    // ever left its bound the Spark-side boolean flips and the hash
+    // gate fails (the sim_recall_report brute-vs-ANN pattern; VERDICT
+    // r17 item 1, retiring the last no_oracle rows).
     Entry(
       "a9_approx_distinct",
       (s, dir) => Tables(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(col("o_orderstatus"),
+          col("exact_custs").cast(LongType).as("exact_custs"),
+          (abs(col("approx") - col("exact_custs")) * 100 <=
+            col("exact_custs") * 5).as("within_bound"))
         .orderBy("o_orderstatus"),
-      None),
+      Some("""SELECT o_orderstatus,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                     TRUE AS within_bound
+              FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
 
     // ⊕ re-aggregatable distinct-count store (Datasketches HLL): build
     // one sketch per (group, day) — the granularity you'd PERSIST — and
     // union-merge up to per-group totals without touching raw data
     // again. This is the incremental-distinct pattern at 100 TB: daily
     // sketch builds touch only that day's partition; any rollup
-    // (weekly, all-time, cross-table) is a |sketches| merge. Merging is
-    // lossless at fixed lgK (union of sketches ≡ sketch of the union —
-    // SaltingSpec asserts estimate equality exactly), but the estimate
-    // itself is engine-specific → rows-only gate, like a9.
+    // (weekly, all-time, cross-table) is a |sketches| merge. The HLL
+    // estimate is engine-specific, so the HASHED projection carries
+    // the exact distinct count plus TWO Spark-verified verdicts the
+    // oracle states as TRUE (a9's exact+verdict pattern): merge
+    // LOSSLESSNESS (union of daily sketches estimates identically to
+    // the one-pass sketch — the property that makes the store
+    // re-aggregatable at all) and the 3σ accuracy envelope
+    // |merged − exact| ≤ 4.9%·exact (σ = 1.04/√2¹² at lgK 12), checked
+    // in integer arithmetic (1000·|Δ| ≤ 49·exact). Either property
+    // breaking flips a boolean and fails the hash gate.
     Entry(
       "a24_hll_reagg",
-      (s, dir) => Tables(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_daily_sketches"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-            .as("approx_users"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").filter(col("user_id").isNotNull)
+        val merged = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_daily_sketches"),
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+              .as("m_est"))
+        val direct = ev.groupBy("event_type")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+              .as("d_est"),
+            countDistinct(col("user_id")).as("exact_users"))
+        merged.join(direct, Seq("event_type"))
+          .select(col("event_type"),
+            col("n_daily_sketches").cast(LongType).as("n_daily_sketches"),
+            col("exact_users").cast(LongType).as("exact_users"),
+            (col("m_est") === col("d_est")).as("merge_lossless"),
+            (abs(col("m_est") - col("exact_users")) * 1000 <=
+              col("exact_users") * 49).as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                     CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_daily_sketches,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                     TRUE AS merge_lossless,
+                     TRUE AS within_bound
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1 ORDER BY event_type""")),
 
     // ⊕ the FULLY-ORACLED twin of a24: the same per-(group, day)
     // sketch → merge → estimate pipeline, carried by a KMV sketch over
@@ -562,7 +605,14 @@ object Relational {
     // a21 is the one-pass sketch, this is the PERSISTED shape): keep
     // per-(group, day) fixed-grid histograms — integer bucket = v_micro
     // DIV 10⁷, the batch-side twin of streaming/StreamingQuantiles'
-    // state — and serve p50/p95 rollups by MERGING histograms (bucket
+    // state. The micro value is SHIFTED by +10¹³ (a multiple of the
+    // divisor) before the division and the quotient re-offset by −10⁶,
+    // so the DIV operand is non-negative for any value ≥ −10⁷ —
+    // Spark's DIV truncates toward zero while DuckDB's // floors, and
+    // they agree only on non-negative operands (the kmeansTrainMicro
+    // shift discipline; ADVICE r17). Same shift in cdc_ivm_histogram
+    // and cdc_mv_routed_percentile, which share this grid.
+    // Rollups serve p50/p95 by MERGING histograms (bucket
     // count sums), never re-opening raw data. The query emits the
     // merged readout AND the one-pass readout side by side, so ONE hash
     // gate proves merge ≡ one-pass ≡ the DuckDB replay (the a24
@@ -579,7 +629,7 @@ object Relational {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), to_date(col("ts")).as("day"),
-            expr("CAST(FLOOR(value * 1e6) AS BIGINT) DIV 10000000L")
+            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
               .as("bucket"))
         // the persisted shape: per-(group, day, bucket) counts
         val daily = ev.groupBy("event_type", "day", "bucket")
@@ -609,7 +659,7 @@ object Relational {
       },
       Some("""WITH ev AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
-                       CAST(FLOOR(value * 1e6) AS BIGINT) // 10000000
+                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
                          AS bucket
                 FROM events WHERE value IS NOT NULL),
               daily AS (
@@ -924,23 +974,64 @@ object Relational {
     // ⊕ approximate percentiles (Greenwald-Khanna sketch): the 100 TB
     // quantile path a15 points at — fixed-size mergeable sketch per
     // group, one partial-agg pass, NO within-group sort (exact
-    // percentile must rank-pick, a full sort at corpus scale). Sketch
-    // contents are engine-specific by design → rows-only gate (like
-    // a9); SaltingSpec bounds the rank error against the exact a15
-    // values at the declared 1/accuracy tolerance.
+    // percentile must rank-pick, a full sort at corpus scale). GK
+    // outputs are engine-specific, but its GUARANTEE is checkable
+    // exactly: a returned value's RANK (count of values ≤ it) is within
+    // n/accuracy (+1) of the target rank q·n. So the HASHED projection
+    // is the exact interpolated percentiles (the a15 pairing) plus a
+    // `within_bound` BOOLEAN folding the three rank checks, each in
+    // integer arithmetic (10·|100·r − qpct·n| ≤ n + 1000 ⇔
+    // |r − q·n| ≤ n/1000 + 1); the oracle recomputes the exact side
+    // and states the verdict TRUE (a9's pattern — a GK regression
+    // flips the boolean and fails the hash). Shape: the per-group
+    // sketch/exact aggregate is |groups| rows, broadcast back onto the
+    // corpus for ONE rank-counting pass — two corpus scans total, no
+    // window, no per-group sort beyond percentile's own rank-pick
+    // (which the 100 TB deployment drops along with the verdict
+    // column, keeping just the GK agg).
     Entry(
       "a21_approx_percentiles",
-      (s, dir) => Tables(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
-            .as("p_approx"))
-        .select(col("event_type"),
-          element_at(col("p_approx"), 1).as("p50"),
-          element_at(col("p_approx"), 2).as("p95"),
-          element_at(col("p_approx"), 3).as("p99"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+        val st = ev.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)")
+              .as("pa"),
+            expr("percentile(value, array(0.5, 0.95, 0.99))").as("pe"))
+          .select(col("event_type").as("g_type"), col("n"),
+            element_at(col("pa"), 1).as("a50"),
+            element_at(col("pa"), 2).as("a95"),
+            element_at(col("pa"), 3).as("a99"),
+            element_at(col("pe"), 1).as("p50"),
+            element_at(col("pe"), 2).as("p95"),
+            element_at(col("pe"), 3).as("p99"))
+        def rankOk(r: Column, qpct: Int): Column =
+          abs(r * 100 - col("n") * qpct) * 10 <= col("n") + lit(1000L)
+        ev.select(col("event_type"), col("value"))
+          .join(broadcast(st), col("event_type") === col("g_type"))
+          .groupBy("event_type")
+          .agg(
+            max(col("n")).as("n"),
+            max(col("p50")).as("p50"), max(col("p95")).as("p95"),
+            max(col("p99")).as("p99"),
+            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("r95"),
+            sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("r99"))
+          .select(col("event_type"),
+            col("n").cast(LongType).as("n_values"),
+            col("p50"), col("p95"), col("p99"),
+            (rankOk(col("r50"), 50) && rankOk(col("r95"), 95) &&
+              rankOk(col("r99"), 99)).as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values,
+                     QUANTILE_CONT(value, 0.5) AS p50,
+                     QUANTILE_CONT(value, 0.95) AS p95,
+                     QUANTILE_CONT(value, 0.99) AS p99,
+                     TRUE AS within_bound
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type ORDER BY event_type""")),
 
     // ⊕ fixed-width histogram of `value` per group: bin id from a single
     // double division + floor (bit-identical on both engines), then a

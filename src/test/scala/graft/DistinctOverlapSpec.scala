@@ -82,4 +82,45 @@ class DistinctOverlapSpec extends SparkSuite {
       }
     } finally { sk.unpersist() }
   }
+
+  test("distinctLicenseReport pins the k boundary: exactly-k fills to " +
+       "margin 0 unsaturated, k+1 trips saturated, and the license " +
+       "decision agrees with the flag") {
+    val k = 8
+    // three planted report keys, one sketch cell each:
+    //   "full"  — exactly k distinct values (margin 0, still licensed)
+    //   "over"  — k+1 distinct values (saturated, license (a) broken)
+    //   "half"  — k/2 distinct values (the healthy-operations row)
+    val rows =
+      (0 until k).map(i => ("full", "c", s"f$i")) ++
+      (0 to k).map(i => ("over", "c", s"o$i")) ++
+      (0 until k / 2).map(i => ("half", "c", s"h$i"))
+    val base = rows.toDF("g", "cell", "v")
+    val rep = graft.pipeline.IncrementalFinal
+      .distinctLicenseReport(base, Seq("g"), Seq("cell"), "v", k)
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep("full") == ("full", 1L, k.toLong, 1000000L, 0L, false, true))
+    assert(rep("over") == ("over", 1L, (k + 1).toLong,
+      (k + 1).toLong * 1000000L / k, -1L, true, true))
+    assert(rep("half") == ("half", 1L, (k / 2).toLong,
+      500000L, (k / 2).toLong, false, true))
+    // the report's saturated flag and the license decision must agree:
+    // the near-saturation grain is still licensed, the overflowing one
+    // is refused (k boundary inclusive on the license side too)
+    assert(graft.pipeline.IncrementalFinal.verifiedDistinctLicense(
+      base.filter(col("g") === "full"), Seq("g"), "v", k))
+    assert(!graft.pipeline.IncrementalFinal.verifiedDistinctLicense(
+      base.filter(col("g") === "over"), Seq("g"), "v", k))
+    // multi-cell rollup: margins and fills aggregate per REPORT key
+    // (min margin / max fill across cells), the shape the registered
+    // type×day store reports at
+    val multi = graft.pipeline.IncrementalFinal
+      .distinctLicenseReport(
+        ((0 until k).map(i => ("m", "c1", s"a$i")) ++
+         (0 until 2).map(i => ("m", "c2", s"b$i"))).toDF("g", "cell", "v"),
+        Seq("g"), Seq("cell"), "v", k)
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)].head()
+    assert(multi == ("m", 2L, k.toLong, 1000000L, 0L, false, true))
+  }
 }

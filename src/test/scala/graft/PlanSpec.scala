@@ -541,9 +541,10 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.executedPlan.toString)
   }
 
-  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed, _minmax, _distinct)") {
+  test("streamed MV loop: the dashboard scans the stream-maintained summary, never the corpus (cdc_mv_streamed, _minmax, _distinct, _percentile)") {
     for (name <- Seq("cdc_mv_streamed", "cdc_mv_streamed_minmax",
-        "cdc_mv_streamed_distinct", "sim_kmeans_streamed")) {
+        "cdc_mv_streamed_distinct", "cdc_mv_streamed_percentile",
+        "sim_kmeans_streamed")) {
       val df = Inventory.byName(name).run(spark, sfDir)
       val paths = df.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
