@@ -317,14 +317,22 @@ object Graph {
   def ssspRounds(edgesWithCost: DataFrame, seeds: DataFrame,
                  rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val ec = edgesWithCost.select(col("src"), col("dst"), col("cost"))
-      // cost must be non-null AND non-negative per the documented
-      // min-plus contract: a null cost would propagate NULL into dist
-      // sums (a node reachable only via such an edge would surface with
-      // dist NULL instead of being absent), and a negative cost silently
-      // breaks the ≤-k-edges optimality argument the oracle replays
+    // cost contract enforcement: a null cost is treated like a null
+    // endpoint (the edge is ABSENT — otherwise NULL propagates into
+    // dist sums and a node reachable only via such an edge surfaces
+    // with dist NULL instead of being missing), but a NEGATIVE cost
+    // fails LOUDLY: it breaks the ≤-k-edges optimality argument the
+    // oracle replays, and silently dropping the edge would return a
+    // plausible-looking but wrong distance map (the
+    // assert_true-guard discipline of StreamingIvm's fold arms)
+    val ec = edgesWithCost.select(col("src"), col("dst"),
+        when(col("cost").isNull, lit(null))
+          .otherwise(when(assert_true(col("cost") >= 0,
+            lit("ssspRounds: negative edge cost violates the " +
+              "non-negative min-plus contract")).isNull,
+            col("cost"))).as("cost"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("cost").isNotNull && col("cost") >= 0)
+        col("cost").isNotNull)
     var d = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {

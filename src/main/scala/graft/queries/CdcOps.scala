@@ -547,7 +547,7 @@ object CdcOps {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), col("event_id"),
-            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
+            expr(MicroGrid.sparkSql)
               .as("bucket"))
         val base = ev.filter(col("event_id") % 10 =!= 9)
         val baseHist = base.groupBy("event_type", "bucket").agg(
@@ -574,9 +574,9 @@ object CdcOps {
               col("bucket"))) * 10).cast(LongType).as("p95_lo"))
           .orderBy("event_type")
       },
-      Some("""WITH post AS (
+      Some(s"""WITH post AS (
                 SELECT event_type,
-                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
+                       ${MicroGrid.duckSql}
                          AS bucket
                 FROM events
                 WHERE value IS NOT NULL
@@ -905,8 +905,7 @@ object CdcOps {
           sys.props("java.io.tmpdir"), s"graft_smvpct_$tag").toString
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type").as("k"),
-            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L)" +
-              " DIV 10000000L - 1000000L").as("bucket"),
+            expr(MicroGrid.sparkSql).as("bucket"),
             floor(col("value") * lit(1e6)).cast(LongType).as("v_micro"),
             col("event_id"))
         val cfg = StreamingMv.Config(Seq("k", "bucket"))
@@ -929,10 +928,9 @@ object CdcOps {
               col("bucket"))) * 10).cast(LongType).as("p95_lo"))
           .orderBy("k")
       },
-      Some("""WITH ev AS (
+      Some(s"""WITH ev AS (
                 SELECT event_type AS k,
-                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000)
-                         // 10000000 - 1000000 AS bucket
+                       ${MicroGrid.duckSql} AS bucket
                 FROM events WHERE value IS NOT NULL),
               h AS (
                 SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS n
@@ -1164,7 +1162,7 @@ object CdcOps {
         val mvPath = new java.io.File(root, "summary").toString
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), to_date(col("ts")).as("day"),
-            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
+            expr(MicroGrid.sparkSql)
               .as("bucket"))
         ev.write.mode("overwrite").parquet(basePath)
         ev.groupBy("event_type", "day", "bucket")
@@ -1190,9 +1188,9 @@ object CdcOps {
               col("bucket"))) * 10).cast(LongType).as("p95_lo"))
           .orderBy("event_type")
       },
-      Some("""WITH ev AS (
+      Some(s"""WITH ev AS (
                 SELECT event_type,
-                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
+                       ${MicroGrid.duckSql}
                          AS bucket
                 FROM events WHERE value IS NOT NULL),
               h AS (

@@ -133,6 +133,37 @@ object CurationOps {
          SELECT doc_id, toks AS w FROM cum
          WHERE toks_before + n_tokens <= 5000)"""
 
+  /** DuckDB CTE chain restating `Multimodal.imageSignature` over
+    * `syntheticPatternImages(px = 8)` — the 7×8 gradient-sign dHash on
+    * the deterministic two-byte pattern — ending in the dedup keepers
+    * (`keep` = min doc_id per signature). `fromDocs` supplies the doc
+    * relation (aliased `d`), so callers can restrict the corpus (the
+    * pair-gated chain) without copying the polynomial; ONE definition
+    * keeps the two composed-chain oracles from drifting (the MicroGrid
+    * discipline). */
+  private def patternSigKeepDuckSql(fromDocs: String): String =
+    s"""xs AS (SELECT unnest(range(0, 7)) AS x),
+              ys AS (SELECT unnest(range(0, 8)) AS y),
+              t AS (
+                SELECT d.doc_id, ys.y AS y, xs.x AS x,
+                       xs.x + 8*ys.y + 3 AS tl,
+                       (xs.x + 1) + 8*ys.y + 3 AS tr
+                FROM $fromDocs CROSS JOIN xs CROSS JOIN ys),
+              g AS (
+                SELECT doc_id, y, x,
+                       ((doc_id + 1) * (tl + 1) * 40503
+                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
+                       ((doc_id + 1) * (tr + 1) * 40503
+                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
+                FROM t),
+              sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN gr > gl
+                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
+                                ELSE 0 END) AS BIGINT) AS sg
+                FROM g GROUP BY doc_id),
+              keep AS (SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY sg)"""
+
   val entries: Seq[Entry] = Seq(
 
     // deterministic 4/16 hash sample: md5(salt || id) first hex char in
@@ -1033,29 +1064,9 @@ object CurationOps {
             col("n_chars"))
           .orderBy("doc_id")
       },
-      Some("""WITH xs AS (SELECT unnest(range(0, 7)) AS x),
-              ys AS (SELECT unnest(range(0, 8)) AS y),
-              t AS (
-                SELECT d.doc_id, ys.y AS y, xs.x AS x,
-                       xs.x + 8*ys.y + 3 AS tl,
-                       (xs.x + 1) + 8*ys.y + 3 AS tr
-                FROM documents d CROSS JOIN xs CROSS JOIN ys),
-              g AS (
-                SELECT doc_id, y, x,
-                       ((doc_id + 1) * (tl + 1) * 40503
-                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
-                       ((doc_id + 1) * (tr + 1) * 40503
-                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
-                FROM t),
-              sig AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN gr > gl
-                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
-                                ELSE 0 END) AS BIGINT) AS sg
-                FROM g GROUP BY doc_id),
-              keep AS (SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY sg)
+      Some(s"""WITH ${patternSigKeepDuckSql("documents d")}
               SELECT d.doc_id,
-                     len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+                     len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
                      d.n_chars
               FROM documents d JOIN keep USING (doc_id)
               WHERE substring(md5('pmm:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'
@@ -1110,7 +1121,7 @@ object CurationOps {
             col("n_chars"))
           .orderBy("doc_id")
       },
-      Some("""WITH pc AS (
+      Some(s"""WITH pc AS (
                 SELECT doc_id,
                        (n_chars % 256) // 16 AS tb,
                        (CASE WHEN doc_id % 10 = 3
@@ -1118,30 +1129,9 @@ object CurationOps {
                              ELSE n_chars % 256 END) // 16 AS mb
                 FROM documents),
               cons AS (SELECT doc_id FROM pc WHERE tb = mb),
-              xs AS (SELECT unnest(range(0, 7)) AS x),
-              ys AS (SELECT unnest(range(0, 8)) AS y),
-              t AS (
-                SELECT d.doc_id, ys.y AS y, xs.x AS x,
-                       xs.x + 8*ys.y + 3 AS tl,
-                       (xs.x + 1) + 8*ys.y + 3 AS tr
-                FROM documents d JOIN cons USING (doc_id)
-                CROSS JOIN xs CROSS JOIN ys),
-              g AS (
-                SELECT doc_id, y, x,
-                       ((doc_id + 1) * (tl + 1) * 40503
-                        + (doc_id // 256 + 1) * (tl*tl + 7) * 97) % 256 AS gl,
-                       ((doc_id + 1) * (tr + 1) * 40503
-                        + (doc_id // 256 + 1) * (tr*tr + 7) * 97) % 256 AS gr
-                FROM t),
-              sig AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN gr > gl
-                                THEN (CAST(1 AS BIGINT) << CAST(y*7 + x AS INTEGER))
-                                ELSE 0 END) AS BIGINT) AS sg
-                FROM g GROUP BY doc_id),
-              keep AS (SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY sg)
+              ${patternSigKeepDuckSql("documents d JOIN cons USING (doc_id)")}
               SELECT d.doc_id,
-                     len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+                     len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
                      d.n_chars
               FROM documents d JOIN keep USING (doc_id)
               WHERE substring(md5('ppr:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '8'

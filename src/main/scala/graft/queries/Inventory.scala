@@ -79,6 +79,29 @@ object Exact {
          CAST(CAST(abs($sql) % $Split AS BIGINT) AS DOUBLE)))"""
 }
 
+/** The shared fixed-width micro-bucket grid of the percentile/histogram
+  * family (`a30_histogram_reagg`, `cdc_ivm_histogram`,
+  * `cdc_mv_routed_percentile`, `cdc_mv_streamed_percentile`):
+  * bucket = ⌊value·10⁶⌋ DIV 10⁷, with the dividend SHIFTED +10¹³ (a
+  * multiple of the divisor) and the quotient re-offset −10⁶ so the DIV
+  * operand is non-negative for any value ≥ −10⁷ — Spark's DIV truncates
+  * toward zero while DuckDB's // floors, and they agree only on
+  * non-negative operands (the kmeansTrainMicro shift discipline;
+  * ADVICE r17). ONE definition for both engines so the four gated
+  * entries documented to share this grid can never de-sync. */
+object MicroGrid {
+  /** Spark-side bucket expression over a `value` column (use in
+    * `expr(...)`). */
+  val sparkSql: String =
+    "(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L)" +
+      " DIV 10000000L - 1000000L"
+
+  /** The DuckDB mirror (splice into oracle SQL). */
+  val duckSql: String =
+    "(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000)" +
+      " // 10000000 - 1000000"
+}
+
 object Inventory {
   val all: Seq[Entry] =
     Relational.entries ++ Functions.entries ++ Quality.entries ++

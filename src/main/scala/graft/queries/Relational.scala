@@ -629,7 +629,7 @@ object Relational {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
           .select(col("event_type"), to_date(col("ts")).as("day"),
-            expr("(CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000L) DIV 10000000L - 1000000L")
+            expr(MicroGrid.sparkSql)
               .as("bucket"))
         // the persisted shape: per-(group, day, bucket) counts
         val daily = ev.groupBy("event_type", "day", "bucket")
@@ -657,9 +657,9 @@ object Relational {
         merged.join(onePass, Seq("event_type"))
           .orderBy("event_type")
       },
-      Some("""WITH ev AS (
+      Some(s"""WITH ev AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
-                       (CAST(FLOOR(value * 1e6) AS BIGINT) + 10000000000000) // 10000000 - 1000000
+                       ${MicroGrid.duckSql}
                          AS bucket
                 FROM events WHERE value IS NOT NULL),
               daily AS (
@@ -976,14 +976,21 @@ object Relational {
     // group, one partial-agg pass, NO within-group sort (exact
     // percentile must rank-pick, a full sort at corpus scale). GK
     // outputs are engine-specific, but its GUARANTEE is checkable
-    // exactly: a returned value's RANK (count of values ≤ it) is within
-    // n/accuracy (+1) of the target rank q·n. So the HASHED projection
-    // is the exact interpolated percentiles (the a15 pairing) plus a
-    // `within_bound` BOOLEAN folding the three rank checks, each in
-    // integer arithmetic (10·|100·r − qpct·n| ≤ n + 1000 ⇔
-    // |r − q·n| ≤ n/1000 + 1); the oracle recomputes the exact side
-    // and states the verdict TRUE (a9's pattern — a GK regression
-    // flips the boolean and fails the hash). Shape: the per-group
+    // exactly: SOME rank of the returned element is within
+    // n/accuracy (+1) of the target rank q·n. Under ties the element
+    // occupies the whole rank INTERVAL [count(<v)+1, count(≤v)], so
+    // the check is interval intersection — count(<v)+1 ≤ q·n + tol
+    // AND count(≤v) ≥ q·n − tol — not a point check on count(≤v),
+    // which would overshoot by up to multiplicity−1 and could fail a
+    // spec-compliant GK output. So the HASHED projection is the exact
+    // interpolated percentiles (the a15 pairing) plus a `within_bound`
+    // BOOLEAN folding the three interval checks, each in integer
+    // arithmetic (×1000 both sides: 1000·(r_lt+1) − 10·qpct·n ≤
+    // n + 1000 ∧ 10·qpct·n − 1000·r_le ≤ n + 1000 ⇔ the interval
+    // meets [q·n − tol, q·n + tol], tol = n/1000 + 1); the oracle
+    // recomputes the exact side and states the verdict TRUE (a9's
+    // pattern — a GK regression flips the boolean and fails the
+    // hash). Shape: the per-group
     // sketch/exact aggregate is |groups| rows, broadcast back onto the
     // corpus for ONE rank-counting pass — two corpus scans total, no
     // window, no per-group sort beyond percentile's own rank-pick
@@ -1006,8 +1013,11 @@ object Relational {
             element_at(col("pe"), 1).as("p50"),
             element_at(col("pe"), 2).as("p95"),
             element_at(col("pe"), 3).as("p99"))
-        def rankOk(r: Column, qpct: Int): Column =
-          abs(r * 100 - col("n") * qpct) * 10 <= col("n") + lit(1000L)
+        def rankOk(rLt: Column, rLe: Column, qpct: Int): Column =
+          (lit(1000L) * (rLt + 1L) - col("n") * (10L * qpct) <=
+            col("n") + lit(1000L)) &&
+            (col("n") * (10L * qpct) - lit(1000L) * rLe <=
+              col("n") + lit(1000L))
         ev.select(col("event_type"), col("value"))
           .join(broadcast(st), col("event_type") === col("g_type"))
           .groupBy("event_type")
@@ -1015,14 +1025,18 @@ object Relational {
             max(col("n")).as("n"),
             max(col("p50")).as("p50"), max(col("p95")).as("p95"),
             max(col("p99")).as("p99"),
-            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("r50"),
-            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("r95"),
-            sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("r99"))
+            sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+            sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+            sum(when(col("value") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+            sum(when(col("value") <= col("a99"), 1L).otherwise(0L)).as("le99"))
           .select(col("event_type"),
             col("n").cast(LongType).as("n_values"),
             col("p50"), col("p95"), col("p99"),
-            (rankOk(col("r50"), 50) && rankOk(col("r95"), 95) &&
-              rankOk(col("r99"), 99)).as("within_bound"))
+            (rankOk(col("lt50"), col("le50"), 50) &&
+              rankOk(col("lt95"), col("le95"), 95) &&
+              rankOk(col("lt99"), col("le99"), 99)).as("within_bound"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values,

@@ -310,4 +310,28 @@ class GraphSpec extends SparkSuite {
     // fixed point: a third round changes nothing; 4 and 5 never appear
     assert(dists(3) === r2)
   }
+
+  test("ssspRounds: null-cost edges are absent, a negative cost fails loudly") {
+    import spark.implicits._
+    val seeds = Seq(1L).toDF("node")
+    // null cost = the edge does not exist (node 3 must be ABSENT, not
+    // dist NULL) — ADVICE r17
+    val withNull = Seq(
+      (1L, 2L, Some(1L)), (2L, 3L, None: Option[Long])
+    ).toDF("src", "dst", "cost")
+    val d = Graph.ssspRounds(withNull, seeds, 2).as[(Long, Long)]
+      .collect().toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L))
+    // a negative cost violates the documented min-plus contract —
+    // silently dropping it would return a plausible-looking wrong map,
+    // so the relaxation must raise instead
+    val negative = Seq((1L, 2L, 1L), (2L, 3L, -1L)).toDF("src", "dst", "cost")
+    val e = intercept[Exception] {
+      Graph.ssspRounds(negative, seeds, 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("min-plus"))), e.toString)
+  }
 }
