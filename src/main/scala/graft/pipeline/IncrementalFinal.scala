@@ -79,14 +79,35 @@ object IncrementalFinal {
     val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
     val merged = if (!exists) changeset else {
       // touched partition values: a changeset covers few dates — this
-      // collect is bounded by the batch's date span, not table size
+      // collect is bounded by the batch's date span, not table size.
+      // NULL-date handling is explicit: isin(null) evaluates to NULL
+      // and would EXCLUDE every existing row of the null partition
+      // from `kept` while dynamic overwrite still rewrites that
+      // partition — deleting its untouched rows, exactly the
+      // whole-partition clobber this function exists to prevent
+      // (review r18). The anti join is null-safe for the same reason:
+      // the merge is a keyed UPSERT, so a changeset row for
+      // (employee, NULL-date) must REPLACE its existing row, not
+      // duplicate beside it.
       val touched = changeset.select("activity_date").distinct()
         .collect().map(_.get(0))
-      val existing = spark.read.parquet(finalPath)
-        .filter(col("activity_date").isin(touched.toIndexedSeq: _*))
-      val kept = existing.join(
-        broadcast(changeset.select("id_employee", "activity_date").distinct()),
-        Seq("id_employee", "activity_date"), "left_anti")
+      val nonNullTouched = touched.filter(_ != null)
+      val inTouched = {
+        val base =
+          if (nonNullTouched.isEmpty) lit(false)
+          else col("activity_date").isin(nonNullTouched.toIndexedSeq: _*)
+        if (touched.contains(null)) base || col("activity_date").isNull
+        else base
+      }
+      val existing = spark.read.parquet(finalPath).filter(inTouched)
+      val ck = broadcast(changeset
+        .select(col("id_employee").as("__ck_id"),
+          col("activity_date").as("__ck_date"))
+        .distinct())
+      val kept = existing.join(ck,
+          col("id_employee") <=> col("__ck_id") &&
+            col("activity_date") <=> col("__ck_date"),
+          "left_anti")
       // materialize before overwriting the partitions we just read —
       // lineage must not reach back into the files being replaced
       kept.unionByName(changeset.select(existing.columns.toIndexedSeq.map(col): _*))
@@ -104,6 +125,34 @@ object IncrementalFinal {
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Null-safe keyed merge of a state relation with a delta rollup —
+    * the join every IVM fold here goes through. Spark's USING-join
+    * matches keys with plain EqualTo, so a NULL grain key — a
+    * legitimate GROUP BY group that recompute keeps as a first-class
+    * row — would never meet its own state row: the state row would
+    * keep its stale aggregate and the delta row would be filtered or
+    * null-padded, silently diverging from the recompute the gates pin
+    * (review r18). The condition here is `<=>` per key and the output
+    * key is COALESCE(state, delta); non-key columns of the two sides
+    * must be disjoint (every fold's delta columns are underscored). */
+  private[graft] def keyMergeNullSafe(left: DataFrame, right: DataFrame,
+                                      keyCols: Seq[String],
+                                      joinType: String): DataFrame = {
+    val l = left.alias("__ivm_l")
+    val r = right.alias("__ivm_r")
+    val cond = keyCols.map(k =>
+      col(s"__ivm_l.$k") <=> col(s"__ivm_r.$k")).reduce(_ && _)
+    val others = (left.columns ++ right.columns).toIndexedSeq
+      .filterNot(keyCols.contains)
+    require(others.distinct.size == others.size,
+      s"keyMergeNullSafe: non-key columns must be disjoint, got $others")
+    l.join(r, cond, joinType)
+      .select(keyCols.map(k =>
+        coalesce(col(s"__ivm_l.$k"), col(s"__ivm_r.$k")).as(k)) ++
+        others.map(col): _*)
+  }
+
 
   /** Incremental VIEW maintenance for self-maintainable aggregates
     * (count + sum): fold a signed changelog into an existing per-key
@@ -133,7 +182,7 @@ object IncrementalFinal {
       .agg(sum(col(signCol)).as("d_cnt"),
         sum(when(col(valueCol).isNotNull, col(signCol))).as("d_nn"),
         sum(col(signCol) * col(valueCol)).as("d_sum"))
-    baseAgg.join(deltaAgg, keyCols, "full_outer")
+    keyMergeNullSafe(baseAgg, deltaAgg, keyCols, "full_outer")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as(cntCol),
@@ -381,7 +430,7 @@ object IncrementalFinal {
         max(when(col(signCol) > 0, col(valueCol))).as("_ins_max"),
         min(when(col(signCol) < 0, col(valueCol))).as("_del_min"),
         max(when(col(signCol) < 0, col(valueCol))).as("_del_max"))
-    baseMm.join(dAgg, keyCols, "full_outer")
+    keyMergeNullSafe(baseMm, dAgg, keyCols, "full_outer")
       .withColumn("dirty", coalesce(
         col(minCol).isNotNull &&
           ((col("_del_min") <= col(minCol)) ||
@@ -517,7 +566,7 @@ object IncrementalFinal {
         (sum(when(col(signCol) < 0, lit(1L)).otherwise(lit(0L))) > 0)
           .as("__any_del"))
     val empty = "CAST(array() AS ARRAY<BIGINT>)"
-    baseSk.join(dAgg, keyCols, "full_outer")
+    keyMergeNullSafe(baseSk, dAgg, keyCols, "full_outer")
       .withColumn("dirty", coalesce(col("__any_del"), lit(false)))
       .select(keyCols.map(col) ++ Seq(
         when(!col("dirty"), expr(
@@ -737,24 +786,39 @@ object IncrementalFinal {
       outCols.map(c => if (aCols.contains(c)) col(c)
       else lit(null).cast(bTypes(c)).as(c)) :+ col("_m"): _*)
 
+    // NULL-key rows short-circuit the key machinery (review r18): an A
+    // row with a NULL join key never matches ANY B row under SQL join
+    // semantics, so its view row is null-extended unconditionally —
+    // its delta is just its signed null-extension (the null-unsafe
+    // semi-joins below would otherwise drop it entirely, silently
+    // diverging from the from-scratch LEFT JOIN). B rows with NULL
+    // keys match nothing and never affect the view at all.
+    val nullKey = key.map(col(_).isNull).reduce(_ || _)
+    val dAnull = dA.filter(nullKey)
+    val dA2 = dA.filter(!nullKey)
+    val dB2 = dB.filter(!nullKey)
+    val dNullExt = nullExtend(dAnull
+      .withColumnRenamed(signCol, "_m")
+      .select(aCols.map(col) :+ col("_m"): _*))
+
     // matched part: the inner delta rule verbatim
     def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
       l.join(r, key).withColumn("_m", s)
         .select(outCols.map(col) :+ col("_m"): _*)
-    val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
+    val dBr = dB2.withColumnRenamed(signCol, s"${signCol}_b")
     val dInner =
-      term(dA, bOld, col(signCol))
+      term(dA2, bOld, col(signCol))
         .unionByName(term(aOld, dBr, col(s"${signCol}_b")))
-        .unionByName(term(dA, dBr, col(signCol) * col(s"${signCol}_b")))
+        .unionByName(term(dA2, dBr, col(signCol) * col(s"${signCol}_b")))
 
-    // null-extended part, over the affected keys T only
-    val touched = dA.select(key.map(col): _*)
-      .unionByName(dB.select(key.map(col): _*)).distinct()
+    // null-extended part, over the affected (non-null) keys T only
+    val touched = dA2.select(key.map(col): _*)
+      .unionByName(dB2.select(key.map(col): _*)).distinct()
     val aOldT = aOld.join(touched, key, "left_semi")
     val cntOld = bOld.join(touched, key, "left_semi")
       .groupBy(key.map(col): _*).agg(count(lit(1)).as("_cold"))
     val cntNew = cntOld
-      .join(dB.groupBy(key.map(col): _*).agg(sum(col(signCol)).as("_d")),
+      .join(dB2.groupBy(key.map(col): _*).agg(sum(col(signCol)).as("_d")),
         key, "full_outer")
       .select(key.map(col) :+
         (coalesce(col("_cold"), lit(0L)) + coalesce(col("_d"), lit(0L)))
@@ -771,9 +835,10 @@ object IncrementalFinal {
     // +N_new|T : every NEW a row (old rows + signed deltas) on a key
     // that HAS no match now — a-row signs carry through
     val aNewT = aOldT.withColumn("_m", lit(1L))
-      .unionByName(dA.withColumnRenamed(signCol, "_m"))
+      .unionByName(dA2.withColumnRenamed(signCol, "_m"))
     val nNew = aNewT.join(unmatchedNew, key, "left_semi")
       .select(aCols.map(col) :+ col("_m"): _*)
     dInner.unionByName(nOld.unionByName(nullExtend(nNew)))
+      .unionByName(dNullExt)
   }
 }

@@ -830,7 +830,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               if isBase(a) && s.sums.contains(a.name) &&
                 mvAttr(s.sums(a.name)).isDefined &&
                 mvAttr(s.sums(a.name)).get.dataType == al.dataType =>
-              Some(Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression())
+              // result-type fence (review r18): Sum over DecimalType
+              // widens its own result (p+10), so re-summing a summary
+              // column ALREADY holding the widened type widens again —
+              // the routed child would emit a different type under the
+              // preserved exprId (mis-typed UnsafeRow reads upstream).
+              // Long/Double sums are fixed points of Sum's typing, so
+              // the gated entries route; a decimal whose re-sum widens
+              // bails to the base scan like every other fence
+              val routedSum =
+                Sum(mvAttr(s.sums(a.name)).get).toAggregateExpression()
+              if (routedSum.dataType == al.dataType) Some(routedSum)
+              else None
             // COUNT(DISTINCT e1[, e2…]) where every BASE-side reference
             // is a GRAIN column (dim references pass through in the
             // star shape): the summary holds exactly ONE row per
@@ -895,8 +906,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case (Average(a: AttributeReference, _), false)
               if isBase(a) && s.sums.contains(a.name) &&
                 s.nns.contains(a.name) &&
-                mvAttr(s.sums(a.name)).isDefined &&
-                mvAttr(s.nns(a.name)).isDefined &&
+                // type fences matching the SUM/COUNT siblings (review
+                // r18): without them a mis-registered non-numeric
+                // summary column would route through Cast — NULLs
+                // where the cast fails, a silently wrong AVG — instead
+                // of bailing to the base scan
+                mvAttr(s.sums(a.name)).exists(m =>
+                  m.dataType.isInstanceOf[
+                    org.apache.spark.sql.types.NumericType]) &&
+                mvAttr(s.nns(a.name)).exists(m => isIntegral(m.dataType)) &&
                 al.dataType == DoubleType =>
               Some(Divide(
                 Sum(Cast(mvAttr(s.sums(a.name)).get, DoubleType))

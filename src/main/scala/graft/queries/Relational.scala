@@ -484,7 +484,11 @@ object Relational {
     // the exact side and states the verdict as TRUE — if the estimator
     // ever left its bound the Spark-side boolean flips and the hash
     // gate fails (the sim_recall_report brute-vs-ANN pattern; VERDICT
-    // r17 item 1, retiring the last no_oracle rows).
+    // r17 item 1, retiring the last no_oracle rows). The exact
+    // countDistinct here is the VERIFICATION HARNESS, not the
+    // deployment shape: at 100 TB only the fixed-size HLL aggregate
+    // runs (that is a9's whole point), and this gate is the evidence
+    // that estimator stays inside its envelope.
     Entry(
       "a9_approx_distinct",
       (s, dir) => Tables(s, dir, "orders")
@@ -516,7 +520,9 @@ object Relational {
     // re-aggregatable at all) and the 3σ accuracy envelope
     // |merged − exact| ≤ 4.9%·exact (σ = 1.04/√2¹² at lgK 12), checked
     // in integer arithmetic (1000·|Δ| ≤ 49·exact). Either property
-    // breaking flips a boolean and fails the hash gate.
+    // breaking flips a boolean and fails the hash gate. As with a9,
+    // the exact side is the verification harness — the 100 TB
+    // deployment persists and merges only the sketches.
     Entry(
       "a24_hll_reagg",
       (s, dir) => {

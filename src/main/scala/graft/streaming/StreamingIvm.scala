@@ -105,11 +105,27 @@ object StreamingIvm {
                     org.apache.spark.sql.types.LongType)))
               else Nil))))
     }
+    // state-shape guard: folding with a NARROWER config than the state
+    // was built with would commit a version that silently drops the
+    // maintained min/max/kmv columns — the state could then no longer
+    // be repaired incrementally (review r18). Widening (state lacks a
+    // column the config maintains) is fine: the arms left-join state
+    // and treat the missing side as empty.
+    require(extremes || !base.columns.contains("min_micro"),
+      s"StreamingIvm: state under $stateDir carries extremes " +
+        "(min_micro/max_micro) but this fold runs with extremes=false " +
+        "— the commit would drop them; pass extremes=true")
+    require(distinctCol.isDefined || !base.columns.contains("kmv_distinct"),
+      s"StreamingIvm: state under $stateDir carries a distinct sketch " +
+        "(kmv_distinct) but this fold runs with distinctCol=None — the " +
+        "commit would drop it; pass the sketched column")
     val folded0 = IncrementalFinal.maintainAggregate(base, batch, keyCols)
     val folded =
       if (!extremes) folded0
       else {
         // INSERT-ONLY extremes: min/max fold monotone under +1 signs
+        // (null-safe key merges throughout — a NULL grain key is a
+        // real group and must meet its own state row; review r18)
         // (least/greatest of the surviving state and the batch's own
         // extremes — nulls skipped, so all-null batches and brand-new
         // keys both fold exactly). A retraction CANNOT be folded this
@@ -129,9 +145,10 @@ object StreamingIvm {
           lit("StreamingIvm: extremes maintenance is insert-only — " +
             "retraction-bearing summaries repair through " +
             "IncrementalFinal.refreshSummary, not the streaming fold"))
-        folded0
-          .join(mmBase, keyCols, "left_outer")
-          .join(dmm, keyCols, "left_outer")
+        IncrementalFinal.keyMergeNullSafe(
+            IncrementalFinal.keyMergeNullSafe(
+              folded0, mmBase, keyCols, "left_outer"),
+            dmm, keyCols, "left_outer")
           .select((keyCols.map(col) ++ Seq(
             col("cnt"), col("n_nonnull"), col("sum_micro"),
             when(guard.isNull,
@@ -147,21 +164,30 @@ object StreamingIvm {
         // the same algebra IncrementalFinal.maintainDistinct proves,
         // minus the dirty protocol a retraction would need; any
         // negative sign fails LOUDLY, mirroring the extremes arm).
-        // Completeness holds by construction (no k-cap); batch-LOCAL
-        // hash injectivity is asserted per fold (distinct hashes ≡
-        // distinct values within the batch) — cross-batch collisions
-        // are the documented n²/2⁴⁹ residual a periodic
+        // Completeness holds by construction (no k-cap); batch-local
+        // hash injectivity is asserted per fold GLOBALLY across keys
+        // (distinct hashes ≡ distinct values over the whole batch): a
+        // per-key check would pass a same-batch collision between
+        // values under DIFFERENT keys, and the coarser-grain rollup
+        // that unions sketches ACROSS grains would then undercount
+        // while served as exact (review r18). Cross-batch collisions
+        // remain the documented n²/2⁴⁹ residual a periodic
         // verifiedDistinctLicense compaction pass closes.
-        val dsk = graft.functions.Kmv.withHash(
-            batch.select((keyCols.map(col) :+ col(dc) :+ col("sign")): _*),
-            dc, "__h")
+        val hashed = graft.functions.Kmv.withHash(
+          batch.select((keyCols.map(col) :+ col(dc) :+ col("sign")): _*),
+          dc, "__h")
+        val inj = hashed.filter(col("sign") > 0).agg(
+          countDistinct(col("__h")).as("h"),
+          countDistinct(col(dc)).as("v")).head()
+        require(inj.getLong(0) == inj.getLong(1),
+          "StreamingIvm: 48-bit hash collision inside a batch — the " +
+            "distinct sketch would undercount; re-key or widen the hash")
+        val dsk = hashed
           .groupBy(keyCols.map(col): _*).agg(
             expr("array_sort(collect_set(CASE WHEN sign > 0 " +
               "THEN __h END))").as("_d_sk"),
             sum(when(col("sign") < 0, lit(1L)).otherwise(lit(0L)))
-              .as("_d_dels"),
-            countDistinct(when(col("sign") > 0, col("__h"))).as("_d_ndh"),
-            countDistinct(when(col("sign") > 0, col(dc))).as("_d_ndv"))
+              .as("_d_dels"))
         val skBase = base.select(
           (keyCols.map(col) :+ col("kmv_distinct")): _*)
         val delGuard = assert_true(
@@ -169,17 +195,14 @@ object StreamingIvm {
           lit("StreamingIvm: distinct-sketch maintenance is insert-only " +
             "— retraction-bearing summaries repair through " +
             "IncrementalFinal.refreshSummary, not the streaming fold"))
-        val injGuard = assert_true(
-          coalesce(col("_d_ndh"), lit(0L)) === coalesce(col("_d_ndv"), lit(0L)),
-          lit("StreamingIvm: 48-bit hash collision inside a batch — the " +
-            "distinct sketch would undercount; re-key or widen the hash"))
         val empty = "CAST(array() AS ARRAY<BIGINT>)"
         val outCols = folded.columns.toIndexedSeq
-        folded
-          .join(skBase, keyCols, "left_outer")
-          .join(dsk, keyCols, "left_outer")
+        IncrementalFinal.keyMergeNullSafe(
+            IncrementalFinal.keyMergeNullSafe(
+              folded, skBase, keyCols, "left_outer"),
+            dsk, keyCols, "left_outer")
           .select((outCols.map(col) :+
-            when(delGuard.isNull && injGuard.isNull, expr(
+            when(delGuard.isNull, expr(
               s"""array_sort(array_distinct(concat(
                   coalesce(kmv_distinct, $empty),
                   coalesce(_d_sk, $empty))))""")).as("kmv_distinct")): _*)
@@ -220,13 +243,20 @@ object StreamingIvm {
   }
 
   /** Wire a changelog stream into the versioned fold. Caller starts
-    * the returned writer with a checkpoint dir. */
+    * the returned writer with a checkpoint dir. `extremes` /
+    * `distinctCol` must match how the state was built: attach used to
+    * hardcode the plain-aggregate fold, so attaching to state
+    * maintained WITH extremes or a sketch silently committed a
+    * narrowed version that dropped the min/max/kmv columns — the
+    * maintained extremes were lost without error (review r18). */
   def attach(changelog: DataFrame, stateDir: String, keyCols: Seq[String],
-             keepVersions: Int = 3)
+             keepVersions: Int = 3, extremes: Boolean = false,
+             distinctCol: Option[String] = None)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changelog.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBatch(batch.sparkSession, stateDir, keyCols,
-          keepVersions)(batch.toDF(), id)
+          keepVersions, extremes = extremes, distinctCol = distinctCol)(
+          batch.toDF(), id)
     }
 }

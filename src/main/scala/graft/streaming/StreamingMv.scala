@@ -67,8 +67,20 @@ object StreamingMv {
   def summaryDir(stateDir: String): String = s"$stateDir/summary"
 
   /** The registered base path (registration and the routed query must
-    * agree on it byte-for-byte). */
-  def basePath(stateDir: String): String = "file:" + docsDir(stateDir)
+    * agree on it byte-for-byte). Qualified through the Hadoop
+    * filesystem rather than a hardcoded "file:" prefix: with a
+    * RELATIVE stateDir the literal prefix would register
+    * "file:work/…" while the scan's rootPath resolves to
+    * "file:/cwd/work/…" — the registry would never hit and every
+    * dashboard would silently rescan the corpus forever; on a
+    * non-local default filesystem the bogus file: path would crash the
+    * fold's token stamp (review r18). makeQualified yields exactly the
+    * string the scan's rootPath prints in both cases. */
+  def basePath(spark: SparkSession, stateDir: String): String = {
+    val p = new Path(docsDir(stateDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.makeQualified(p).toString
+  }
 
   /** The latest committed summary state, if any batch has folded. */
   def summary(spark: SparkSession, stateDir: String): Option[DataFrame] =
@@ -104,7 +116,7 @@ object StreamingMv {
     //    path with the CURRENT token (stamped from the files just
     //    written — any later corpus write bails routing until the next
     //    fold re-registers)
-    MvRegistry.registerFresh(spark, basePath(stateDir),
+    MvRegistry.registerFresh(spark, basePath(spark, stateDir),
       MvRegistry.Summary(
         () => summary(spark, stateDir).getOrElse(
           sys.error(s"StreamingMv: no committed summary under $stateDir")),

@@ -408,4 +408,93 @@ class IncrementalFinalSuite extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(composed === re)
   }
+
+  test("NULL grain keys are first-class across every fold (review r18): " +
+       "aggregate/minmax/distinct folds meet their state row, the left " +
+       "join emits null-key A rows null-extended, and mergeChangeset " +
+       "upserts the null partition without clobbering it") {
+    // maintainAggregate: retract against the NULL grain must reach its
+    // state row (a null-unsafe join would keep cnt=2 and drop the delta)
+    val base = Seq((None: Option[String], 10L), (None, 20L), (Some("a"), 1L))
+      .toDF("k", "v_micro")
+    val baseAgg = base.groupBy("k").agg(
+      count(lit(1)).as("cnt"), count(col("v_micro")).as("n_nonnull"),
+      sum(col("v_micro")).as("sum_micro"))
+    val delta = Seq((None: Option[String], 10L, -1L))
+      .toDF("k", "v_micro", "sign")
+    val got = IncrementalFinal.maintainAggregate(baseAgg, delta, Seq("k"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    assert(got(None) === ((1L, 20L)))     // folded, not stale 2/30
+    assert(got(Some("a")) === ((1L, 1L)))
+
+    // maintainMinMax: a retraction of the null grain's minimum must
+    // flag ITS row dirty (null-unsafe: never flagged, stale extreme)
+    val mmBase = Seq((None: Option[String], 1L), (None, 9L), (Some("a"), 5L))
+      .toDF("k", "v").groupBy("k")
+      .agg(org.apache.spark.sql.functions.min("v").as("min_v"),
+        org.apache.spark.sql.functions.max("v").as("max_v"))
+    val mm = IncrementalFinal.maintainMinMax(mmBase,
+        Seq((None: Option[String], 1L, -1L)).toDF("k", "v", "sign"),
+        Seq("k"), valueCol = "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(3)).toMap
+    assert(mm(None) === true)
+    assert(mm(Some("a")) === false)
+
+    // maintainDistinct: an insert into the null grain folds into ITS
+    // sketch (null-unsafe: a second null-key row with just the insert)
+    val skBase = graft.functions.Kmv.withHash(
+        Seq((None: Option[String], "u1"), (Some("a"), "u2")).toDF("k", "uid"),
+        "uid", "__h")
+      .groupBy("k").agg(expr("array_sort(collect_set(__h))").as("kmv"))
+    val sk = IncrementalFinal.maintainDistinct(skBase,
+        Seq((None: Option[String], "u9", 1L)).toDF("k", "uid", "sign"),
+        Seq("k"), sketchCol = "kmv", valueCol = "uid")
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Long](1).size)
+      .toMap
+    assert(sk === Map(None -> 2, Some("a") -> 1))
+
+    // maintainLeftJoin: inserting an A row with a NULL join key must
+    // emit it null-extended (SQL join semantics), not vanish
+    val aOld = Seq(("x", 1L)).toDF("key", "a_payload")
+    val bOld = Seq(("x", 100L)).toDF("key", "b_pk")
+    val view = aOld.join(bOld, Seq("key"), "left_outer")
+    val dA = Seq((None: Option[String], 2L, 1L))
+      .toDF("key", "a_payload", "sign")
+    val dB = Seq.empty[(String, Long, Long)].toDF("key", "b_pk", "sign")
+    val v2 = IncrementalFinal.maintainLeftJoin(view, aOld, bOld, dA, dB,
+      Seq("key"))
+    val fromScratch = aOld
+      .unionByName(Seq((None: Option[String], 2L)).toDF("key", "a_payload"))
+      .join(bOld, Seq("key"), "left_outer")
+    assert(v2.collect().toSet === fromScratch.collect().toSet)
+    // and retracting it again removes exactly that row
+    val v3 = IncrementalFinal.maintainLeftJoin(v2, aOld.unionByName(
+        Seq((None: Option[String], 2L)).toDF("key", "a_payload")),
+      bOld,
+      Seq((None: Option[String], 2L, -1L)).toDF("key", "a_payload", "sign"),
+      dB, Seq("key"))
+    assert(v3.collect().toSet === view.collect().toSet)
+
+    // mergeChangeset: an update keyed (employee, NULL date) must replace
+    // its own row and keep the null partition's OTHER rows (isin(null)
+    // would silently delete them via the dynamic overwrite)
+    val out = tmpDir("incr-null-date")
+    def finalRow(id: Int, d: Option[String], n: Long) =
+      (id, d.map(java.sql.Date.valueOf), n)
+    Seq(finalRow(1, None, 10L), finalRow(2, None, 20L),
+        finalRow(1, Some("2024-04-01"), 30L))
+      .toDF("id_employee", "activity_date", "count_activity")
+      .write.mode("overwrite").partitionBy("activity_date").parquet(out)
+    IncrementalFinal.mergeChangeset(spark,
+      Seq(finalRow(1, None, 99L))
+        .toDF("id_employee", "activity_date", "count_activity"), out)
+    // partitionBy moves activity_date last on disk; read by name
+    val byKey = spark.read.parquet(out)
+      .select("id_employee", "activity_date", "count_activity")
+      .collect().map(r => (r.getInt(0), Option(r.getDate(1)).map(_.toString),
+        r.getLong(2))).toSet
+    assert(byKey === Set((1, None, 99L), (2, None, 20L),
+      (1, Some("2024-04-01"), 30L)))
+  }
 }

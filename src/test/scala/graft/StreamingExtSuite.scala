@@ -673,6 +673,45 @@ class StreamingExtSuite extends SparkSuite {
     assert(StreamingIvm.versions(spark, state) === Seq(0L, 1L, 2L))
   }
 
+  test("StreamingIvm: NULL grain keys fold into their own state row in " +
+       "the extremes and distinct arms, and a narrowed re-attach fails " +
+       "loudly instead of dropping maintained columns (review r18)") {
+    import spark.implicits._
+    import graft.streaming.StreamingIvm
+    val state = tmpDir("ivm-null-state")
+    // batch 0: a null-keyed insert ALONGSIDE a named key, extremes +
+    // sketch maintained — the null grain must come out with real
+    // min/max and a 1-element sketch, not NULL/empty (the null-unsafe
+    // left_outer would null-pad it)
+    val b0 = Seq(
+      (None: Option[String], 10L, "u1", 1L),
+      (Some("a"), 5L, "u2", 1L)).toDF("k", "v_micro", "uid", "sign")
+    StreamingIvm.applyBatch(spark, state, Seq("k"), extremes = true,
+      distinctCol = Some("uid"))(b0, 0L)
+    val st = StreamingIvm.readState(spark, state).get
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(4), r.getLong(5)), r.getSeq[Long](6).size)).toMap
+    assert(st(None) === (((10L, 10L), 1)))
+    assert(st(Some("a")) === (((5L, 5L), 1)))
+    // batch 1 improves the null grain's extremes and grows its sketch
+    StreamingIvm.applyBatch(spark, state, Seq("k"), extremes = true,
+      distinctCol = Some("uid"))(
+      Seq((None: Option[String], 3L, "u9", 1L))
+        .toDF("k", "v_micro", "uid", "sign"), 1L)
+    val st2 = StreamingIvm.readState(spark, state).get
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(4), r.getLong(5)), r.getSeq[Long](6).size)).toMap
+    assert(st2(None) === (((3L, 10L), 2)))
+    // narrowed re-attach: folding the same state WITHOUT extremes or
+    // the sketch must fail loudly, not commit a version that drops them
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvm.applyBatch(spark, state, Seq("k"))(
+        Seq((Some("a"), 1L, "u3", 1L)).toDF("k", "v_micro", "uid", "sign"),
+        2L)
+    }
+    assert(e.getMessage.contains("extremes"), e.getMessage)
+  }
+
   test("StreamingMv: routed dashboard stays fresh over the live stream; foreign base writes bail; kill/restart + re-delivery idempotent; routed ≡ recompute after every batch") {
     import graft.streaming.StreamingMv
     import graft.plans.MvRegistry

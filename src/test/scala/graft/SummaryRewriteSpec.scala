@@ -41,7 +41,7 @@ class SummaryRewriteSpec extends SparkSuite {
 
   private def register(base: String, mv: String): Unit =
     MvRegistry.register("file:" + base, MvRegistry.Summary(
-      () => spark.read.parquet(mv), "event_type", "cnt",
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
       sums = Map("v_micro" -> "sum_v"), nns = Map("v_micro" -> "nn_v"),
       mins = Map("v_micro" -> "min_v"), maxs = Map("v_micro" -> "max_v")))
 
@@ -1588,6 +1588,56 @@ class SummaryRewriteSpec extends SparkSuite {
         "c" -> ((1L, 1L))))
       MvRegistry.clear()
       assert(got2 === asMap(q().collect())) // ≡ recompute
+    } finally MvRegistry.clear()
+  }
+
+  test("type fences (review r18): a DECIMAL sum whose re-sum would widen " +
+       "bails with the answer intact; a mis-registered non-numeric sum " +
+       "column bails AVG to the base instead of casting") {
+    // decimal base: Sum(Decimal(12,2)) -> Decimal(22,2) in the query;
+    // the summary column holds that widened type, but re-summing it
+    // would widen AGAIN (Decimal(32,2)) under the preserved exprId —
+    // the fence must bail (base scanned), never emit the mis-typed plan
+    val base = tmpDir("mv-dec-base"); val mv = tmpDir("mv-dec-sum")
+    (0L until 100L)
+      .map(i => (s"t${i % 3}", BigDecimal(i).setScale(2)))
+      .toDF("event_type", "amount")
+      .select(col("event_type"),
+        col("amount").cast("decimal(12,2)").as("amount"))
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("amount").as("sum_a"),
+        count("amount").as("nn_a"))
+      .write.mode("overwrite").parquet(mv)
+    MvRegistry.register("file:" + base, MvRegistry.Summary(
+      () => spark.read.parquet(mv), Seq("event_type"), "cnt",
+      sums = Map("amount" -> "sum_a"), nns = Map("amount" -> "nn_a")))
+    try {
+      val q = spark.read.parquet(base).groupBy("event_type")
+        .agg(sum("amount").as("s")).orderBy("event_type")
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains(base)),
+        s"decimal SUM routed through the widening re-sum: $paths")
+      // the answer is right either way — the fence is about plan types
+      assert(q.collect().map(_.get(1).toString).length === 3)
+
+      // mis-registration: sums pointing at a STRING column must bail
+      // AVG (a cast would silently null out the numerator)
+      val mvBad = tmpDir("mv-dec-bad")
+      spark.read.parquet(base).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          concat_ws(",", collect_list(col("amount"))).as("sum_a"),
+          count("amount").as("nn_a"))
+        .write.mode("overwrite").parquet(mvBad)
+      MvRegistry.clear()
+      MvRegistry.register("file:" + base, MvRegistry.Summary(
+        () => spark.read.parquet(mvBad), Seq("event_type"), "cnt",
+        sums = Map("amount" -> "sum_a"), nns = Map("amount" -> "nn_a")))
+      val qc = spark.read.parquet(base).groupBy("event_type")
+        .agg(avg("amount").as("a"))
+      val pc = scannedPaths(qc)
+      assert(pc.exists(_.contains(base)),
+        s"AVG routed through a STRING summary column: $pc")
     } finally MvRegistry.clear()
   }
 }
