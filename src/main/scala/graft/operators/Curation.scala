@@ -158,11 +158,17 @@ object Curation {
           floor(lit(256.0) * targetCol * col("n_total") / col("n_dom"))
             .cast(LongType)))
       .select(domainCol, "rate256")
-    docs.join(broadcast(rates), Seq(domainCol))
+    // null-safe rate attach (review r18): the counts aggregate keeps a
+    // NULL domain as a real group (it gets a rate row at
+    // defaultTarget), so the join back must match it — a null-rejecting
+    // equi-join would silently drop every NULL-domain doc while still
+    // counting them in n_total, skewing every other domain's rate
+    docs.join(broadcast(rates.withColumnRenamed(domainCol, "__mix_dom")),
+        col(domainCol) <=> col("__mix_dom"))
       .filter(col("rate256") >= 256 ||
         substring(md5(concat(lit(salt + ":"), col(keyCol).cast(StringType))),
           1, 2) < format_string("%02x", col("rate256")))
-      .drop("rate256")
+      .drop("rate256", "__mix_dom")
   }
 
   /** Benchmark decontamination: drop every document that shares ANY
@@ -492,16 +498,13 @@ object Curation {
     * composition against one composed oracle. */
   def curate(docs: DataFrame, stopwords: Seq[String], minQuality: Double,
              shingleN: Int, jaccardThreshold: Double,
-             chunkWords: Int): DataFrame = {
-    val kept = docs.filter(
-      TextFunctions.qualityScore(col("text"), stopwords) >= minQuality)
-    val comp = Dedup.connectedComponents(kept, "doc_id",
-      Dedup.ngramJaccardPairs(kept, shingleN, jaccardThreshold))
-    val surv = kept.join(
-      comp.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    chunkDocs(surv, chunkWords)
-  }
+             chunkWords: Int): DataFrame =
+    // composed from the shared prefix rather than restating it (review
+    // r18): a survivor-rule change lands once, in [[qualitySurvivors]]
+    chunkDocs(
+      qualitySurvivors(docs, stopwords, minQuality, shingleN,
+        jaccardThreshold),
+      chunkWords)
 
   /** The shared PREFIX of every curation chain: quality-filter →
     * near-dup cluster survivors, returning the surviving rows with all

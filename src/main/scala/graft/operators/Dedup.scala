@@ -67,15 +67,10 @@ object Dedup {
     * degrades to a shuffle join instead of failing the broadcast limit. */
   private def jaccardScores(sh: DataFrame, candidates: Option[DataFrame],
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = candidates match {
-      case None =>
-        sh.as("x")
-          .join(sh.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_common"))
+    val withSizes = candidates match {
+      case None => commonWithSizes(sh)
       case Some(cand) =>
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         sh.as("sa")
           .join(cand, col("sa.doc_id") === col("doc_a"))
           .join(sh.as("sb"),
@@ -83,17 +78,58 @@ object Dedup {
               col("sb.shingle") === col("sa.shingle"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("n_common"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                     .withColumnRenamed("n_sh", "n_b"), "doc_b")
     }
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    withSizes
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Common-shingle counts with both doc sizes attached, over the full
+    * (a < b) inverted-index self-join — the shared prefix of the
+    * Jaccard and containment scorers (ONE definition, so an index fence
+    * like the maxShingleDocFreq cap lands in both; review r18). */
+  private def commonWithSizes(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+  }
+
+  /** Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| — the
+    * subset-copy detector symmetric Jaccard structurally misses. A
+    * paragraph lifted verbatim into a 10× larger document has
+    * J ≈ |A|/|B| (small, under any Jaccard threshold) but containment
+    * ≈ 1 from the copied side. Emits every pair where EITHER direction
+    * reaches `threshold`, with both directions reported (containment ≥
+    * Jaccard always, so this is a superset of the Jaccard pairs at the
+    * same cutoff). Identical inverted-index self-join shape and cost as
+    * the Jaccard path — only the final ratios differ: each is one IEEE
+    * division of two exact counts.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // same three-consumer index shape as ngramJaccardPairs (sizes +
+    // both self-join sides), so the index caches for the same reason
+    val sh = docShingles(docs, n).cache()
+    commonWithSizes(sh)
+      .withColumn("cont_a",
+        col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("cont_b",
+        col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
   }
 
   /** All pairs (a < b) with word-n-gram Jaccard ≥ `threshold`, computed
@@ -112,37 +148,6 @@ object Dedup {
     * near-duplicate signal). The default keeps every shingle — exact
     * semantics, and a no-op whenever cap ≥ the corpus's max document
     * frequency (DedupSpec asserts this invariance). */
-  /** Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A| — the
-    * subset-copy detector symmetric Jaccard structurally misses. A
-    * paragraph lifted verbatim into a 10× larger document has
-    * J ≈ |A|/|B| (small, under any Jaccard threshold) but containment
-    * ≈ 1 from the copied side. Emits every pair where EITHER direction
-    * reaches `threshold`, with both directions reported (containment ≥
-    * Jaccard always, so this is a superset of the Jaccard pairs at the
-    * same cutoff). Identical inverted-index self-join shape and cost as
-    * the Jaccard path — only the final ratios differ: each is one IEEE
-    * division of two exact counts.
-    */
-  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = docShingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.as("x")
-      .join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("cont_a",
-        col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType))
-      .withColumn("cont_b",
-        col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
-      .select("doc_a", "doc_b", "cont_a", "cont_b")
-  }
-
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = docShingles(docs, n)
@@ -982,6 +987,16 @@ object Dedup {
       comp = next
       rounds += 1
     }
+    // a non-converged exit must FAIL, not return: labels where one
+    // component's members still disagree would let transitive
+    // duplicates survive dedup silently (review r18 — the alternating
+    // variant below has always thrown here; plain min-propagation
+    // converges in O(diameter) rounds, so a 50-round graph is a long
+    // chain the star-contraction variant handles in O(log n))
+    require(changed == 0,
+      s"connectedComponents: not converged after $rounds rounds " +
+        "(component diameter > 50) — use connectedComponentsAlternating, " +
+        "whose star-contraction rounds are logarithmic in component size")
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
@@ -1212,7 +1227,9 @@ object Dedup {
     * (pigeonhole), so the chunk-equality self-join has perfect recall;
     * `bit_count(xor)` filters exactly. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairsFromSigs(simhashSignatures(docs), "simhash", maxHamming)
+    // 48 significant bits (the md5₄₈ token family) → 4×12-bit chunks
+    hammingPairsFromSigs(simhashSignatures(docs), "simhash", maxHamming,
+      sigBits = 48)
 
   /** The pigeonhole Hamming join over ANY 64-bit signature table
     * (doc_id, `sigCol`) — the blocking machinery [[simhashPairs]] and
@@ -1225,9 +1242,10 @@ object Dedup {
     * bit-identical to the O(n²) pair walk restricted to ≤ maxHamming,
     * at block-join cost. */
   def hammingPairsFromSigs(sigs: DataFrame, sigCol: String,
-                           maxHamming: Int = 3): DataFrame = {
+                           maxHamming: Int = 3,
+                           sigBits: Int = 64): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for Hamming <= 3")
-    val chunks = sigChunks(sigs, sigCol)
+    val chunks = sigChunks(sigs, sigCol, sigBits)
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
@@ -1238,17 +1256,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** The 4×16-bit chunk rows of a signature table: (doc_id, _sig,
-    * chunk, ck) — the blocking keys of [[hammingPairsFromSigs]] /
-    * [[incrementalHammingPairs]]. */
-  private def sigChunks(sigs: DataFrame, sigCol: String): DataFrame =
+  /** The 4-chunk rows of a signature table: (doc_id, _sig, chunk, ck)
+    * — the blocking keys of [[hammingPairsFromSigs]] /
+    * [[incrementalHammingPairs]]. Chunk width adapts to the
+    * SIGNIFICANT bit count (`sigBits`): a fixed 4×16 split over a
+    * 48-bit simhash would leave chunk 3 constantly 0 — every doc lands
+    * in ONE (chunk, ck) bucket and the "blocked" self-join silently
+    * degenerates to the full n²/2 cross product on a single skewed key
+    * (review r18; results stayed correct through the exact xor filter,
+    * but at corpus scale the hot bucket IS the blowup the blocking
+    * exists to prevent). ⌈sigBits/4⌉-bit chunks keep the pigeonhole
+    * recall proof (4 disjoint ranges cover every significant bit, so
+    * ≤ 3 flipped bits leave ≥ 1 chunk equal) and restore ~sigBits/4
+    * bits of entropy per blocking key. */
+  private def sigChunks(sigs: DataFrame, sigCol: String,
+                        sigBits: Int): DataFrame = {
+    require(sigBits >= 4 && sigBits <= 64,
+      s"sigBits must be in [4, 64], got $sigBits")
+    val w = (sigBits + 3) / 4
+    val mask = (1L << w) - 1L
     sigs.select(col("doc_id"), col(sigCol).as("_sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+          shiftright(col(sigCol), c * w).bitwiseAND(lit(mask)).as("ck"))): _*))
         .as("b"))
       .select(col("doc_id"), col("_sig"), col("b.chunk").as("chunk"),
         col("b.ck").as("ck"))
+  }
 
   /** Incremental Hamming dedup — the daily-crawl shape for signature
     * families (SimHash text sketches, perceptual image hashes): pairs
@@ -1265,10 +1299,11 @@ object Dedup {
     * occupancy, never corpus². */
   def incrementalHammingPairs(baseSigs: DataFrame, batchSigs: DataFrame,
                               sigCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3,
+                              sigBits: Int = 64): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for Hamming <= 3")
-    val baseChunks = sigChunks(baseSigs, sigCol)
-    val batchChunks = sigChunks(batchSigs, sigCol)
+    val baseChunks = sigChunks(baseSigs, sigCol, sigBits)
+    val batchChunks = sigChunks(batchSigs, sigCol, sigBits)
     val cross = baseChunks.as("x")
       .join(batchChunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&

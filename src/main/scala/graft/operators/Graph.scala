@@ -118,10 +118,20 @@ object Graph {
       seeds: DataFrame,
       iterations: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val nSeeds = seeds.count()
-    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    // defensive seed hygiene (review r18, matching kHopReach/ssspRounds):
+    // a duplicate seed row would BOTH inflate |S| (shrinking every
+    // seed's share) and fan out the nodes left-join, duplicating that
+    // node's rank row through every round; a seed absent from `nodes`
+    // would be counted in |S| while its teleport mass silently
+    // vanishes. Restrict to in-graph distinct seeds before counting.
+    val seedSet = seeds.select(col("node")).distinct()
+      .join(nodes.select(col("node")), Seq("node"), "left_semi")
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0,
+      "personalizedPageRank needs a non-empty seed set present in nodes")
     val seeded = nodes
-      .join(seeds.select(col("node"), lit(true).as("__seed")), Seq("node"), "left")
+      .join(seedSet.select(col("node"), lit(true).as("__seed")),
+        Seq("node"), "left")
       .select(col("node"),
         when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("__r0"),
         when(col("__seed"), lit((15L * scale) / (100L * nSeeds)))

@@ -39,7 +39,11 @@ object Multimodal {
     * frames per payload, one output row per sampled frame index (stride
     * `stride`). The explode is the real plumbing; a video pipeline swaps
     * the count derivation for container metadata. */
-  def frameSample(media: DataFrame, bytesPerFrame: Int, stride: Int): DataFrame =
+  def frameSample(media: DataFrame, bytesPerFrame: Int, stride: Int): DataFrame = {
+    // argument checks at call time, not a cryptic "sequence step must
+    // not be zero" mid-job (review r18; videoSignature guards the same)
+    require(bytesPerFrame >= 1, s"bytesPerFrame must be >= 1, got $bytesPerFrame")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media
       .withColumn("frame_count",
         floor(col("meta.byte_len") / lit(bytesPerFrame)).cast(IntegerType))
@@ -47,6 +51,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_count"),
         explode(sequence(lit(0), col("frame_count") - 1, lit(stride)))
           .as("frame_idx"))
+  }
 
   /** Deterministic "resize": normalize every payload to exactly
     * `targetBytes` (truncate or zero-pad) and update the metadata to
@@ -242,43 +247,57 @@ object Multimodal {
     * 8-bit PCM encodings the JDK parses natively — all-integer sample
     * math, so identical features on every JVM. Non-decodable bytes fail
     * loudly, like [[ImageIoCodec]]. */
+  /** Shared PCM decode: WAV/AIFF/AU payload bytes → first-channel
+    * amplitude per frame (0..32767; 8-bit unsigned PCM recentered and
+    * ×256 onto the same scale). ONE definition for [[WavCodec]]'s
+    * histogram features and [[audioSignature]] — the two previously
+    * carried verbatim copies of the container open, PCM checks, and
+    * endian-aware amplitude math, and had already drifted cosmetically
+    * (review r18); the next amplitude fix would have landed in one
+    * copy only, silently desynchronizing codec features from
+    * signatures. `who` labels error messages with the caller. */
+  private def pcmAmplitudes(bytes: Array[Byte], who: String): Array[Int] = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"$who: payload (${bytes.length} bytes) is not a " +
+            "decodable audio container", e)
+    }
+    val fmt = in.getFormat
+    val bits = fmt.getSampleSizeInBits
+    require(bits == 16 || bits == 8,
+      s"$who: only 8/16-bit PCM supported, got $bits-bit ${fmt.getEncoding}")
+    val frameSize = fmt.getFrameSize
+    val data = in.readAllBytes()
+    require(frameSize > 0 && data.length % frameSize == 0,
+      s"$who: truncated frame (len ${data.length}, frame $frameSize)")
+    val n = data.length / frameSize
+    val amps = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      val off = f * frameSize
+      amps(f) =
+        if (bits == 16) {
+          val sample = if (fmt.isBigEndian)
+            (data(off) << 8) | (data(off + 1) & 0xFF)
+          else (data(off + 1) << 8) | (data(off) & 0xFF)
+          math.min(math.abs(sample), 32767)
+        } else math.abs((data(off) & 0xFF) - 128) * 256
+      f += 1
+    }
+    amps
+  }
+
   object WavCodec extends MediaCodec {
     override def features(bytes: Array[Byte]): Array[Double] = {
-      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          throw new IllegalArgumentException(
-            s"WavCodec: payload (${bytes.length} bytes) is not a " +
-              "decodable audio container", e)
-      }
-      val fmt = in.getFormat
-      val bits = fmt.getSampleSizeInBits
-      require(bits == 16 || bits == 8,
-        s"WavCodec: only 8/16-bit PCM supported, got $bits-bit " +
-          s"${fmt.getEncoding}")
-      val frameSize = fmt.getFrameSize
-      val data = in.readAllBytes()
-      require(frameSize > 0 && data.length % frameSize == 0,
-        s"WavCodec: truncated frame (len ${data.length}, frame $frameSize)")
-      val n = data.length / frameSize
+      val amps = pcmAmplitudes(bytes, "WavCodec")
+      val n = amps.length
       val hist = new Array[Double](16)
       var f = 0
       while (f < n) {
-        val off = f * frameSize
-        // first channel; amplitude normalized to 0..32768
-        val amp =
-          if (bits == 16) {
-            val lo = data(off) & 0xFF
-            val hi = data(off + 1)
-            val s = if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF))
-                    else ((hi << 8) | lo)
-            math.min(math.abs(s), 32767)
-          } else {
-            // 8-bit WAV PCM is unsigned, centered at 128
-            math.abs(((data(off) & 0xFF) - 128)) * 256
-          }
-        hist(math.min(15, amp * 16 / 32768)) += 1.0
+        hist(math.min(15, amps(f) * 16 / 32768)) += 1.0
         f += 1
       }
       if (n > 0) { var b = 0; while (b < 16) { hist(b) /= n.toDouble; b += 1 } }
@@ -554,25 +573,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          catch {
-            case e: javax.sound.sampled.UnsupportedAudioFileException =>
-              throw new IllegalArgumentException(
-                s"audioSignature: payload (${bytes.length} bytes) is not " +
-                  "a decodable audio container", e)
-          }
-          val fmt = in.getFormat
-          val bits = fmt.getSampleSizeInBits
-          require(bits == 16 || bits == 8,
-            s"audioSignature: only 8/16-bit PCM supported, got $bits-bit " +
-              s"${fmt.getEncoding}")
-          val frameSize = fmt.getFrameSize
-          val data = in.readAllBytes()
-          require(frameSize > 0 && data.length % frameSize == 0,
-            s"audioSignature: truncated frame (len ${data.length}, " +
-              s"frame $frameSize)")
-          val n = data.length / frameSize
+          val amps = pcmAmplitudes(bytes, "audioSignature")
+          val n = amps.length
           require(n % segments == 0,
             s"audioSignature: $n frames do not divide into the " +
               s"$segments-segment grid")
@@ -580,15 +582,7 @@ object Multimodal {
           val means = new Array[Long](segments)
           var f = 0
           while (f < n) {
-            val off = f * frameSize
-            val amp =
-              if (bits == 16) {
-                val s = if (fmt.isBigEndian)
-                  (data(off) << 8) | (data(off + 1) & 0xFF)
-                else (data(off + 1) << 8) | (data(off) & 0xFF)
-                math.min(math.abs(s), 32767)
-              } else math.abs(((data(off) & 0xFF) - 128)) * 256
-            means(f / per) += amp
+            means(f / per) += amps(f)
             f += 1
           }
           var sig = 0L

@@ -311,7 +311,7 @@ object MultimodalOps {
           variant(8, 0).unionByName(variant(16, 1)))
         // the banded join is a self-join: cache the tiny signature
         // table so the codec decode runs ONCE, not once per join side
-        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3)
+        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")
@@ -375,7 +375,7 @@ object MultimodalOps {
           .imageSignature(s, variants(docs.filter(!keep)))
         graft.operators.Dedup
           .incrementalHammingPairs(baseSigs.cache(), batchSigs.cache(),
-            "sig", 3)
+            "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")
@@ -434,7 +434,7 @@ object MultimodalOps {
         val batchSigs = Multimodal.videoSignature(s, corpus.filter(!keep))
         graft.operators.Dedup
           .incrementalHammingPairs(baseSigs.cache(), batchSigs.cache(),
-            "sig", 3)
+            "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")
@@ -502,7 +502,7 @@ object MultimodalOps {
           variant(32, 0).unionByName(variant(64, 1)))
         // the banded join is a self-join: cache the tiny signature
         // table so the codec decode runs ONCE, not once per join side
-        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3)
+        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")
@@ -559,7 +559,7 @@ object MultimodalOps {
         val batchSigs = Multimodal.audioSignature(s, corpus.filter(!keep))
         graft.operators.Dedup
           .incrementalHammingPairs(baseSigs.cache(), batchSigs.cache(),
-            "sig", 3)
+            "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")
@@ -613,7 +613,7 @@ object MultimodalOps {
         val sigs = Multimodal.videoSignature(s, videoVariantCorpus(s, dir))
         // the banded join is a self-join: cache the tiny signature
         // table so the codec decode runs ONCE, not once per join side
-        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3)
+        graft.operators.Dedup.hammingPairsFromSigs(sigs.cache(), "sig", 3, sigBits = 56)
           .select(col("doc_a").as("vid_a"), col("doc_b").as("vid_b"),
             col("hamming").cast("int").as("hamming"))
           .orderBy("vid_a", "vid_b")

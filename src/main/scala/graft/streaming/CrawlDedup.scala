@@ -396,14 +396,22 @@ object CrawlDedup {
   private def foldPerceptual(spark: SparkSession, stateDir: String,
                              sigSub: String, labelSub: String,
                              sigsDf: DataFrame, maxHamming: Int,
-                             batchId: Long, keepVersions: Int): Unit = {
+                             batchId: Long, keepVersions: Int,
+                             // all three perceptual families pack 56
+                             // significant bits (7×8 dHash grid / 56
+                             // audio segment deltas) — chunking must
+                             // block on those bits, not a constant
+                             // high chunk (review r18)
+                             sigBits: Int = 56): Unit = {
     val batchSigs = sigsDf
       .localCheckpoint(true) // feeds probe, label fold, state append
     val pairs = priorBatches(spark, s"$stateDir/$sigSub", batchId) match {
       case None =>
-        Dedup.hammingPairsFromSigs(batchSigs, "sig", maxHamming)
+        Dedup.hammingPairsFromSigs(batchSigs, "sig", maxHamming,
+          sigBits = sigBits)
       case Some(ps) =>
-        Dedup.incrementalHammingPairs(ps, batchSigs, "sig", maxHamming)
+        Dedup.incrementalHammingPairs(ps, batchSigs, "sig", maxHamming,
+          sigBits = sigBits)
     }
     val labels = StreamingIvm.readState(spark, s"$stateDir/$labelSub",
         Some(batchId)) match {
