@@ -92,6 +92,12 @@ object Xlsx {
     val rowsOut = Seq.newBuilder[Map[Int, String]]
     var row: mutable.Map[Int, String] = null
     var cellCol = -1
+    // the last cell's column within the current row: OOXML says a cell
+    // without an r= reference sits one column after its predecessor.
+    // Positioning by row.size instead would shift a later r-less cell
+    // LEFT whenever an earlier cell had an empty value (empty cells are
+    // never added to `row`) — silently mis-columned data (review r18).
+    var lastCol = -1
     var cellType = ""
     val text = new StringBuilder
     var capture = false
@@ -99,10 +105,11 @@ object Xlsx {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = mutable.Map.empty
+            case "row" => row = mutable.Map.empty; lastCol = -1
             case "c" =>
               cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex)
-                .getOrElse(if (row == null) -1 else row.size)
+                .getOrElse(if (row == null) -1 else lastCol + 1)
+              if (row != null) lastCol = cellCol
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
               text.clear()
             case "v" | "t" => capture = true; // inline `<is><t>` and `<v>` both land in `text`

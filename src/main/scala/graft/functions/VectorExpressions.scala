@@ -27,6 +27,13 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even over non-nullable inputs: a NULL ELEMENT inside the
+  // array null-propagates to a NULL result (review r18 — getFloat on a
+  // null slot silently reads 0.0, a plausible-but-wrong similarity,
+  // while DuckDB's list_dot_product returns NULL for the same row; the
+  // documented bit-identical parity requires the NULL)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true
@@ -56,7 +63,11 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"vec_dot: length mismatch $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null-propagate
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     java.lang.Double.valueOf(s)
   }
 
@@ -73,9 +84,10 @@ case class FloatVecDot(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -98,6 +110,9 @@ case class FloatVecNorm2(child: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null elements null-propagate, matching [[FloatVecDot]]
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>
@@ -114,7 +129,10 @@ case class FloatVecNorm2(child: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null // null-propagate
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
     java.lang.Double.valueOf(s)
   }
 
@@ -128,10 +146,11 @@ case class FloatVecNorm2(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

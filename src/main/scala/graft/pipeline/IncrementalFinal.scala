@@ -33,17 +33,13 @@ object IncrementalFinal {
     val byDay = aggregateBatch(batchActivities)
     val joined = JoinPipeline.employeeProjection(employees)
       .join(byDay, Seq("id_employee"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      joined.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("activity_date")
-        .parquet(finalPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITER dynamic mode — a session-conf flip would race
+    // concurrent writes in a shared session (review r18)
+    joined.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("activity_date")
+      .parquet(finalPath)
   }
 
   /** Keyed MERGE into the persisted `final` table: update-or-insert the
@@ -113,17 +109,12 @@ object IncrementalFinal {
       kept.unionByName(changeset.select(existing.columns.toIndexedSeq.map(col): _*))
         .localCheckpoint(true)
     }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("activity_date")
-        .parquet(finalPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITER dynamic mode (same rationale as upsertBatch)
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("activity_date")
+      .parquet(finalPath)
   }
 
   /** Null-safe keyed merge of a state relation with a delta rollup —

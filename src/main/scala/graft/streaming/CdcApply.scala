@@ -121,15 +121,14 @@ object CdcApply {
     }
     // materialize before overwriting the bucket files we just read
     val out = next.withColumn("__graft_bucket", bucket).localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("__graft_bucket").parquet(statePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITER dynamic mode, not the session conf: mutating the
+    // session global around the write races any concurrent write in a
+    // shared session — an unrelated full-table overwrite issued while
+    // this merge holds the conf at "dynamic" silently becomes a
+    // partial overwrite (review r18)
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__graft_bucket").parquet(statePath)
     // dynamic overwrite only replaces partitions PRESENT in the output:
     // a bucket whose every key was deleted this batch produces no rows,
     // so its stale directory must be dropped explicitly or the deleted

@@ -193,29 +193,13 @@ object CrawlDedup {
     }
   }
 
-  /** Versioned-fold state write: overwrite `dir/v=<batchId>`, verify the
-    * commit marker, prune to the newest `keepVersions` committed
-    * versions (the predecessor always survives — re-delivery folds from
-    * it). */
+  /** Versioned-fold state write — delegates to the ONE shared commit
+    * protocol ([[StreamingIvm.commitVersion]]; review r18 retired this
+    * file's inline copy). */
   private def writeVersioned(spark: SparkSession, dir: String,
                              df: DataFrame, batchId: Long,
-                             keepVersions: Int): Unit = {
-    df.localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$batchId")
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new Path(s"$dir/v=$batchId/_SUCCESS")),
-      s"CrawlDedup: state write $dir/v=$batchId produced no _SUCCESS " +
-        "marker — the versioned-fold protocol cannot see commits " +
-        "without markers")
-    val keep = StreamingIvm.versions(spark, dir)
-      .takeRight(keepVersions).toSet
-    fs.listStatus(new Path(dir)).toSeq
-      .filter { st =>
-        numSuffix(st.getPath.getName, "v=")
-          .exists(v => !keep(v) && v < batchId)
-      }
-      .foreach(st => fs.delete(st.getPath, true))
-  }
+                             keepVersions: Int): Unit =
+    StreamingIvm.commitVersion(spark, dir, df, batchId, keepVersions)
 
   /** The foreachBatch body — public so tests can drive re-delivery
     * explicitly. Folds one batch of `(doc_id, text[, embedding])`
@@ -243,16 +227,31 @@ object CrawlDedup {
       Seq("docs", "bands", "subwins", "semassigned", "imgsigs", "vidsigs",
           "audsigs")
         .foreach(d => compactAppendOnly(spark, s"$stateDir/$d", batchId))
+    val priorDocs = priorBatches(spark, s"$stateDir/docs", batchId)
+    // FIRST CRAWL WINS (review r18): doc_id is the crawl-unique key of
+    // the append-only layout — a re-crawled id arriving in a LATER
+    // batch would otherwise accumulate a second docs/subwins row for
+    // the same id, so survivorDocs would emit duplicate payloads into
+    // the "deduplicated" corpus and windowStats would double-count the
+    // doc's fingerprints, fabricating duplicated-substring spans from a
+    // mere re-crawl. Re-crawled ids are dropped on arrival; content
+    // UPDATES are a CDC concern (CdcApply's keyed upsert), not this
+    // append-only loop. Whole-batch re-DELIVERY is unaffected: the
+    // probe reads batches < batchId, so a re-delivered batch never
+    // sees its own rows. Cost: one id anti-join per trigger against
+    // the accumulated (compaction-bounded) doc partitions — the same
+    // class as the label-state probe the fold already pays.
+    val freshDf = priorDocs.fold(batchDf)(pd =>
+      batchDf.join(pd.select("doc_id"), Seq("doc_id"), "left_anti"))
     // materialize the batch once: it feeds the sketch, the verification
     // re-shingle, the label fold, AND the state append
-    val batch = batchDf.select(col("doc_id"), col("text"))
+    val batch = freshDf.select(col("doc_id"), col("text"))
       .localCheckpoint(true)
     // sketch ONCE: signatures feed the band rows (state append + probe)
     // and the first-batch intra pairing
     val sigs = Dedup.minhashSignatureArray(batch, n, bands * rows)
       .localCheckpoint(true)
     val batchBands = Dedup.lshBuckets(sigs, bands, rows)
-    val priorDocs = priorBatches(spark, s"$stateDir/docs", batchId)
     val (pairs, releasePairs) = priorDocs match {
       case None =>
         // first batch: intra-batch LSH pairs only
@@ -330,7 +329,7 @@ object CrawlDedup {
     // (a smaller-id arrival evicts a base survivor, ≡ recompute).
     // Data partition first, versioned survivor state last (commit mark).
     semantic.foreach { se =>
-      val batchEmb = batchDf.select(col("doc_id").as("vec_id"),
+      val batchEmb = freshDf.select(col("doc_id").as("vec_id"),
           col(se.embCol).cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)).as("embedding"))
         .localCheckpoint(true)
@@ -359,7 +358,7 @@ object CrawlDedup {
     image.foreach { st =>
       foldPerceptual(spark, stateDir, "imgsigs", "imglabels",
         graft.operators.Multimodal.imageSignature(spark,
-          batchDf.select(col("doc_id"),
+          freshDf.select(col("doc_id"),
             col(st.payloadCol).as("payload"))),
         st.maxHamming, batchId, keepVersions)
     }
@@ -370,7 +369,7 @@ object CrawlDedup {
     video.foreach { st =>
       foldPerceptual(spark, stateDir, "vidsigs", "vidlabels",
         graft.operators.Multimodal.videoSignature(spark,
-          batchDf.select(col("doc_id"),
+          freshDf.select(col("doc_id"),
             col(st.payloadCol).as("payload")),
           stride = st.stride),
         st.maxHamming, batchId, keepVersions)
@@ -381,7 +380,7 @@ object CrawlDedup {
     audio.foreach { st =>
       foldPerceptual(spark, stateDir, "audsigs", "audlabels",
         graft.operators.Multimodal.audioSignature(spark,
-          batchDf.select(col("doc_id"),
+          freshDf.select(col("doc_id"),
             col(st.payloadCol).as("payload"))),
         st.maxHamming, batchId, keepVersions)
     }

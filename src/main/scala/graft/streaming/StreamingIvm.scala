@@ -105,20 +105,36 @@ object StreamingIvm {
                     org.apache.spark.sql.types.LongType)))
               else Nil))))
     }
-    // state-shape guard: folding with a NARROWER config than the state
-    // was built with would commit a version that silently drops the
-    // maintained min/max/kmv columns — the state could then no longer
-    // be repaired incrementally (review r18). Widening (state lacks a
-    // column the config maintains) is fine: the arms left-join state
-    // and treat the missing side as empty.
-    require(extremes || !base.columns.contains("min_micro"),
-      s"StreamingIvm: state under $stateDir carries extremes " +
-        "(min_micro/max_micro) but this fold runs with extremes=false " +
-        "— the commit would drop them; pass extremes=true")
-    require(distinctCol.isDefined || !base.columns.contains("kmv_distinct"),
-      s"StreamingIvm: state under $stateDir carries a distinct sketch " +
-        "(kmv_distinct) but this fold runs with distinctCol=None — the " +
-        "commit would drop it; pass the sketched column")
+    // state-shape guard, BOTH directions (review r18): folding with a
+    // NARROWER config than the state was built with would commit a
+    // version that silently drops the maintained min/max/kmv columns —
+    // the state could then no longer be repaired incrementally. And a
+    // WIDER config against narrower state is semantically unsound, not
+    // just unresolvable: pre-existing keys' historical values were
+    // never tracked, so a mid-stream extremes/sketch column could only
+    // claim batch-local extremes as corpus extremes — served as exact.
+    // Turning the columns on requires a rebuild from the corpus (the
+    // refreshSummary path), so an existing mismatched state fails
+    // loudly here in either direction.
+    // (an EMPTY state synthesizes its schema from this fold's config,
+    // so the first fold always passes both checks)
+    def shapeGuard(configured: Boolean, col0: String, what: String,
+                   enable: String): Unit = {
+      require(configured || !base.columns.contains(col0),
+        s"StreamingIvm: state under $stateDir carries $what but this " +
+          s"fold runs without it — the commit would drop the column(s); " +
+          enable)
+      require(!configured || base.columns.contains(col0),
+        s"StreamingIvm: fold configured with $what but the state under " +
+          s"$stateDir was built without it — pre-existing keys' history " +
+          "was never tracked, so folding forward would serve batch-local " +
+          "values as corpus-wide; rebuild the state (refreshSummary " +
+          "path) to turn the column on")
+    }
+    shapeGuard(extremes, "min_micro", "extremes (min_micro/max_micro)",
+      "pass extremes=true")
+    shapeGuard(distinctCol.isDefined, "kmv_distinct",
+      "a distinct sketch (kmv_distinct)", "pass the sketched column")
     val folded0 = IncrementalFinal.maintainAggregate(base, batch, keyCols)
     val folded =
       if (!extremes) folded0
@@ -207,17 +223,28 @@ object StreamingIvm {
                   coalesce(kmv_distinct, $empty),
                   coalesce(_d_sk, $empty))))""")).as("kmv_distinct")): _*)
     }
-    folded2
-      // materialize BEFORE writing: the fold's lineage reads the
-      // predecessor version, never the directory being overwritten,
-      // but localCheckpoint also decouples from the streaming batch
-      .localCheckpoint(true)
+    commitVersion(spark, stateDir, folded2, batchId, keepVersions)
+  }
+
+  /** ONE definition of the versioned-commit protocol, shared by
+    * [[applyBatch]] and [[CrawlDedup]]'s versioned folds (review r18 —
+    * the two inline copies had already drifted in prose and a protocol
+    * fix would have landed in one): localCheckpoint (the fold's
+    * lineage reads the predecessor version, never the directory being
+    * overwritten, and the checkpoint also decouples from the streaming
+    * batch) → overwrite `stateDir/v=<batchId>` → verify the _SUCCESS
+    * commit marker (versions() treats the marker as the commit record;
+    * a committer configured with marksuccessfuljobs=false would make
+    * every committed version INVISIBLE and silently re-fold from empty
+    * state — fail loudly instead, ADVICE r12) → prune to the newest
+    * `keepVersions` COMMITTED versions (the just-written version's
+    * predecessor always survives — re-delivery folds from it), also
+    * sweeping marker-less half-written leftovers older than the
+    * survivors. */
+  def commitVersion(spark: SparkSession, stateDir: String, df: DataFrame,
+                    batchId: Long, keepVersions: Int): Unit = {
+    df.localCheckpoint(true)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$batchId")
-    // versions() treats the _SUCCESS marker as the commit record; a
-    // Hadoop conf with mapreduce.fileoutputcommitter.marksuccessfuljobs
-    // =false writes no marker, which would make every committed version
-    // INVISIBLE and silently re-fold from empty state — fail loudly
-    // here instead (ADVICE r12)
     val fsv = new Path(s"$stateDir/v=$batchId")
     val fs0 = fsv.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs0.exists(new Path(fsv, "_SUCCESS")),
@@ -225,10 +252,6 @@ object StreamingIvm {
         "marker — the committer is configured with " +
         "marksuccessfuljobs=false; the versioned-fold protocol " +
         "cannot see commits without markers")
-    // prune AFTER the successful write: keep the newest keepVersions
-    // committed versions (the just-written v=batchId and at least its
-    // predecessor); also sweep marker-less half-written leftovers
-    // older than the survivors
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val keep = versions(spark, stateDir).takeRight(keepVersions).toSet

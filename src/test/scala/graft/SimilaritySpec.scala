@@ -277,6 +277,24 @@ class SimilaritySpec extends SparkSuite {
     assert(root(e).getMessage.contains("length mismatch"))
   }
 
+  test("vec_dot null-propagates a NULL array element (review r18): " +
+       "DuckDB's list_dot_product parity, never a silent 0.0 read") {
+    val withNull = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+    val rows = withNull
+      .select($"id", VectorFunctions.vecDot($"a", $"b").as("d"),
+        VectorFunctions.vecNorm2($"a").as("n2"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "dot over a null element must be NULL")
+    assert(rows(0).isNullAt(2), "norm2 over a null element must be NULL")
+    assert(rows(1).getDouble(1) === 14.0)
+    assert(rows(1).getDouble(2) === 14.0)
+  }
+
   test("randomProject: column pipeline ≡ driver-side sign matrix, exact and map-side") {
     val t = Seq(
       (1L, Array(1.0f, 2.0f)),

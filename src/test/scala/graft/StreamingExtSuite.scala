@@ -1125,6 +1125,31 @@ class StreamingExtSuite extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelExpect)
   }
 
+  test("crawl re-crawl: a doc_id arriving again in a LATER batch is " +
+       "dropped (first crawl wins) — survivorDocs stays duplicate-free " +
+       "and window stats single-count (review r18)") {
+    import graft.streaming.CrawlDedup
+    val state = tmpDir("crawlre-state")
+    val d1 = (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    val d2 = (2L, "one two three four five six seven eight")
+    CrawlDedup.applyBatch(spark, state, 3, 0.5,
+      substr = Some(CrawlDedup.SubstrStage(4)))(
+      Seq(d1).toDF("doc_id", "text"), 0L)
+    // batch 1 re-crawls doc 1 (same id, same content) beside new doc 2
+    CrawlDedup.applyBatch(spark, state, 3, 0.5,
+      substr = Some(CrawlDedup.SubstrStage(4)))(
+      Seq(d1, d2).toDF("doc_id", "text"), 1L)
+    // the "deduplicated corpus" must hold ONE payload row per survivor
+    // — before the fix the append-only docs partitions accumulated both
+    // crawls and the semi-join kept them both
+    val sd = CrawlDedup.survivorDocs(spark, state).collect()
+    assert(sd.length === 2, sd.mkString(", "))
+    assert(sd.map(_.getLong(0)).toSet === Set(1L, 2L))
+    // and the re-crawl fabricated no duplicated-substring spans: doc 1's
+    // windows were counted once, so nothing in this corpus is duplicated
+    assert(CrawlDedup.duplicateSpans(spark, state, 4).collect().isEmpty)
+  }
+
   test("crawl compaction: closed batch partitions fold into compact=<b>; readers are bit-identical across a compaction; re-delivery across it is idempotent; subdir count stays bounded over 3x the interval") {
     import graft.operators.{Dedup, SemanticDedup}
     import graft.streaming.{CrawlDedup, StreamingIvm}
