@@ -181,7 +181,11 @@ object ProductQuantizer {
                   embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("q_emb"))
-    val withQ = broadcast(cands.select("query_id", "neighbor_id")
+    // dedup the shortlist first (review r18): the contract accepts
+    // candidates from ANY source — a union of probe shortlists can
+    // repeat a pair, and a duplicate would both emit twice and consume
+    // a genuine top-k slot through row_number
+    val withQ = broadcast(cands.select("query_id", "neighbor_id").distinct()
       .join(q, "query_id"))
     val exact = emb
       .select(col(idCol).as("neighbor_id"), col(embCol).as("n_emb"))

@@ -22,15 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Quantizer {
 
-  /** (embeddings + `cell` column, k centroid arrays). */
+  /** (embeddings + `cell` column, k centroid arrays).
+    *
+    * DISTANCE-MEASURE CONTRACT (review r18): assignment here uses
+    * `distanceMeasure` (KMeans' default "euclidean"), while
+    * [[SemanticDedup.assignCells]] assigns by COSINE argmax — for
+    * un-normalized embeddings the two argmins disagree, so a corpus
+    * assigned HERE must not be mixed with batches assigned THERE
+    * against the same centroids (a near-duplicate pair split across
+    * cells is silently never compared). When feeding these centroids
+    * to the SemanticDedup incremental path, either pass
+    * distanceMeasure = "cosine" so both sides rank identically, or
+    * re-assign the base with assignCells; on L2-normalized embeddings
+    * the orders coincide and either works. The in-repo multi-probe
+    * serve path ([[Similarity.knnIvfMultiProbe]]) is
+    * Euclidean-consistent with the default. */
   def trainAndAssign(emb: DataFrame, k: Int, seed: Long = 42L,
-                     sampleFraction: Double = 1.0): (DataFrame, Array[Array[Float]]) = {
+                     sampleFraction: Double = 1.0,
+                     distanceMeasure: String = "euclidean")
+  : (DataFrame, Array[Array[Float]]) = {
     val featurized = emb.withColumn("features", array_to_vector(col("embedding")))
     val trainSet =
       if (sampleFraction >= 1.0) featurized
       else featurized.sample(withReplacement = false, sampleFraction, seed)
     val model = new KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .setDistanceMeasure(distanceMeasure)
       .fit(trainSet)
     val assigned = model.transform(featurized).drop("features")
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))

@@ -38,7 +38,12 @@ object SemanticDedup {
 
   /** Assign every vector its nearest centroid by cosine: (input columns…,
     * cell). Map-side only — centroids ship as literals, like an IVF
-    * coarse quantizer's codebook. Ties break toward the lowest cell id. */
+    * coarse quantizer's codebook. Ties break toward the lowest cell id. — NOTE the distance-measure contract: this argmax is COSINE;
+    * centroids trained and base-assigned by [[Quantizer.trainAndAssign]]
+    * with its default EUCLIDEAN measure must not be mixed with
+    * assignments from here on un-normalized embeddings (review r18 —
+    * pass distanceMeasure = "cosine" there, or assign both sides here).
+    */
   def assignCells(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val scored = centroids.zipWithIndex.map { case (c, i) =>

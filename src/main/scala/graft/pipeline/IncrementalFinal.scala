@@ -144,6 +144,20 @@ object IncrementalFinal {
         others.map(col): _*)
   }
 
+  /** Null-safe LEFT-SEMI / LEFT-ANTI by key — the probe shape of the
+    * dirty-key rescans and tombstone suppression. Same rationale as
+    * [[keyMergeNullSafe]]: a NULL grain key must meet (or suppress)
+    * its own row (review r18). Output = `left`'s columns unchanged. */
+  private[graft] def keySemiNullSafe(left: DataFrame, right: DataFrame,
+                                     keyCols: Seq[String],
+                                     anti: Boolean = false): DataFrame = {
+    val l = left.alias("__ivm_sl")
+    val r = right.alias("__ivm_sr")
+    val cond = keyCols.map(k =>
+      col(s"__ivm_sl.$k") <=> col(s"__ivm_sr.$k")).reduce(_ && _)
+    l.join(r, cond, if (anti) "left_anti" else "left_semi")
+  }
+
 
   /** Incremental VIEW maintenance for self-maintainable aggregates
     * (count + sum): fold a signed changelog into an existing per-key
@@ -263,6 +277,21 @@ object IncrementalFinal {
         nextPath else summaryPath
     }
     val prev = reg.mv()
+    // single-value-column guard (review r18): this refresh maintains
+    // exactly ONE (cnt, nn, sum) triple — a registration carrying
+    // MORE sum/nn columns would lose every other column from the
+    // persisted chain while the registration still advertises them:
+    // those dashboards would silently degrade to permanent base scans
+    // after the first refresh with no way to recover the column. Fail
+    // loudly instead; multi-column summaries refresh by rebuild (or
+    // one refresh per column over a delta carrying that column).
+    require(reg.sums.values.toSet.subsetOf(Set(sumCol)) &&
+      reg.nns.values.toSet.subsetOf(Set(nnCol)),
+      s"refreshSummary: registration for $basePath carries sum/nn " +
+        s"columns ${reg.sums.values ++ reg.nns.values} beyond this " +
+        s"refresh's ($sumCol, $nnCol) — the fold would drop them from " +
+        "the persisted summary while the registration still advertises " +
+        "them; rebuild the summary or refresh per column")
     val folded = maintainAggregate(prev, delta, keyCols,
       cntCol, sumCol, nnCol, signCol, valueCol)
     // Extremes stay maintained through retractions via the dirty-key
@@ -294,8 +323,8 @@ object IncrementalFinal {
             mm.select((keyCols.map(col) :+ col("_mm_min") :+
               col("_mm_max")): _*)
           else {
-            val rescan = spark.read.parquet(basePath)
-              .join(dirtyKeys, keyCols, "left_semi")
+            val rescan = keySemiNullSafe(
+                spark.read.parquet(basePath), dirtyKeys, keyCols)
               .groupBy(keyCols.map(col): _*)
               .agg(min(col(valueCol)).as("_mm_min"),
                 max(col(valueCol)).as("_mm_max"))
@@ -304,7 +333,7 @@ object IncrementalFinal {
                 col("_mm_max")): _*)
               .unionByName(rescan)
           }
-        folded.join(mmResolved, keyCols, "left")
+        keyMergeNullSafe(folded, mmResolved, keyCols, "left")
           .select((folded.columns.toIndexedSeq.map(col) :+
             col("_mm_min").as(minColOpt.get) :+
             col("_mm_max").as(maxColOpt.get)): _*)
@@ -336,8 +365,8 @@ object IncrementalFinal {
             m.select((keyCols.map(col) :+ col("__dx_sk")): _*)
           else {
             val rescan = graft.functions.Kmv.withHash(
-                spark.read.parquet(basePath)
-                  .join(dirtyKeys, keyCols, "left_semi")
+                keySemiNullSafe(spark.read.parquet(basePath), dirtyKeys,
+                    keyCols)
                   .filter(col(bCol).isNotNull), bCol, "__h")
               .groupBy(keyCols.map(col): _*)
               .agg(expr("array_sort(collect_set(__h))").as("__dx_sk"))
@@ -349,7 +378,7 @@ object IncrementalFinal {
               .select((keyCols.map(col) :+ col("__dx_sk")): _*)
               .unionByName(rescan)
           }
-        acc.join(resolved, keyCols, "left")
+        keyMergeNullSafe(acc, resolved, keyCols, "left")
           .select((acc.columns.toIndexedSeq.map(col) :+
             col("__dx_sk").as(skCol)): _*)
       }
@@ -605,22 +634,34 @@ object IncrementalFinal {
                    dA: DataFrame, dB: DataFrame, key: Seq[String],
                    signCol: String = "sign"): DataFrame = {
     val outCols = view.columns.toSeq
+    view.withColumn("_m", lit(1))
+      .unionByName(innerJoinDelta(aOld, bOld, dA, dB, key, signCol,
+        outCols))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(col("_m")).as("_net"))
+      .filter(col("_net") > 0)
+      .drop("_net")
+  }
+
+  /** The signed INNER-join view delta (`outCols` :+ `_m`): the three
+    * classic delta-rule terms, shared by [[maintainJoin]] (whole-view
+    * reduction) and [[maintainJoinBucketed]] (keyed merge) exactly as
+    * [[leftJoinDelta]] is shared by the left-outer pair — one
+    * definition, so a delta-rule fix can never land in one
+    * materialization and not the other (review r18). */
+  private def innerJoinDelta(aOld: DataFrame, bOld: DataFrame,
+                             dA: DataFrame, dB: DataFrame,
+                             key: Seq[String], signCol: String,
+                             outCols: Seq[String]): DataFrame = {
     def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
       l.join(r, key).withColumn("_m", s)
         .select(outCols.map(col) :+ col("_m"): _*)
     val sA = col(signCol)
     val sB = col(s"${signCol}_b")
     val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
-    val delta =
-      term(dA, bOld, sA)
-        .unionByName(term(aOld, dBr, sB))
-        .unionByName(term(dA, dBr, sA * sB))
-    view.withColumn("_m", lit(1))
-      .unionByName(delta)
-      .groupBy(outCols.map(col): _*)
-      .agg(sum(col("_m")).as("_net"))
-      .filter(col("_net") > 0)
-      .drop("_net")
+    term(dA, bOld, sA)
+      .unionByName(term(aOld, dBr, sB))
+      .unionByName(term(dA, dBr, sA * sB))
   }
 
   /** Seed the PERSISTED view state [[maintainJoinBucketed]] maintains:
@@ -659,15 +700,7 @@ object IncrementalFinal {
                            signCol: String = "sign"): Unit = {
     val aCols = aOld.columns.toSeq
     val outCols = aCols ++ bOld.columns.toSeq.filterNot(key.contains)
-    def term(l: DataFrame, r: DataFrame, s: org.apache.spark.sql.Column) =
-      l.join(r, key).withColumn("_m", s)
-        .select(outCols.map(col) :+ col("_m"): _*)
-    val sA = col(signCol)
-    val sB = col(s"${signCol}_b")
-    val dBr = dB.withColumnRenamed(signCol, s"${signCol}_b")
-    val net = term(dA, bOld, sA)
-      .unionByName(term(aOld, dBr, sB))
-      .unionByName(term(dA, dBr, sA * sB))
+    val net = innerJoinDelta(aOld, bOld, dA, dB, key, signCol, outCols)
       .groupBy(outCols.map(col): _*)
       .agg(sum(col("_m")).as("_net"))
     mergeNetDelta(net, key, statePath, batchId, nBuckets)
@@ -686,9 +719,14 @@ object IncrementalFinal {
     // it this batch — a negative tuple alongside an upsert is the
     // retract-old half of an update, which the upsert's argmax already
     // supersedes
-    val dead = net.filter(col("_net") < 0).select(key.map(col): _*)
-      .join(net.filter(col("_net") > 0).select(key.map(col): _*),
-        key, "left_anti")
+    // null-safe tombstone suppression (review r18): an UPDATE of a
+    // NULL-key row nets {old: −1, new: +1}; a null-unsafe anti join
+    // would emit BOTH the upsert and a tombstone at the same version
+    // and max_by's tie would make the row's survival nondeterministic
+    val dead = keySemiNullSafe(
+      net.filter(col("_net") < 0).select(key.map(col): _*),
+      net.filter(col("_net") > 0).select(key.map(col): _*),
+      key, anti = true)
     val schema = upserts.schema
     val tombstones = dead.select(upserts.columns.toIndexedSeq.map(c =>
       if (key.contains(c)) col(c)

@@ -50,6 +50,16 @@ object PrimeQueries {
     * one projection replaces the self-join — identical output, zero
     * joins, zero shuffles. This is the plan to run at scale.
     *
+    * PRECONDITION for the equivalence (review r18): ≤ 1 `final` row per
+    * id_employee. The canonical SQL's self-join fans out m×m when an
+    * employee is duplicated (each f row matches every p row of that
+    * employee), while this projection emits m rows — the reference's
+    * `final` table is employee-keyed so the condition holds there and
+    * in the gated fixture; a consumer running the fused plan over a
+    * multi-row-per-employee relation is NOT running the canonical
+    * query (and almost certainly wants this projection's semantics,
+    * not the accidental fan-out).
+    *
     * The derived columns use the same SQL text as [[canonicalSql]] so the
     * analyzed types match exactly (`0.05` is a DECIMAL(2,2) literal →
     * commute_prime/total_salary come out DECIMAL, as they do in the
