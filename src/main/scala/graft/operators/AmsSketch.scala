@@ -40,9 +40,16 @@ object AmsSketch {
   def signedSums(items: DataFrame, itemCol: String, nReps: Int): DataFrame = {
     require(nReps >= 1 && nReps <= MaxReps, s"nReps must be in [1,$MaxReps]")
     val nNibs = (nReps + 3) / 4
-    items
-      .filter(col(itemCol).isNotNull)
-      .select(md5(col(itemCol).cast(StringType)).as("h"))
+    // the 125-way replicate fan-out below is the heavy per-row stage:
+    // spread it across cores when the scan plans fewer partitions than
+    // the session has (guide §2.5 — one small file must not serialize
+    // a 125× explode on one task; a no-op at corpus scale where the
+    // scan already plans thousands of splits)
+    graft.core.Partitioning.spread(
+        items
+          .filter(col(itemCol).isNotNull)
+          .select(md5(col(itemCol).cast(StringType)).as("h")),
+        col("h"))
       // decode the digest's nibbles ONCE per row (≤ 32 substring+instr);
       // each replicate is then an array index + constant div/mod. (Both
       // alternatives benched SLOWER at sf0.1: per-replicate hex decode

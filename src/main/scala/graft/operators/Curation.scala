@@ -92,7 +92,11 @@ object Curation {
     * UDF; the token array is projected once before the slices read it
     * (HOF re-evaluation trap). */
   def chunkDocs(docs: DataFrame, words: Int): DataFrame =
-    docs
+    // tokenize + chunk assembly is a heavy map stage: spread it across
+    // cores when the doc scan plans fewer partitions than the session
+    // has (guide §2.5; no-op at corpus scale where scans split finely)
+    graft.core.Partitioning.spread(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),

@@ -178,7 +178,13 @@ object Dedup {
   def minhashSignatureArray(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sketch = udaf(new graft.functions.MinHashSketch(numHashes),
       org.apache.spark.sql.Encoders.scalaLong)
-    docs
+    // keyed spread (r18): the tokenize+shingle+hash fan-out below is the
+    // sketch's heavy map stage, and the aggregate groups by doc_id — the
+    // doc_id hash partitioning established here both parallelizes an
+    // under-split scan AND satisfies the groupBy's distribution, so the
+    // sketch aggregate runs single-phase with no second exchange
+    graft.core.Partitioning.spread(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
@@ -622,7 +628,11 @@ object Dedup {
     * one explode over positions, md5 over a bounded slice). */
   def allWindows(docs: DataFrame, l: Int): DataFrame = {
     require(l >= 2, s"window must span at least 2 tokens, got $l")
-    docs
+    // tokenize + per-window md5 is the family's heaviest map stage:
+    // spread it to all cores when the doc scan plans fewer partitions
+    // than the session has (guide §2.5; no-op at corpus scale)
+    graft.core.Partitioning.spread(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .where(size(col("w")) >= l)
       .select(col("doc_id"),
@@ -846,17 +856,79 @@ object Dedup {
     * NON-INCREASING in l — a duplicated 2l-window's sub-l-windows are
     * each duplicated too, so coverage at smaller l is a superset. A
     * report violating that is a bug, not a corpus property. */
-  def substringDupSensitivity(docs: DataFrame, ls: Seq[Int]): DataFrame = {
+  def substringDupSensitivity(docs: DataFrame, ls: Seq[Int],
+                              hotFpThreshold: Long = DefaultHotFpThreshold)
+  : DataFrame = {
     require(ls.nonEmpty && ls.distinct.size == ls.size,
       s"window lengths must be non-empty distinct, got $ls")
-    ls.map { l =>
-      maximalDuplicateSpans(docs, l)
-        .agg(count(lit(1)).as("n_spans"),
-          count_distinct(col("doc_id")).as("docs_with_dups"),
-          coalesce(sum("span_tokens"), lit(0L)).as("dup_tokens"))
-        .select(lit(l).as("l"), col("n_spans"), col("docs_with_dups"),
-          col("dup_tokens"))
-    }.reduce(_ unionByName _).orderBy("l")
+    // ONE corpus pass for ALL window lengths (r18, guide §1.2 step 1):
+    // the per-l union form tokenized and fingerprinted the corpus once
+    // PER l, and its branches ran concurrently inside one job — at
+    // sf0.1 that oversubscribed every core 4× and tripled total CPU;
+    // at corpus scale it is |ls| redundant corpus scans. Here the
+    // corpus is tokenized once, every l's windows fan out in the same
+    // map stage (same md5 family, same window set per l), and ONE
+    // (l, fp)-keyed aggregate + ONE (l, doc)-partitioned island pass
+    // serve every report row. Results are identical per l; ls values
+    // with zero duplicated windows still emit their zero row (the
+    // left join below), matching the old per-l aggregate-without-
+    // groupBy semantics and the oracle.
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val lArr = s"array(${ls.mkString(", ")})"
+    val toks = graft.core.Partitioning.spread(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= ls.min)
+    val wins = toks
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(filter($lArr, l -> size(w) >= l), l ->
+              transform(sequence(1, size(w) - l + 1),
+                p -> struct(l AS l, CAST(p AS BIGINT) AS pos,
+                            md5(concat_ws(' ', slice(w, p, l))) AS fp))))"""
+      )).as("win"))
+      .select(col("doc_id"), col("win.l").as("l"),
+        col("win.pos").as("pos"), col("win.fp").as("fp"))
+    // duplicated fps per l, with the family's hot-fp fence (the
+    // boilerplate fingerprint IS this audit's worst key too): hot fps
+    // broadcast so their occurrences join map-side, warm fps take the
+    // (l, fp) shuffle with hot keys anti-fenced.
+    val stats = wins.groupBy("l", "fp")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val hot = stats.filter(col("n_occ") >= hotFpThreshold).select("l", "fp")
+    val warm = stats.filter(col("n_occ") < hotFpThreshold).select("l", "fp")
+    val dw = wins.join(broadcast(hot), Seq("l", "fp"))
+      .unionByName(
+        wins.join(broadcast(hot), Seq("l", "fp"), "left_anti")
+          .join(warm, Seq("l", "fp")))
+      .select("l", "doc_id", "pos")
+    val byDoc = Window.partitionBy("l", "doc_id").orderBy("pos")
+    val spans = dw
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + col("l"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("l", "doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + col("l") - 1).as("span_end"))
+      .select(col("l"), col("doc_id"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    val perL = spans.groupBy("l").agg(
+      count(lit(1)).as("n_spans"),
+      count_distinct(col("doc_id")).as("docs_with_dups"),
+      coalesce(sum("span_tokens"), lit(0L)).as("dup_tokens"))
+    val lsDf = spark.createDataset(ls)(
+      org.apache.spark.sql.Encoders.scalaInt).toDF("l")
+    lsDf.join(perL, Seq("l"), "left")
+      .select(col("l"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("docs_with_dups"), lit(0L)).as("docs_with_dups"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy("l")
   }
 
   /** ExactSubstr REMOVAL — the consumer of the span report: each
@@ -961,8 +1033,21 @@ object Dedup {
     val p = ckpt(pairs.select(col("doc_a"), col("doc_b")), eager = true)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val verts = ckpt(
+      vertices.select(col(idCol).as("id")).distinct(), eager = true)
+    // propagate over PAIR ENDPOINTS only (r18): a vertex in no pair
+    // never changes label, so seeding the whole corpus into every
+    // round's join is pure waste — the label table is now ∝ endpoints
+    // (near-dup docs), not corpus size, and each round's two shuffles
+    // shrink with it. Endpoints are intersected with the vertex set so
+    // ids appearing only in pairs still neither receive nor relay
+    // labels — exactly the pre-r18 semantics. Singletons rejoin at the
+    // end as their own cluster (the left join below).
     var comp = ckpt(
-      vertices.select(col(idCol).as("id")).distinct()
+      p.select(col("doc_a").as("id"))
+        .union(p.select(col("doc_b").as("id")))
+        .distinct()
+        .join(verts, Seq("id"), "left_semi")
         .withColumn("comp", col("id")),
       eager = true)
     var changed = 1L
@@ -997,7 +1082,9 @@ object Dedup {
       s"connectedComponents: not converged after $rounds rounds " +
         "(component diameter > 50) — use connectedComponentsAlternating, " +
         "whose star-contraction rounds are logarithmic in component size")
-    comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
+    verts.join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("cluster_id"))
   }
 
   /** Incremental connected components: fold a NEW batch into PERSISTED

@@ -335,7 +335,7 @@ object Graph {
     // oracle replays, and silently dropping the edge would return a
     // plausible-looking but wrong distance map (the
     // assert_true-guard discipline of StreamingIvm's fold arms)
-    val ec = edgesWithCost.select(col("src"), col("dst"),
+    val ecLazy = edgesWithCost.select(col("src"), col("dst"),
         when(col("cost").isNull, lit(null))
           .otherwise(when(assert_true(col("cost") >= 0,
             lit("ssspRounds: negative edge cost violates the " +
@@ -343,6 +343,14 @@ object Graph {
             col("cost"))).as("cost"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("cost").isNotNull)
+    // materialize the edge relation ONCE for multi-round runs: unlike a
+    // lazy unroll inside one job (where ReusedExchange shares the scan),
+    // each round below ends in an ACTION (the per-round checkpoint), so
+    // a lazy `ec` re-derives the whole upstream edge plan — corpus scan,
+    // window, aggregate — in EVERY round's job (profiled r18: three
+    // identical 0.53 s derivation stages in g15_sssp's three rounds).
+    // Same measured rationale as kCorePeel's eager edge checkpoint.
+    val ec = if (rounds >= 2) ecLazy.localCheckpoint(true) else ecLazy
     var d = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.Partitioning
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: opaque `binary` payloads + typed metadata, with the
@@ -22,6 +24,19 @@ import org.apache.spark.sql.types._
   *     ops (graft.operators.Similarity) apply unchanged.
   */
 object Multimodal {
+  /** One-time per-JVM codec tuning: javax.imageio's default
+    * disk-backed stream cache creates and deletes a temp file per
+    * encode/decode call — 32 concurrent decode tasks then serialize on
+    * temp-file churn and the synchronized cache-directory lookup,
+    * burning ~3x the CPU of the decode itself (measured r18 when the
+    * decode stages were first spread across cores). Memory-cached
+    * streams remove the shared-disk rendezvous; payloads here are
+    * row-sized, so the memory cost is the payload itself. Idempotent,
+    * JVM-global; referenced at the top of every ImageIO-touching
+    * mapPartitions closure so executors apply it on first task. */
+  private[operators] lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
 
   /** Attach the opaque payload + typed metadata (length, content hash,
     * declared mime). Pure projection — codegen'd, no data copy beyond the
@@ -92,9 +107,11 @@ object Multimodal {
                   targetPx: Int): DataFrame = {
     import spark.implicits._
     require(targetPx >= 1, s"targetPx must be >= 1, got $targetPx")
-    media.select(col("doc_id"), col("payload"))
+    Partitioning.spread(media.select(col("doc_id"), col("payload")),
+        col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -151,7 +168,8 @@ object Multimodal {
   def pairConsistency(spark: SparkSession, texts: DataFrame,
                       media: DataFrame): DataFrame = {
     import spark.implicits._
-    val mediaBins = media.select(col("pair_id"), col("payload"))
+    val mediaBins = Partitioning.spread(
+        media.select(col("pair_id"), col("payload")), col("pair_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -214,6 +232,7 @@ object Multimodal {
     * MultimodalSpec drives real PNG and JPEG bytes through this. */
   object ImageIoCodec extends MediaCodec {
     override def features(bytes: Array[Byte]): Array[Double] = {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       require(img != null,
@@ -257,6 +276,19 @@ object Multimodal {
     * copy only, silently desynchronizing codec features from
     * signatures. `who` labels error messages with the caller. */
   private def pcmAmplitudes(bytes: Array[Byte], who: String): Array[Int] = {
+    // RIFF/WAVE fast path, parsed lock-free: AudioSystem's per-call
+    // provider lookup synchronizes JVM-wide, and once the decode stage
+    // is spread across cores (guide §2.5) 32 concurrent tasks serialize
+    // on that registry — measured r18: total decode CPU TRIPLED versus
+    // the same work single-threaded. The canonical WAV container is a
+    // chunk-walked RIFF file (fmt + data), so the overwhelmingly common
+    // case needs no registry at all; non-WAV containers (AIFF/AU — rare
+    // here) keep the AudioSystem path and its exact error contract.
+    if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E')
+      return wavPcmAmplitudes(bytes, who)
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     catch {
@@ -273,14 +305,65 @@ object Multimodal {
     val data = in.readAllBytes()
     require(frameSize > 0 && data.length % frameSize == 0,
       s"$who: truncated frame (len ${data.length}, frame $frameSize)")
-    val n = data.length / frameSize
+    amplitudesOf(data, 0, data.length, frameSize, bits, fmt.isBigEndian)
+  }
+
+  /** The WAV arm of [[pcmAmplitudes]]: walk the RIFF chunks for `fmt `
+    * and `data`, enforce the same PCM/bit-depth contract, and run the
+    * shared amplitude loop. WAV sample data is always little-endian;
+    * 8-bit WAV PCM is unsigned by spec. */
+  private def wavPcmAmplitudes(bytes: Array[Byte], who: String): Array[Int] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    var off = 12
+    var frameSize = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (frameSize < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"$who: truncated RIFF chunk '$id' (size $size at offset $off)")
+      if (id == "fmt ") {
+        require(size >= 16, s"$who: malformed fmt chunk (size $size)")
+        val audioFormat = le16(off + 8)
+        require(audioFormat == 1,
+          s"$who: only PCM WAV supported, got format code $audioFormat")
+        bits = le16(off + 8 + 14)
+        require(bits == 16 || bits == 8,
+          s"$who: only 8/16-bit PCM supported, got $bits-bit PCM")
+        frameSize = le16(off + 8 + 12) // block align = channels·bits/8
+        require(frameSize > 0, s"$who: malformed block align $frameSize")
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(frameSize > 0 && dataOff >= 0,
+      s"$who: payload (${bytes.length} bytes) is not a " +
+        "decodable audio container (missing fmt/data chunk)")
+    require(dataLen % frameSize == 0,
+      s"$who: truncated frame (len $dataLen, frame $frameSize)")
+    amplitudesOf(bytes, dataOff, dataLen, frameSize, bits,
+      bigEndian = false)
+  }
+
+  /** The endian-aware first-channel |amplitude| loop shared by both
+    * container arms (0..32767; 8-bit PCM recentered and ×256). */
+  private def amplitudesOf(data: Array[Byte], start: Int, len: Int,
+                           frameSize: Int, bits: Int,
+                           bigEndian: Boolean): Array[Int] = {
+    val n = len / frameSize
     val amps = new Array[Int](n)
     var f = 0
     while (f < n) {
-      val off = f * frameSize
+      val off = start + f * frameSize
       amps(f) =
         if (bits == 16) {
-          val sample = if (fmt.isBigEndian)
+          val sample = if (bigEndian)
             (data(off) << 8) | (data(off + 1) & 0xFF)
           else (data(off + 1) << 8) | (data(off) & 0xFF)
           math.min(math.abs(sample), 32767)
@@ -288,6 +371,40 @@ object Multimodal {
       f += 1
     }
     amps
+  }
+
+
+  /** Canonical 16-bit mono little-endian PCM WAV container around raw
+    * sample bytes — byte-for-byte the 44-byte header AudioSystem's WAVE
+    * writer emits for this format, minus AudioSystem's synchronized
+    * per-call provider lookup (the same JVM-wide registry rendezvous as
+    * [[imageIoNoDiskCache]]'s rationale: once the render stage is
+    * spread across cores, 32 concurrent AudioSystem.write calls
+    * serialize on the registry — measured r18). */
+  private def wavPcm16MonoBytes(pcm: Array[Byte],
+                                sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte
+      out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(o: Int, t: String): Unit = {
+      val b = t.getBytes("US-ASCII")
+      System.arraycopy(b, 0, out, o, 4)
+    }
+    tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate); le32(28, sampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits
+    tag(36, "data"); le32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
   }
 
   object WavCodec extends MediaCodec {
@@ -317,9 +434,12 @@ object Multimodal {
                       px: Int): DataFrame = {
     import spark.implicits._
     require(px >= 1, s"px must be >= 1, got $px")
-    docs.select(col("doc_id"), col("n_chars").cast(LongType))
+    Partitioning.spread(
+        docs.select(col("doc_id"), col("n_chars").cast(LongType)),
+        col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { case (id, nc) =>
           val g = (((nc % 256) + 256) % 256).toInt
           val img = new java.awt.image.BufferedImage(
@@ -364,8 +484,10 @@ object Multimodal {
     import spark.implicits._
     require(px >= 8 && px % 8 == 0,
       s"px must be a positive multiple of 8, got $px")
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         val k = px / 8
         rows.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -411,9 +533,11 @@ object Multimodal {
     import spark.implicits._
     require(grid >= 2 && (grid - 1) * grid <= 64,
       s"grid must be in [2, 8] so the signature packs into a long, got $grid")
-    media.select(col("doc_id"), col("payload"))
+    Partitioning.spread(media.select(col("doc_id"), col("payload")),
+        col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -480,9 +604,12 @@ object Multimodal {
                      samples: Int): DataFrame = {
     import spark.implicits._
     require(samples >= 1, s"samples must be >= 1, got $samples")
-    docs.select(col("doc_id"), col("n_chars").cast(LongType))
+    Partitioning.spread(
+        docs.select(col("doc_id"), col("n_chars").cast(LongType)),
+        col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { case (id, nc) =>
           val amp = (((nc % 32768) + 32768) % 32768).toInt
           val pcm = new Array[Byte](samples * 2)
@@ -492,14 +619,7 @@ object Multimodal {
             pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
+          (id, wavPcm16MonoBytes(pcm, 8000))
         }
       }.toDF("doc_id", "payload")
   }
@@ -523,7 +643,8 @@ object Multimodal {
     import spark.implicits._
     require(segments >= 2 && perSegment >= 1,
       s"need >= 2 segments and >= 1 frame each, got $segments x $perSegment")
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions { rows =>
         rows.map { id =>
           val n = segments * perSegment
@@ -537,14 +658,7 @@ object Multimodal {
             pcm(2 * f + 1) = ((a >> 8) & 0xFF).toByte
             f += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
+          (id, wavPcm16MonoBytes(pcm, 8000))
         }
       }.toDF("doc_id", "payload")
   }
@@ -569,7 +683,8 @@ object Multimodal {
     import spark.implicits._
     require(segments >= 2 && segments <= 57,
       s"segments must be in [2, 57] so the signature packs into a long, got $segments")
-    media.select(col("doc_id"), col("payload"))
+    Partitioning.spread(media.select(col("doc_id"), col("payload")),
+        col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -652,8 +767,10 @@ object Multimodal {
     require(px >= 8 && px % 8 == 0,
       s"px must be a positive multiple of 8, got $px")
     require(frames >= 1 && frames <= 64, s"frames must be in [1, 64], got $frames")
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         val k = px / 8
         rows.map { id =>
           val fs = (0 until frames).map { f =>
@@ -700,9 +817,11 @@ object Multimodal {
     require(grid >= 2 && (grid - 1) * grid <= 64,
       s"grid must be in [2, 8] so the signature packs into a long, got $grid")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    media.select(col("doc_id"), col("payload"))
+    Partitioning.spread(media.select(col("doc_id"), col("payload")),
+        col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageIoNoDiskCache
         rows.map { case (id, bytes) =>
           var sig = Long.MaxValue
           var idx = 0
@@ -737,7 +856,8 @@ object Multimodal {
                      codec: MediaCodec = ByteHistogramCodec)
   : Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
+    Partitioning.spread(media.select(col("doc_id"), col("payload")),
+        col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val c = codec // one codec instance serves the whole partition

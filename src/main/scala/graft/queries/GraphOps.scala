@@ -19,6 +19,25 @@ object GraphOps {
 
   private val SCALE = 1000000000000L // one unit of PageRank mass
 
+  /** The shared `(user_id, ts, event_id, item)` projection every graph
+    * entry derives from `events.props` — with the JSON parse SPREAD
+    * across cores (guide §2.5): the parse is the entries' heaviest
+    * per-row stage, and a scan planned from few files would otherwise
+    * serialize it on one task (profiled r18: 0.5 s single-task scan
+    * stages repeated 2–3× per graph entry). The spread keys on
+    * `user_id`, the column the transition window partitions by next,
+    * so the window can reuse the partitioning. No-op when the scan
+    * already plans ≥ defaultParallelism splits (corpus scale). */
+  private def itemEvents(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    graft.core.Partitioning.spread(
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("props")),
+        col("user_id"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+      .filter(col("item").isNotNull)
+
   val entries: Seq[Entry] = Seq(
 
     // users-who-touched-both item pairs, top 20 by support. The operator
@@ -52,10 +71,9 @@ object GraphOps {
     Entry(
       "g2_pagerank",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        // one corpus pass: the parsed projection feeds 2+ scans
+        // (count/nodes/edges or per-round jobs) — materialize once
+        val ev = itemEvents(s, dir).localCheckpoint(true)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val nodes = ev.select(col("item").as("node")).distinct()
         Graph.pageRank(nodes, edges, iterations = 3, scale = SCALE)
@@ -119,10 +137,9 @@ object GraphOps {
     Entry(
       "g3_ppr_seeded",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        // one corpus pass: the parsed projection feeds 2+ scans
+        // (count/nodes/edges or per-round jobs) — materialize once
+        val ev = itemEvents(s, dir).localCheckpoint(true)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val nodes = ev.select(col("item").as("node")).distinct()
         val seeds = nodes.filter(col("node") < 5)
@@ -347,10 +364,7 @@ object GraphOps {
     Entry(
       "g4_triangles",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         Graph.triangleCounts(edges).orderBy("node")
       },
@@ -411,10 +425,9 @@ object GraphOps {
     Entry(
       "g5_khop_reach",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        // one corpus pass: the parsed projection feeds 2+ scans
+        // (count/nodes/edges or per-round jobs) — materialize once
+        val ev = itemEvents(s, dir).localCheckpoint(true)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val seeds = ev.select(col("item").as("node")).distinct()
           .filter(col("node") % 97 === 0)
@@ -466,10 +479,7 @@ object GraphOps {
     Entry(
       "g6_degree_histogram",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val simple = Graph.simpleUndirected(edges)
         simple.select(col("a").as("node"))
@@ -515,10 +525,7 @@ object GraphOps {
     Entry(
       "g7_label_propagation",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         Graph.labelPropagation(edges, rounds = 3)
           .groupBy("label").agg(count(lit(1)).as("n_nodes"))
@@ -562,10 +569,7 @@ object GraphOps {
     Entry(
       "g8_reciprocity",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val ed = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
           .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
         val rec = ed.join(ed.select(col("dst").as("src"), col("src").as("dst")),
@@ -611,10 +615,7 @@ object GraphOps {
     Entry(
       "g10_neighbor_jaccard",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val simple = Graph.simpleUndirected(edges)
         val adj = simple.select(col("a").as("node"), col("b").as("nbr"))
@@ -702,10 +703,7 @@ object GraphOps {
     Entry(
       "g12_kcore",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
           .filter(col("cnt") >= 3)
         Graph.kCorePeel(edges, k = 8, rounds = 8).orderBy("node")
@@ -754,10 +752,9 @@ object GraphOps {
     Entry(
       "g13_hits",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        // one corpus pass: the parsed projection feeds 2+ scans
+        // (count/nodes/edges or per-round jobs) — materialize once
+        val ev = itemEvents(s, dir).localCheckpoint(true)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val nodes = ev.select(col("item").as("node")).distinct()
         Graph.hits(nodes, edges, iterations = 2, scale = 1000000L)
@@ -813,10 +810,7 @@ object GraphOps {
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val d38 = DecimalType(38, 0)
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        val ev = itemEvents(s, dir)
         val edges = Graph.transitionEdges(ev, "user_id", "ts", "event_id", "item")
         val simple = Graph.simpleUndirected(edges)
         val stubs = simple.select(col("a").as("u"), col("b").as("v"))
@@ -909,10 +903,9 @@ object GraphOps {
     Entry(
       "g15_sssp",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("item"))
-          .filter(col("item").isNotNull)
+        // one corpus pass: the parsed projection feeds 2+ scans
+        // (count/nodes/edges or per-round jobs) — materialize once
+        val ev = itemEvents(s, dir).localCheckpoint(true)
         val edges = Graph
           .transitionEdges(ev, "user_id", "ts", "event_id", "item")
           .select(col("src"), col("dst"),

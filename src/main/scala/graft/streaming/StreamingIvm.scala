@@ -243,8 +243,14 @@ object StreamingIvm {
     * survivors. */
   def commitVersion(spark: SparkSession, stateDir: String, df: DataFrame,
                     batchId: Long, keepVersions: Int): Unit = {
-    df.localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$batchId")
+    // No checkpoint before the write (r18): the fold's lineage reads
+    // the PREDECESSOR version (`readState(Some(batchId))` selects
+    // strictly below batchId), never `v=<batchId>` itself, so the
+    // overwrite is read-free and the write can execute the fold plan
+    // directly — the old eager localCheckpoint materialized every
+    // committed state TWICE (once to executor storage, once reading it
+    // back for parquet), one full extra pass per fold at any scale.
+    df.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v=$batchId")
     val fsv = new Path(s"$stateDir/v=$batchId")
     val fs0 = fsv.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs0.exists(new Path(fsv, "_SUCCESS")),
