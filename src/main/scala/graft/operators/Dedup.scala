@@ -178,13 +178,7 @@ object Dedup {
   def minhashSignatureArray(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sketch = udaf(new graft.functions.MinHashSketch(numHashes),
       org.apache.spark.sql.Encoders.scalaLong)
-    // keyed spread (r18): the tokenize+shingle+hash fan-out below is the
-    // sketch's heavy map stage, and the aggregate groups by doc_id — the
-    // doc_id hash partitioning established here both parallelizes an
-    // under-split scan AND satisfies the groupBy's distribution, so the
-    // sketch aggregate runs single-phase with no second exchange
-    graft.core.Partitioning.spread(
-        docs.select(col("doc_id"), col("text")), col("doc_id"))
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingle"))
@@ -1033,21 +1027,13 @@ object Dedup {
     val p = ckpt(pairs.select(col("doc_a"), col("doc_b")), eager = true)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val verts = ckpt(
-      vertices.select(col(idCol).as("id")).distinct(), eager = true)
-    // propagate over PAIR ENDPOINTS only (r18): a vertex in no pair
-    // never changes label, so seeding the whole corpus into every
-    // round's join is pure waste — the label table is now ∝ endpoints
-    // (near-dup docs), not corpus size, and each round's two shuffles
-    // shrink with it. Endpoints are intersected with the vertex set so
-    // ids appearing only in pairs still neither receive nor relay
-    // labels — exactly the pre-r18 semantics. Singletons rejoin at the
-    // end as their own cluster (the left join below).
+    // (r18 note: seeding only pair ENDPOINTS and rejoining singletons at
+    // the end was tried and MEASURED SLOWER here — threshold pair graphs
+    // cover most of the corpus, so the label table barely shrank while
+    // the endpoint distinct, the semi-join, and the final singleton
+    // join added three stages per run. Whole-vertex seeding stays.)
     var comp = ckpt(
-      p.select(col("doc_a").as("id"))
-        .union(p.select(col("doc_b").as("id")))
-        .distinct()
-        .join(verts, Seq("id"), "left_semi")
+      vertices.select(col(idCol).as("id")).distinct()
         .withColumn("comp", col("id")),
       eager = true)
     var changed = 1L
@@ -1082,9 +1068,7 @@ object Dedup {
       s"connectedComponents: not converged after $rounds rounds " +
         "(component diameter > 50) — use connectedComponentsAlternating, " +
         "whose star-contraction rounds are logarithmic in component size")
-    verts.join(comp, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("comp"), col("id")).as("cluster_id"))
+    comp.select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
   /** Incremental connected components: fold a NEW batch into PERSISTED

@@ -856,8 +856,16 @@ object Multimodal {
                      codec: MediaCodec = ByteHistogramCodec)
   : Dataset[MediaFeatures] = {
     import spark.implicits._
-    Partitioning.spread(media.select(col("doc_id"), col("payload")),
-        col("doc_id"))
+    val in = media.select(col("doc_id"), col("payload"))
+    // spread only for REAL codecs: their per-row decode dominates the
+    // payload shuffle the spread pays (measured r18: ImageIO decode
+    // 4.3 s → 0.6 s spread). The byte-histogram stub is cheaper than
+    // moving its input once — spreading it was a measured net LOSS
+    // (0.2 s → 0.7 s), so the stub path keeps the scan's partitioning.
+    val spreadIn =
+      if (codec eq ByteHistogramCodec) in
+      else Partitioning.spread(in, col("doc_id"))
+    spreadIn
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val c = codec // one codec instance serves the whole partition

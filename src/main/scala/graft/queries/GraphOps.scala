@@ -46,7 +46,11 @@ object GraphOps {
     Entry(
       "g1_item_cooccurrence",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
+        // spread the JSON parse (guide §2.5), keyed on the column the
+        // co-occurrence fold groups by next — itemEvents' discipline
+        val ev = graft.core.Partitioning.spread(
+            Tables(s, dir, "events").select(col("user_id"), col("props")),
+            col("user_id"))
           .select(col("user_id"),
             get_json_object(col("props"), "$.k").cast(LongType).as("item"))
         Graph.cooccurrence(ev, "user_id", "item", maxItemsPerUser = 1000)
@@ -225,10 +229,20 @@ object GraphOps {
     Entry(
       "pipeline_item_insights",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
+        // one corpus pass (r18): the parsed projection feeds SIX plan
+        // subtrees (PageRank nodes/edges/count, both as-of sides, the
+        // co-occurrence fold) — spread the JSON parse across cores and
+        // materialize it once, itemEvents' discipline plus the extra
+        // columns this dashboard needs
+        val ev = graft.core.Partitioning.spread(
+            Tables(s, dir, "events")
+              .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), col("value"), col("props")),
+            col("user_id"))
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"), col("value"),
             get_json_object(col("props"), "$.k").cast(LongType).as("item"))
+          .localCheckpoint(true)
         val evi = ev.filter(col("item").isNotNull)
         val pr = Graph.pageRank(
           evi.select(col("item").as("node")).distinct(),

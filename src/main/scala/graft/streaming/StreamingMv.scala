@@ -91,17 +91,20 @@ object StreamingMv {
     * insert rows. */
   def foldBatch(spark: SparkSession, stateDir: String, cfg: Config)
                (batch: DataFrame, batchId: Long): Unit = {
-    val rows = batch
-      .select((cfg.keyCols.map(col) :+ col(cfg.valueCol)) ++
-        cfg.distinctCol.filterNot(_ == cfg.valueCol).map(col): _*)
-      // decouple from the streaming source AND pin one evaluation: the
-      // corpus write and the fold must see the same rows
-      .localCheckpoint(true)
     // 1. corpus partition first (re-delivery overwrites its own subdir;
     //    readers of the whole dir see at worst an extra not-yet-folded
-    //    partition, which only matters on the bail path)
-    rows.write.mode(SaveMode.Overwrite)
+    //    partition, which only matters on the bail path). The fold then
+    //    reads the JUST-WRITTEN partition back (r18): the batch is
+    //    evaluated exactly once — the write — and the corpus bytes and
+    //    the folded delta are the same bytes by construction, which the
+    //    old eager localCheckpoint only approximated while costing one
+    //    extra materialization pass per fold.
+    batch
+      .select((cfg.keyCols.map(col) :+ col(cfg.valueCol)) ++
+        cfg.distinctCol.filterNot(_ == cfg.valueCol).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"${docsDir(stateDir)}/batch=$batchId")
+    val rows = spark.read.parquet(s"${docsDir(stateDir)}/batch=$batchId")
     // 2. versioned summary fold — the commit mark
     // the IVM fold's maintenance schema is fixed (v_micro/sign); the
     // corpus partition above keeps the caller's column name — the
